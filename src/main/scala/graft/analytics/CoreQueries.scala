@@ -1,0 +1,433 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.GraftSession.table
+
+/** Relational analytics surface over the driver's star schema.
+  *
+  * The reference (dollarkillerx/galaxy) has no relational operators at all
+  * (SURVEY.md §2.6) — joins/aggregations/windows/sorts/set-ops come from
+  * Spark built-ins by design (SURVEY.md §7.3). Every query here is
+  * declarative DataFrame API so Catalyst applies predicate pushdown, column
+  * pruning, join selection, and AQE re-planning; each has a DuckDB oracle.
+  *
+  * Scale notes:
+  *   - Only `nation`/`region` are explicitly `broadcast()` — they are
+  *     constant-size at any SF. Other join strategies are left to
+  *     Catalyst/AQE, which at 100 TB picks sort-merge w/ skew splitting.
+  *   - Window queries use full deterministic sort keys (unique tiebreakers)
+  *     so results are stable under any partitioning.
+  *   - No `.collect()`-driven logic anywhere; all plans are single-pass
+  *     pipelines over the scan.
+  */
+object CoreQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary: single scan, map-side partial aggs. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        avg($"l_quantity").as("avg_qty"),
+        avg($"l_extendedprice").as("avg_price"),
+        avg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  /** Filter + narrow projection — exists to prove scan-level predicate
+    * pushdown and column pruning (PushedFilters + 4-column ReadSchema).
+    */
+  def q2FilterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .filter($"l_discount" >= 0.05 && $"l_quantity" < 10.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+  }
+
+  /** TPC-H Q3-style: 3-way join + grouped revenue. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = table(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = table(spark, dir, "orders")
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = table(spark, dir, "lineitem")
+      .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+    cust
+      .join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q5-style: 6-way star join, broadcast of the constant-size dims. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = table(spark, dir, "customer")
+    val ord = table(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+    val li = table(spark, dir, "lineitem")
+    val supp = table(spark, dir, "supplier")
+    val nat = broadcast(table(spark, dir, "nation"))
+    val reg = broadcast(table(spark, dir, "region"))
+    cust
+      .join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(nat, $"s_nationkey" === $"n_nationkey")
+      .join(reg, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q6-style: single-row global aggregate with range predicates. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.03 && $"l_discount" <= 0.05 &&
+          $"l_quantity" < 24.0)
+      .agg(sum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q10-style: returned-item customer ranking base (no limit —
+    * the full deterministic group set is the comparable result).
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = table(spark, dir, "customer")
+    val ord = table(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = table(spark, dir, "lineitem").filter($"l_returnflag" === "R")
+    val nat = broadcast(table(spark, dir, "nation"))
+    cust
+      .join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q18-style: large-order customers via agg + join-back (the
+    * HAVING-subquery pattern; AQE turns the filtered agg side into a
+    * broadcast when it shrinks enough).
+    */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = table(spark, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 120.0)
+    val ord = table(spark, dir, "orders")
+    val cust = table(spark, dir, "customer")
+    big
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice", $"sum_qty")
+  }
+
+  /** Global sort + limit with a unique tiebreaker (deterministic top-k).
+    * Spark executes this as TakeOrderedAndProject — per-partition top-k,
+    * then a driver-side merge of k·P candidates: no full global sort.
+    */
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+      .select($"o_orderkey", $"o_totalprice")
+  }
+
+  /** Exact distinct aggregation (expand + two-phase under the hood). */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_returnflag", $"l_linestatus").as("n_flag_status"))
+  }
+
+  /** ROLLUP hierarchy totals with grouping_id disambiguation. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+  }
+
+  /** CUBE over order status/priority. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(sum($"o_totalprice").as("sum_price"), count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+  }
+
+  /** Window: top-3 orders per customer by price (row_number + tiebreak). */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    table(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+  }
+
+  /** Window: running quantity per supplier, fully tiebroken ordering so the
+    * prefix sums are bit-identical regardless of partitioning.
+    */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "lineitem")
+      .withColumn("running_qty", sum($"l_quantity").over(w))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+  }
+
+  /** Left-semi join (EXISTS): customers that placed an urgent order. */
+  def qExistsSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = table(spark, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    table(spark, dir, "customer")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent orders. */
+  def qNotExistsAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = table(spark, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    table(spark, dir, "customer")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+  }
+
+  /** Set algebra: urgent-order buyers vs low-priority buyers, tagged. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = table(spark, dir, "orders")
+    def buyers(prio: String) =
+      ord.filter($"o_orderpriority" === prio).select($"o_custkey").distinct()
+    val urgent = buyers("1-URGENT")
+    val low = buyers("5-LOW")
+    urgent.intersect(low).withColumn("tag", lit("both"))
+      .unionByName(urgent.except(low).withColumn("tag", lit("urgent_only")))
+      .unionByName(low.except(urgent).withColumn("tag", lit("low_only")))
+      .select($"tag", $"o_custkey")
+  }
+
+  /** CASE bucketing + aggregation. */
+  def qCaseBucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .withColumn("bucket",
+        when($"o_totalprice" < 100000.0, "small")
+          .when($"o_totalprice" < 300000.0, "medium")
+          .otherwise("large"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("sum_price"))
+  }
+
+  /** Scalar string/math function surface over part. */
+  def qScalarFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "part")
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("uname"),
+        lower($"p_brand").as("lbrand"),
+        // cast: Spark length() is int32, DuckDB length() is int64
+        length($"p_name").cast("long").as("name_len"),
+        substring($"p_brand", 7, 2).as("brand_suffix"),
+        concat_ws("|", $"p_type", $"p_brand").as("type_brand"),
+        floor($"p_retailprice").cast("long").as("price_floor"),
+        ($"p_size" % 5).as("size_mod"),
+        abs($"p_size" - 25).as("size_dist")
+      )
+  }
+
+  /** Date/time function surface over orders. */
+  def qDateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        // cast: Spark date-part functions are int32, DuckDB's are int64
+        year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"),
+        dayofmonth($"o_orderdate").cast("long").as("d"),
+        quarter($"o_orderdate").cast("long").as("q"),
+        date_format($"o_orderdate", "yyyy-MM").as("ym")
+      )
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_filter_pushdown" -> q2FilterPushdown,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier" -> q5LocalSupplier,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q18_big_orders" -> q18BigOrders,
+    "q_sort_limit" -> qSortLimit,
+    "q_distinct" -> qDistinct,
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_window_rank" -> qWindowRank,
+    "q_window_running" -> qWindowRunning,
+    "q_exists_semi" -> qExistsSemi,
+    "q_not_exists_anti" -> qNotExistsAnti,
+    "q_setops" -> qSetOps,
+    "q_case_bucket" -> qCaseBucket,
+    "q_scalar_funcs" -> qScalarFuncs,
+    "q_date_funcs" -> qDateFuncs
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | sum(l_extendedprice) AS sum_base_price,
+        | sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        | sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+        | avg(l_quantity) AS avg_qty,
+        | avg(l_extendedprice) AS avg_price,
+        | avg(l_discount) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10.0""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        | sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 120.0) big
+        |JOIN orders ON big.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        |FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, sum(o_totalprice) AS sum_price,
+        | count(*) AS n, CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t WHERE rk <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "q_exists_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_not_exists_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_setops" ->
+      """WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        | low AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM urgent INTERSECT SELECT * FROM low)
+        |UNION ALL
+        |SELECT 'urgent_only' AS tag, o_custkey FROM (SELECT * FROM urgent EXCEPT SELECT * FROM low)
+        |UNION ALL
+        |SELECT 'low_only' AS tag, o_custkey FROM (SELECT * FROM low EXCEPT SELECT * FROM urgent)""".stripMargin,
+    "q_case_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'small'
+        |  WHEN o_totalprice < 300000.0 THEN 'medium' ELSE 'large' END AS bucket,
+        | count(*) AS n, sum(o_totalprice) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
+        | CAST(length(p_name) AS BIGINT) AS name_len, substr(p_brand, 7, 2) AS brand_suffix,
+        | concat_ws('|', p_type, p_brand) AS type_brand,
+        | CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        | p_size % 5 AS size_mod, abs(p_size - 25) AS size_dist
+        |FROM part""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        | day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+        | strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders""".stripMargin
+  )
+}
