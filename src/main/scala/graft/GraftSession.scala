@@ -25,6 +25,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
@@ -35,7 +36,31 @@ object GraftSession {
 
   /** Load one of the driver tables from a scale-factor dir. The read is a
     * plain parquet scan so Catalyst pushes filters/projection into it.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[builder]] and by
+    * entry points) it lands as LongType nanos, which we convert back to a
+    * proper TimestampType column (micros precision — the generator emits
+    * second-granularity values, so nothing is lost). The conversion is a
+    * codegen'd scalar expression: pushdown/pruning on other columns is
+    * unaffected.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.dataType == org.apache.spark.sql.types.LongType &&
+          isNanosColumn(sfDir, name, f.name) =>
+        // Integral `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's
+        // 2^53 mantissa, so float division rounds the microsecond.
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"${f.name} div 1000")))
+      case (d, _) => d
+    }
+  }
+
+  /** Only `events.ts` is nano-encoded in the driver data. */
+  private def isNanosColumn(sfDir: String, table: String, col: String): Boolean =
+    table == "events" && col == "ts"
 }

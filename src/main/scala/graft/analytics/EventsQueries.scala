@@ -1,0 +1,113 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Event-time analytics over the driver's `events` stream table — the batch
+  * faces of the Structured Streaming operators in `graft.streaming`
+  * (tumbling/sliding windows, sessionization). Each is pure DataFrame API
+  * with a DuckDB oracle; the streaming specs prove the same logic under
+  * watermarks and incremental state.
+  */
+object EventsQueries {
+
+  /** Tumbling 1-hour event-time window per event type (the batch analog of
+    * `groupBy(window($"ts", "1 hour"))` streaming aggregation).
+    */
+  def qEventsTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+  }
+
+  /** Per-user session assignment: a new session starts after a >30 min gap.
+    * Two stacked windows (lag → running sum of boundary flags); both fully
+    * tiebroken so results are deterministic under any partitioning. This is
+    * the batch face of `flatMapGroupsWithState` sessionization — it scales
+    * as one shuffle on `user_id` then linear in-partition work.
+    */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    table(spark, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"event_id", $"session_idx")
+  }
+
+  /** Session-level rollup: bounds + activity per (user, session). */
+  def qEventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qEventsSessionize(spark, dir).as("s")
+      .join(table(spark, dir, "events").as("e"), Seq("event_id"))
+      .groupBy($"s.user_id", $"session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"e.ts").as("session_start"),
+        max($"e.ts").as("session_end"),
+        sum($"e.value").as("sum_value"))
+  }
+
+  /** JSON prop extraction (the envelope's semi-structured value surface):
+    * pull `k` out of the props JSON and bucket counts by k % 10.
+    */
+  def qEventsJsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "events")
+      .select(get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy(($"k" % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+  }
+
+  val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_events_tumbling" -> qEventsTumbling,
+    "q_events_sessionize" -> qEventsSessionize,
+    "q_events_session_stats" -> qEventsSessionStats,
+    "q_events_json_props" -> qEventsJsonProps
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sessionize" ->
+      """SELECT user_id, event_id,
+        | SUM(CASE WHEN prev_ts IS NULL
+        |          OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |FROM (SELECT user_id, event_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |      FROM events) t""".stripMargin,
+    "q_events_session_stats" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id,
+        |   SUM(CASE WHEN prev_ts IS NULL
+        |            OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM (SELECT user_id, event_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |        FROM events) t)
+        |SELECT s.user_id, s.session_idx, count(*) AS n_events,
+        | min(e.ts) AS session_start, max(e.ts) AS session_end,
+        | sum(e.value) AS sum_value
+        |FROM s JOIN events e ON s.event_id = e.event_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q_events_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}
