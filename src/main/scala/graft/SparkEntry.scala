@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CdcQueries, CoreQueries, EventsQueries}
+import graft.analytics.{CdcQueries, CoreQueries, DedupQueries, EventsQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,11 +17,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ CdcQueries.queries ++ EventsQueries.queries
+    CoreQueries.queries ++ CdcQueries.queries ++ EventsQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ CdcQueries.oracles ++ EventsQueries.oracles
+    CoreQueries.oracles ++ CdcQueries.oracles ++ EventsQueries.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,224 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Deduplication operators for a training-data pipeline over `documents` /
+  * `embeddings` (driver mandate: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup).
+  *
+  * Scale design (the driver data keeps documents small; the plans are built
+  * for 100 TB):
+  *   - exact dedup is a hash-groupBy on a 256-bit digest — one shuffle on
+  *     the digest, map-side partial aggregation, no data movement of the
+  *     full text beyond the first projection;
+  *   - n-gram Jaccard uses the shingle inverted-index self-join (explode →
+  *     join on shingle → pair-count), the exact algorithm; at 100 TB its
+  *     candidate set is what MinHash+LSH prunes;
+  *   - MinHash+LSH is the scale path: 64 permutations → 16 bands × 4 rows,
+  *     shuffle keyed on (band, signature) so only same-bucket docs ever
+  *     meet, then exact-Jaccard verification of the tiny candidate set.
+  *     With r=4,b=16 the miss probability at j≥0.9 is (1-0.9⁴)¹⁶ ≈ 4e-8, so
+  *     the verified output equals the exact all-pairs answer — which is
+  *     what the DuckDB oracle computes;
+  *   - SimHash packs a doc into 32 bits (bit-majority over shingle hashes);
+  *     near-dup = hamming ≤ 3. The pair join here is a compact self-join on
+  *     the 1-long-per-doc sketch table (at 100 TB you'd band the sketch bits
+  *     the same way as LSH);
+  *   - embedding near-dup thresholds exact double cosine over a self-join of
+  *     the (id, vec, norm) projection; at 100 TB with a high threshold the
+  *     candidate step becomes sign-LSH banding, same shape as MinHash.
+  *
+  * Everything is built from codegen'd `functions._` / higher-order
+  * expressions — no UDFs — and every query has an exact DuckDB oracle.
+  */
+object DedupQueries {
+
+  /** 5-char shingle set of `text` (guarded for short docs). */
+  private val shingleExpr =
+    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1))," +
+      " i -> substring(text, i, 5)))"
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
+  }
+
+  /** Exact dedup: SHA-256 digest groupBy; keeper = min doc_id per digest.
+    * Also exposes a normalized variant (lowercase, collapsed whitespace) in
+    * the same pass.
+    */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"doc_id",
+        sha2($"text", 256).as("digest"),
+        sha2(regexp_replace(lower($"text"), "\\s+", " "), 256).as("norm_digest"))
+      .groupBy($"digest", $"norm_digest")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_dups"))
+      .select($"keeper_id", $"n_dups", substring($"digest", 1, 16).as("digest16"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.7) via the shingle
+    * inverted-index self-join — explode, join on shingle, count shared,
+    * union from per-doc set sizes. One shuffle on the shingle, one on the
+    * pair.
+    */
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir)
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("sa"), $"id_a" === $"sa.doc_id")
+      .join(sz.as("sb"), $"id_b" === $"sb.doc_id")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"sa.sz" + $"sb.sz" - $"inter"))
+      .filter($"jaccard" >= 0.7)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** MinHash + LSH near-dup (j ≥ 0.8): 64 xxhash64 permutations min-folded
+    * per doc, banded 16×4, bucket-join candidates, exact-Jaccard verify.
+    */
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir)
+    // 64-permutation MinHash signature: one aggregation, 64 min() columns.
+    val mh = sh.groupBy($"doc_id").agg(
+      min(xxhash64($"sh", lit(0))).as("h0"),
+      (1 until 64).map(p => min(xxhash64($"sh", lit(p))).as(s"h$p")): _*)
+    // 16 bands of 4 rows → (band, signature) bucket key.
+    val bandCols = (0 until 16).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("sig"))
+    }
+    val buckets = mh
+      .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
+      .groupBy($"bs.band", $"bs.sig")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+    // pairs within each bucket (ids sorted so id_a < id_b), deduped.
+    val cand = buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) ->" +
+          " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
+        .as("p"))
+      .select($"p.id_a", $"p.id_b").distinct()
+    // exact verification against the real shingle sets.
+    val docSets = table(spark, dir, "documents")
+      .select($"doc_id", expr(shingleExpr).as("s"))
+    cand
+      .join(docSets.as("da"), $"id_a" === $"da.doc_id")
+      .join(docSets.as("db"), $"id_b" === $"db.doc_id")
+      .withColumn("inter", size(array_intersect($"da.s", $"db.s")))
+      .withColumn("jaccard",
+        $"inter".cast("double") / (size($"da.s") + size($"db.s") - $"inter"))
+      .filter($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** SimHash near-dup: 32-bit bit-majority sketch over polynomial shingle
+    * hashes (mod 2^31-1 — exact in both engines), pairs at hamming ≤ 3.
+    */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shh = docShingles(spark, dir)
+      .withColumn("h", expr(
+        "aggregate(filter(split(sh, ''), c -> c <> ''), 7L," +
+          " (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)"))
+    val bitSums = shh.groupBy($"doc_id").agg(
+      sum(when(expr("((h >> 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
+      (1 until 32).map(i =>
+        sum(when(expr(s"((h >> $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i")): _*)
+    val sim = bitSums.select($"doc_id",
+      (0 until 32).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sim"))
+    sim.as("a").join(sim.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("hamming",
+        expr("bit_count(a.sim ^ b.sim)").cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.46, exact double cosine). */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = table(spark, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+    val a = e.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, $"id_a" < $"id_b")
+      .withColumn("cos",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+          / ($"na" * $"nb"))
+      .filter($"cos" >= 0.46)
+      .select($"id_a", $"id_b", $"cos")
+  }
+
+  val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embedding" -> qDedupEmbedding
+  )
+
+  private val duckShingles =
+    "list_distinct([substr(text, i::INT, 5)" +
+      " FOR i IN range(1, greatest(length(text) - 4, 1) + 1)])"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_dups,
+        | substr(sha256(text), 1, 16) AS digest16
+        |FROM documents
+        |GROUP BY sha256(text), sha256(regexp_replace(lower(text), '\s+', ' ', 'g'))""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7""".stripMargin,
+    "q_dedup_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         | hh AS (
+         |  SELECT doc_id, list_reduce(list_prepend(7::BIGINT,
+         |      [ascii(c)::BIGINT FOR c IN string_split(sh, '')]),
+         |    (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+         |  FROM sh),
+         | bits AS (
+         |  SELECT doc_id, i,
+         |   sum(CASE WHEN (h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM hh CROSS JOIN range(0, 32) t(i) GROUP BY 1, 2),
+         | simh AS (
+         |  SELECT doc_id,
+         |   sum(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS sim
+         |  FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+         |FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.46""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]` vectors; driver mandate).
+  *
+  * Scale design:
+  *   - `q_knn_brute` is the exact baseline: the (small) query set is
+  *     broadcast against the full corpus — at 1000 executors every corpus
+  *     partition scores its residents locally, then per-query top-k is a
+  *     TakeOrdered-style window, so the shuffle carries only k·P candidate
+  *     rows, never the corpus;
+  *   - `q_knn_ivf` is the scale path: an inverted-file (IVF) search that
+  *     prunes the corpus to the probed partition before scoring. Here the
+  *     generator's `label` IS the cluster assignment (deterministic — no
+  *     k-means dependency in the oracle); at 100 TB the same plan holds
+  *     with learned centroids: join queries to their probe cluster ids and
+  *     score only co-partitioned vectors (a fraction 1/nlist of the data);
+  *   - cosine is computed in double (`zip_with` + `aggregate` fold — all
+  *     codegen'd) so results match the DuckDB oracle bit-for-bit; rank ties
+  *     are broken by vec_id so ordering is deterministic.
+  */
+object SimilarityQueries {
+
+  /** (vec_id, v: array<double>, nrm) projection of `embeddings`. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+  }
+
+  private val dot =
+    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+
+  /** Exact brute-force cosine top-10 for each query vector
+    * (queries = every 50th id — a small broadcast side).
+    */
+  def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, dir)
+    val queries = broadcast(
+      all.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")))
+    val scored = all.join(queries, $"vec_id" =!= $"query_id")
+      .withColumn("cos", dot / ($"qn" * $"nrm"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), $"cos")
+  }
+
+  /** IVF-style ANN: probe only the query's own cluster (`label` = cluster
+    * id), exact top-5 within it. The corpus side is pre-pruned by the join
+    * key BEFORE any scoring — the property that makes IVF sub-linear.
+    */
+  def qKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, dir)
+    val queries = broadcast(
+      all.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+          $"v".as("qv"), $"nrm".as("qn")))
+    val scored = all
+      .join(queries, $"label" === $"qlabel" && $"vec_id" =!= $"query_id")
+      .withColumn("cos", dot / ($"qn" * $"nrm"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), $"cos")
+  }
+
+  /** Per-cluster vector statistics: count, norm spread, centroid norm
+    * (element-wise mean via posexplode → two tiny shuffles).
+    */
+  def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    val centroid = e
+      .select($"label", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(avg($"x").as("cx"))
+      .groupBy($"label").agg(sqrt(sum($"cx" * $"cx")).as("centroid_norm"))
+    e.groupBy($"label")
+      .agg(count(lit(1)).as("n"), avg($"nrm").as("avg_norm"),
+        min($"nrm").as("min_norm"), max($"nrm").as("max_norm"))
+      .join(centroid, "label")
+      .select($"label".cast("long").as("label"), $"n", $"avg_norm",
+        $"min_norm", $"max_norm", $"centroid_norm")
+  }
+
+  val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_knn_brute" -> qKnnBrute,
+    "q_knn_ivf" -> qKnnIvf,
+    "q_embedding_stats" -> qEmbeddingStats
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        | s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |   list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+        |  FROM s) t WHERE rank <= 10""".stripMargin,
+    "q_knn_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        | s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |   list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos
+        |  FROM q JOIN embeddings e ON e.label = q.qlabel
+        |  WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+        |  FROM s) t WHERE rank <= 5""".stripMargin,
+    "q_embedding_stats" ->
+      """WITH v AS (
+        |  SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v,
+        |   sqrt(list_sum([x * x FOR x IN embedding::DOUBLE[]])) AS nrm
+        |  FROM embeddings),
+        | c AS (
+        |  SELECT label, pos, avg(x) AS cx FROM (
+        |    SELECT label, unnest(v) AS x,
+        |     generate_subscripts(v, 1) AS pos FROM v) t
+        |  GROUP BY 1, 2),
+        | cn AS (
+        |  SELECT label, sqrt(sum(cx * cx)) AS centroid_norm FROM c GROUP BY 1)
+        |SELECT v.label, count(*) AS n, avg(nrm) AS avg_norm,
+        | min(nrm) AS min_norm, max(nrm) AS max_norm, any_value(centroid_norm) AS centroid_norm
+        |FROM v JOIN cn ON v.label = cn.label
+        |GROUP BY v.label""".stripMargin
+  )
+}

@@ -1,0 +1,170 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (driver mandate: language-ID, quality scoring, token counting, document
+  * fingerprinting). All pure `org.apache.spark.sql.functions` — codegen'd,
+  * no UDFs — so at 100 TB each is a single narrow scan-side projection with
+  * column pruning (only `doc_id`/`text` read) and linear scaling across
+  * executors; the only shuffles are the final small aggregations.
+  */
+object TextQueries {
+
+  /** Token counting: whitespace tokens + a BPE-ish `\w+|[^\w\s]` regex
+    * tokenizer (words and standalone punctuation — the usual pre-tokenizer
+    * shape), plus char counts. One projection, no shuffle.
+    */
+  def qTextTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("long").as("bpe_tokens"),
+        length($"text").cast("long").as("n_chars_calc"),
+        size(array_distinct(split(trim($"text"), "\\s+")))
+          .cast("long").as("distinct_ws_tokens")
+      )
+  }
+
+  /** Quality scoring: length / punctuation / stopword / token-shape ratios
+    * composed into one double score, then bucketed + aggregated. The score
+    * arithmetic is pure double so the DuckDB oracle reproduces it exactly.
+    */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = size(split(trim($"text"), "\\s+")).cast("double")
+    val chars = length($"text").cast("double")
+    val stops = size(filter(split($"text", " "), w => w === "the" || w === "a"))
+      .cast("double")
+    val puncts = size(regexp_extract_all($"text", lit("[^\\w\\s]"), lit(0)))
+      .cast("double")
+    val scored = table(spark, dir, "documents")
+      .select(
+        $"doc_id", $"lang",
+        (chars / toks).as("avg_tok_len"),
+        (stops / toks).as("stop_ratio"),
+        (puncts / chars).as("punct_ratio"))
+      .withColumn("quality",
+        ($"stop_ratio" * lit(2.0) - $"punct_ratio" * lit(5.0) +
+          when($"avg_tok_len" >= 3.0 && $"avg_tok_len" <= 8.0, 1.0)
+            .otherwise(0.0)))
+    scored
+      .groupBy($"lang", (floor($"quality" * 4.0)).cast("long").as("q_bucket"))
+      .agg(count(lit(1)).as("n"), sum($"quality").as("sum_quality"))
+  }
+
+  /** Language-ID by marker-token counting (the n-gram/stopword heuristic):
+    * per-language marker lists scored over the whitespace tokens; predicted
+    * language = argmax with a fixed tiebreak order (en > de > fr > es).
+    * Exposes both scores and the prediction, plus a confusion-style rollup
+    * against the labeled `lang` column.
+    */
+  def qTextLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def score(markers: Seq[String]) = {
+      val toks = split($"text", " ")
+      markers.map(m => size(filter(toks, w => w === m)).cast("long"))
+        .reduce(_ + _)
+    }
+    table(spark, dir, "documents")
+      .select(
+        $"doc_id", $"lang",
+        score(Seq("the", "a", "of")).as("s_en"),
+        score(Seq("der", "und", "die")).as("s_de"),
+        score(Seq("le", "la", "et")).as("s_fr"),
+        score(Seq("el", "los", "y")).as("s_es"))
+      .withColumn("predicted",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_es", "en")
+          .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_es", "de")
+          .when($"s_fr" >= $"s_es", "fr")
+          .otherwise("es"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"), sum($"s_en").as("sum_s_en"))
+  }
+
+  /** Document fingerprinting: polynomial rolling hash over the raw chars
+    * (Karp–Rabin shape, mod 2^31-1 so both engines stay in exact integer
+    * range), plus a length-bucketed fingerprint-collision rollup. The fold
+    * is a codegen'd higher-order `aggregate` — no UDF, no shuffle until the
+    * final tiny rollup.
+    */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"doc_id",
+        expr("aggregate(split(text, ''), 7L," +
+          " (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)").as("fp"),
+        expr("length(text) div 100").cast("long").as("len_bucket"))
+      .select($"doc_id", $"fp", $"len_bucket", ($"fp" % 997).as("fp_mod"))
+  }
+
+  val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_text_tokens" -> qTextTokens,
+    "q_text_quality" -> qTextQuality,
+    "q_text_lang_id" -> qTextLangId,
+    "q_text_fingerprint" -> qTextFingerprint
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+        | len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS bpe_tokens,
+        | length(text)::BIGINT AS n_chars_calc,
+        | len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS distinct_ws_tokens
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')) AS avg_tok_len,
+        |    len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+        |    len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text) AS punct_ratio
+        |  FROM documents),
+        | q AS (
+        |  SELECT lang,
+        |    stop_ratio * 2.0 - punct_ratio * 5.0 +
+        |      (CASE WHEN avg_tok_len >= 3.0 AND avg_tok_len <= 8.0 THEN 1.0 ELSE 0.0 END) AS quality
+        |  FROM scored)
+        |SELECT lang, floor(quality * 4.0)::BIGINT AS q_bucket,
+        | count(*) AS n, sum(quality) AS sum_quality
+        |FROM q GROUP BY 1, 2""".stripMargin,
+    "q_text_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    (len(list_filter(string_split(text,' '), w -> w='the'))
+        |     + len(list_filter(string_split(text,' '), w -> w='a'))
+        |     + len(list_filter(string_split(text,' '), w -> w='of')))::BIGINT AS s_en,
+        |    (len(list_filter(string_split(text,' '), w -> w='der'))
+        |     + len(list_filter(string_split(text,' '), w -> w='und'))
+        |     + len(list_filter(string_split(text,' '), w -> w='die')))::BIGINT AS s_de,
+        |    (len(list_filter(string_split(text,' '), w -> w='le'))
+        |     + len(list_filter(string_split(text,' '), w -> w='la'))
+        |     + len(list_filter(string_split(text,' '), w -> w='et')))::BIGINT AS s_fr,
+        |    (len(list_filter(string_split(text,' '), w -> w='el'))
+        |     + len(list_filter(string_split(text,' '), w -> w='los'))
+        |     + len(list_filter(string_split(text,' '), w -> w='y')))::BIGINT AS s_es
+        |  FROM documents)
+        |SELECT lang,
+        | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
+        | count(*) AS n, sum(s_en) AS sum_s_en
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(7::BIGINT,
+        |        [ascii(c)::BIGINT FOR c IN string_split(text, '')]),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS fp,
+        |    (length(text) // 100)::BIGINT AS len_bucket
+        |  FROM documents)
+        |SELECT doc_id, fp, len_bucket, fp % 997 AS fp_mod FROM fp""".stripMargin
+  )
+}
