@@ -41,11 +41,12 @@ object DdlParser {
   private val CommentPrefix = """(?s)^\s*/\*.*?\*/\s*""".r
 
   /** Strip comments, lowercase, normalize backticks/whitespace — mirrors the
-    * reference's `strings.ToLower` + manual trimming.
+    * reference's `strings.ToLower` + manual trimming. Backticks are deleted
+    * (not blanked) so `` `db`.`table` `` stays one token.
     */
   def normalize(sql: String): String =
     CommentPrefix.replaceFirstIn(sql, "")
-      .replace("`", " ")
+      .replace("`", "")
       .toLowerCase
       .trim
 

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the stream (the streaming face of the driver's `events`
+  * table / of the CDC envelope's event-time surface).
+  */
+final case class StreamEvent(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** A closed user session emitted by the stateful sessionizer. */
+final case class UserSession(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    sum_value: Double)
+
+/** Accumulating state for one user's open session. */
+final case class SessionState(
+    start: Long, last: Long, n: Long, sum: Double)
+
+/** Event-time streaming operators (Structured Streaming): watermarked
+  * tumbling/sliding windows and custom-state sessionization — the streaming
+  * faces of [[graft.analytics.EventsQueries]], proven equivalent by
+  * `EventStreamsSpec`.
+  *
+  * Scale notes:
+  *   - windowed aggregation state is keyed (window, event_type) — bounded by
+  *     the watermark horizon, evicted as the watermark passes; at 1000
+  *     executors state shards across partitions by group key;
+  *   - sessionization uses `flatMapGroupsWithState` with an event-time
+  *     timeout: state per user is O(1) (start/last/count/sum — no event
+  *     buffer), the pattern that survives 100 M live keys.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour window counts per event type with a 2-hour watermark
+    * (late rows beyond it are dropped; state is evicted past it).
+    */
+  def tumblingCounts(events: Dataset[StreamEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+  }
+
+  /** Sliding 1-hour window every 15 minutes (overlapping assignment). */
+  def slidingCounts(events: Dataset[StreamEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"event_type", $"n")
+  }
+
+  val SessionGapMs: Long = 30L * 60L * 1000L
+
+  /** Gap-based sessionization with explicit state: a session closes when a
+    * >30-min event-time gap arrives (or the state times out past the
+    * watermark). Emits one row per CLOSED session. `OutputMode.Append`.
+    */
+  def sessionize(events: Dataset[StreamEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[StreamEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.sum))
+          } else {
+            // within a micro-batch, order this user's rows by event time —
+            // cross-batch disorder inside the gap is tolerated by design
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > SessionGapMs =>
+                  closed ::= UserSession(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the open session once the watermark passes gap's end
+              state.setTimeoutTimestamp(s.last + SessionGapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Structured Streaming semantics: watermark lateness handling on windowed
+  * aggregation, and stateful gap sessionization (session closure on gap and
+  * on watermark timeout).
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  // base offset keeps all event times strictly above the initial watermark
+  // (epoch 0) — a row AT the watermark is considered late and dropped
+  private val BaseMin = 1020L // hour-aligned so window starts == ts(0), ts(60), …
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp((BaseMin + minutes) * 60000L)
+
+  private def ev(id: Long, min: Long, user: Long = 1L,
+      tpe: String = "click", value: Double = 1.0): StreamEvent =
+    StreamEvent(id, ts(min), user, tpe, value)
+
+  test("tumbling window aggregates by event time; late-beyond-watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.tumblingCounts(input.toDS())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events in hour-0, one in hour-1; advances watermark to
+      // max(ts) - 2h
+      input.addData(ev(1, 10), ev(2, 20), ev(3, 70))
+      q.processAllAvailable()
+      // batch 2: push watermark past hour-1 (ts=300 ⇒ wm=180) so hours 0+1
+      // finalize and emit (Append emits only finalized windows)
+      input.addData(ev(4, 300))
+      q.processAllAvailable()
+      val emitted = spark.table("tumbling")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(emitted.contains((ts(0), "click", 2L, 2.0)))
+      assert(emitted.contains((ts(60), "click", 1L, 1.0)))
+      // batch 3: a too-late row for hour 0 (watermark already at 180) is
+      // dropped; a fresh row advances watermark to finalize hour 5
+      input.addData(ev(5, 15), ev(6, 500))
+      q.processAllAvailable()
+      val after = spark.table("tumbling")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(after.count(_._1 == ts(0)) == 1, "late row must not reopen hour 0")
+      assert(after.contains((ts(300), "click", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes a session; watermark timeout closes the tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at 0,10,20 then a gap, then 60 → first session closes
+      // when the 60-min event arrives in the SAME group invocation
+      input.addData(ev(1, 0), ev(2, 10), ev(3, 20), ev(4, 60))
+      q.processAllAvailable()
+      val first = spark.table("sessions").as[UserSession].collect()
+      assert(first.length == 1)
+      assert(first.head == UserSession(1L, ts(0), ts(20), 3L, 3.0))
+      // a far-future event from ANOTHER user advances the watermark past
+      // 60+30 ⇒ user 1's open session times out and closes
+      input.addData(ev(5, 400, user = 2L))
+      q.processAllAvailable()
+      input.addData(ev(6, 500, user = 2L)) // one more nudge for the timeout pass
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[UserSession].collect()
+      assert(closed.exists(s => s.user_id == 1L && s.session_start == ts(60)
+        && s.n_events == 1L))
+    } finally q.stop()
+  }
+
+  test("sessionize parity with the batch sessionizer on in-order data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // deterministic in-order event set for 3 users with gaps
+    val events = for {
+      u <- 1L to 3L
+      i <- 0L until 20L
+    } yield ev(u * 100 + i, min = i * 7 + (if (i >= 10) 60 else 0), user = u,
+      value = i.toDouble)
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData(ev(9999, 10000, user = 99L)) // flush via watermark
+      q.processAllAvailable()
+      input.addData(ev(10000, 10001, user = 99L))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_parity").as[UserSession]
+        .collect().filter(_.user_id <= 3).toSet
+      // batch truth: i*7 for i<10 (gap 7min), then jump +60 at i=10 → 2
+      // sessions per user: [0..63]x10 and [130..193]x10
+      val expected = (1L to 3L).flatMap { u =>
+        Seq(
+          UserSession(u, ts(0), ts(63), 10L, (0L until 10L).map(_.toDouble).sum),
+          UserSession(u, ts(130), ts(193), 10L, (10L until 20L).map(_.toDouble).sum))
+      }.toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+}
