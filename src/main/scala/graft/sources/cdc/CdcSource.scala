@@ -1,0 +1,294 @@
+package graft.sources.cdc
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.util.MiniJson
+import graft.util.MiniJson.JValue
+
+/** DataSource V2 streaming CDC source — operator S1/S2/S3 of SURVEY.md §2.1
+  * as a real `MicroBatchStream` with its own offset management and
+  * database/table filter pushdown (`SupportsPushDownFilters`).
+  *
+  * `spark.readStream.format("graft-cdc").option("path", dir)` over a
+  * directory of append-only binlog segment files (`*.jsonl`, one
+  * `RawBinlogEvent` JSON per line, segment names monotonic like MySQL's
+  * `binlog.000001` …). The live-MySQL variant plugs in behind the same
+  * offsets; this build environment has no MySQL client (SURVEY.md §7.4).
+  *
+  * Semantics mirrored from the reference:
+  *   - offset = (segment file, line) — the (`PositionName`, `PositionPos`)
+  *     pair of `pkg/shared.go:12-14`, serialized as JSON into Spark's
+  *     checkpoint WAL (the badger analog, `storage.go:33-86`);
+  *   - `startingOffsets=latest` reproduces `SHOW MASTER STATUS` seeding (S2,
+  *     `baseinfo.go:254-262`); `earliest` replays the log;
+  *   - checkpoint restart resumes from the last committed offset (S3) — the
+  *     `GetPos` recovery path (`concurrently_task_manager.go:33-63`) for
+  *     free;
+  *   - pushed `database`/`table` equality filters are applied BEFORE JSON
+  *     decoding completes (the F1/F2 fast path of `process.go:40-59`) so
+  *     non-matching tables are never materialized — the DSv2 analog of the
+  *     reference's cheapest-first predicate ordering.
+  *
+  * Scale: one input partition per segment span keeps intra-segment order
+  * (the reference's single-thread guarantee, `sync.go:105`) while distinct
+  * segments read in parallel.
+  */
+final class CdcSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new CdcTable(properties.asScala.toMap)
+}
+
+object CdcSource {
+  /** Same shape as [[graft.model.RawBinlogEvent]] (kept in sync by spec). */
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("logPos", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("eventType", StringType),
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("rows", ArrayType(ArrayType(StringType))),
+    StructField("query", StringType),
+    StructField("errorCode", IntegerType, nullable = false),
+    StructField("nextLogName", StringType),
+    StructField("position", LongType, nullable = false)))
+
+  /** Ordered segment list (binlog rotation order = name order). */
+  def segments(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .toSeq.sortBy(_.getFileName.toString)
+
+  def lineCount(p: Path): Long = {
+    val in = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
+    finally in.close()
+  }
+}
+
+final class CdcTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-cdc:${properties.getOrElse("path", "?")}"
+  override def schema(): StructType = CdcSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CdcScanBuilder(
+      options.asScala.toMap ++ properties)
+}
+
+final class CdcScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var pushedDbs: Option[Set[String]] = None
+  private var pushedTables: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("database", _: String) | EqualTo("table", _: String) => true
+      case In("database", vs) => vs.forall(_.isInstanceOf[String])
+      case In("table", vs)    => vs.forall(_.isInstanceOf[String])
+      case _                  => false
+    }
+    accepted.foreach {
+      case EqualTo("database", v: String) => pushedDbs = Some(Set(v))
+      case EqualTo("table", v: String)    => pushedTables = Some(Set(v))
+      case In("database", vs) =>
+        pushedDbs = Some(vs.map(_.asInstanceOf[String]).toSet)
+      case In("table", vs) =>
+        pushedTables = Some(vs.map(_.asInstanceOf[String]).toSet)
+      case _ => ()
+    }
+    pushed = accepted
+    // also return accepted as residual: string compare is cheap and keeps
+    // Spark's post-scan semantics exact even for nulls
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new CdcScan(options, pushedDbs, pushedTables)
+}
+
+final class CdcScan(options: Map[String, String],
+    dbs: Option[Set[String]], tables: Option[Set[String]]) extends Scan {
+
+  private def dir: Path =
+    Paths.get(options.getOrElse("path",
+      throw new IllegalArgumentException("graft-cdc requires option 'path'")))
+
+  override def readSchema(): StructType = CdcSource.Schema
+  override def description(): String =
+    s"graft-cdc scan of $dir (pushed dbs=$dbs tables=$tables)"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      CdcSource.segments(dir).map(p =>
+        CdcInputPartition(p.toString, 0L, Long.MaxValue): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CdcReaderFactory(dbs, tables)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(dir, options, dbs, tables)
+}
+
+/** Offset = position in the ordered segment list: (segment name, line). An
+  * empty name means "before the first segment". JSON-serialized into the
+  * checkpoint WAL.
+  */
+final case class CdcOffset(segment: String, line: Long) extends Offset {
+  override def json(): String = MiniJson.render(MiniJson.JObj.of(
+    "segment" -> MiniJson.str(segment), "line" -> MiniJson.num(line)))
+}
+
+object CdcOffset {
+  val Beginning: CdcOffset = CdcOffset("", 0L)
+  def fromJson(s: String): CdcOffset = {
+    val v = MiniJson.parse(s).fold(e => throw new IllegalArgumentException(e), identity)
+    CdcOffset((v \ "segment").flatMap(_.asString).getOrElse(""),
+      (v \ "line").flatMap(_.asLong).getOrElse(0L))
+  }
+}
+
+final case class CdcInputPartition(path: String, fromLine: Long, toLine: Long)
+    extends InputPartition
+
+final class CdcMicroBatchStream(dir: Path, options: Map[String, String],
+    dbs: Option[Set[String]], tables: Option[Set[String]])
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset =
+    options.getOrElse("startingOffsets", "earliest").toLowerCase match {
+      case "latest" => latestOffset() // S2: SHOW MASTER STATUS seeding
+      case _        => CdcOffset.Beginning
+    }
+
+  override def latestOffset(): Offset = {
+    val segs = CdcSource.segments(dir)
+    if (segs.isEmpty) CdcOffset.Beginning
+    else {
+      val last = segs.last
+      CdcOffset(last.getFileName.toString, CdcSource.lineCount(last))
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcOffset]
+    val e = end.asInstanceOf[CdcOffset]
+    val segs = CdcSource.segments(dir)
+    segs.flatMap { p =>
+      val name = p.getFileName.toString
+      val afterStart = s.segment.isEmpty || name >= s.segment
+      val beforeEnd = e.segment.nonEmpty && name <= e.segment
+      if (!afterStart || !beforeEnd) None
+      else {
+        val from = if (name == s.segment) s.line else 0L
+        val to = if (name == e.segment) e.line else Long.MaxValue
+        if (from >= to) None
+        else Some(CdcInputPartition(p.toString, from, to): InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(dbs, tables)
+
+  override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
+  override def commit(end: Offset): Unit = () // WAL-committed by the engine
+  override def stop(): Unit = ()
+}
+
+final class CdcReaderFactory(dbs: Option[Set[String]],
+    tables: Option[Set[String]]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcInputPartition]
+    new CdcPartitionReader(p, dbs, tables)
+  }
+}
+
+/** Streams one segment span; pushed db/table filters short-circuit on the
+  * cheap fields before row materialization.
+  */
+final class CdcPartitionReader(part: CdcInputPartition,
+    dbs: Option[Set[String]], tables: Option[Set[String]])
+    extends PartitionReader[InternalRow] {
+
+  private val reader =
+    Files.newBufferedReader(Paths.get(part.path), StandardCharsets.UTF_8)
+  private var lineNo = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null) {
+      val line = reader.readLine()
+      if (line == null) return false
+      if (lineNo >= part.toLine) return false
+      val take = lineNo >= part.fromLine
+      lineNo += 1
+      if (take && line.trim.nonEmpty) {
+        MiniJson.parse(line) match {
+          case Right(v) if passes(v) => current = toRow(v)
+          case _                     => () // skip filtered / malformed
+        }
+      }
+    }
+    true
+  }
+
+  private def passes(v: JValue): Boolean = {
+    def ok(field: String, allowed: Option[Set[String]]): Boolean =
+      allowed.forall(set =>
+        (v \ field).flatMap(_.asString).exists(set.contains))
+    ok("database", dbs) && ok("table", tables)
+  }
+
+  private def utf8(v: Option[JValue]): UTF8String =
+    v.flatMap(_.asString).map(UTF8String.fromString).orNull
+
+  private def toRow(v: JValue): InternalRow = {
+    val rows = (v \ "rows").flatMap(_.asArr).getOrElse(Vector.empty).map { r =>
+      new GenericArrayData(r.asArr.getOrElse(Vector.empty)
+        .map(c => c.asString.map(UTF8String.fromString).orNull).toArray[Any])
+    }
+    new GenericInternalRow(Array[Any](
+      utf8(v \ "file"),
+      (v \ "logPos").flatMap(_.asLong).getOrElse(0L),
+      (v \ "timestamp").flatMap(_.asLong).getOrElse(0L),
+      utf8(v \ "eventType"),
+      utf8(v \ "database"),
+      utf8(v \ "table"),
+      new GenericArrayData(rows.toArray[Any]),
+      utf8(v \ "query"),
+      (v \ "errorCode").flatMap(_.asLong).getOrElse(0L).toInt,
+      utf8(v \ "nextLogName"),
+      (v \ "position").flatMap(_.asLong).getOrElse(0L)))
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
