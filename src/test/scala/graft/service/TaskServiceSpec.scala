@@ -1,0 +1,185 @@
+package graft.service
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+
+/** Control-plane semantics over HTTP — the reference's task lifecycle
+  * (C1–C7, SURVEY.md §2.5) driven through the REST surface end-to-end
+  * against real streaming queries on the `graft-cdc` source.
+  */
+class TaskServiceSpec extends SparkSpec {
+
+  private def seg(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), lines.mkString("\n").getBytes)
+
+  private def line(pos: Long, table: String, id: Long): String =
+    s"""{"file":"b.1","logPos":$pos,"timestamp":${1000 + pos},"eventType":"write_rows","database":"shop","table":"$table","rows":[["$id","n$id"]],"errorCode":0,"position":0}"""
+
+  private def taskJson(id: String, src: Path, sink: Path, ckpt: Path): String =
+    s"""{
+       |"task_id": "$id",
+       |"source_dir": "$src",
+       |"sink_dir": "$sink",
+       |"checkpoint_dir": "$ckpt",
+       |"database": ["shop"],
+       |"exclude_table": ["shop.audit"],
+       |"schemas": [
+       |  {"database": "shop", "table": "orders",
+       |   "columns": [{"name": "id", "type": "bigint"},
+       |               {"name": "name", "type": "varchar(50)"}]},
+       |  {"database": "shop", "table": "audit",
+       |   "columns": [{"name": "id", "type": "bigint"},
+       |               {"name": "name", "type": "varchar(50)"}]}
+       |]}""".stripMargin
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def await(cond: => Boolean, ms: Long = 30000): Boolean = {
+    val end = System.currentTimeMillis() + ms
+    while (System.currentTimeMillis() < end) {
+      if (cond) return true
+      Thread.sleep(200)
+    }
+    cond
+  }
+
+  private def sinkCount(sink: Path): Long =
+    try spark.read.parquet(sink.toString).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L } // no data yet
+
+  test("post_task → filter applied → sink rows; stop_task + recovery_v1 resume") {
+    val src = Files.createTempDirectory("svc-src")
+    val sink = Files.createTempDirectory("svc-sink")
+    val ckpt = Files.createTempDirectory("svc-ckpt")
+    seg(src, "b.000001.jsonl",
+      Seq(line(1, "orders", 1), line(2, "audit", 2), line(3, "orders", 3)))
+
+    val store = new TaskStore(Files.createTempDirectory("svc-store"))
+    val service = new TaskService(spark, store)
+    val http = new TaskHttpServer(service, spark)
+    val port = http.start()
+    try {
+      val (code, body) = post(port, "/v1/post_task",
+        taskJson("t1", src, sink, ckpt))
+      assert(code == 200, body)
+      assert(body.contains(""""task_id":"t1""""))
+
+      // duplicate id rejected while running or stored (post_task.go:66-76)
+      assert(post(port, "/v1/post_task",
+        taskJson("t1", src, sink, ckpt))._1 == 400)
+
+      // AvailableNow drains the backlog: audit excluded → 2 envelopes
+      assert(await(sinkCount(sink) == 2L), s"sink has ${sinkCount(sink)}")
+
+      val (_, list) = get(port, "/v1/task")
+      assert(list.contains(""""task_id":"t1""""))
+
+      // C3 stop → persisted StopSync
+      val (sc, sb) = post(port, "/v1/stop_task",
+        """{"task_id":"t1","stop_type":"stop"}""")
+      assert(sc == 200, sb)
+      assert(store.get("t1").exists(_.stopSync))
+
+      // new events while stopped; recovery_v1 resumes from checkpoint —
+      // only the new events flow
+      seg(src, "b.000002.jsonl", Seq(line(4, "orders", 4)))
+      val (rc, rb) = post(port, "/v1/stop_task",
+        """{"task_id":"t1","stop_type":"recovery_v1"}""")
+      assert(rc == 200, rb)
+      assert(await(sinkCount(sink) == 3L), s"sink has ${sinkCount(sink)}")
+
+      // metrics expose per-query counters
+      val (_, m) = get(port, "/metrics")
+      assert(m.contains("graft_query_input_rows_total"))
+    } finally {
+      service.stopAll()
+      http.stop()
+    }
+  }
+
+  test("update_task swaps filters; recovery_v2 seeds from latest; delete forgets") {
+    val src = Files.createTempDirectory("svc2-src")
+    val sink = Files.createTempDirectory("svc2-sink")
+    val ckpt = Files.createTempDirectory("svc2-ckpt")
+    seg(src, "b.000001.jsonl", Seq(line(1, "orders", 1)))
+
+    val store = new TaskStore(Files.createTempDirectory("svc2-store"))
+    val service = new TaskService(spark, store)
+    val http = new TaskHttpServer(service, spark)
+    val port = http.start()
+    try {
+      assert(post(port, "/v1/post_task",
+        taskJson("t2", src, sink, ckpt))._1 == 200)
+      assert(await(sinkCount(sink) == 1L))
+
+      // C4: filter update lands in config + live pipeline
+      val (uc, ub) = post(port, "/v1/update_task",
+        """{"task_id":"t2","database":["shop"],"exclude_table":["shop.orders"]}""")
+      assert(uc == 200, ub)
+      assert(store.get("t2").exists(_.excludeTables == Seq("shop.orders")))
+      assert(service.get("t2").exists(
+        !_.pipeline.filterRef.get().accepts("shop", "orders")))
+
+      // C3 recovery_v2: wipe checkpoint, seed latest ⇒ the backlog does NOT
+      // replay; only segments appended afterwards flow
+      val (v2c, v2b) = post(port, "/v1/stop_task",
+        """{"task_id":"t2","stop_type":"recovery_v2"}""")
+      assert(v2c == 200, v2b)
+      assert(await(service.get("t2").exists(!_.query.isActive)))
+      assert(sinkCount(sink) == 1L, "v2 must not replay the backlog")
+
+      // C5 delete
+      val (dc, db) = post(port, "/v1/delete_task/t2", "")
+      assert(dc == 200, db)
+      assert(store.get("t2").isEmpty)
+      assert(get(port, "/v1/task")._2.contains(""""count":0"""))
+    } finally {
+      service.stopAll()
+      http.stop()
+    }
+  }
+
+  test("C7 boot recovery restarts persisted non-stopped tasks") {
+    val src = Files.createTempDirectory("svc3-src")
+    val sink = Files.createTempDirectory("svc3-sink")
+    val ckpt = Files.createTempDirectory("svc3-ckpt")
+    seg(src, "b.000001.jsonl", Seq(line(1, "orders", 1), line(2, "orders", 2)))
+
+    val storeDir = Files.createTempDirectory("svc3-store")
+    val s1 = new TaskService(spark, new TaskStore(storeDir))
+    assert(s1.postTask(TaskConfig("t3", src.toString, sink.toString,
+      ckpt.toString, databases = Seq("shop"),
+      schemas = Seq(graft.model.TableSchema("shop", "orders", Seq(
+        graft.model.ColumnDef("id", "bigint"),
+        graft.model.ColumnDef("name", "varchar(50)")))))).isRight)
+    assert(await(sinkCount(sink) == 2L))
+    s1.stopAll() // process "crash" — StopSync stays false in the store
+
+    // new service instance = process restart; recovery picks the task up
+    seg(src, "b.000002.jsonl", Seq(line(3, "orders", 3)))
+    val s2 = new TaskService(spark, new TaskStore(storeDir))
+    try {
+      assert(s2.recoverAll() == Seq("t3"))
+      assert(await(sinkCount(sink) == 3L), "recovered task resumes from checkpoint")
+    } finally s2.stopAll()
+  }
+}
