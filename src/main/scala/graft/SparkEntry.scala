@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CdcQueries, CoreQueries, DedupQueries, EventsQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.analytics.{AdvancedQueries, CdcQueries, CoreQueries, DedupQueries, EventsQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ CdcQueries.queries ++ EventsQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ CdcQueries.oracles ++ EventsQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ MultimodalQueries.oracles
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
+      AdvancedQueries.oracles
 }

@@ -1,0 +1,196 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Advanced relational operators beyond the core suite: as-of join (an
+  * operator Spark lacks natively, composed scalably from union + window per
+  * SURVEY.md §7.3 preference (a)), exact percentiles, conditional
+  * aggregation, datetime arithmetic, the `spark.sql` SQL surface, and HLL
+  * sketches for the 100 TB cardinality path.
+  */
+object AdvancedQueries {
+
+  /** As-of join: each purchase event picks the user's most recent STRICTLY
+    * PRIOR click (order = (ts, event_id), a total order ⇒ deterministic).
+    *
+    * Implementation is the scale-correct one: tag both sides, union, one
+    * shuffle on `user_id`, then `last(click_id) ignoreNulls` over rows
+    * (-∞, -1) — no per-row probe, no range explosion; state is a single
+    * running value per partition. At 100 TB this is one sort-merge pass.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = table(spark, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        when($"event_type" === "click", $"event_id").as("click_id"),
+        when($"event_type" === "click", $"ts").as("click_ts"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    u.withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"last_click_id",
+        // seconds between the click and the purchase (null if no prior click)
+        (unix_timestamp($"ts") - unix_timestamp($"last_click_ts"))
+          .as("gap_seconds"))
+  }
+
+  /** Exact percentiles (median / p90) — Spark `percentile` and DuckDB
+    * `quantile_cont` share linear interpolation.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Conditional aggregation: FILTER-style counts/sums in one pass. */
+  def qConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(when($"l_quantity" > 25.0, 1)).as("n_bulk"),
+        count(when($"l_discount" >= 0.05, 1)).as("n_discounted"),
+        sum(when($"l_tax" > 0.04, $"l_extendedprice").otherwise(0.0))
+          .as("taxed_revenue"),
+        (count(when($"l_linestatus" === "F", 1)).cast("double") /
+          count(lit(1))).as("f_ratio"))
+  }
+
+  /** Datetime arithmetic: intervals, truncation, extraction, diffs. */
+  def qDatetimeArith(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("due_date"),
+        date_trunc("month", $"o_orderdate").as("order_month"),
+        datediff(lit("1998-12-31").cast("date"), $"o_orderdate")
+          .cast("long").as("days_to_eoy"),
+        dayofweek($"o_orderdate").cast("long").as("dow"),
+        weekofyear($"o_orderdate").cast("long").as("woy"))
+  }
+
+  /** String surface 2: regexp_replace / translate / lpad / split indexing. */
+  def qStringFuncs2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "part")
+      .select(
+        $"p_partkey",
+        regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+        expr("replace(p_brand, '#', 'No')").as("brand_long"),
+        lpad($"p_partkey".cast("string"), 10, "0").as("padded_key"),
+        element_at(split($"p_type", " "), 1).as("type_head"),
+        element_at(split($"p_type", " "), -1).as("type_tail"),
+        reverse($"p_brand").as("brand_rev"))
+  }
+
+  /** The SQL surface: the same engine driven through `spark.sql` over temp
+    * views (proves SQL-parity of the DataFrame plans — Catalyst produces
+    * the identical optimized plan for both).
+    */
+  def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    table(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       sum(o_totalprice) AS revenue,
+        |       avg(o_totalprice) AS avg_price
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  /** HLL cardinality sketches — the 100 TB path where exact distinct is a
+    * full shuffle of the key universe but a sketch is O(kB) per group. No
+    * DuckDB oracle (approximation differs by engine); the driver records a
+    * rows-level check, and the spec pins the error envelope vs exact.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+  }
+
+  val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_asof_join" -> qAsofJoin,
+    "q_percentiles" -> qPercentiles,
+    "q_conditional_agg" -> qConditionalAgg,
+    "q_datetime_arith" -> qDatetimeArith,
+    "q_string_funcs2" -> qStringFuncs2,
+    "q_sql_surface" -> qSqlSurface,
+    "q_approx_distinct" -> qApproxDistinct
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |   CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |   CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id, user_id, last_click_id,
+        | floor(epoch(ts)) - floor(epoch(last_click_ts)) AS gap_seconds
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |   last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+        |   last_value(click_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM u) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(o_totalprice, 0.5) AS median_price,
+        | quantile_cont(o_totalprice, 0.9) AS p90_price,
+        | count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (l_quantity > 25.0) AS n_bulk,
+        | count(*) FILTER (l_discount >= 0.05) AS n_discounted,
+        | sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END) AS taxed_revenue,
+        | count(*) FILTER (l_linestatus = 'F')::DOUBLE / count(*) AS f_ratio
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_datetime_arith" ->
+      """SELECT o_orderkey,
+        | o_orderdate + INTERVAL 30 DAY AS due_date,
+        | date_trunc('month', o_orderdate)::TIMESTAMP AS order_month,
+        | datediff('day', o_orderdate, DATE '1998-12-31')::BIGINT AS days_to_eoy,
+        | dayofweek(o_orderdate)::BIGINT + 1 AS dow,
+        | weekofyear(o_orderdate)::BIGINT AS woy
+        |FROM orders""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | replace(p_brand, '#', 'No') AS brand_long,
+        | lpad(p_partkey::VARCHAR, 10, '0') AS padded_key,
+        | string_split(p_type, ' ')[1] AS type_head,
+        | string_split(p_type, ' ')[-1] AS type_tail,
+        | reverse(p_brand) AS brand_rev
+        |FROM part""".stripMargin,
+    "q_sql_surface" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | sum(o_totalprice) AS revenue, avg(o_totalprice) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment""".stripMargin
+    // q_approx_distinct: intentionally no oracle (engine-specific sketch)
+  )
+}

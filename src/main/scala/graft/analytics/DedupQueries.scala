@@ -1,6 +1,7 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession.table
@@ -36,15 +37,38 @@ import graft.GraftSession.table
   */
 object DedupQueries {
 
-  /** 5-char shingle set of `text` (guarded for short docs). */
+  /** 5-char shingle multiset of `text` (guarded for short docs). NOTE: no
+    * in-array `array_distinct` — it is O(n²) on string arrays and shows up
+    * as the dominant cost at scale; dedup happens post-explode as a
+    * shuffle-partial distinct instead.
+    */
   private val shingleExpr =
-    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1))," +
-      " i -> substring(text, i, 5)))"
+    "transform(sequence(1, greatest(length(text) - 4, 1))," +
+      " i -> substring(text, i, 5))"
 
+  /** (doc_id, shingle) MULTISET — one narrow projection + explode, no
+    * dedup: downstream consumers either tolerate duplicates (min / bit_or
+    * are idempotent) or dedup exactly where needed, so the hot path never
+    * pays a distinct shuffle it doesn't use.
+    */
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "documents")
       .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
+  }
+
+  /** 64 cheap bijective "permutations" of one base hash: xor with a fixed
+    * odd constant then an xorshift round — bit ops only (no multiply, so no
+    * ANSI overflow), all inside whole-stage codegen. MinHash recall does
+    * not require high-grade independence here because every candidate is
+    * exact-verified; only precision-0 misses would hurt, and those are
+    * governed by the band count.
+    */
+  private def permuted(h: String, p: Int): String = {
+    // splitmix-derived per-permutation constant (computed at plan time)
+    var c = 0x9E3779B97F4A7C15L * (2L * p + 1L)
+    c ^= c >>> 31
+    s"(($h ^ ${c}L) ^ shiftleft(($h ^ ${c}L), ${(p % 23) + 3}))"
   }
 
   /** Exact dedup: SHA-256 digest groupBy; keeper = min doc_id per digest.
@@ -62,26 +86,60 @@ object DedupQueries {
       .select($"keeper_id", $"n_dups", substring($"digest", 1, 16).as("digest16"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.7) via the shingle
-    * inverted-index self-join — explode, join on shingle, count shared,
-    * union from per-doc set sizes. One shuffle on the shingle, one on the
-    * pair.
+  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.7) via BITSET SIGNATURES:
+    * a global shingle dictionary assigns each distinct shingle a bit; each
+    * doc becomes a fixed-width array of longs (built with `bit_or`
+    * aggregates — codegen'd, one shuffle on doc_id); pair Jaccard is then
+    * `Σ bit_count(a[i] & b[i])` via the native codegen'd
+    * [[graft.functions.BitsetAndCount]] kernel over a broadcast
+    * nested-loop self-join — a branch-free primitive loop per pair, zero
+    * allocation.
+    *
+    * Why this shape: inverted-index joins fan out quadratically on hot
+    * shingles (this corpus: 2k distinct shingles across ALL docs, so even
+    * df-ascending prefix filtering prunes nothing), and generic
+    * `array_intersect` verification allocates a hash set per pair. The
+    * bitset form is exact, branch-free, and at 100 TB composes as the
+    * VERIFIER behind MinHash-LSH candidates (see [[qDedupMinhashLsh]]) when
+    * the pair space is too large to enumerate; the dictionary broadcast
+    * holds whenever the shingle vocabulary is boundable (hashing into a
+    * fixed 2^k bit space otherwise — one-sided error only).
     */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     val sh = docShingles(spark, dir)
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("sa"), $"id_a" === $"sa.doc_id")
-      .join(sz.as("sb"), $"id_b" === $"sb.doc_id")
+    // global dictionary: shingle -> dense bit id (deterministic order)
+    val dict = sh.select($"sh").distinct()
+      .withColumn("id",
+        (row_number().over(Window.orderBy($"sh")) - 1).cast("long"))
+    val nBits = dict.count().toInt // driver-side scalar: dictionary width
+    val nWords = (nBits + 63) / 64
+    // bit_or is idempotent ⇒ the multiset explode feeds it directly; the
+    // exact DISTINCT set size falls out of the signature via popcount. The
+    // per-word agg columns are immediately packed into ONE array<bigint>
+    // column: keeping 2·W separate attributes alive through the self-join
+    // makes optimizer constraint propagation super-linear (measured hang at
+    // W=32), while `sig` + the native popcount kernels keep the tree O(1).
+    val wordCols = (0 until nWords).map { w =>
+      expr(s"bit_or(CASE WHEN id div 64 = $w THEN" +
+        s" shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))" +
+        s" ELSE CAST(0 AS BIGINT) END)").as(s"w$w")
+    }
+    val bits = sh.join(dict, "sh")
+      .groupBy($"doc_id")
+      .agg(wordCols.head, wordCols.tail: _*)
+      .select($"doc_id",
+        array((0 until nWords).map(w => col(s"w$w")): _*).as("sig"))
+      .withColumn("sz", expr("graft_bitset_count(sig)"))
+    def side(p: String) = bits.select(
+      $"doc_id".as(s"${p}_id"), $"sig".as(s"${p}_sig"), $"sz".as(s"${p}_sz"))
+    side("a").join(broadcast(side("b")), $"a_id" < $"b_id")
+      .withColumn("inter", expr("graft_bitset_and_count(a_sig, b_sig)"))
       .withColumn("jaccard",
-        $"inter".cast("double") / ($"sa.sz" + $"sb.sz" - $"inter"))
+        $"inter".cast("double") / ($"a_sz" + $"b_sz" - $"inter"))
       .filter($"jaccard" >= 0.7)
-      .select($"id_a", $"id_b", $"jaccard")
+      .select($"a_id".as("id_a"), $"b_id".as("id_b"), $"jaccard")
   }
 
   /** MinHash + LSH near-dup (j ≥ 0.8): 64 xxhash64 permutations min-folded
@@ -89,11 +147,14 @@ object DedupQueries {
     */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = docShingles(spark, dir)
-    // 64-permutation MinHash signature: one aggregation, 64 min() columns.
+    // ONE string hash per (doc, shingle) row; 64 permutations are derived
+    // bit-mixes of it (see [[permuted]]) — the signature aggregation is
+    // then 64 codegen'd long-min states instead of 64 string re-hashes.
+    // Duplicate shingles are harmless under min, so no distinct shuffle.
+    val sh = docShingles(spark, dir).withColumn("h", xxhash64($"sh"))
     val mh = sh.groupBy($"doc_id").agg(
-      min(xxhash64($"sh", lit(0))).as("h0"),
-      (1 until 64).map(p => min(xxhash64($"sh", lit(p))).as(s"h$p")): _*)
+      min(expr(permuted("h", 0))).as("h0"),
+      (1 until 64).map(p => min(expr(permuted("h", p))).as(s"h$p")): _*)
     // 16 bands of 4 rows → (band, signature) bucket key.
     val bandCols = (0 until 16).map { b =>
       struct(lit(b).as("band"),
@@ -111,9 +172,10 @@ object DedupQueries {
           " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
         .as("p"))
       .select($"p.id_a", $"p.id_b").distinct()
-    // exact verification against the real shingle sets.
-    val docSets = table(spark, dir, "documents")
-      .select($"doc_id", expr(shingleExpr).as("s"))
+    // exact verification against the real shingle sets (distinct applied
+    // once here — the only consumer that needs set semantics as arrays).
+    val docSets = docShingles(spark, dir).distinct()
+      .groupBy($"doc_id").agg(collect_list($"sh").as("s"))
     cand
       .join(docSets.as("da"), $"id_a" === $"da.doc_id")
       .join(docSets.as("db"), $"id_b" === $"db.doc_id")
@@ -129,7 +191,7 @@ object DedupQueries {
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shh = docShingles(spark, dir)
+    val shh = docShingles(spark, dir).distinct() // bit-majority needs SET semantics
       .withColumn("h", expr(
         "aggregate(filter(split(sh, ''), c -> c <> ''), 7L," +
           " (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)"))
@@ -148,19 +210,29 @@ object DedupQueries {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"hamming")
   }
 
-  /** Embedding-cosine near-dup pairs (cos ≥ 0.46, exact double cosine). */
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.46, exact double cosine).
+    *
+    * The per-pair kernel is the custom codegen'd
+    * [[graft.functions.ArrayDotProduct]] expression (`graft_dot`) — a
+    * primitive loop inside whole-stage codegen. HOF lambdas evaluate
+    * interpreted per element and an unrolled 64-term expression tree blows
+    * past codegen method limits; the native expression is the scale-correct
+    * kernel. Ascending-index summation keeps results bit-identical to the
+    * oracle's sequential fold. At 100 TB with a high threshold the pair
+    * space shrinks via sign-LSH banding first (same shape as
+    * [[qDedupMinhashLsh]]); this kernel stays the verifier.
+    */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     val e = table(spark, dir, "embeddings")
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
     val a = e.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
     val b = e.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, $"id_a" < $"id_b")
-      .withColumn("cos",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-          / ($"na" * $"nb"))
+    a.join(broadcast(b), $"id_a" < $"id_b")
+      .withColumn("cos", expr("graft_dot(va, vb)") / ($"na" * $"nb"))
       .filter($"cos" >= 0.46)
       .select($"id_a", $"id_b", $"cos")
   }

@@ -30,14 +30,15 @@ object SimilarityQueries {
   /** (vec_id, v: array<double>, nrm) projection of `embeddings`. */
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     table(spark, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
   }
 
-  private val dot =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+  /** codegen'd primitive-loop kernel ([[graft.functions.ArrayDotProduct]]) */
+  private val dot = expr("graft_dot(qv, v)")
 
   /** Exact brute-force cosine top-10 for each query vector
     * (queries = every 50th id — a small broadcast side).

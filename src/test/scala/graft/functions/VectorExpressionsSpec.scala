@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Native kernel expressions vs. their higher-order-function reference
+  * implementations — the kernels must be drop-in numerically identical
+  * (same fold order) while staying inside whole-stage codegen.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("graft_dot matches sequential-fold HOF on random vectors") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)(
+      (Array.fill(64)(rnd.nextDouble()), Array.fill(64)(rnd.nextDouble())))
+    val df = rows.toDF("a", "b")
+      .select(
+        expr("graft_dot(a, b)").as("kernel"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+          .as("hof"))
+    // exact equality: both are ascending-index sequential folds
+    assert(df.filter($"kernel" =!= $"hof").count() === 0)
+  }
+
+  test("graft_dot handles nulls and length mismatch") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0))),
+      (None: Option[Array[Double]], Some(Array(1.0)))
+    ).toDF("a", "b").select(expr("graft_dot(a, b)").as("d"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) === 1.0 * 4.0 + 2.0 * 5.0) // min-length loop
+    assert(rows(1).isNullAt(0)) // null-safe
+  }
+
+  test("bitset kernels match bit_count semantics") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(0xFL, 0x0L), Array(0x3L, 0x1L)),
+      (Array(-1L, -1L), Array(-1L, 0L)),
+      (Array(0L), Array(0L))
+    ).toDF("a", "b").select(
+      expr("graft_bitset_count(a)").as("ca"),
+      expr("graft_bitset_and_count(a, b)").as("inter"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows(0) === ((4L, 2L)))   // |a|=4; 0xF&0x3=0x3 (2 bits), 0x0&0x1=0
+    assert(rows(1) === ((128L, 64L))) // two full words; intersect one word
+    assert(rows(2) === ((0L, 0L)))
+  }
+
+  test("kernels survive codegen (no fallback) in a realistic plan") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(100)(i => (i.toLong, Array.fill(32)(rnd.nextDouble())))
+      .toDF("id", "v")
+    val a = vecs.select($"id".as("ia"), $"v".as("va"))
+    val b = vecs.select($"id".as("ib"), $"v".as("vb"))
+    val joined = a.join(broadcast(b), $"ia" < $"ib")
+      .select(expr("graft_dot(va, vb)").as("d"))
+    // 100*99/2 pairs, all non-null
+    assert(joined.filter($"d".isNotNull).count() === 4950)
+    // the kernel appears inside a WholeStageCodegen span
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"))
+  }
+}
