@@ -50,25 +50,27 @@ object DedupQueries {
     * dedup: downstream consumers either tolerate duplicates (min / bit_or
     * are idempotent) or dedup exactly where needed, so the hot path never
     * pays a distinct shuffle it doesn't use.
+    *
+    * Persisted (memory-and-disk, spill-safe): the dedup suite consumes the
+    * exploded shingles from several independent jobs (dictionary build,
+    * signature agg, MinHash agg) and Spark's CacheManager shares the
+    * materialization across queries with the identical plan, so the ~N×5
+    * explode runs once per session instead of once per job. At extreme
+    * scale, swap the cache for a checkpointed parquet of the same
+    * projection — the consumers are unchanged.
     */
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // repartition BY doc_id before the ~N×5 explode: the corpus arrives as
+    // few parquet splits (1 at small SF), so without this the whole
+    // shingle pipeline runs on one core; hashing on doc_id also satisfies
+    // the downstream groupBy(doc_id) clustering, so the heavy post-explode
+    // rows are never shuffled — only the narrow (doc_id, text) rows are.
     table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .repartition($"doc_id")
       .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
-  }
-
-  /** 64 cheap bijective "permutations" of one base hash: xor with a fixed
-    * odd constant then an xorshift round — bit ops only (no multiply, so no
-    * ANSI overflow), all inside whole-stage codegen. MinHash recall does
-    * not require high-grade independence here because every candidate is
-    * exact-verified; only precision-0 misses would hurt, and those are
-    * governed by the band count.
-    */
-  private def permuted(h: String, p: Int): String = {
-    // splitmix-derived per-permutation constant (computed at plan time)
-    var c = 0x9E3779B97F4A7C15L * (2L * p + 1L)
-    c ^= c >>> 31
-    s"(($h ^ ${c}L) ^ shiftleft(($h ^ ${c}L), ${(p % 23) + 3}))"
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact dedup: SHA-256 digest groupBy; keeper = min doc_id per digest.
@@ -105,33 +107,44 @@ object DedupQueries {
     * holds whenever the shingle vocabulary is boundable (hashing into a
     * fixed 2^k bit space otherwise — one-sided error only).
     */
-  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig: array<bigint>, sz) — each doc's EXACT distinct-shingle
+    * set as a bitset over a global shingle dictionary (shingle → dense bit
+    * id, deterministic order). bit_or is idempotent ⇒ the multiset explode
+    * feeds it directly; the exact DISTINCT set size falls out of the
+    * signature via popcount. The per-word agg columns are immediately
+    * packed into ONE array<bigint> column: keeping 2·W separate attributes
+    * alive through a self-join makes optimizer constraint propagation
+    * super-linear (measured hang at W=32), while `sig` + the native
+    * popcount kernels keep the tree O(1).
+    */
+  private def bitsetSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     val sh = docShingles(spark, dir)
-    // global dictionary: shingle -> dense bit id (deterministic order)
     val dict = sh.select($"sh").distinct()
       .withColumn("id",
         (row_number().over(Window.orderBy($"sh")) - 1).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBits = dict.count().toInt // driver-side scalar: dictionary width
     val nWords = (nBits + 63) / 64
-    // bit_or is idempotent ⇒ the multiset explode feeds it directly; the
-    // exact DISTINCT set size falls out of the signature via popcount. The
-    // per-word agg columns are immediately packed into ONE array<bigint>
-    // column: keeping 2·W separate attributes alive through the self-join
-    // makes optimizer constraint propagation super-linear (measured hang at
-    // W=32), while `sig` + the native popcount kernels keep the tree O(1).
     val wordCols = (0 until nWords).map { w =>
       expr(s"bit_or(CASE WHEN id div 64 = $w THEN" +
         s" shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))" +
         s" ELSE CAST(0 AS BIGINT) END)").as(s"w$w")
     }
-    val bits = sh.join(dict, "sh")
+    // persisted: every consumer scans this twice (both join sides).
+    sh.join(broadcast(dict), "sh")
       .groupBy($"doc_id")
       .agg(wordCols.head, wordCols.tail: _*)
       .select($"doc_id",
         array((0 until nWords).map(w => col(s"w$w")): _*).as("sig"))
       .withColumn("sz", expr("graft_bitset_count(sig)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bits = bitsetSigs(spark, dir)
     def side(p: String) = bits.select(
       $"doc_id".as(s"${p}_id"), $"sig".as(s"${p}_sig"), $"sz".as(s"${p}_sz"))
     side("a").join(broadcast(side("b")), $"a_id" < $"b_id")
@@ -142,25 +155,44 @@ object DedupQueries {
       .select($"a_id".as("id_a"), $"b_id".as("id_b"), $"jaccard")
   }
 
-  /** MinHash + LSH near-dup (j ≥ 0.8): 64 xxhash64 permutations min-folded
-    * per doc, banded 16×4, bucket-join candidates, exact-Jaccard verify.
+  /** MinHash + LSH near-dup (j ≥ 0.8): 64 permutations (one custom
+    * aggregate — see [[graft.functions.MinHash64]]), banded 16×4,
+    * bucket-join candidates, exact-Jaccard verify over sorted distinct
+    * 64-bit shingle hashes (hash collisions would perturb the count with
+    * probability ~|vocab|²/2⁶⁵ — negligible at any realistic vocabulary).
     */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // ONE string hash per (doc, shingle) row; 64 permutations are derived
-    // bit-mixes of it (see [[permuted]]) — the signature aggregation is
-    // then 64 codegen'd long-min states instead of 64 string re-hashes.
-    // Duplicate shingles are harmless under min, so no distinct shuffle.
+    graft.functions.VectorFunctions.register(spark)
+    // ONE string hash per (doc, shingle) row; the 64-permutation signature
+    // is then a SINGLE custom aggregate ([[graft.functions.MinHash64]]:
+    // array<bigint> buffer, one primitive mix+min loop per row, map-side
+    // partial aggregation). 64 separate min() columns generate so much
+    // Janino code that one-time compilation dominates the whole query
+    // (~12s of a ~20s cold run at sf0.1). Duplicate shingles are harmless
+    // under min, so no distinct shuffle.
+    // ONE shuffle computes BOTH per-doc artifacts: the MinHash signature
+    // (for banding) and the sorted distinct-hash set (for exact
+    // verification via the merge-scan kernel). No global dictionary, no
+    // driver-side job at plan time.
     val sh = docShingles(spark, dir).withColumn("h", xxhash64($"sh"))
-    val mh = sh.groupBy($"doc_id").agg(
-      min(expr(permuted("h", 0))).as("h0"),
-      (1 until 64).map(p => min(expr(permuted("h", p))).as(s"h$p")): _*)
+    val per = sh.groupBy($"doc_id")
+      .agg(
+        expr("graft_minhash64(h)").as("mhsig"),
+        sort_array(collect_set($"h")).as("hs"))
+      .withColumn("sz", size($"hs").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize eagerly: three downstream jobs (banding pipeline + the
+    // two broadcast verification sides) otherwise race on the cold cache
+    // from parallel job threads and each recompute the aggregation.
+    per.count()
     // 16 bands of 4 rows → (band, signature) bucket key.
     val bandCols = (0 until 16).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("sig"))
+        xxhash64((0 until 4).map(r =>
+          element_at($"mhsig", b * 4 + r + 1)): _*).as("sig"))
     }
-    val buckets = mh
+    val buckets = per
       .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
       .groupBy($"bs.band", $"bs.sig")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
@@ -172,16 +204,17 @@ object DedupQueries {
           " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
         .as("p"))
       .select($"p.id_a", $"p.id_b").distinct()
-    // exact verification against the real shingle sets (distinct applied
-    // once here — the only consumer that needs set semantics as arrays).
-    val docSets = docShingles(spark, dir).distinct()
-      .groupBy($"doc_id").agg(collect_list($"sh").as("s"))
+    // exact verification: per-pair |A∩B| via the sorted merge-scan kernel
+    // (O(|a|+|b|) longs, no hash set — `array_intersect` over the string
+    // shingles was 23s of a 23.4s query at sf0.1 / 283k candidates).
+    def side(p: String) = per.select(
+      $"doc_id".as(s"${p}_id"), $"hs".as(s"${p}_hs"), $"sz".as(s"${p}_sz"))
     cand
-      .join(docSets.as("da"), $"id_a" === $"da.doc_id")
-      .join(docSets.as("db"), $"id_b" === $"db.doc_id")
-      .withColumn("inter", size(array_intersect($"da.s", $"db.s")))
+      .join(broadcast(side("a")), $"id_a" === $"a_id")
+      .join(broadcast(side("b")), $"id_b" === $"b_id")
+      .withColumn("inter", expr("graft_sorted_and_count(a_hs, b_hs)"))
       .withColumn("jaccard",
-        $"inter".cast("double") / (size($"da.s") + size($"db.s") - $"inter"))
+        $"inter".cast("double") / ($"a_sz" + $"b_sz" - $"inter"))
       .filter($"jaccard" >= 0.8)
       .select($"id_a", $"id_b", $"jaccard")
   }
@@ -191,10 +224,9 @@ object DedupQueries {
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     val shh = docShingles(spark, dir).distinct() // bit-majority needs SET semantics
-      .withColumn("h", expr(
-        "aggregate(filter(split(sh, ''), c -> c <> ''), 7L," +
-          " (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)"))
+      .withColumn("h", expr("graft_poly_hash(sh)")) // native Karp–Rabin kernel
     val bitSums = shh.groupBy($"doc_id").agg(
       sum(when(expr("((h >> 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
       (1 until 32).map(i =>
@@ -203,7 +235,10 @@ object DedupQueries {
       (0 until 32).map(i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce(_ + _).as("sim"))
-    sim.as("a").join(sim.as("b"), $"a.doc_id" < $"b.doc_id")
+    // explicit broadcast: downstream of a repartition the size estimate is
+    // unknown, so the planner would otherwise pick a CartesianProduct
+    // (interpreted, no codegen) over BroadcastNestedLoopJoin.
+    sim.as("a").join(broadcast(sim.as("b")), $"a.doc_id" < $"b.doc_id")
       .withColumn("hamming",
         expr("bit_count(a.sim ^ b.sim)").cast("long"))
       .filter($"hamming" <= 3)

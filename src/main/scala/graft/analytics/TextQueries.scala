@@ -67,18 +67,34 @@ object TextQueries {
     */
   def qTextLangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def score(markers: Seq[String]) = {
-      val toks = split($"text", " ")
-      markers.map(m => size(filter(toks, w => w === m)).cast("long"))
-        .reduce(_ + _)
-    }
-    table(spark, dir, "documents")
-      .select(
-        $"doc_id", $"lang",
-        score(Seq("the", "a", "of")).as("s_en"),
-        score(Seq("der", "und", "die")).as("s_de"),
-        score(Seq("le", "la", "et")).as("s_fr"),
-        score(Seq("el", "los", "y")).as("s_es"))
+    // Marker counting via explode + filter-to-markers + ONE conditional
+    // aggregation: the per-marker HOF spelling (12 × `filter(toks, …)`)
+    // evaluates interpreted per token per marker (measured 5.9s at sf0.1);
+    // this shape is one codegen'd pass over the exploded tokens, shuffling
+    // only the ~1% of tokens that are markers, then a broadcast join back
+    // to the (doc_id, lang) spine for docs with zero markers.
+    val markers = Map(
+      "s_en" -> Seq("the", "a", "of"),
+      "s_de" -> Seq("der", "und", "die"),
+      "s_fr" -> Seq("le", "la", "et"),
+      "s_es" -> Seq("el", "los", "y"))
+    val all = markers.values.flatten.toSeq
+    val docs = table(spark, dir, "documents").select($"doc_id", $"lang")
+    val counts = table(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w".isin(all: _*))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"w".isin(markers("s_en"): _*), 1L).otherwise(0L)).as("s_en"),
+        sum(when($"w".isin(markers("s_de"): _*), 1L).otherwise(0L)).as("s_de"),
+        sum(when($"w".isin(markers("s_fr"): _*), 1L).otherwise(0L)).as("s_fr"),
+        sum(when($"w".isin(markers("s_es"): _*), 1L).otherwise(0L)).as("s_es"))
+    docs.join(counts, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"s_en", lit(0L)).as("s_en"),
+        coalesce($"s_de", lit(0L)).as("s_de"),
+        coalesce($"s_fr", lit(0L)).as("s_fr"),
+        coalesce($"s_es", lit(0L)).as("s_es"))
       .withColumn("predicted",
         when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_es", "en")
           .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_es", "de")
@@ -96,10 +112,13 @@ object TextQueries {
     */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     table(spark, dir, "documents")
       .select($"doc_id",
-        expr("aggregate(split(text, ''), 7L," +
-          " (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)").as("fp"),
+        // native Karp–Rabin kernel (graft.functions.PolyHash) — identical
+        // fold to aggregate(split(text,''), 7L, (acc,c) -> …) but one
+        // static call per row instead of a per-char interpreted lambda.
+        expr("graft_poly_hash(text)").as("fp"),
         expr("length(text) div 100").cast("long").as("len_bucket"))
       .select($"doc_id", $"fp", $"len_bucket", ($"fp" % 997).as("fp_mod"))
   }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native vector kernels as Catalyst expressions with `doGenCode` — the
   * SURVEY.md §7.3 preference-(b) path for operators whose inner loop is too
@@ -180,6 +181,131 @@ case class BitsetCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_sorted_and_count(a, b)`: |A ∩ B| for two ASCENDING-sorted
+  * `array<bigint>` sets via a single merge scan — O(|a|+|b|), no hash set,
+  * no allocation, inside whole-stage codegen. The exact-verification
+  * kernel for LSH candidate pairs when per-doc sets are kept as sorted
+  * hash arrays (`sort_array(collect_set(xxhash64(…)))`): unlike the
+  * global-dictionary bitset path it needs no driver-side vocabulary scan,
+  * so plan construction stays job-free.
+  */
+case class SortedAndCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_and_count requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sorted_and_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val n = ctx.freshName("n")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $n++; $i++; $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedAndCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared runtime helper for [[PolyHash]] — kept as a static-shaped method
+  * so generated code calls it directly (one static call per row, no
+  * boxing, no lambda dispatch).
+  */
+object PolyHashImpl {
+  /** acc₀=7; acc = (acc·31 + codePoint) mod (2³¹−1) over the string's code
+    * points — exactly the fold `aggregate(split(s, ''), 7L, (acc, c) ->
+    * (acc * 31 + ascii(c)) % 2147483647)` computes for BMP text (split('')
+    * yields one char per element; `ascii` is the leading code point).
+    */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 7L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** `graft_poly_hash(s)`: Karp–Rabin polynomial hash of a string — the
+  * shared shingle/fingerprint hash of the dedup + text suites. The HOF
+  * spelling (`aggregate(split(s, ''), …)`) materializes a per-char array
+  * and evaluates the lambda interpreted per element; this kernel is one
+  * static call per row.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_poly_hash requires string input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_poly_hash"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyHashImpl.hash(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PolyHashImpl.hash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Idempotently register `graft_dot` in the session's function registry
@@ -206,6 +332,28 @@ object VectorFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_bitset_count takes exactly 1 argument")
         BitsetCount(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly_hash",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_poly_hash takes exactly 1 argument")
+        PolyHash(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_and_count",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          "graft_sorted_and_count takes exactly 2 arguments")
+        SortedAndCount(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash64",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_minhash64 takes exactly 1 argument")
+        MinHash64(exprs.head)
       },
       "built-in")
   }

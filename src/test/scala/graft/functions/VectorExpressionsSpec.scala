@@ -53,6 +53,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows(2) === ((0L, 0L)))
   }
 
+  test("graft_poly_hash matches the HOF char fold") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("hello world", "", "a", "Ünïcödé tëxt", "x" * 500)
+      .toDF("s")
+      .select(
+        expr("graft_poly_hash(s)").as("kernel"),
+        expr("aggregate(filter(split(s, ''), c -> c <> ''), 7L," +
+          " (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)").as("hof"))
+    assert(df.filter($"kernel" =!= $"hof").count() === 0)
+  }
+
   test("kernels survive codegen (no fallback) in a realistic plan") {
     VectorFunctions.register(spark)
     import spark.implicits._
