@@ -126,7 +126,61 @@ object AdvancedQueries {
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
   }
 
+  /** Pivot (long→wide): order revenue by status × priority. Spark's
+    * `pivot` with EXPLICIT values — without them the engine must first scan
+    * for distinct pivot values (an extra job) and the output schema becomes
+    * data-dependent, which breaks at scale and in streaming. Compiles to
+    * one pass of conditional aggregates, same as the SQL spelling.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(sum($"o_totalprice"))
+      .select($"o_orderstatus",
+        col("1-URGENT").as("p_urgent"), col("2-HIGH").as("p_high"),
+        col("3-MEDIUM").as("p_medium"),
+        col("4-NOT SPECIFIED").as("p_notspec"), col("5-LOW").as("p_low"))
+  }
+
+  /** Correlated scalar subquery — parts priced above their container's
+    * average. Written in SQL on purpose: Catalyst DECORRELATES it into the
+    * aggregate + join the DataFrame spelling would hand-write, so the
+    * optimizer (not the author) removes the per-row re-execution. The
+    * 100 TB shape is one shuffle on the correlation key.
+    */
+  def qCorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "part").createOrReplaceTempView("part_v")
+    spark.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part_v p
+        |WHERE p_retailprice > 1.2 * (
+        |  SELECT avg(p2.p_retailprice) FROM part_v p2
+        |  WHERE p2.p_brand = p.p_brand)""".stripMargin)
+  }
+
+  /** RANGE window frame (value-based, not row-based): per-customer order
+    * revenue within the trailing 30 days of each order. Unlike a ROWS
+    * frame the state is bounded by the RANGE width, not the partition
+    * size — the frame Spark evaluates with a sliding aggregate buffer.
+    */
+  def qWindowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_timestamp($"o_orderdate".cast("timestamp")))
+      .rangeBetween(-30L * 86400, 0)
+    table(spark, dir, "orders")
+      .withColumn("rev_30d", sum($"o_totalprice").over(w))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"rev_30d", $"n_30d")
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_pivot" -> qPivot,
+    "q_correlated_scalar" -> qCorrelatedScalar,
+    "q_window_range_frame" -> qWindowRangeFrame,
     "q_asof_join" -> qAsofJoin,
     "q_percentiles" -> qPercentiles,
     "q_conditional_agg" -> qConditionalAgg,
@@ -137,6 +191,27 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        | sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS p_urgent,
+        | sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS p_high,
+        | sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END) AS p_medium,
+        | sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS p_notspec,
+        | sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS p_low
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_correlated_scalar" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice > 1.2 * (
+        |  SELECT avg(p2.p_retailprice) FROM part p2
+        |  WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | sum(o_totalprice) OVER w AS rev_30d,
+        | count(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -65,6 +65,35 @@ object EventStreams {
       .select($"w.start".as("window_start"), $"event_type", $"n")
   }
 
+  /** Streaming EXACT dedup by event id with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only until
+    * the watermark passes it, so state is O(keys-per-watermark-horizon),
+    * not O(all keys ever) — the property that keeps a 100 TB/day ingest
+    * pipeline's state store finite. Duplicates arriving within the
+    * 2-hour horizon are suppressed; a duplicate arriving later than the
+    * horizon is by definition out of contract (at-least-once upstream is
+    * expected to redeliver promptly).
+    */
+  def dedupById(events: Dataset[StreamEvent]): Dataset[StreamEvent] =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming CONTENT dedup: fingerprint = hash of the semantic payload
+    * (user, type, value) — the streaming face of the batch exact-dedup
+    * (`q_dedup_exact`), same bounded-state mechanics as [[dedupById]].
+    */
+  def dedupByContent(events: Dataset[StreamEvent]): Dataset[StreamEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("fp",
+        xxhash64($"user_id", $"event_type", $"value"))
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+      .as[StreamEvent]
+  }
+
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** Gap-based sessionization with explicit state: a session closes when a

@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan shape assertions — the scale contract, not just the
+  * row-level results: filters must reach the parquet scan, dimension
+  * joins must broadcast, aggregations must have a map-side partial phase,
+  * and global top-k must not global-sort. A plan that silently regresses
+  * on any of these still passes value-level tests at sf0.01 but falls
+  * over at 100 TB, so they are pinned here.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Execute (forces AQE to finalize) and return the formatted plan. */
+  private def planOf(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def run(name: String): String =
+    planOf(SparkEntry.queries(name)(spark, dir))
+
+  test("filter + projection push into the parquet scan (q2_filter_pushdown)") {
+    val plan = run("q2_filter_pushdown")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.contains("PushedFilters: []"), plan)
+    // column pruning: the lineitem scan must not read all 16 columns
+    assert(plan.contains("ReadSchema"), plan)
+  }
+
+  test("dimension joins broadcast (q5_local_supplier)") {
+    val plan = run("q5_local_supplier")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("aggregation has a map-side partial phase (q1_pricing_summary)") {
+    val plan = run("q1_pricing_summary")
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("global top-k avoids a global sort (q_sort_limit)") {
+    val plan = run("q_sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("minhash aggregate is object-hash with partial merge") {
+    val plan = run("q_dedup_minhash_lsh")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_minhash64"), plan)
+  }
+
+  test("semi/anti joins stay joins, not subquery re-execution") {
+    val semi = run("q_exists_semi")
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = run("q_not_exists_anti")
+    assert(anti.contains("LeftAnti"), anti)
+  }
+}

@@ -114,4 +114,41 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed == expected)
     } finally q.stop()
   }
+
+  test("dedupById suppresses within-watermark duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.dedupById(input.toDS())
+      .writeStream.format("memory").queryName("dedup_id")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 10), ev(1, 10), ev(2, 20)) // dup within batch
+      q.processAllAvailable()
+      input.addData(ev(1, 10), ev(3, 30)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_id").as[StreamEvent]
+        .collect().map(_.event_id).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("dedupByContent dedups identical payloads under different ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.dedupByContent(input.toDS())
+      .writeStream.format("memory").queryName("dedup_content")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, 10, user = 7L, value = 5.0),
+        ev(2, 11, user = 7L, value = 5.0), // same content, new id → dup
+        ev(3, 12, user = 7L, value = 6.0)) // different content
+      q.processAllAvailable()
+      val rows = spark.table("dedup_content").as[StreamEvent].collect()
+      assert(rows.length === 2)
+      assert(rows.map(_.value).sorted.toSeq === Seq(5.0, 6.0))
+    } finally q.stop()
+  }
 }
