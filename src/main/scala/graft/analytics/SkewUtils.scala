@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins: key salting.
+  *
+  * AQE's skew-join splitting (enabled in [[graft.GraftSession]]) handles
+  * skew it can SEE — post-shuffle partitions above the split threshold.
+  * Salting is the complementary static technique for keys so hot that even
+  * a split partition serializes on one reducer: the large side scatters
+  * each hot key across `saltBuckets` sub-keys, the small side replicates
+  * its matching rows into every bucket, and the join key becomes
+  * (key, salt). Join results are identical; the hot key's work spreads
+  * over `saltBuckets` reducers at the cost of replicating the small side's
+  * hot rows `saltBuckets`×.
+  *
+  * Use when a profiled key distribution shows a head key owning a
+  * double-digit percentage of rows (e.g. a null-like sentinel, a bot
+  * user_id). At 100 TB the alternative — one reducer owning 10 TB — is a
+  * stalled stage, not a slow one.
+  */
+object SkewUtils {
+
+  /** Inner-join `large` with `small` on `large(key) === small(key)`,
+    * salting the large side into `saltBuckets` sub-keys.
+    *
+    * @param large the skewed (probe) side; gains a transient `__salt` col
+    * @param small the replicated (build) side — its row count multiplies
+    *              by `saltBuckets`, so keep it the dimension side
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    // deterministic salt: hash of the full row spread via pmod — avoids
+    // rand() (non-reproducible across retries, breaks speculative tasks)
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted
+      .join(replicated,
+        salted(key) === replicated(key) &&
+          salted("__salt") === replicated("__salt"))
+      .drop(replicated(key))
+      .drop(salted("__salt")).drop(replicated("__salt"))
+  }
+
+  /** Top-N heavy keys of `df(key)` with their share of all rows — the
+    * profiling step that decides whether salting is warranted.
+    */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n") / sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy(col("n").desc)
+      .limit(topN)
+}
