@@ -177,7 +177,29 @@ object AdvancedQueries {
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"rev_30d", $"n_30d")
   }
 
+  /** Array / higher-order-function surface over a real array column:
+    * size, indexing, min/max, slice-of-sorted, HOF filter + aggregate —
+    * all codegen'd or array-local (no explode, no shuffle). Floats are
+    * cast to double once so both engines accumulate in double.
+    */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .select(
+        $"vec_id",
+        size($"v").cast("long").as("n"),
+        element_at($"v", 1).as("first_e"),
+        array_max($"v").as("max_e"),
+        array_min($"v").as("min_e"),
+        element_at(slice(sort_array($"v"), 1, 3), 3).as("third_smallest"),
+        size(filter($"v", x => x > 0.0)).cast("long").as("n_pos"),
+        expr("aggregate(v, 0D, (a, x) -> a + x)").as("sum_e"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_array_funcs" -> qArrayFuncs,
     "q_pivot" -> qPivot,
     "q_correlated_scalar" -> qCorrelatedScalar,
     "q_window_range_frame" -> qWindowRangeFrame,
@@ -191,6 +213,18 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_array_funcs" ->
+      """WITH d AS (SELECT vec_id,
+        |  [x::DOUBLE FOR x IN embedding] AS v FROM embeddings)
+        |SELECT vec_id,
+        | len(v)::BIGINT AS n,
+        | v[1] AS first_e,
+        | list_max(v) AS max_e,
+        | list_min(v) AS min_e,
+        | list_sort(v)[3] AS third_smallest,
+        | len(list_filter(v, x -> x > 0.0))::BIGINT AS n_pos,
+        | list_reduce(list_prepend(0.0, v), (a, x) -> a + x) AS sum_e
+        |FROM d""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         | sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS p_urgent,

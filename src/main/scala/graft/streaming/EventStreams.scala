@@ -94,6 +94,41 @@ object EventStreams {
       .as[StreamEvent]
   }
 
+  /** Stream-static enrichment: the static dimension is broadcast once and
+    * probed per micro-batch — no stream-side state, no shuffle of the
+    * stream. The shape for joining a 100 TB/day stream with a reference
+    * table that fits an executor (the common case for dims).
+    */
+  def enrich(events: Dataset[StreamEvent], dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Stream-stream interval join: each purchase matches the same user's
+    * clicks at most 30 minutes earlier. Both sides carry watermarks and
+    * the join condition bounds event-time distance in BOTH directions, so
+    * the state store holds only the 30-minute horizon per side — the
+    * constraint that makes a stream-stream join runnable forever. Emits in
+    * Append mode once the watermark closes a match window.
+    */
+  def clickPurchaseJoin(events: Dataset[StreamEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    val clicks = events.toDF()
+      .filter($"event_type" === "click")
+      .withWatermark("ts", "1 hour")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".as("click_ts"))
+    val purchases = events.toDF()
+      .filter($"event_type" === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"), $"value".as("amount"))
+    purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"purchase_id", $"p_user".as("user_id"), $"purchase_ts",
+        $"amount", $"click_id", $"click_ts")
+  }
+
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** Gap-based sessionization with explicit state: a session closes when a

@@ -115,6 +115,52 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich joins the stream with a broadcast static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.enrich(input.toDS(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 10, user = 1L), ev(2, 11, user = 3L))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select($"event_id", $"segment").as[(Long, Option[String])]
+        .collect().toMap
+      assert(rows(1L).contains("gold"))
+      assert(rows(2L).isEmpty) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches purchases to prior clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.clickPurchaseJoin(input.toDS())
+      .writeStream.format("memory").queryName("cpjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, 0, user = 1L, tpe = "click"),
+        ev(2, 20, user = 1L, tpe = "purchase", value = 9.0), // 20min after → match
+        ev(3, 40, user = 1L, tpe = "purchase", value = 7.0), // 40min after → no
+        ev(4, 10, user = 2L, tpe = "purchase", value = 5.0)) // no click → no
+      q.processAllAvailable()
+      // advance both watermarks far enough to close all join windows
+      input.addData(ev(8, 1000, user = 9L, tpe = "click"),
+        ev(9, 1000, user = 9L, tpe = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("cpjoin")
+        .select($"purchase_id", $"click_id").as[(Long, Long)]
+        .collect().toSet
+      assert(rows.contains((2L, 1L)))
+      assert(!rows.exists(_._1 == 3L))
+      assert(!rows.exists(_._1 == 4L))
+    } finally q.stop()
+  }
+
   test("dedupById suppresses within-watermark duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
