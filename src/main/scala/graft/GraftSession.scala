@@ -24,6 +24,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (typed aggregates like graft_minhash64,
+      // collect_set) falls back to SORT-based aggregation after 128
+      // distinct keys per partition by default — our per-doc aggregations
+      // run thousands of keys per partition with small buffers, so raise
+      // the bar (4096 keys × ~3 KB buffers ≈ 12 MB/partition, safe).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
