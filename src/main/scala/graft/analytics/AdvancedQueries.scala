@@ -253,7 +253,7 @@ object AdvancedQueries {
         |   CASE WHEN event_type = 'click' THEN ts END AS click_ts
         |  FROM events WHERE event_type IN ('click', 'purchase'))
         |SELECT event_id, user_id, last_click_id,
-        | floor(epoch(ts)) - floor(epoch(last_click_ts)) AS gap_seconds
+        | (floor(epoch(ts)) - floor(epoch(last_click_ts)))::BIGINT AS gap_seconds
         |FROM (
         |  SELECT event_id, user_id, ts, event_type,
         |   last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id

@@ -189,7 +189,8 @@ object CoreQueries {
     table(spark, dir, "orders")
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
-      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        $"rk".cast("long").as("rk"))
   }
 
   /** Window: running quantity per supplier, fully tiebroken ordering so the

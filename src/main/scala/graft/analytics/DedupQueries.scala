@@ -126,7 +126,7 @@ object DedupQueries {
         (row_number().over(Window.orderBy($"sh")) - 1).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBits = dict.count().toInt // driver-side scalar: dictionary width
-    val nWords = (nBits + 63) / 64
+    val nWords = math.max(1, (nBits + 63) / 64) // ≥1: empty corpus ⇒ empty agg, not a crash
     val wordCols = (0 until nWords).map { w =>
       expr(s"bit_or(CASE WHEN id div 64 = $w THEN" +
         s" shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))" +

@@ -86,7 +86,7 @@ object EventsQueries {
         | SUM(CASE WHEN prev_ts IS NULL
         |          OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END)
         |   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
         |FROM (SELECT user_id, event_id, ts,
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
         |      FROM events) t""".stripMargin,
@@ -96,7 +96,7 @@ object EventsQueries {
         |   SUM(CASE WHEN prev_ts IS NULL
         |            OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END)
         |     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
         |  FROM (SELECT user_id, event_id, ts,
         |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
         |        FROM events) t)
@@ -107,7 +107,7 @@ object EventsQueries {
         |GROUP BY 1, 2""".stripMargin,
     "q_events_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-        | count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        | count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
         |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -134,9 +134,9 @@ object MultimodalQueries {
         |     THEN ascii(substr(text, (i * greatest(length(text) // 8, 1) + 1)::INT, 1))
         |     ELSE 0 END FOR i IN range(0, 8)])::BIGINT AS frame_checksum
         |  FROM documents)
-        |SELECT modality, count(*) AS n_docs, sum(n_bytes) AS sum_bytes,
-        | sum(checksum) AS sum_checksum,
-        | sum(frame_checksum) AS sum_frame_checksum,
+        |SELECT modality, count(*) AS n_docs, sum(n_bytes)::BIGINT AS sum_bytes,
+        | sum(checksum)::BIGINT AS sum_checksum,
+        | sum(frame_checksum)::BIGINT AS sum_frame_checksum,
         | min(first_byte) AS min_first_byte
         |FROM f GROUP BY 1""".stripMargin
   )

@@ -35,10 +35,12 @@ object SkewUtils {
       key: String,
       saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    // deterministic salt: hash of the full row spread via pmod — avoids
-    // rand() (non-reproducible across retries, breaks speculative tasks)
+    // seeded rand: uniform scatter even when hot-key rows are IDENTICAL
+    // (a row-hash salt would send every duplicate of the hot row to ONE
+    // bucket — no scatter at all). Seeded rand is deterministic per
+    // partition, so task retries and speculative attempts reproduce it.
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+      floor(rand(42) * saltBuckets).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted
@@ -52,12 +54,16 @@ object SkewUtils {
   /** Top-N heavy keys of `df(key)` with their share of all rows — the
     * profiling step that decides whether salting is warranted.
     */
-  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame =
-    df.groupBy(col(key))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("share",
-        col("n") / sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    // grand total as a 1-row cross join, NOT an unpartitioned window — a
+    // global window would funnel every distinct key's count through one
+    // task (the exact stall this module exists to prevent)
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = df.select(count(lit(1)).as("__total"))
+    counts.crossJoin(total)
+      .withColumn("share", col("n") / col("__total"))
+      .drop("__total")
       .orderBy(col("n").desc)
       .limit(topN)
+  }
 }

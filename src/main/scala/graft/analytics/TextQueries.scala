@@ -174,7 +174,7 @@ object TextQueries {
         | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
         |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
         |      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
-        | count(*) AS n, sum(s_en) AS sum_s_en
+        | count(*) AS n, sum(s_en)::BIGINT AS sum_s_en
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q_text_fingerprint" ->
       """WITH fp AS (

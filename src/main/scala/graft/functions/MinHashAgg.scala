@@ -24,11 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * property), and the update loop is compiled Scala, not an interpreted
   * lambda.
   *
-  * Mix p (bijective, overflow-free — bit ops only):
-  * `x = h ^ C(p); m = x ^ (x << S(p))` with C(p) a splitmix-derived odd
-  * constant and S(p) = (p % 23) + 3. MinHash does not need high-grade
-  * hash independence here because every LSH candidate is exact-verified
-  * downstream; the band count governs recall.
+  * Mix p = the full splitmix64 finalizer seeded with a per-permutation
+  * additive constant (golden-gamma stream). An earlier xor/xorshift-only
+  * variant was GF(2)-LINEAR: with shift amounts repeating every 23
+  * permutations, perm p+23 equaled perm p XOR a constant, correlating
+  * the "independent" permutations and biasing LSH band recall (a missed
+  * true pair cannot be recovered by the exact verifier). splitmix64's
+  * multiply rounds break the linearity; each permutation is an
+  * independent high-quality bijection.
   */
 case class MinHash64(
     child: Expression,
@@ -55,8 +58,7 @@ case class MinHash64(
       val h = v.asInstanceOf[Long]
       var p = 0
       while (p < MinHash64.NumPerms) {
-        val x = h ^ MinHash64.C(p)
-        val m = x ^ (x << MinHash64.S(p))
+        val m = MinHash64.mix(h, p)
         if (m < buf(p)) buf(p) = m
         p += 1
       }
@@ -98,19 +100,17 @@ case class MinHash64(
 object MinHash64 {
   val NumPerms = 64
 
-  /** splitmix-derived per-permutation xor constants (plan-time). */
-  val C: Array[Long] = Array.tabulate(NumPerms) { p =>
-    var c = 0x9E3779B97F4A7C15L * (2L * p + 1L)
-    c ^= c >>> 31
-    c
-  }
+  /** per-permutation additive seeds: golden-gamma stream (plan-time). */
+  val C: Array[Long] = Array.tabulate(NumPerms)(p =>
+    0x9E3779B97F4A7C15L * (p + 1L))
 
-  /** xorshift amounts, coprime-ish spread over [3, 25]. */
-  val S: Array[Int] = Array.tabulate(NumPerms)(p => (p % 23) + 3)
-
-  /** The same mix as a SQL expression string over a bigint column — kept
-    * for oracle parity: the DuckDB oracle replays this formula verbatim.
+  /** splitmix64 finalizer over (h + C(p)) — an independent bijection per
+    * permutation. Public so the spec can recompute expected signatures.
     */
-  def mixSql(h: String, p: Int): String =
-    s"(($h ^ ${C(p)}L) ^ shiftleft(($h ^ ${C(p)}L), ${S(p)}))"
+  def mix(h: Long, p: Int): Long = {
+    var z = h + C(p)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 }

@@ -79,16 +79,20 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Streaming CONTENT dedup: fingerprint = hash of the semantic payload
-    * (user, type, value) — the streaming face of the batch exact-dedup
-    * (`q_dedup_exact`), same bounded-state mechanics as [[dedupById]].
+  /** Streaming CONTENT dedup: fingerprint = hash of the full semantic
+    * payload INCLUDING event time (ts, user, type, value) but excluding
+    * the delivery id — so an upstream redelivery under a fresh event_id is
+    * suppressed, while a user legitimately repeating the same action later
+    * (same user/type/value, different ts) is NOT treated as a duplicate.
+    * The streaming face of the batch exact-dedup (`q_dedup_exact`), same
+    * bounded-state mechanics as [[dedupById]].
     */
   def dedupByContent(events: Dataset[StreamEvent]): Dataset[StreamEvent] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "2 hours")
       .withColumn("fp",
-        xxhash64($"user_id", $"event_type", $"value"))
+        xxhash64($"ts", $"user_id", $"event_type", $"value"))
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
       .as[StreamEvent]

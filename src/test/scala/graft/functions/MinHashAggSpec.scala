@@ -21,14 +21,28 @@ class MinHashAggSpec extends SparkSpec {
     } yield (g.toLong, rnd.nextLong())
     // force many partitions so partial buffers must merge
     val df = rows.toDF("g", "h").repartition(8)
-    val agg = df.groupBy($"g").agg(expr("graft_minhash64(h)").as("sig"))
-    val expected = df.groupBy($"g").agg(
-      min(expr(MinHash64.mixSql("h", 0))).as("m0"),
-      (1 until 64).map(p => min(expr(MinHash64.mixSql("h", p))).as(s"m$p")): _*)
-    val got = agg.select($"g" +: (0 until 64).map(p =>
-      element_at($"sig", p + 1).as(s"m$p")): _*)
-    assert(got.exceptAll(expected).count() === 0)
-    assert(expected.exceptAll(got).count() === 0)
+    val got = df.groupBy($"g").agg(expr("graft_minhash64(h)").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // reference: per-group, per-permutation min of the same mix, in Scala
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> (0 until 64).map(p => rs.map(r => MinHash64.mix(r._2, p)).min)
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (g, sig) =>
+      assert(got(g) === sig, s"group $g")
+    }
+  }
+
+  test("permutations are pairwise distinct orderings (no linear aliasing)") {
+    // regression for the GF(2)-linear mix: no two permutations may induce
+    // the same ordering, nor differ by a constant XOR
+    val probes = Array.tabulate(200)(i => MinHash64.mix(0L, 0) + i * 0x9E37L)
+    for (p <- 0 until 64; q <- (p + 1) until 64) {
+      val d0 = MinHash64.mix(probes(0), p) ^ MinHash64.mix(probes(0), q)
+      val aliased = probes.forall(h =>
+        (MinHash64.mix(h, p) ^ MinHash64.mix(h, q)) == d0)
+      assert(!aliased, s"perms $p and $q differ by a constant XOR")
+    }
   }
 
   test("graft_minhash64 ignores nulls and keeps 64-wide output") {

@@ -179,7 +179,7 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("dedupByContent dedups identical payloads under different ids") {
+  test("dedupByContent drops redeliveries but keeps repeated actions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[StreamEvent]
@@ -189,12 +189,12 @@ class EventStreamsSpec extends SparkSpec {
     try {
       input.addData(
         ev(1, 10, user = 7L, value = 5.0),
-        ev(2, 11, user = 7L, value = 5.0), // same content, new id → dup
-        ev(3, 12, user = 7L, value = 6.0)) // different content
+        ev(2, 10, user = 7L, value = 5.0), // redelivery: same ts+payload, new id → dup
+        ev(3, 25, user = 7L, value = 5.0)) // same action REPEATED later → kept
       q.processAllAvailable()
       val rows = spark.table("dedup_content").as[StreamEvent].collect()
       assert(rows.length === 2)
-      assert(rows.map(_.value).sorted.toSeq === Seq(5.0, 6.0))
+      assert(rows.map(_.event_id).sorted.toSeq === Seq(1L, 3L))
     } finally q.stop()
   }
 }
