@@ -198,7 +198,39 @@ object AdvancedQueries {
         expr("aggregate(v, 0D, (a, x) -> a + x)").as("sum_e"))
   }
 
+  /** Unpivot (wide→long melt): lineitem metric columns to (metric, value)
+    * rows — the inverse of [[qPivot]]; a Generate (no shuffle, no UDF).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount", $"l_tax")
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_discount", $"l_tax"),
+        "metric", "value")
+      .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+        $"metric", $"value")
+  }
+
+  /** String aggregation with DETERMINISTIC order: first-3 sorted distinct
+    * market segments per nation as one CSV string. `collect_set` order is
+    * partition-dependent, so sort before joining — unordered string_agg
+    * is a nondeterminism bug at any scale.
+    */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "customer")
+      .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+      .agg(
+        concat_ws(",", slice(sort_array(collect_set($"c_mktsegment")), 1, 3))
+          .as("segs"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_unpivot" -> qUnpivot,
+    "q_string_agg" -> qStringAgg,
     "q_array_funcs" -> qArrayFuncs,
     "q_pivot" -> qPivot,
     "q_correlated_scalar" -> qCorrelatedScalar,
@@ -213,6 +245,15 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      """UNPIVOT (SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |  l_quantity, l_discount, l_tax FROM lineitem)
+        |ON l_quantity, l_discount, l_tax INTO NAME metric VALUE value""".stripMargin,
+    "q_string_agg" ->
+      """SELECT c_nationkey::BIGINT AS c_nationkey,
+        | array_to_string(list_sort(list_distinct(list(c_mktsegment)))[1:3], ',') AS segs,
+        | count(*) AS n
+        |FROM customer GROUP BY 1""".stripMargin,
     "q_array_funcs" ->
       """WITH d AS (SELECT vec_id,
         |  [x::DOUBLE FOR x IN embedding] AS v FROM embeddings)
