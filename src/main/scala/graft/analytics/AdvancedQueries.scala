@@ -228,7 +228,25 @@ object AdvancedQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube): chosen
+    * group-bys in ONE pass with `grouping()` flags disambiguating the
+    * null-as-total rows. Spark expands to a single Expand + aggregate — no
+    * repeated scans.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | grouping(o_orderstatus)::BIGINT AS g_status,
+        | grouping(o_orderpriority)::BIGINT AS g_prio,
+        | count(*) AS n, sum(o_totalprice) AS revenue
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_grouping_sets" -> qGroupingSets,
     "q_unpivot" -> qUnpivot,
     "q_string_agg" -> qStringAgg,
     "q_array_funcs" -> qArrayFuncs,
@@ -245,6 +263,14 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | grouping(o_orderstatus)::BIGINT AS g_status,
+        | grouping(o_orderpriority)::BIGINT AS g_prio,
+        | count(*) AS n, sum(o_totalprice) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q_unpivot" ->
       """UNPIVOT (SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
         |  l_quantity, l_discount, l_tax FROM lineitem)
