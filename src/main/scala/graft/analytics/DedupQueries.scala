@@ -1,8 +1,8 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.GraftSession.table
 
@@ -11,29 +11,41 @@ import graft.GraftSession.table
   * Jaccard, embedding-cosine near-dup).
   *
   * Scale design (the driver data keeps documents small; the plans are built
-  * for 100 TB):
+  * for 100 TB — no all-pairs joins, no data-dependent driver-side jobs
+  * during plan construction, no corpus-side broadcasts):
   *   - exact dedup is a hash-groupBy on a 256-bit digest — one shuffle on
-  *     the digest, map-side partial aggregation, no data movement of the
-  *     full text beyond the first projection;
-  *   - n-gram Jaccard uses the shingle inverted-index self-join (explode →
-  *     join on shingle → pair-count), the exact algorithm; at 100 TB its
-  *     candidate set is what MinHash+LSH prunes;
-  *   - MinHash+LSH is the scale path: 64 permutations → 16 bands × 4 rows,
-  *     shuffle keyed on (band, signature) so only same-bucket docs ever
-  *     meet, then exact-Jaccard verification of the tiny candidate set.
-  *     With r=4,b=16 the miss probability at j≥0.9 is (1-0.9⁴)¹⁶ ≈ 4e-8, so
-  *     the verified output equals the exact all-pairs answer — which is
-  *     what the DuckDB oracle computes;
-  *   - SimHash packs a doc into 32 bits (bit-majority over shingle hashes);
-  *     near-dup = hamming ≤ 3. The pair join here is a compact self-join on
-  *     the 1-long-per-doc sketch table (at 100 TB you'd band the sketch bits
-  *     the same way as LSH);
-  *   - embedding near-dup thresholds exact double cosine over a self-join of
-  *     the (id, vec, norm) projection; at 100 TB with a high threshold the
-  *     candidate step becomes sign-LSH banding, same shape as MinHash.
+  *     the digest, map-side partial aggregation;
+  *   - MinHash+LSH (j ≥ 0.8) and n-gram Jaccard (j ≥ 0.7) share one
+  *     candidate-generation engine: a 128-permutation MinHash signature
+  *     (ONE custom aggregate, one shared cache), banded so only
+  *     same-bucket docs ever meet, then EXACT Jaccard verification of the
+  *     candidate set via the sorted merge-scan kernel. Rows-per-band stays
+  *     at 4 for BOTH thresholds — the corpus's background inter-doc
+  *     similarity (measured: planted near-dups at j ≥ 0.93, next pair at
+  *     0.31) means shallow bands (r=2) collide on background pairs and the
+  *     candidate set degenerates toward all-pairs (measured: 145 s at
+  *     sf0.1); r=4 keeps background collisions ~p⁴ while the threshold
+  *     band count controls recall:
+  *       j ≥ 0.8: b=16 (slots 1–64)  ⇒ P(miss) ≤ (1−0.8⁴)¹⁶ ≈ 4e-8
+  *       j ≥ 0.7: b=32 (slots 1–128) ⇒ P(miss) ≤ (1−0.7⁴)³² ≈ 1.5e-4
+  *         at EXACTLY the threshold; at the corpus's actual qualifying
+  *         margin (j ≥ 0.93) it is ≤ (1−0.93⁴)³² ≈ 1e-19. A corpus with
+  *         mass near 0.7 would raise bands further (the aggregate width is
+  *         a parameter), trading candidate volume for recall.
+  *   - SimHash (hamming ≤ 3 over a 32-bit sketch) uses DETERMINISTIC
+  *     pigeonhole banding: 4 disjoint 8-bit bands — ≤ 3 differing bits
+  *     cannot touch all 4 bands, so every qualifying pair shares ≥ 1 exact
+  *     band. Candidates come from a shuffle equi-join on (band, bits); the
+  *     per-pair verify is one `bit_count(xor)`. Exact by construction, no
+  *     probability involved;
+  *   - embedding near-dup keeps the exact all-pairs double-cosine as the
+  *     BASELINE (see [[qDedupEmbedding]] for why the measured data makes
+  *     that unavoidable at its threshold) and adds [[qDedupEmbeddingLsh]],
+  *     the banded sign-LSH scale shape with a deterministic seeded
+  *     hyperplane matrix that the oracle reproduces bit-for-bit.
   *
-  * Everything is built from codegen'd `functions._` / higher-order
-  * expressions — no UDFs — and every query has an exact DuckDB oracle.
+  * Everything is built from codegen'd `functions._` expressions and native
+  * Catalyst kernels — no UDFs — and every query has an exact DuckDB oracle.
   */
 object DedupQueries {
 
@@ -47,17 +59,16 @@ object DedupQueries {
       " i -> substring(text, i, 5))"
 
   /** (doc_id, shingle) MULTISET — one narrow projection + explode, no
-    * dedup: downstream consumers either tolerate duplicates (min / bit_or
+    * dedup: downstream consumers either tolerate duplicates (min / set-agg
     * are idempotent) or dedup exactly where needed, so the hot path never
     * pays a distinct shuffle it doesn't use.
     *
     * Persisted (memory-and-disk, spill-safe): the dedup suite consumes the
-    * exploded shingles from several independent jobs (dictionary build,
-    * signature agg, MinHash agg) and Spark's CacheManager shares the
-    * materialization across queries with the identical plan, so the ~N×5
-    * explode runs once per session instead of once per job. At extreme
-    * scale, swap the cache for a checkpointed parquet of the same
-    * projection — the consumers are unchanged.
+    * exploded shingles from several independent stages and Spark's
+    * CacheManager shares the materialization across queries with the
+    * identical plan, so the ~N×5 explode runs once per session instead of
+    * once per job. At extreme scale, swap the cache for a checkpointed
+    * parquet of the same projection — the consumers are unchanged.
     */
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -70,7 +81,7 @@ object DedupQueries {
       .select($"doc_id", $"text")
       .repartition($"doc_id")
       .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact dedup: SHA-256 digest groupBy; keeper = min doc_id per digest.
@@ -88,139 +99,137 @@ object DedupQueries {
       .select($"keeper_id", $"n_dups", substring($"digest", 1, 16).as("digest16"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.7) via BITSET SIGNATURES:
-    * a global shingle dictionary assigns each distinct shingle a bit; each
-    * doc becomes a fixed-width array of longs (built with `bit_or`
-    * aggregates — codegen'd, one shuffle on doc_id); pair Jaccard is then
-    * `Σ bit_count(a[i] & b[i])` via the native codegen'd
-    * [[graft.functions.BitsetAndCount]] kernel over a broadcast
-    * nested-loop self-join — a branch-free primitive loop per pair, zero
-    * allocation.
+  // ------------------------------------------------------ MinHash+LSH core
+
+  /** (doc_id, mhsig: array<bigint>[128], hs: sorted distinct 64-bit
+    * shingle hashes, sz) — ONE shuffle computes BOTH per-doc artifacts:
+    * the MinHash signature (for banding) and the sorted hash set (for
+    * exact verification via the merge-scan kernel). No global dictionary,
+    * no driver-side job at plan time, nothing data-dependent in the plan
+    * shape. 128 slots serve both band shapes (16×4 uses slots 1–64, 32×4
+    * uses all), so the two LSH queries share ONE cached table.
     *
-    * Why this shape: inverted-index joins fan out quadratically on hot
-    * shingles (this corpus: 2k distinct shingles across ALL docs, so even
-    * df-ascending prefix filtering prunes nothing), and generic
-    * `array_intersect` verification allocates a hash set per pair. The
-    * bitset form is exact, branch-free, and at 100 TB composes as the
-    * VERIFIER behind MinHash-LSH candidates (see [[qDedupMinhashLsh]]) when
-    * the pair space is too large to enumerate; the dictionary broadcast
-    * holds whenever the shingle vocabulary is boundable (hashing into a
-    * fixed 2^k bit space otherwise — one-sided error only).
+    * The signature is a SINGLE custom aggregate
+    * ([[graft.functions.MinHash64]]: array<bigint> buffer, one primitive
+    * mix+min loop per row, map-side partial aggregation) — separate
+    * `min()` columns generate so much Janino code that one-time
+    * compilation dominates the whole query (~12 s of a ~20 s cold run at
+    * sf0.1 with 64 columns). Duplicate shingles are harmless under min, so
+    * no distinct shuffle.
+    *
+    * Persisted: scanned by the banding pipeline and by both verify-join
+    * sides; the cache output stays hash-partitioned on doc_id, which the
+    * verify joins reuse (the corpus side never re-shuffles).
     */
-  /** (doc_id, sig: array<bigint>, sz) — each doc's EXACT distinct-shingle
-    * set as a bitset over a global shingle dictionary (shingle → dense bit
-    * id, deterministic order). bit_or is idempotent ⇒ the multiset explode
-    * feeds it directly; the exact DISTINCT set size falls out of the
-    * signature via popcount. The per-word agg columns are immediately
-    * packed into ONE array<bigint> column: keeping 2·W separate attributes
-    * alive through a self-join makes optimizer constraint propagation
-    * super-linear (measured hang at W=32), while `sig` + the native
-    * popcount kernels keep the tree O(1).
-    */
-  private def bitsetSigs(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashPer(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    val sh = docShingles(spark, dir)
-    val dict = sh.select($"sh").distinct()
-      .withColumn("id",
-        (row_number().over(Window.orderBy($"sh")) - 1).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBits = dict.count().toInt // driver-side scalar: dictionary width
-    val nWords = math.max(1, (nBits + 63) / 64) // ≥1: empty corpus ⇒ empty agg, not a crash
-    val wordCols = (0 until nWords).map { w =>
-      expr(s"bit_or(CASE WHEN id div 64 = $w THEN" +
-        s" shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))" +
-        s" ELSE CAST(0 AS BIGINT) END)").as(s"w$w")
-    }
-    // persisted: every consumer scans this twice (both join sides).
-    sh.join(broadcast(dict), "sh")
+    docShingles(spark, dir)
+      .withColumn("h", xxhash64($"sh"))
       .groupBy($"doc_id")
-      .agg(wordCols.head, wordCols.tail: _*)
-      .select($"doc_id",
-        array((0 until nWords).map(w => col(s"w$w")): _*).as("sig"))
-      .withColumn("sz", expr("graft_bitset_count(sig)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
-
-  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bits = bitsetSigs(spark, dir)
-    def side(p: String) = bits.select(
-      $"doc_id".as(s"${p}_id"), $"sig".as(s"${p}_sig"), $"sz".as(s"${p}_sz"))
-    side("a").join(broadcast(side("b")), $"a_id" < $"b_id")
-      .withColumn("inter", expr("graft_bitset_and_count(a_sig, b_sig)"))
-      .withColumn("jaccard",
-        $"inter".cast("double") / ($"a_sz" + $"b_sz" - $"inter"))
-      .filter($"jaccard" >= 0.7)
-      .select($"a_id".as("id_a"), $"b_id".as("id_b"), $"jaccard")
-  }
-
-  /** MinHash + LSH near-dup (j ≥ 0.8): 64 permutations (one custom
-    * aggregate — see [[graft.functions.MinHash64]]), banded 16×4,
-    * bucket-join candidates, exact-Jaccard verify over sorted distinct
-    * 64-bit shingle hashes (hash collisions would perturb the count with
-    * probability ~|vocab|²/2⁶⁵ — negligible at any realistic vocabulary).
-    */
-  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    graft.functions.VectorFunctions.register(spark)
-    // ONE string hash per (doc, shingle) row; the 64-permutation signature
-    // is then a SINGLE custom aggregate ([[graft.functions.MinHash64]]:
-    // array<bigint> buffer, one primitive mix+min loop per row, map-side
-    // partial aggregation). 64 separate min() columns generate so much
-    // Janino code that one-time compilation dominates the whole query
-    // (~12s of a ~20s cold run at sf0.1). Duplicate shingles are harmless
-    // under min, so no distinct shuffle.
-    // ONE shuffle computes BOTH per-doc artifacts: the MinHash signature
-    // (for banding) and the sorted distinct-hash set (for exact
-    // verification via the merge-scan kernel). No global dictionary, no
-    // driver-side job at plan time.
-    val sh = docShingles(spark, dir).withColumn("h", xxhash64($"sh"))
-    val per = sh.groupBy($"doc_id")
       .agg(
-        expr("graft_minhash64(h)").as("mhsig"),
+        expr("graft_minhash128(h)").as("mhsig"),
         sort_array(collect_set($"h")).as("hs"))
       .withColumn("sz", size($"hs").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize eagerly: three downstream jobs (banding pipeline + the
-    // two broadcast verification sides) otherwise race on the cold cache
-    // from parallel job threads and each recompute the aggregation.
-    per.count()
-    // 16 bands of 4 rows → (band, signature) bucket key.
-    val bandCols = (0 until 16).map { b =>
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** LSH candidate pairs from the 64-slot MinHash signature, banded
+    * `bands × rowsPerBand` (must satisfy bands·rowsPerBand ≤ 64). Shuffle
+    * key is (band, signature-hash) so only same-bucket docs ever meet; the
+    * in-bucket pair expansion emits sorted (id_a < id_b) pairs, deduped
+    * across bands.
+    */
+  private def lshCandidates(per: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until 4).map(r =>
-          element_at($"mhsig", b * 4 + r + 1)): _*).as("sig"))
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("mhsig"), b * rowsPerBand + r + 1)): _*).as("sig"))
     }
-    val buckets = per
-      .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
-      .groupBy($"bs.band", $"bs.sig")
-      .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1)
-    // pairs within each bucket (ids sorted so id_a < id_b), deduped.
-    val cand = buckets
+    per
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .groupBy(col("bs.band"), col("bs.sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) ->" +
           " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
         .as("p"))
-      .select($"p.id_a", $"p.id_b").distinct()
-    // exact verification: per-pair |A∩B| via the sorted merge-scan kernel
-    // (O(|a|+|b|) longs, no hash set — `array_intersect` over the string
-    // shingles was 23s of a 23.4s query at sf0.1 / 283k candidates).
-    def side(p: String) = per.select(
-      $"doc_id".as(s"${p}_id"), $"hs".as(s"${p}_hs"), $"sz".as(s"${p}_sz"))
-    cand
-      .join(broadcast(side("a")), $"id_a" === $"a_id")
-      .join(broadcast(side("b")), $"id_b" === $"b_id")
-      .withColumn("inter", expr("graft_sorted_and_count(a_hs, b_hs)"))
-      .withColumn("jaccard",
-        $"inter".cast("double") / ($"a_sz" + $"b_sz" - $"inter"))
-      .filter($"jaccard" >= 0.8)
-      .select($"id_a", $"id_b", $"jaccard")
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
+  /** Exact-Jaccard verification of candidate pairs against the per-doc
+    * sorted hash sets: |A∩B| via the codegen'd merge-scan kernel
+    * (O(|a|+|b|) longs, zero allocation — `array_intersect` over string
+    * shingles was 23 s of a 23.4 s query at sf0.1 / 283 k candidates).
+    *
+    * Join sides, chosen for 100 TB: `per` (the corpus — LARGE) is already
+    * hash-partitioned on doc_id from its groupBy, so BOTH verify joins
+    * reuse that partitioning and never move it; only the candidate rows
+    * (SMALL — near-dup density bounded) shuffle, hinted shuffle-hash so the
+    * build side is the candidate set, never the corpus. No corpus-side
+    * broadcast, no driver-side job during plan construction.
+    */
+  private def verifyJaccard(per: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = per.select(col("doc_id").as("a_id"),
+      col("hs").as("a_hs"), col("sz").as("a_sz"))
+    val b = per.select(col("doc_id").as("b_id"),
+      col("hs").as("b_hs"), col("sz").as("b_sz"))
+    val withA = a.join(cand.hint("shuffle_hash"), col("a_id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("a_hs"), col("a_sz"))
+    b.join(withA.hint("shuffle_hash"), col("id_b") === col("b_id"))
+      .withColumn("inter", expr("graft_sorted_and_count(a_hs, b_hs)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup (j ≥ 0.8): banded 16×4 ⇒ miss probability at
+    * the threshold (1−0.8⁴)¹⁶ ≈ 4e-8 (smaller above it), so the verified
+    * output equals the exact all-pairs answer. Hash collisions in the
+    * verify sets would perturb the count with probability ~|vocab|²/2⁶⁵ —
+    * negligible at any realistic vocabulary.
+    */
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val per = minhashPer(spark, dir)
+    verifyJaccard(per, lshCandidates(per, bands = 16, rowsPerBand = 4), 0.8)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.7), MinHash-LSH candidate
+    * generation + exact verify — the same engine as [[qDedupMinhashLsh]]
+    * with more bands for the lower threshold: b=32, r=4 over the 128-slot
+    * signature (see the class doc for the band-shape reasoning and miss
+    * bounds; r=2 banding measured degenerate on this corpus).
+    *
+    * (Earlier design note, kept for the record: a global shingle→bit
+    * dictionary with bitset signatures verified exactly too, but its
+    * dictionary width was a data-dependent `count()` — a driver-side Spark
+    * job at PLAN time — and its pair step was an all-pairs broadcast NLJ,
+    * both 100 TB killers. The bitset kernels remain in
+    * [[graft.functions.VectorExpressions]] as the fixed-vocabulary verifier
+    * option.)
+    */
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val per = minhashPer(spark, dir)
+    verifyJaccard(per, lshCandidates(per, bands = 32, rowsPerBand = 4), 0.7)
+  }
+
+  // --------------------------------------------------------------- SimHash
+
   /** SimHash near-dup: 32-bit bit-majority sketch over polynomial shingle
-    * hashes (mod 2^31-1 — exact in both engines), pairs at hamming ≤ 3.
+    * hashes (mod 2^31−1 — exact in both engines), pairs at hamming ≤ 3.
+    *
+    * Pair generation is DETERMINISTIC pigeonhole banding, not a join over
+    * all pairs: the sketch splits into 4 disjoint 8-bit bands; a pair with
+    * ≤ 3 differing bits cannot differ in all 4 bands, so every qualifying
+    * pair matches exactly on ≥ 1 band. Candidates = shuffle equi-join on
+    * (band, band_bits); verify = one `bit_count(xor)` per bucket-mate pair;
+    * multi-band matches dedupe with a final distinct. Output is provably
+    * identical to the all-pairs scan (which at 100× the corpus is 125 G
+    * pairs; bucket-mates scale with near-dup density instead). At larger
+    * corpora widen the sketch (64-bit, 16-bit bands) — same plan shape.
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -235,27 +244,47 @@ object DedupQueries {
       (0 until 32).map(i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce(_ + _).as("sim"))
-    // explicit broadcast: downstream of a repartition the size estimate is
-    // unknown, so the planner would otherwise pick a CartesianProduct
-    // (interpreted, no codegen) over BroadcastNestedLoopJoin.
-    sim.as("a").join(broadcast(sim.as("b")), $"a.doc_id" < $"b.doc_id")
-      .withColumn("hamming",
-        expr("bit_count(a.sim ^ b.sim)").cast("long"))
+      // persisted: both self-join sides scan it; cache output partitioning
+      // (doc_id from the groupBy) also feeds the band shuffle cheaply
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sim.select($"doc_id", $"sim",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"sim", 8 * b).bitwiseAND(lit(255L)).as("bits"))): _*))
+        .as("bb"))
+      .select($"doc_id", $"sim", $"bb.band".as("band"), $"bb.bits".as("bits"))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
       .filter($"hamming" <= 3)
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"hamming")
+      .distinct()
   }
 
-  /** Embedding-cosine near-dup pairs (cos ≥ 0.46, exact double cosine).
+  // ---------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.46, exact double cosine) —
+    * the EXACT baseline, all-pairs by necessity.
     *
-    * The per-pair kernel is the custom codegen'd
-    * [[graft.functions.ArrayDotProduct]] expression (`graft_dot`) — a
-    * primitive loop inside whole-stage codegen. HOF lambdas evaluate
-    * interpreted per element and an unrolled 64-term expression tree blows
-    * past codegen method limits; the native expression is the scale-correct
-    * kernel. Ascending-index summation keeps results bit-identical to the
-    * oracle's sequential fold. At 100 TB with a high threshold the pair
-    * space shrinks via sign-LSH banding first (same shape as
-    * [[qDedupMinhashLsh]]); this kernel stays the verifier.
+    * Why this one stays quadratic (measured, sf0.01/sf0.1 driver data): the
+    * qualifying pairs are the extreme tail of the random-cosine
+    * distribution — max observed cos is 0.60 and the bulk sits at
+    * 0.46–0.55, i.e. 3.7–4.8σ for 64-dim noise (σ = 1/√64 = 0.125). There
+    * is no margin between "near-dup" and "noise": a sign-LSH bit agrees
+    * with probability 1−θ/π ≈ 0.652 for a qualifying pair vs 0.5 for a
+    * random one, and no (bands, rows) setting of that ratio yields both
+    * recall ≈ 1 and pruning > 1 (recall b·p_min^r ≥ ~12 forces
+    * b·0.5^r ≥ ~12·(0.5/0.652)^r, which exceeds 1 until r ≈ 18 and then
+    * needs b ≈ 30 000). Exactness at a noise-floor threshold is inherently
+    * all-pairs; the broadcast NLJ over the codegen'd `graft_dot` kernel IS
+    * the optimal plan for it. The scale path is [[qDedupEmbeddingLsh]]:
+    * accept LSH-defined recall, which is what production near-dup systems
+    * do — at a REAL near-dup threshold (cos ≥ 0.9 on data with planted
+    * duplicates) the same banded plan prunes thousands-fold.
+    *
+    * Ascending-index summation in [[graft.functions.ArrayDotProduct]] keeps
+    * results bit-identical to the oracle's sequential fold.
     */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -272,17 +301,145 @@ object DedupQueries {
       .select($"id_a", $"id_b", $"cos")
   }
 
+  /** Banded sign-LSH (SRP) embedding near-dup — the 100 TB plan shape.
+    * Semantics: pairs that collide in ≥ 1 signature band AND have exact
+    * cos ≥ 0.46; the DuckDB oracle reproduces the identical pipeline (the
+    * hyperplane matrix is a deterministic seeded literal embedded in both
+    * plans), so the result is hash-exact by construction while the recall
+    * relative to [[qDedupEmbedding]] is the honestly-modeled LSH recall.
+    *
+    * Shape: 32 Rademacher (±1) hyperplanes → 32 sign bits → 8 bands × 4
+    * bits; candidates from a shuffle equi-join on (band, bits); exact
+    * double-cosine verify via the `graft_dot` kernel; distinct to dedupe
+    * multi-band collisions. No all-pairs join anywhere in the plan.
+    *
+    * Parameter note (see [[qDedupEmbedding]] for the measured data): at
+    * this dataset's noise-floor threshold, 8×4 gives modeled recall
+    * ≈ 1−(1−0.652⁴)⁸ ≈ 0.80 and ~2.5× candidate pruning — deliberately
+    * recall-leaning. At a production threshold (cos ≥ 0.9 ⇒ bit-agree
+    * p ≈ 0.856) the same pipeline at 64 bands × 16 bits gives recall 0.996
+    * with ~1000× pruning; band shape is a config, not a code change.
+    */
+  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val e = table(spark, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    // 8 band values, each packing 4 sign bits of seeded ±1 hyperplane dots
+    val bandBits: Seq[Column] = (0 until Srp.Bands).map { b =>
+      (0 until Srp.RowsPerBand).map { r =>
+        val p = b * Srp.RowsPerBand + r
+        when(expr(Srp.sparkPlaneDot(p)) >= 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val banded = e.select($"vec_id", $"v", $"nrm",
+      explode(array(bandBits.zipWithIndex.map { case (bits, b) =>
+        struct(lit(b).as("band"), bits.as("bits"))
+      }: _*)).as("bb"))
+      .select($"vec_id", $"v", $"nrm",
+        $"bb.band".as("band"), $"bb.bits".as("bits"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        (expr("graft_dot(a.v, b.v)") / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .filter($"cos" >= 0.46)
+      .distinct()
+  }
+
+  /** Deterministic seeded Rademacher hyperplanes shared by the Spark plan
+    * and the generated DuckDB oracle SQL. splitmix64-style finalizer —
+    * public-domain PRNG construction (Steele et al., "Fast splittable
+    * pseudorandom number generators").
+    */
+  private[analytics] object Srp {
+    val Planes = 32
+    val Bands = 8
+    val RowsPerBand = 4
+    val Dims = 64
+
+    private def mix64(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    /** ±1 sign of hyperplane `p`, dimension `d`. */
+    def sign(p: Int, d: Int): Int =
+      if ((mix64(p.toLong * Dims + d) >>> 63) == 1L) 1 else -1
+
+    /** Spark SQL: `graft_dot(v, array(±1.0D, …))` — ascending-index
+      * summation in the kernel matches the oracle's left-assoc `+` chain
+      * bit-for-bit (±1 products are exact; adds occur in the same order).
+      */
+    def sparkPlaneDot(p: Int): String = {
+      val arr = (0 until Dims)
+        .map(d => if (sign(p, d) > 0) "1.0D" else "-1.0D").mkString(",")
+      s"graft_dot(v, array($arr))"
+    }
+
+    /** DuckDB: explicit left-assoc sum `±e[1] ±e[2] …` (1-indexed). */
+    def duckPlaneDot(p: Int): String =
+      (0 until Dims).map { d =>
+        val s = if (sign(p, d) > 0) "+" else "-"
+        s"$s e[${d + 1}]"
+      }.mkString(" ")
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_simhash" -> qDedupSimhash,
-    "q_dedup_embedding" -> qDedupEmbedding
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh
   )
 
   private val duckShingles =
     "list_distinct([substr(text, i::INT, 5)" +
       " FOR i IN range(1, greatest(length(text) - 4, 1) + 1)])"
+
+  /** Oracle for [[qDedupEmbeddingLsh]]: the same seeded SRP pipeline in
+    * SQL — sign bits from explicit left-assoc ±component sums, band
+    * packing, band-bucket self-join, exact cosine verify.
+    */
+  private def embeddingLshOracle: String = {
+    val sigCols = (0 until Srp.Planes).map { p =>
+      s"CASE WHEN (${Srp.duckPlaneDot(p)}) >= 0 THEN 1 ELSE 0 END AS p$p"
+    }.mkString(",\n   ")
+    val bandCase = (0 until Srp.Bands).map { b =>
+      val bits = (0 until Srp.RowsPerBand).map { r =>
+        val p = b * Srp.RowsPerBand + r
+        if (r == 0) s"p$p" else s"${1L << r}*p$p"
+      }.mkString(" + ")
+      s"WHEN $b THEN $bits"
+    }.mkString(" ")
+    val bandList = (0 until Srp.Bands).map(b => s"($b)").mkString(",")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | sig AS (
+       |  SELECT vec_id, e,
+       |   $sigCols
+       |  FROM v),
+       | banded AS (
+       |  SELECT vec_id, e, bb.band,
+       |   (CASE bb.band $bandCase END)::BIGINT AS bits
+       |  FROM sig CROSS JOIN (VALUES $bandList) bb(band)),
+       | cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b
+       |   ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b,
+       | list_cosine_similarity(va.e, vb.e) AS cos
+       |FROM cand c
+       | JOIN v va ON va.vec_id = c.id_a
+       | JOIN v vb ON vb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(va.e, vb.e) >= 0.46""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -326,6 +483,7 @@ object DedupQueries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.46""".stripMargin
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.46""".stripMargin,
+    "q_dedup_embedding_lsh" -> embeddingLshOracle
   )
 }

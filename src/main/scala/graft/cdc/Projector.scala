@@ -1,7 +1,7 @@
 package graft.cdc
 
-import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.functions._
 
 import graft.model._
 
@@ -23,12 +23,13 @@ import graft.model._
   *     arity differs from the registered schema drops the event (schema
   *     drift mid-stream) rather than emitting a misaligned map.
   *
-  * Scale: the per-(db,table) column lists ride to executors as a broadcast
-  * snapshot (read-through cache analog of `baseinfo.go:39-58`); the flatMap
-  * itself is embarrassingly parallel across source partitions, so throughput
-  * scales linearly with executors while per-partition order is preserved
-  * (the reference's single-thread ordering guarantee, `sync.go:105`, holds
-  * per source partition).
+  * Scale: the per-(db,table) column lists ride in the PLAN as a literal map
+  * (read-through cache analog of `baseinfo.go:39-58`; per-task registries
+  * are a few KB); the projection is pure codegen'd Column expressions,
+  * embarrassingly parallel across source partitions, so throughput scales
+  * linearly with executors while per-partition order is preserved (the
+  * reference's single-thread ordering guarantee, `sync.go:105`, holds per
+  * source partition).
   */
 object Projector {
 
@@ -85,9 +86,24 @@ object Projector {
   }
 
   /** Distributed projection: filter (F1–F3) + project (P1–P4) over a typed
-    * Dataset, with the schema registry snapshot broadcast to executors.
-    * Works identically on batch Datasets and streaming Datasets (the same
-    * code path serves offline replay and Structured Streaming micro-batches).
+    * Dataset. Works identically on batch Datasets and streaming Datasets
+    * (the same code path serves offline replay and Structured Streaming
+    * micro-batches).
+    *
+    * Implementation is pure Column expressions — the whole projection stays
+    * inside whole-stage codegen (no Encoder round-trip, no per-row Scala
+    * allocation):
+    *   - the schema snapshot rides in the plan as a LITERAL map
+    *     (`"db.table" → array<col names>`) — per-task registries are a few
+    *     KB, so no broadcast lifecycle to manage; Catalyst constant-folds
+    *     the lookup;
+    *   - each event expands to an array of (before-image, after-image)
+    *     units — rows 1:1 for insert/delete, consecutive (i, i+1) pairs for
+    *     update — then ONE `explode` emits the envelopes;
+    *   - named images are `map_from_arrays(cols, image)` — the codegen'd
+    *     equivalent of [[zipRow]].
+    * Semantic equivalence with [[projectEvent]] (the executable spec of the
+    * reference's `process.go:114-214`) is pinned by `ProjectorSpec`.
     */
   def project(
       events: Dataset[RawBinlogEvent],
@@ -96,12 +112,67 @@ object Projector {
   ): Dataset[MQEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val bc: Broadcast[Map[String, Seq[String]]] =
-      spark.sparkContext.broadcast(schemaSnapshot)
-    val f = filter // avoid closing over `this`
-    events
-      .filter(e =>
-        e.database != null && e.table != null && f.accepts(e.database, e.table))
-      .flatMap(e => projectEvent(e, bc.value.get(s"${e.database}.${e.table}")))
+    if (schemaSnapshot.isEmpty) {
+      // no registered tables ⇒ nothing can project (lookup below would need
+      // a typed empty-map literal; just short-circuit)
+      return spark.emptyDataset[MQEvent]
+    }
+
+    // literal "db.table" -> ordered column names (sorted for plan stability)
+    val schemaMap: Column = map(
+      schemaSnapshot.toSeq.sortBy(_._1).flatMap { case (k, cols) =>
+        Seq(lit(k), array(cols.map(lit): _*))
+      }: _*)
+
+    val action = when($"eventType" === "write_rows", Actions.Insert)
+      .when($"eventType" === "update_rows", Actions.Update)
+      .when($"eventType" === "delete_rows", Actions.Delete)
+
+    val unitType = "array<struct<b:array<string>,a:array<string>>>"
+    val noImage = lit(null).cast("array<string>")
+    val insertUnits =
+      transform($"rows", r => struct(noImage.as("b"), r.as("a")))
+    val deleteUnits =
+      transform($"rows", r => struct(r.as("b"), noImage.as("a")))
+    // update pairing (P3): rows consumed as (before, after) consecutive
+    // pairs; odd/short row lists drop the whole event (process.go:115-117)
+    val updateUnits =
+      when(size($"rows") >= 2 && size($"rows") % 2 === 0,
+        transform(sequence(lit(0), (size($"rows") / 2).cast("int") - 1), i =>
+          struct(element_at($"rows", i * 2 + 1).as("b"),
+            element_at($"rows", i * 2 + 2).as("a"))))
+        .otherwise(lit(null).cast(unitType))
+
+    val emptyImage = typedLit(Map.empty[String, String])
+    def named(image: Column): Column =
+      when(image.isNull, emptyImage).otherwise(map_from_arrays($"cols", image))
+
+    events.toDF()
+      .filter($"database".isNotNull && $"table".isNotNull &&
+        filter.column($"database", $"table"))
+      .withColumn("action", action)
+      .filter($"action".isNotNull)
+      .withColumn("cols",
+        element_at(schemaMap, concat_ws(".", $"database", $"table")))
+      .filter($"cols".isNotNull)
+      // arity guard (process.go:192-196): ANY mismatched row image drops
+      // the whole event — schema drift mid-stream must not emit misaligned
+      // maps
+      .filter(forall($"rows", r => size(r) === size($"cols")))
+      .select($"database", $"table", $"action", $"cols",
+        $"timestamp", $"logPos",
+        explode(
+          when($"action" === Actions.Insert, insertUnits)
+            .when($"action" === Actions.Delete, deleteUnits)
+            .otherwise(updateUnits)).as("u"))
+      .select(
+        $"database", $"table", $"action",
+        named($"u.b").as("before"),
+        named($"u.a").as("after"),
+        when($"action" === Actions.Update, array($"u.b", $"u.a"))
+          .when($"action" === Actions.Insert, array($"u.a"))
+          .otherwise(array($"u.b")).as("orgRow"),
+        struct($"timestamp", $"logPos").as("eventHeader"))
+      .as[MQEvent]
   }
 }

@@ -35,6 +35,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHash64(
     child: Expression,
+    numPerms: Int = 64,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
@@ -42,22 +43,22 @@ case class MinHash64(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"graft_minhash64 requires bigint input, got ${dt.simpleString}")
+      s"$prettyName requires bigint input, got ${dt.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_minhash64"
+  override def prettyName: String = s"graft_minhash$numPerms"
 
   override def createAggregationBuffer(): Array[Long] =
-    Array.fill(MinHash64.NumPerms)(Long.MaxValue)
+    Array.fill(numPerms)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var p = 0
-      while (p < MinHash64.NumPerms) {
+      while (p < numPerms) {
         val m = MinHash64.mix(h, p)
         if (m < buf(p)) buf(p) = m
         p += 1
@@ -68,7 +69,7 @@ case class MinHash64(
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var p = 0
-    while (p < MinHash64.NumPerms) {
+    while (p < numPerms) {
       if (b(p) < a(p)) a(p) = b(p)
       p += 1
     }
@@ -78,15 +79,15 @@ case class MinHash64(
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(MinHash64.NumPerms * 8)
+    val bb = ByteBuffer.allocate(numPerms * 8)
     var p = 0
-    while (p < MinHash64.NumPerms) { bb.putLong(buf(p)); p += 1 }
+    while (p < numPerms) { bb.putLong(buf(p)); p += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(MinHash64.NumPerms)(bb.getLong())
+    Array.fill(numPerms)(bb.getLong())
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHash64 =
@@ -100,8 +101,11 @@ case class MinHash64(
 object MinHash64 {
   val NumPerms = 64
 
+  /** widest registered signature (permutation seeds precomputed to here) */
+  val MaxPerms = 256
+
   /** per-permutation additive seeds: golden-gamma stream (plan-time). */
-  val C: Array[Long] = Array.tabulate(NumPerms)(p =>
+  val C: Array[Long] = Array.tabulate(MaxPerms)(p =>
     0x9E3779B97F4A7C15L * (p + 1L))
 
   /** splitmix64 finalizer over (h + C(p)) — an independent bijection per

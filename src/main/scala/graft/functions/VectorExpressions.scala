@@ -356,6 +356,16 @@ object VectorFunctions {
         MinHash64(exprs.head)
       },
       "built-in")
+    // wider signature for low-threshold LSH banding (r=4 × 32 bands keeps
+    // the per-band miss exponent steep at j ≥ 0.7); same aggregate, same
+    // permutation stream, just more slots
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash128",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_minhash128 takes exactly 1 argument")
+        MinHash64(exprs.head, numPerms = 128)
+      },
+      "built-in")
   }
 
   /** Σ a[i]·b[i] as a codegen'd primitive loop. */

@@ -33,7 +33,11 @@ final class TaskHttpServer(service: TaskService, spark: SparkSession,
   private val metrics = new QueryMetricsListener
   spark.streams.addListener(metrics)
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // loopback by default: the control plane can make the Spark process
+  // read/write arbitrary configured paths, so it must not listen on the
+  // wildcard address; set bindAddress explicitly to expose it deliberately
+  private val server = HttpServer.create(
+    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port), 0)
   server.createContext("/v1/post_task", exchange(postTask))
   server.createContext("/v1/task", exchange(listTasks))
   server.createContext("/v1/stop_task", exchange(stopTask))
@@ -141,7 +145,8 @@ final class QueryMetricsListener extends StreamingQueryListener {
   private val byName = new ConcurrentHashMap[String, Counters]()
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-    byName.putIfAbsent(e.name, Counters(0L, 0L))
+    // unnamed queries have a null name — key by id so they still show up
+    byName.putIfAbsent(Option(e.name).getOrElse(e.id.toString), Counters(0L, 0L))
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val name = Option(e.progress.name).getOrElse(e.progress.id.toString)

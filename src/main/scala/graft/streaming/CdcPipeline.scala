@@ -70,7 +70,9 @@ final class CdcPipeline(
         val ddl = batch
           .filter(e => e.eventType == "query" && e.errorCode == 0)
           .collect() // DDL is rare + tiny; rows never pass this filter
-        ddl.sortBy(_.logPos).foreach { e =>
+        // order across segment rotation: logPos resets per binlog segment,
+        // so sort by (file, logPos) — segment names are monotonic
+        ddl.sortBy(e => (Option(e.file).getOrElse(""), e.logPos)).foreach { e =>
           val stmt = Option(e.query).getOrElse("")
           if (!stmt.trim.equalsIgnoreCase("begin") &&
               f.acceptsDatabase(e.database))

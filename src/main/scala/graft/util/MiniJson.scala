@@ -178,7 +178,13 @@ object MiniJson {
             case 't'  => sb += '\t'; pos += 2
             case 'u' =>
               if (pos + 6 > s.length) fail("bad unicode escape")
-              sb += Integer.parseInt(s.substring(pos + 2, pos + 6), 16).toChar
+              val hex = s.substring(pos + 2, pos + 6)
+              // validate before parseInt: a malformed escape must surface as
+              // JsonError (the Either contract), not NumberFormatException —
+              // CdcPartitionReader relies on Left to skip malformed lines
+              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                fail(s"bad unicode escape '\\u$hex'")
+              sb += Integer.parseInt(hex, 16).toChar
               pos += 6
             case o => fail(s"bad escape '\\$o'")
           }

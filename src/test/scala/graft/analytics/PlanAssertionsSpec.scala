@@ -51,7 +51,7 @@ class PlanAssertionsSpec extends SparkSpec {
   test("minhash aggregate is object-hash with partial merge") {
     val plan = run("q_dedup_minhash_lsh")
     assert(plan.contains("ObjectHashAggregate"), plan)
-    assert(plan.contains("partial_graft_minhash64"), plan)
+    assert(plan.contains("partial_graft_minhash128"), plan)
   }
 
   test("semi/anti joins stay joins, not subquery re-execution") {

@@ -69,6 +69,46 @@ class ProjectorSpec extends SparkSpec {
     assert(Projector.projectEvent(rot, Some(cols)).isEmpty)
   }
 
+  test("Column projection ≡ typed projectEvent on a mixed corpus") {
+    import spark.implicits._
+    val snapshot = Map("db.t" -> cols, "db.u" -> Seq("a", "b"))
+    val filter = TaskFilter(databases = Seq("db"))
+    val corpus = Seq(
+      RawBinlogEvent.rowsEvent("write_rows", "db", "t",
+        Seq(Seq("1", "ada", "10"), Seq("2", null, "20")), logPos = 1L, timestamp = 10L),
+      RawBinlogEvent.rowsEvent("delete_rows", "db", "t",
+        Seq(Seq("3", "cy", "30")), logPos = 2L, timestamp = 11L),
+      RawBinlogEvent.rowsEvent("update_rows", "db", "u",
+        Seq(Seq("x", "1"), Seq("x", "2"), Seq("y", "7"), Seq("z", "7")),
+        logPos = 3L, timestamp = 12L),
+      RawBinlogEvent.rowsEvent("update_rows", "db", "u",
+        Seq(Seq("x", "1"), Seq("x", "2"), Seq("y", "7"))), // odd → dropped
+      RawBinlogEvent.rowsEvent("write_rows", "db", "t",
+        Seq(Seq("1", "ada"))), // arity mismatch → dropped
+      RawBinlogEvent.rowsEvent("write_rows", "db", "nowhere",
+        Seq(Seq("1"))), // unknown table → dropped
+      RawBinlogEvent.rowsEvent("write_rows", "elsewhere", "t",
+        Seq(Seq("1", "a", "2"))), // filtered database → dropped
+      RawBinlogEvent.ddl("db", "ALTER TABLE t ADD COLUMN c INT"), // not a rows event
+      RawBinlogEvent.rotate("master.000002", 4L)
+    )
+    val expected = corpus
+      .filter(e => e.database != null && e.table != null &&
+        filter.accepts(e.database, e.table))
+      .flatMap(e =>
+        Projector.projectEvent(e, snapshot.get(s"${e.database}.${e.table}")))
+    val got = Projector.project(corpus.toDS(), snapshot, filter).collect().toSeq
+    assert(got.toSet == expected.toSet)
+    assert(got.length == expected.length)
+  }
+
+  test("empty schema snapshot projects nothing") {
+    import spark.implicits._
+    val events = Seq(
+      RawBinlogEvent.rowsEvent("write_rows", "db", "t", Seq(Seq("1")))).toDS()
+    assert(Projector.project(events, Map.empty).isEmpty)
+  }
+
   test("distributed project applies filter + schema broadcast") {
     import spark.implicits._
     val events = Seq(
