@@ -29,9 +29,11 @@ object EventsQueries {
     * Two stacked windows (lag → running sum of boundary flags); both fully
     * tiebroken so results are deterministic under any partitioning. This is
     * the batch face of `flatMapGroupsWithState` sessionization — it scales
-    * as one shuffle on `user_id` then linear in-partition work.
+    * as one shuffle on `user_id` then linear in-partition work. `ts` and
+    * `value` ride through the projection so downstream session rollups
+    * need no join back to the events scan.
     */
-  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
     table(spark, dir, "events")
@@ -42,20 +44,27 @@ object EventsQueries {
           .otherwise(0L))
       .withColumn("session_idx", sum($"new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select($"user_id", $"event_id", $"session_idx")
   }
 
-  /** Session-level rollup: bounds + activity per (user, session). */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionized(spark, dir).select($"user_id", $"event_id", $"session_idx")
+  }
+
+  /** Session-level rollup: bounds + activity per (user, session) — single
+    * pass: the sessionize shuffle already clusters by user_id, and the
+    * carried ts/value columns feed the rollup directly (no second events
+    * scan, no join back on event_id).
+    */
   def qEventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    qEventsSessionize(spark, dir).as("s")
-      .join(table(spark, dir, "events").as("e"), Seq("event_id"))
-      .groupBy($"s.user_id", $"session_idx")
+    sessionized(spark, dir)
+      .groupBy($"user_id", $"session_idx")
       .agg(
         count(lit(1)).as("n_events"),
-        min($"e.ts").as("session_start"),
-        max($"e.ts").as("session_end"),
-        sum($"e.value").as("sum_value"))
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        sum($"value").as("sum_value"))
   }
 
   /** JSON prop extraction (the envelope's semi-structured value surface):
@@ -92,19 +101,18 @@ object EventsQueries {
         |      FROM events) t""".stripMargin,
     "q_events_session_stats" ->
       """WITH s AS (
-        |  SELECT user_id, event_id,
+        |  SELECT user_id, ts, value,
         |   SUM(CASE WHEN prev_ts IS NULL
         |            OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END)
         |     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
-        |  FROM (SELECT user_id, event_id, ts,
+        |  FROM (SELECT user_id, event_id, ts, value,
         |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
         |        FROM events) t)
-        |SELECT s.user_id, s.session_idx, count(*) AS n_events,
-        | min(e.ts) AS session_start, max(e.ts) AS session_end,
-        | sum(e.value) AS sum_value
-        |FROM s JOIN events e ON s.event_id = e.event_id
-        |GROUP BY 1, 2""".stripMargin,
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | sum(value) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q_events_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k

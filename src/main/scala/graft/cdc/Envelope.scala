@@ -1,7 +1,8 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.model.MQEvent
 
@@ -49,4 +50,28 @@ object Envelope {
       keyColumn.as("key"),
       valueColumn.as("value")
     )
+
+  /** K1: the production Kafka writer, fully configured — producer options
+    * mirror the reference's sarama config (`internal/mq_manager/kafka/
+    * kafka.go:25-95`: `RequiredAcks=WaitForAll`, retry max 5). Per-row
+    * topic routing comes from the frame's `topic` column, so one writer
+    * serves every (db, table) of the task — the reference's per-topic
+    * producer map collapses into the sink. The returned builder is
+    * `.start()`-able wherever a broker exists; this sandbox has none, so
+    * `EnvelopeSpec` pins the builder's format and options instead of the
+    * wire round-trip.
+    */
+  def kafkaWriter(
+      frame: DataFrame,
+      bootstrapServers: String,
+      checkpointDir: String,
+      acks: String = "all",
+      retries: Int = 5
+  ): DataStreamWriter[Row] =
+    frame.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("kafka.acks", acks)
+      .option("kafka.retries", retries.toString)
+      .option("checkpointLocation", checkpointDir)
 }

@@ -85,6 +85,61 @@ object CdcSource {
     try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
     finally in.close()
   }
+
+  /** Incremental line counter for append-only segments. `latestOffset`
+    * runs on EVERY micro-batch trigger; a full re-read of the tail segment
+    * (O(segment bytes) of driver I/O per trigger) makes the driver the
+    * bottleneck once segments grow. This index caches
+    * (consumed bytes, newline count, trailing-newline flag) per segment
+    * and scans only the appended suffix — an unchanged tail costs one
+    * `stat`. Line semantics match [[lineCount]] (a trailing unterminated
+    * line counts as a line; binlog fixtures are `\n`-terminated JSONL).
+    *
+    * `bytesScanned` is the observability seam the spec asserts on: a
+    * trigger loop over a static segment must not re-read it.
+    */
+  final class SegmentLineIndex {
+    private final case class Entry(bytes: Long, newlines: Long, endsNl: Boolean)
+    private val cache = scala.collection.concurrent.TrieMap[String, Entry]()
+    val bytesScanned = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    private def toLines(e: Entry): Long =
+      e.newlines + (if (!e.endsNl && e.bytes > 0) 1L else 0L)
+
+    def lines(p: Path): Long = {
+      val size = Files.size(p)
+      // a shrunk file (not append-only after all) falls back to a full scan
+      val prev = cache.get(p.toString).filter(_.bytes <= size)
+        .getOrElse(Entry(0L, 0L, endsNl = true))
+      if (size == prev.bytes) toLines(prev)
+      else {
+        val in = Files.newInputStream(p)
+        try {
+          var toSkip = prev.bytes
+          while (toSkip > 0) {
+            val n = in.skip(toSkip)
+            if (n <= 0) toSkip = 0 else toSkip -= n
+          }
+          var total = prev.bytes
+          var newlines = prev.newlines
+          var endsNl = prev.endsNl
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) { if (buf(i) == '\n') newlines += 1; i += 1 }
+            endsNl = buf(n - 1) == '\n'
+            total += n
+            n = in.read(buf)
+          }
+          bytesScanned.addAndGet(total - prev.bytes)
+          val e = Entry(total, newlines, endsNl)
+          cache.put(p.toString, e)
+          toLines(e)
+        } finally in.close()
+      }
+    }
+  }
 }
 
 final class CdcTable(properties: Map[String, String])
@@ -181,6 +236,11 @@ final class CdcMicroBatchStream(dir: Path, options: Map[String, String],
     dbs: Option[Set[String]], tables: Option[Set[String]])
     extends MicroBatchStream {
 
+  /** per-stream incremental tail index: unchanged segments cost one stat
+    * per trigger, grown ones scan only the appended suffix
+    */
+  private val lineIndex = new CdcSource.SegmentLineIndex
+
   override def initialOffset(): Offset =
     options.getOrElse("startingOffsets", "earliest").toLowerCase match {
       case "latest" => latestOffset() // S2: SHOW MASTER STATUS seeding
@@ -192,7 +252,7 @@ final class CdcMicroBatchStream(dir: Path, options: Map[String, String],
     if (segs.isEmpty) CdcOffset.Beginning
     else {
       val last = segs.last
-      CdcOffset(last.getFileName.toString, CdcSource.lineCount(last))
+      CdcOffset(last.getFileName.toString, lineIndex.lines(last))
     }
   }
 

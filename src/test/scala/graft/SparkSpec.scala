@@ -13,12 +13,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    // GraftSession.builder, NOT a hand-rolled one: specs must pin the SAME
+    // session config (AQE, nanosAsLong, agg fallback threshold, UTC) that
+    // Verify/Bench run, or plan assertions silently assert a config that
+    // never ships
+    val s = GraftSession.builder("graft-test")
       .master("local[4]")
-      .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -60,4 +60,32 @@ class PlanAssertionsSpec extends SparkSpec {
     val anti = run("q_not_exists_anti")
     assert(anti.contains("LeftAnti"), anti)
   }
+
+  test("banded dedup/LSH plans contain no quadratic join operator") {
+    // the 100 TB contract of the whole dedup suite: candidates come from
+    // equi-joins on band buckets, never from an all-pairs expansion. A
+    // regression to BroadcastNestedLoopJoin (or worse, an interpreted
+    // CartesianProduct) would still pass value checks at sf0.01.
+    Seq("q_dedup_simhash", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
+        "q_dedup_embedding_lsh", "q_knn_ivf_kmeans").foreach { q =>
+      val plan = run(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("exact embedding baseline keeps the codegen'd BNLJ, not Cartesian") {
+    // qDedupEmbedding is all-pairs BY DESIGN (threshold at the measured
+    // noise floor — see its scaladoc); the guard here is against silently
+    // degrading from the codegen'd broadcast NLJ to an interpreted
+    // CartesianProduct (measured 18× slower on this query shape).
+    val plan = run("q_dedup_embedding")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("session stats is a single pass — no join back to the events scan") {
+    val plan = run("q_events_session_stats")
+    assert(!plan.contains("Join"), plan)
+  }
 }

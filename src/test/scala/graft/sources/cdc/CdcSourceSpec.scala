@@ -39,6 +39,32 @@ class CdcSourceSpec extends SparkSpec {
     assert(got(2).database == "crm")
   }
 
+  test("SegmentLineIndex: trigger loop never re-reads a static tail") {
+    val dir = Files.createTempDirectory("cdcidx")
+    val p = dir.resolve("binlog.000001.jsonl")
+    val idx = new CdcSource.SegmentLineIndex
+
+    Files.write(p, "a\nb\nc\n".getBytes)
+    assert(idx.lines(p) == 3L && idx.lines(p) == CdcSource.lineCount(p))
+    val afterFirst = idx.bytesScanned.get()
+    assert(afterFirst == Files.size(p))
+
+    // a large-segment trigger loop: unchanged tail must cost stat only
+    (1 to 100).foreach(_ => assert(idx.lines(p) == 3L))
+    assert(idx.bytesScanned.get() == afterFirst, "static tail was re-read")
+
+    // append: only the suffix is scanned
+    Files.write(p, "d\ne".getBytes, java.nio.file.StandardOpenOption.APPEND)
+    assert(idx.lines(p) == 5L && idx.lines(p) == CdcSource.lineCount(p))
+    assert(idx.bytesScanned.get() == Files.size(p),
+      "append scan must cover exactly the appended bytes")
+
+    // unterminated trailing line completes later — count stays consistent
+    Files.write(p, "-tail\nf\n".getBytes, java.nio.file.StandardOpenOption.APPEND)
+    assert(idx.lines(p) == 6L && idx.lines(p) == CdcSource.lineCount(p))
+    assert(idx.bytesScanned.get() == Files.size(p))
+  }
+
   test("micro-batch stream resumes from checkpointed offsets (S3)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdcsrc2")
