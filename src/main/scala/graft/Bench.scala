@@ -8,14 +8,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed session warmup: pay one-time JVM/codegen/scheduler init on a
-    // throwaway query so the first measured query reports ITS cost, not
-    // the session's (measured ~5s of warmup otherwise landing on whichever
-    // query iterates first)
-    try {
-      spark.read.parquet(s"$sfDir/nation.parquet")
-        .groupBy("n_regionkey").count().count()
-    } catch { case _: Throwable => () }
+    // untimed session warmup: pay one-time JVM/codegen/scheduler init and
+    // the OS page-cache fill of every input table ONCE, so each measured
+    // query reports ITS compute cost, not whichever shared init it happened
+    // to run first (measured ~5s of session init plus per-table first-read
+    // costs otherwise landing on arbitrary queries as the map order shifts
+    // between rounds)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     // optional comma-separated filter for targeted profiling runs — fail
     // loudly on empty/unknown names (a typo would otherwise print a
     // plausible-looking total of 0)
@@ -26,9 +29,12 @@ object Bench {
       require(names.nonEmpty && unknown.isEmpty,
         s"SPARK_GRAFT_ONLY: empty or unknown query names: ${unknown.mkString(", ")}")
     }
+    // deterministic name order: per-query times stay comparable across
+    // rounds (Map iteration order shifts whenever a query is added, moving
+    // shared cache-fill costs between queries)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
-    }
+    }.toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -36,7 +42,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -216,6 +216,71 @@ object DedupQueries {
     verifyJaccard(per, lshCandidates(per, bands = 32, rowsPerBand = 4), 0.7)
   }
 
+  /** Near-dup CONNECTED COMPONENTS + keeper selection — the step that
+    * turns pairwise near-dup evidence into dedup decisions: transitive
+    * closure over the j ≥ 0.8 pair graph, component id = min doc_id (the
+    * canonical "keeper"), one row per involved doc.
+    *
+    * Algorithm: distributed min-label propagation — labels start as own
+    * doc_id; each iteration joins labels across edges and takes the min;
+    * fixpoint in ≤ diameter iterations (near-dup components are
+    * template-duplicate clusters — diameter is small; a 20-iteration cap
+    * guards pathological chains, where the large-star/small-star
+    * alternation [Kiveris et al., "Connected Components in MapReduce"]
+    * would replace the plain propagation, same join shape). Each
+    * iteration is one equi-join + partial-agg min on the LABEL table
+    * (nodes only, NOT the corpus) — the edge table is materialized once
+    * from the LSH pipeline and reused. The per-iteration driver action is
+    * the convergence check of an iterative graph algorithm, not
+    * plan-shaping metadata.
+    *
+    * Oracle: exact all-pairs j ≥ 0.8 edges + a recursive CTE computing
+    * min reachable id — the true transitive closure, so the fixpoint loop
+    * is verified against genuinely independent semantics.
+    */
+  def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // both edge directions in ONE pass over the pair pipeline (a union of
+    // two selects would evaluate the whole LSH subtree once per branch)
+    val edges = qDedupMinhashLsh(spark, dir)
+      .select(explode(array(
+        struct($"id_a".as("s"), $"id_b".as("d")),
+        struct($"id_b".as("s"), $"id_a".as("d")))).as("e"))
+      .select($"e.s".as("id_a"), $"e.d".as("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize once: iterations must not re-run the LSH pipeline
+    // seed with the FIRST propagation folded into init: label₀ =
+    // min(self, direct neighbors) — one aggregation job, and pair-shaped
+    // components (the common near-dup case) converge immediately
+    var labels = edges.groupBy($"id_a".as("doc_id"))
+      .agg(min($"id_b").as("mn"))
+      .select($"doc_id", least($"doc_id", $"mn").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neigh = edges.join(labels, edges("id_b") === labels("doc_id"))
+        .select(edges("id_a").as("doc_id"), labels("lbl").as("nlbl"))
+        .groupBy($"doc_id").agg(min($"nlbl").as("minn"))
+      // inner join: the node set is DERIVED from the symmetric edge list,
+      // so every node has ≥ 1 neighbor and appears in `neigh`
+      val stepped = labels.join(neigh, Seq("doc_id"))
+        .select($"doc_id", $"lbl", least($"lbl", $"minn").as("nlbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = stepped.filter($"nlbl" < $"lbl").count()
+      val next = stepped.select($"doc_id", $"nlbl".as("lbl"))
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+      .select($"doc_id", $"lbl".as("component"))
+      .withColumn("n_docs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"component")))
+      .withColumn("is_keeper", ($"doc_id" === $"component").cast("boolean"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash near-dup: 32-bit bit-majority sketch over polynomial shingle
@@ -234,16 +299,18 @@ object DedupQueries {
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
+    // distinct stays on SHINGLE STRINGS (exactly the oracle's set
+    // semantics — deduping on the hash instead would collapse rare
+    // colliding shingles the oracle still counts); both the distinct and
+    // the sketch aggregate cluster by doc_id, which the cached
+    // repartition already satisfies — no exchange on either
     val shh = docShingles(spark, dir).distinct() // bit-majority needs SET semantics
       .withColumn("h", expr("graft_poly_hash(sh)")) // native Karp–Rabin kernel
-    val bitSums = shh.groupBy($"doc_id").agg(
-      sum(when(expr("((h >> 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
-      (1 until 32).map(i =>
-        sum(when(expr(s"((h >> $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i")): _*)
-    val sim = bitSums.select($"doc_id",
-      (0 until 32).map(i =>
-        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sim"))
+    // ONE custom aggregate ([[graft.functions.SimHash32]]) instead of 32
+    // sum(CASE …) columns — collapses the Janino-heavy wide plan into a
+    // single ObjectHashAggregate with map-side partial merge
+    val sim = shh.groupBy($"doc_id")
+      .agg(expr("graft_simhash32(h)").as("sim"))
       // persisted: both self-join sides scan it; cache output partitioning
       // (doc_id from the groupBy) also feeds the band shuffle cheaply
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -396,7 +463,8 @@ object DedupQueries {
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
-    "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh
+    "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
+    "q_dedup_components" -> qDedupComponents
   )
 
   private val duckShingles =
@@ -484,6 +552,26 @@ object DedupQueries {
         | list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.46""".stripMargin,
-    "q_dedup_embedding_lsh" -> embeddingLshOracle
+    "q_dedup_embedding_lsh" -> embeddingLshOracle,
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $duckShingles AS s FROM documents),
+         | pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+         | edges AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         | reach(doc, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, re.r FROM reach re JOIN edges e ON e.id_b = re.doc),
+         | comp AS (
+         |  SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc)
+         |SELECT doc_id, component,
+         | count(*) OVER (PARTITION BY component) AS n_docs,
+         | doc_id = component AS is_keeper
+         |FROM comp""".stripMargin
   )
 }

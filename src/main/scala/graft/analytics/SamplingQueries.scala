@@ -1,0 +1,79 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Both use CONTENT HASHING (md5 of the key rendered as text), not
+  * `rand()`: the sample is reproducible across reruns, engines, partition
+  * layouts and cluster sizes — the property a 100 TB curation pipeline
+  * needs (re-running a stage must not silently produce a different
+  * dataset, and the oracle can reproduce the exact rows). The hash
+  * predicate is a plain filter, so Catalyst pushes the cheap md5+compare
+  * to the scan and sampling costs one pass with no shuffle beyond the
+  * consumer's own.
+  */
+object SamplingQueries {
+
+  /** md5-hex of the row key — identical text input ⇒ identical digest in
+    * Spark and DuckDB.
+    */
+  private def keyHash = md5(col("event_id").cast("string"))
+
+  /** Stratified Bernoulli sample, ~10.2% per event_type stratum
+    * (first two hex digits < "1a" ⇔ 26/256): per-stratum totals, sampled
+    * counts and sampled value mass in ONE pass (conditional aggregation —
+    * no second scan, no join between sample and population).
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = substring(keyHash, 1, 2) < "1a"
+    table(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(in, lit(1))).as("n_sample"),
+        sum(when(in, $"value")).as("sum_value_sample"))
+  }
+
+  /** Deterministic fixed-k sample: the k=20 rows with the smallest
+    * (md5, event_id) per stratum — a reproducible "reservoir" (hash order
+    * stands in for arrival order; ties impossible once event_id joins the
+    * sort key). Window top-k per group: one shuffle on the stratum key,
+    * `TakeOrdered`-style in-partition selection.
+    */
+  def qSampleTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(keyHash.asc, $"event_id".asc)
+    table(spark, dir, "events")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 20)
+      .select($"event_type", $"event_id", $"user_id",
+        $"rk".cast("long").as("rk"))
+  }
+
+  val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_sample_stratified" -> qSampleStratified,
+    "q_sample_topk" -> qSampleTopK
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """SELECT event_type, count(*) AS n_total,
+        | count(*) FILTER (substr(md5(event_id::VARCHAR), 1, 2) < '1a') AS n_sample,
+        | sum(value) FILTER (substr(md5(event_id::VARCHAR), 1, 2) < '1a') AS sum_value_sample
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_sample_topk" ->
+      """SELECT event_type, event_id, user_id, rk FROM (
+        |  SELECT event_type, event_id, user_id,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY md5(event_id::VARCHAR) ASC, event_id ASC)::BIGINT AS rk
+        |  FROM events) t
+        |WHERE rk <= 20""".stripMargin
+  )
+}

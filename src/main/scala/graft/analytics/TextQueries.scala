@@ -123,11 +123,33 @@ object TextQueries {
       .select($"doc_id", $"fp", $"len_bucket", ($"fp" % 997).as("fp_mod"))
   }
 
+  /** Content scrubbing: word-boundary redaction of a configured term list
+    * (the PII/forbidden-vocab scrub of a curation pipeline — emails/phones
+    * in production; this corpus's vocabulary has no digits, so the demo
+    * list is three content words). Per doc: hit count, redacted-text
+    * digest, and length delta — one codegen'd projection, no shuffle; the
+    * regex engines agree because the pattern stays in the common
+    * Java-regex/RE2 subset (`\b`, alternation).
+    */
+  def qTextScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "\\b(customer|value|key)\\b"
+    val scrubbed = regexp_replace($"text", pat, "<X>")
+    table(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"text", lit(pat), lit(0)))
+          .cast("long").as("n_hits"),
+        substring(sha2(scrubbed, 256), 1, 16).as("scrub_digest"),
+        (length($"text") - length(scrubbed)).cast("long").as("len_delta"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_text_lang_id" -> qTextLangId,
-    "q_text_fingerprint" -> qTextFingerprint
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_scrub" -> qTextScrub
   )
 
   val oracles: Map[String, String] = Map(
@@ -184,6 +206,12 @@ object TextQueries {
         |      (acc, c) -> (acc * 31 + c) % 2147483647) AS fp,
         |    (length(text) // 100)::BIGINT AS len_bucket
         |  FROM documents)
-        |SELECT doc_id, fp, len_bucket, fp % 997 AS fp_mod FROM fp""".stripMargin
+        |SELECT doc_id, fp, len_bucket, fp % 997 AS fp_mod FROM fp""".stripMargin,
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '\b(customer|value|key)\b'))::BIGINT AS n_hits,
+        | substr(sha256(regexp_replace(text, '\b(customer|value|key)\b', '<X>', 'g')), 1, 16) AS scrub_digest,
+        | (length(text) - length(regexp_replace(text, '\b(customer|value|key)\b', '<X>', 'g')))::BIGINT AS len_delta
+        |FROM documents""".stripMargin
   )
 }

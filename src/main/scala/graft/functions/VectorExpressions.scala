@@ -360,6 +360,13 @@ object VectorFunctions {
     // the per-band miss exponent steep at j ≥ 0.7); same aggregate, same
     // permutation stream, just more slots
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash32",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_simhash32 takes exactly 1 argument")
+        SimHash32(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash128",
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_minhash128 takes exactly 1 argument")

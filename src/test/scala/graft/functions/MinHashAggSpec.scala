@@ -45,6 +45,42 @@ class MinHashAggSpec extends SparkSpec {
     }
   }
 
+  test("graft_simhash32 equals the 32-column bit-majority construction") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- 0 until 15
+      _ <- 0 until 40
+    } yield (g.toLong, rnd.nextLong())
+    // force partial-buffer merges across partitions
+    val df = rows.toDF("g", "h").repartition(8)
+    val got = df.groupBy($"g").agg(expr("graft_simhash32(h)").as("sim"))
+      .as[(Long, Long)].collect().toMap
+    // reference: the wide sum(CASE) + sign-pack construction, in Scala
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> (0 until 32).map { i =>
+        val s = rs.map(r => if (((r._2 >>> i) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << i else 0L
+      }.sum
+    }
+    assert(got === expected)
+  }
+
+  test("graft_minhash128 extends the same permutation stream") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, 42L), (1L, -7L)).toDF("g", "h")
+      .groupBy($"g")
+      .agg(expr("graft_minhash64(h)").as("s64"),
+        expr("graft_minhash128(h)").as("s128"))
+    val r = df.select($"s64", $"s128").head()
+    val s64 = r.getSeq[Long](0); val s128 = r.getSeq[Long](1)
+    assert(s128.length === 128)
+    assert(s128.take(64) === s64,
+      "first 64 slots must match graft_minhash64 (shared band layout)")
+  }
+
   test("graft_minhash64 ignores nulls and keeps 64-wide output") {
     VectorFunctions.register(spark)
     import spark.implicits._
