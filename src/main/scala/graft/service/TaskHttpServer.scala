@@ -45,6 +45,7 @@ final class TaskHttpServer(service: TaskService, spark: SparkSession,
   server.createContext("/v1/delete_task/", exchange(deleteTask))
   server.createContext("/v1/restoration_task/", exchange(restorationTask))
   server.createContext("/metrics", exchange(metricsText))
+  server.createContext("/debug/runtime", exchange(debugRuntime))
   server.setExecutor(null)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
@@ -102,6 +103,27 @@ final class TaskHttpServer(service: TaskService, spark: SparkSession,
 
   private def metricsText(ex: HttpExchange): (Int, String) =
     (200, metrics.render())
+
+  /** The reference's statsviz debug endpoint (`internal/scheduler/
+    * api.go:29-40`) re-expressed as a JSON runtime snapshot: heap, GC,
+    * threads, uptime, and the Spark app id. (Runtime charting belongs to
+    * the Spark UI on a real deployment; this keeps the route parity and
+    * the machine-readable signal.)
+    */
+  private def debugRuntime(ex: HttpExchange): (Int, String) = {
+    val rt = Runtime.getRuntime
+    val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => b.getCollectionCount.max(0L)).sum
+    val up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
+    (200, MiniJson.render(JObj.of(
+      "code" -> MiniJson.num(200L),
+      "app_id" -> MiniJson.str(spark.sparkContext.applicationId),
+      "heap_used_bytes" -> MiniJson.num(rt.totalMemory() - rt.freeMemory()),
+      "heap_max_bytes" -> MiniJson.num(rt.maxMemory()),
+      "gc_collections" -> MiniJson.num(gc),
+      "live_threads" -> MiniJson.num(Thread.activeCount().toLong),
+      "uptime_ms" -> MiniJson.num(up))))
+  }
 
   // -------------------------------------------------------------- plumbing
 

@@ -158,6 +158,22 @@ class TaskServiceSpec extends SparkSpec {
     }
   }
 
+  test("debug runtime endpoint reports JVM + app state") {
+    val storeDir = Files.createTempDirectory("svc4-store")
+    val svc = new TaskService(spark, new TaskStore(storeDir))
+    val server = new TaskHttpServer(svc, spark)
+    val port = server.start()
+    try {
+      val (code, body) = get(port, "/debug/runtime")
+      assert(code == 200, body)
+      val v = graft.util.MiniJson.parse(body)
+        .getOrElse(fail(s"unparseable: $body"))
+      assert((v \ "heap_used_bytes").flatMap(_.asLong).exists(_ > 0L), body)
+      assert((v \ "live_threads").flatMap(_.asLong).exists(_ > 0L), body)
+      assert((v \ "app_id").flatMap(_.asString).exists(_.nonEmpty), body)
+    } finally { server.stop(); svc.stopAll() }
+  }
+
   test("C7 boot recovery restarts persisted non-stopped tasks") {
     val src = Files.createTempDirectory("svc3-src")
     val sink = Files.createTempDirectory("svc3-sink")
