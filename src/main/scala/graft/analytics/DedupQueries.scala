@@ -256,6 +256,11 @@ object DedupQueries {
       .agg(min($"id_b").as("mn"))
       .select($"doc_id", least($"doc_id", $"mn").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the CACHED dataset of each generation — unpersist must target the
+    // dataset that was persisted (unpersisting a derived select is a
+    // no-op), or every iteration's label table stays cached for the life
+    // of the session (node-count-sized at scale)
+    var cachedGen = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -267,10 +272,10 @@ object DedupQueries {
       val stepped = labels.join(neigh, Seq("doc_id"))
         .select($"doc_id", $"lbl", least($"lbl", $"minn").as("nlbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = stepped.filter($"nlbl" < $"lbl").count()
-      val next = stepped.select($"doc_id", $"nlbl".as("lbl"))
-      labels.unpersist()
-      labels = next
+      changed = stepped.filter($"nlbl" < $"lbl").count() // materializes stepped
+      cachedGen.unpersist()
+      cachedGen = stepped
+      labels = stepped.select($"doc_id", $"nlbl".as("lbl"))
       iter += 1
     }
     labels
