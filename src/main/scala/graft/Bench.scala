@@ -14,10 +14,16 @@ object Bench {
     // to run first (measured ~5s of session init plus per-table first-read
     // costs otherwise landing on arbitrary queries as the map order shifts
     // between rounds)
+    // per-column count() (not a bare count(), which answers from row-group
+    // metadata without touching data pages) forces a full data read
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
+      try {
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        df.select(df.columns.map(c =>
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.col(c))): _*).collect()
+      } catch { case _: Throwable => () }
     }
     // optional comma-separated filter for targeted profiling runs — fail
     // loudly on empty/unknown names (a typo would otherwise print a

@@ -134,13 +134,17 @@ object DedupQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** LSH candidate pairs from the 64-slot MinHash signature, banded
-    * `bands × rowsPerBand` (must satisfy bands·rowsPerBand ≤ 64). Shuffle
-    * key is (band, signature-hash) so only same-bucket docs ever meet; the
+  /** LSH candidate pairs from the 128-slot MinHash signature, banded
+    * `bands × rowsPerBand` (must fit the signature width — slots past the
+    * end would read as null, hash every doc to the SAME band value, and
+    * silently degenerate the candidate set to all-pairs). Shuffle key is
+    * (band, signature-hash) so only same-bucket docs ever meet; the
     * in-bucket pair expansion emits sorted (id_a < id_b) pairs, deduped
     * across bands.
     */
   private def lshCandidates(per: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= 128, // graft_minhash128 signature width
+      s"band shape $bands×$rowsPerBand exceeds the 128-slot signature")
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rowsPerBand).map(r =>

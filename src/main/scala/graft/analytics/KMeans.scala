@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   * index), not plan-construction metadata — at 100 TB you run `fit` once,
   * persist the centroids, and share them across every search query.
   *
-  * Deterministic by construction: init = the k lowest-id vectors, fixed
-  * iteration count, pure double arithmetic, ties broken by cluster id —
-  * repeated runs produce identical centroids.
+  * Reproducible by construction: init = the k lowest-id vectors, fixed
+  * iteration count, assignment ties broken by cluster id. Centroids are
+  * reproducible up to floating-point REDUCTION ORDER: `sum(x)` merges
+  * partial double sums in shuffle-completion order, so repeated fits can
+  * differ in the last ulps (and a near-equidistant point could flip
+  * assignment). For a training-data index that is the right trade — the
+  * alternative (sorted deterministic folds) buffers every member value
+  * per (cluster, dim). Persist the trained centroids if downstream
+  * consumers need bit-stable assignments.
   */
 object KMeans {
 

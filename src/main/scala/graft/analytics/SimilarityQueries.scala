@@ -83,7 +83,7 @@ object SimilarityQueries {
         $"rank".cast("long").as("rank"), $"cos")
   }
 
-  /** IVF with LEARNED centroids: deterministic Lloyd k-means
+  /** IVF with LEARNED centroids: Lloyd k-means
     * ([[KMeans.fit]]: nlist=8, 3 iterations — an explicit index-build
     * action, like writing an index file; at 100 TB the centroids are
     * trained once and persisted), then multi-probe search: each query

@@ -112,17 +112,19 @@ object Projector {
   ): Dataset[MQEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
-    if (schemaSnapshot.isEmpty) {
-      // no registered tables ⇒ nothing can project (lookup below would need
-      // a typed empty-map literal; just short-circuit)
-      return spark.emptyDataset[MQEvent]
-    }
 
-    // literal "db.table" -> ordered column names (sorted for plan stability)
-    val schemaMap: Column = map(
-      schemaSnapshot.toSeq.sortBy(_._1).flatMap { case (k, cols) =>
-        Seq(lit(k), array(cols.map(lit): _*))
-      }: _*)
+    // literal "db.table" -> ordered column names (sorted for plan
+    // stability). An EMPTY snapshot must still go through the Column
+    // pipeline — returning a fresh empty Dataset would silently change a
+    // STREAMING input into a batch one; a null lookup drops every row via
+    // the cols.isNotNull filter instead.
+    val schemaLookup: Column =
+      if (schemaSnapshot.isEmpty) lit(null).cast("array<string>")
+      else element_at(
+        map(schemaSnapshot.toSeq.sortBy(_._1).flatMap { case (k, cols) =>
+          Seq(lit(k), array(cols.map(lit): _*))
+        }: _*),
+        concat_ws(".", $"database", $"table"))
 
     val action = when($"eventType" === "write_rows", Actions.Insert)
       .when($"eventType" === "update_rows", Actions.Update)
@@ -152,8 +154,7 @@ object Projector {
         filter.column($"database", $"table"))
       .withColumn("action", action)
       .filter($"action".isNotNull)
-      .withColumn("cols",
-        element_at(schemaMap, concat_ws(".", $"database", $"table")))
+      .withColumn("cols", schemaLookup)
       .filter($"cols".isNotNull)
       // arity guard (process.go:192-196): ANY mismatched row image drops
       // the whole event — schema drift mid-stream must not emit misaligned

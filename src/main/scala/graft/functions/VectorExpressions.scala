@@ -356,9 +356,6 @@ object VectorFunctions {
         MinHash64(exprs.head)
       },
       "built-in")
-    // wider signature for low-threshold LSH banding (r=4 × 32 bands keeps
-    // the per-band miss exponent steep at j ≥ 0.7); same aggregate, same
-    // permutation stream, just more slots
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash32",
       { exprs: Seq[Expression] =>
@@ -366,6 +363,9 @@ object VectorFunctions {
         SimHash32(exprs.head)
       },
       "built-in")
+    // wider signature for low-threshold LSH banding (r=4 × 32 bands keeps
+    // the per-band miss exponent steep at j ≥ 0.7); same aggregate, same
+    // permutation stream, just more slots
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash128",
       { exprs: Seq[Expression] =>

@@ -28,16 +28,17 @@ import graft.util.MiniJson.JObj
   * handlers.
   */
 final class TaskHttpServer(service: TaskService, spark: SparkSession,
-    port: Int = 0) {
+    port: Int = 0,
+    bindAddress: java.net.InetAddress = java.net.InetAddress.getLoopbackAddress) {
 
   private val metrics = new QueryMetricsListener
   spark.streams.addListener(metrics)
 
   // loopback by default: the control plane can make the Spark process
   // read/write arbitrary configured paths, so it must not listen on the
-  // wildcard address; set bindAddress explicitly to expose it deliberately
+  // wildcard address; pass bindAddress to expose it deliberately
   private val server = HttpServer.create(
-    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port), 0)
+    new InetSocketAddress(bindAddress, port), 0)
   server.createContext("/v1/post_task", exchange(postTask))
   server.createContext("/v1/task", exchange(listTasks))
   server.createContext("/v1/stop_task", exchange(stopTask))
@@ -121,7 +122,8 @@ final class TaskHttpServer(service: TaskService, spark: SparkSession,
       "heap_used_bytes" -> MiniJson.num(rt.totalMemory() - rt.freeMemory()),
       "heap_max_bytes" -> MiniJson.num(rt.maxMemory()),
       "gc_collections" -> MiniJson.num(gc),
-      "live_threads" -> MiniJson.num(Thread.activeCount().toLong),
+      "live_threads" -> MiniJson.num(java.lang.management.ManagementFactory
+        .getThreadMXBean.getThreadCount.toLong),
       "uptime_ms" -> MiniJson.num(up))))
   }
 

@@ -116,9 +116,17 @@ object CdcSource {
         val in = Files.newInputStream(p)
         try {
           var toSkip = prev.bytes
-          while (toSkip > 0) {
+          var skipFailed = false
+          while (toSkip > 0 && !skipFailed) {
             val n = in.skip(toSkip)
-            if (n <= 0) toSkip = 0 else toSkip -= n
+            if (n <= 0) skipFailed = true else toSkip -= n
+          }
+          if (skipFailed) {
+            // couldn't reach the cached offset (file replaced/truncated
+            // between stat and read) — never count from an unknown
+            // position; drop the entry and rescan from zero next call
+            cache.remove(p.toString)
+            return CdcSource.lineCount(p)
           }
           var total = prev.bytes
           var newlines = prev.newlines

@@ -42,9 +42,13 @@ class KMeansSpec extends SparkSpec {
       .collect()
     assert(purity.length == k, purity.mkString(","))
     assert(purity.forall(_.getLong(1) == 1L), purity.mkString(","))
-    // determinism: a second fit yields identical centroids
+    // reproducibility: a second fit agrees up to floating-point reduction
+    // order (partial double sums merge in shuffle-completion order, so
+    // exact bit equality is NOT guaranteed — see KMeans scaladoc)
     val cents2 = KMeans.fit(df, "id", "v", k, iters = 3)
-    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    cents.zip(cents2).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
   }
 
   test("IVF search recall vs brute ≥ 0.9 on clustered data") {

@@ -109,6 +109,16 @@ class ProjectorSpec extends SparkSpec {
     assert(Projector.project(events, Map.empty).isEmpty)
   }
 
+  test("project preserves streaming-ness for ANY snapshot (incl. empty)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[RawBinlogEvent]
+    // empty registry (no DDL seen yet) must NOT demote the stream to batch
+    assert(Projector.project(stream.toDS(), Map.empty).isStreaming)
+    assert(Projector.project(stream.toDS(), Map("db.t" -> cols)).isStreaming)
+  }
+
   test("distributed project applies filter + schema broadcast") {
     import spark.implicits._
     val events = Seq(
