@@ -144,12 +144,36 @@ object TextQueries {
         (length($"text") - length(scrubbed)).cast("long").as("len_delta"))
   }
 
+  /** Sequence packing for context-window training: assign docs (in
+    * deterministic doc_id order) to contiguous bins of ≤ 2048 whitespace
+    * tokens — bin id = floor(tokens-before-me / 2048) — then report bin
+    * fill. One running-sum window + one aggregation; the window runs over
+    * a single global ordering here (the corpus is one packing stream); at
+    * 100 TB you shard the stream (partitionBy(shard) in the window) and
+    * pack within shards, same expressions.
+    */
+  def qTextPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    table(spark, dir, "documents")
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("toks"))
+      .withColumn("before", coalesce(sum($"toks").over(w), lit(0L)))
+      .withColumn("bin", ($"before" / 2048L).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("bin_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_text_lang_id" -> qTextLangId,
     "q_text_fingerprint" -> qTextFingerprint,
-    "q_text_scrub" -> qTextScrub
+    "q_text_scrub" -> qTextScrub,
+    "q_text_packing" -> qTextPacking
   )
 
   val oracles: Map[String, String] = Map(
@@ -212,6 +236,20 @@ object TextQueries {
         | len(regexp_extract_all(text, '\b(customer|value|key)\b'))::BIGINT AS n_hits,
         | substr(sha256(regexp_replace(text, '\b(customer|value|key)\b', '<X>', 'g')), 1, 16) AS scrub_digest,
         | (length(text) - length(regexp_replace(text, '\b(customer|value|key)\b', '<X>', 'g')))::BIGINT AS len_delta
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_text_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS toks
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, toks,
+        |   coalesce(sum(toks) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT (before // 2048)::BIGINT AS bin, count(*) AS n_docs,
+        | sum(toks)::BIGINT AS bin_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1""".stripMargin
   )
 }
