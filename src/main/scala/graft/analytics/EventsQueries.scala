@@ -67,6 +67,22 @@ object EventsQueries {
         sum($"value").as("sum_value"))
   }
 
+  /** Native `session_window` (gap 30 min) — the built-in operator face of
+    * sessionization (the streaming variant with watermarked state is
+    * `EventStreams.sessionWindowAgg`). NOTE the boundary differs from
+    * [[qEventsSessionize]]: windows merge on OVERLAP (strict `<`), so a
+    * gap of exactly 30:00 starts a NEW session here; the oracle encodes
+    * the same `>=` boundary.
+    */
+  def qEventsSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"n_events", $"sum_value")
+  }
+
   /** JSON prop extraction (the envelope's semi-structured value surface):
     * pull `k` out of the props JSON and bucket counts by k % 10.
     */
@@ -82,6 +98,7 @@ object EventsQueries {
     "q_events_tumbling" -> qEventsTumbling,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_session_stats" -> qEventsSessionStats,
+    "q_events_session_window" -> qEventsSessionWindow,
     "q_events_json_props" -> qEventsJsonProps
   )
 
@@ -113,6 +130,19 @@ object EventsQueries {
         | min(ts) AS session_start, max(ts) AS session_end,
         | sum(value) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_events_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |   SUM(CASE WHEN prev_ts IS NULL
+        |            OR floor(epoch(ts)) - floor(epoch(prev_ts)) >= 1800 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+        |  FROM (SELECT user_id, event_id, ts, value,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |        FROM events) t)
+        |SELECT user_id, min(ts) AS session_start,
+        | count(*) AS n_events, sum(value) AS sum_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q_events_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k

@@ -65,6 +65,27 @@ object EventStreams {
       .select($"w.start".as("window_start"), $"event_type", $"n")
   }
 
+  /** Native gap-based session windows (`session_window`, 30-minute gap):
+    * the BUILT-IN alternative to [[sessionize]] for plain per-session
+    * aggregates — Spark merges overlapping candidate windows in the
+    * streaming state store and closes a session when the watermark passes
+    * its end; state per open session is the aggregation buffer only.
+    * Reach for [[sessionize]] (`flatMapGroupsWithState`) only when the
+    * per-session logic outgrows declarative aggregates. Gap semantics:
+    * a gap of EXACTLY 30 minutes starts a new session (windows merge on
+    * overlap, i.e. strict `<`), which is what the batch oracle of
+    * `q_events_session_window` encodes.
+    */
+  def sessionWindowAgg(events: Dataset[StreamEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"n_events", $"sum_value")
+  }
+
   /** Streaming EXACT dedup by event id with BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only until
     * the watermark passes it, so state is O(keys-per-watermark-horizon),

@@ -55,6 +55,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window: gap merge + watermark finalization") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.sessionWindowAgg(input.toDS())
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at 0, 10, 25 min (gaps < 30) → ONE session;
+      // at 70 min (gap 45) → a second session
+      input.addData(ev(1, 0), ev(2, 10), ev(3, 25), ev(4, 70))
+      q.processAllAvailable()
+      // advance the watermark far past both session ends so Append emits
+      input.addData(ev(5, 500))
+      q.processAllAvailable()
+      val emitted = spark.table("sesswin")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(emitted.contains((1L, ts(0), 3L, 3.0)),
+        s"merged 3-event session expected in $emitted")
+      assert(emitted.contains((1L, ts(70), 1L, 1.0)),
+        s"45-min gap must start a new session in $emitted")
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session; watermark timeout closes the tail") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
