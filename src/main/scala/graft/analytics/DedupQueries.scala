@@ -58,10 +58,13 @@ object DedupQueries {
     "transform(sequence(1, greatest(length(text) - 4, 1))," +
       " i -> substring(text, i, 5))"
 
-  /** (doc_id, shingle) MULTISET — one narrow projection + explode, no
-    * dedup: downstream consumers either tolerate duplicates (min / set-agg
-    * are idempotent) or dedup exactly where needed, so the hot path never
-    * pays a distinct shuffle it doesn't use.
+  /** (doc_id, shingle) DISTINCT SET — one narrow projection + explode +
+    * dedup. The distinct costs NO exchange (grouping on (doc_id, sh) is
+    * satisfied by the doc_id clustering below — subset rule), every
+    * consumer is set-semantics-compatible (min and collect_set are
+    * dedup-insensitive; SimHash's bit-majority REQUIRES the set), and it
+    * shrinks the cached table — so the suite pays one partial-agg here
+    * instead of a per-query distinct where set semantics are needed.
     *
     * Persisted (memory-and-disk, spill-safe): the dedup suite consumes the
     * exploded shingles from several independent stages and Spark's
@@ -75,12 +78,14 @@ object DedupQueries {
     // repartition BY doc_id before the ~N×5 explode: the corpus arrives as
     // few parquet splits (1 at small SF), so without this the whole
     // shingle pipeline runs on one core; hashing on doc_id also satisfies
-    // the downstream groupBy(doc_id) clustering, so the heavy post-explode
-    // rows are never shuffled — only the narrow (doc_id, text) rows are.
+    // the downstream distinct and groupBy(doc_id) clustering, so the heavy
+    // post-explode rows are never shuffled — only the narrow
+    // (doc_id, text) rows are.
     table(spark, dir, "documents")
       .select($"doc_id", $"text")
       .repartition($"doc_id")
       .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -308,12 +313,10 @@ object DedupQueries {
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    // distinct stays on SHINGLE STRINGS (exactly the oracle's set
+    // docShingles is distinct on SHINGLE STRINGS (exactly the oracle's set
     // semantics — deduping on the hash instead would collapse rare
-    // colliding shingles the oracle still counts); both the distinct and
-    // the sketch aggregate cluster by doc_id, which the cached
-    // repartition already satisfies — no exchange on either
-    val shh = docShingles(spark, dir).distinct() // bit-majority needs SET semantics
+    // colliding shingles the oracle still counts)
+    val shh = docShingles(spark, dir) // bit-majority needs SET semantics
       .withColumn("h", expr("graft_poly_hash(sh)")) // native Karp–Rabin kernel
     // ONE custom aggregate ([[graft.functions.SimHash32]]) instead of 32
     // sum(CASE …) columns — collapses the Janino-heavy wide plan into a
