@@ -83,6 +83,38 @@ object EventsQueries {
         $"n_events", $"sum_value")
   }
 
+  /** RANGE JOIN (interval containment, NO equi key): events against
+    * overlapping 2-hour campaign windows (each distinct event-hour ±30
+    * min). A naive `ts BETWEEN start AND end` join has no equi key — the
+    * planner's only options are broadcast-nested-loop or cartesian, both
+    * quadratic. The scale shape is BUCKETIZATION: explode each range into
+    * its covered 30-minute buckets, equi-join events on their (single)
+    * bucket, then verify the exact bounds — the same band-then-verify
+    * pattern as the LSH dedup suite, and exact by construction (an event's
+    * bucket is unique, so each qualifying (event, range) pair joins
+    * exactly once — no dedup needed). Shuffles on the bucket key; range
+    * skew (a bucket covered by many ranges) is ordinary join skew, handled
+    * by AQE.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(c) / 1800).cast("long")
+    val ev = table(spark, dir, "events")
+      .select($"ts", $"value", bucket($"ts").as("bucket"))
+    val ranges = table(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w")).agg(count(lit(1)).as("n_src"))
+      .select(
+        ($"w.start" - expr("INTERVAL 30 MINUTES")).as("r_start"),
+        ($"w.start" + expr("INTERVAL 90 MINUTES")).as("r_end"))
+    val banded = ranges.select($"r_start", $"r_end",
+      explode(sequence(bucket($"r_start"), bucket($"r_end"))).as("bucket"))
+    ev.join(banded, Seq("bucket"))
+      .filter($"ts" >= $"r_start" && $"ts" <= $"r_end")
+      .groupBy($"r_start")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+  }
+
   /** JSON prop extraction (the envelope's semi-structured value surface):
     * pull `k` out of the props JSON and bucket counts by k % 10.
     */
@@ -99,7 +131,8 @@ object EventsQueries {
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_session_stats" -> qEventsSessionStats,
     "q_events_session_window" -> qEventsSessionWindow,
-    "q_events_json_props" -> qEventsJsonProps
+    "q_events_json_props" -> qEventsJsonProps,
+    "q_range_join" -> qRangeJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +179,14 @@ object EventsQueries {
     "q_events_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_range_join" ->
+      """WITH r AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) - INTERVAL 30 MINUTE AS r_start,
+        |   date_trunc('hour', ts) + INTERVAL 90 MINUTE AS r_end
+        |  FROM events)
+        |SELECT r.r_start, count(*) AS n_events, sum(e.value) AS sum_value
+        |FROM r JOIN events e ON e.ts BETWEEN r.r_start AND r.r_end
+        |GROUP BY 1""".stripMargin
   )
 }

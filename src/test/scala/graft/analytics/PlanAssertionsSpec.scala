@@ -67,7 +67,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // regression to BroadcastNestedLoopJoin (or worse, an interpreted
     // CartesianProduct) would still pass value checks at sf0.01.
     Seq("q_dedup_simhash", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
-        "q_dedup_embedding_lsh", "q_knn_ivf_kmeans").foreach { q =>
+        "q_dedup_embedding_lsh", "q_knn_ivf_kmeans", "q_range_join").foreach { q =>
       val plan = run(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
