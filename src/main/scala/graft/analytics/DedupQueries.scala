@@ -203,7 +203,12 @@ object DedupQueries {
     */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val per = minhashPer(spark, dir)
+    // persisted: the verified pair set is tiny (near-dup-density-bounded)
+    // and [[qDedupComponents]] builds the identical plan as its edge
+    // source — the shared cache entry means the components query re-runs
+    // the LOOP, not the LSH+verify pipeline
     verifyJaccard(per, lshCandidates(per, bands = 16, rowsPerBand = 4), 0.8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.7), MinHash-LSH candidate
@@ -231,17 +236,24 @@ object DedupQueries {
     * canonical "keeper"), one row per involved doc.
     *
     * Algorithm: distributed min-label propagation — labels start as own
-    * doc_id; each iteration joins labels across edges and takes the min;
-    * fixpoint in ≤ diameter iterations (near-dup components are
-    * template-duplicate clusters — diameter is small; a 20-iteration cap
-    * guards pathological chains, where the large-star/small-star
-    * alternation [Kiveris et al., "Connected Components in MapReduce"]
-    * would replace the plain propagation, same join shape). Each
-    * iteration is one equi-join + partial-agg min on the LABEL table
-    * (nodes only, NOT the corpus) — the edge table is materialized once
-    * from the LSH pipeline and reused. The per-iteration driver action is
-    * the convergence check of an iterative graph algorithm, not
-    * plan-shaping metadata.
+    * doc_id; each iteration takes the min label over neighbors; fixpoint
+    * in ≤ diameter iterations (near-dup components are template-duplicate
+    * clusters — diameter is small; a 20-iteration cap guards pathological
+    * chains, where the large-star/small-star alternation [Kiveris et al.,
+    * "Connected Components in MapReduce"] would replace the plain
+    * propagation, same join shape). Iteration shape, tuned to ONE
+    * edge-sized shuffle per step:
+    *   - the edge list carries self-loops, so min over in-neighbors IS
+    *     `least(own, neighbors)` — no second join against the old labels;
+    *   - edges are persisted pre-partitioned on the join key `d`, so the
+    *     per-iteration join only exchanges the (node-sized) label table;
+    *     the joined rows then shuffle once into the groupBy on `s`;
+    *   - labels are non-increasing pointwise, so `sum(lbl)` strictly
+    *     decreases until the fixpoint — the convergence check is one
+    *     scalar aggregate on the table the iteration materializes anyway,
+    *     not a separate filter+count pass. The per-iteration driver
+    *     action is the convergence check of an iterative graph algorithm,
+    *     not plan-shaping metadata.
     *
     * Oracle: exact all-pairs j ≥ 0.8 edges + a recursive CTE computing
     * min reachable id — the true transitive closure, so the fixpoint loop
@@ -249,42 +261,46 @@ object DedupQueries {
     */
   def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // both edge directions in ONE pass over the pair pipeline (a union of
-    // two selects would evaluate the whole LSH subtree once per branch)
+    // both edge directions + self-loops in ONE pass over the pair pipeline
+    // (a union of selects would evaluate the whole LSH subtree per branch);
+    // distinct dedupes the self-loops a doc contributes per incident pair
     val edges = qDedupMinhashLsh(spark, dir)
       .select(explode(array(
         struct($"id_a".as("s"), $"id_b".as("d")),
-        struct($"id_b".as("s"), $"id_a".as("d")))).as("e"))
-      .select($"e.s".as("id_a"), $"e.d".as("id_b"))
+        struct($"id_b".as("s"), $"id_a".as("d")),
+        struct($"id_a".as("s"), $"id_a".as("d")),
+        struct($"id_b".as("s"), $"id_b".as("d")))).as("e"))
+      .select($"e.s".as("s"), $"e.d".as("d"))
+      .distinct()
+      .repartition($"d") // cached partitioning feeds every iteration's join
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize once: iterations must not re-run the LSH pipeline
-    // seed with the FIRST propagation folded into init: label₀ =
-    // min(self, direct neighbors) — one aggregation job, and pair-shaped
-    // components (the common near-dup case) converge immediately
-    var labels = edges.groupBy($"id_a".as("doc_id"))
-      .agg(min($"id_b").as("mn"))
-      .select($"doc_id", least($"doc_id", $"mn").as("lbl"))
+    // label₀ = min(self, direct neighbors): the first propagation folded
+    // into init (self-loops put own id in the min), so pair-shaped
+    // components — the common near-dup case — converge immediately
+    var labels = edges.groupBy($"s".as("doc_id")).agg(min($"d").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the CACHED dataset of each generation — unpersist must target the
     // dataset that was persisted (unpersisting a derived select is a
     // no-op), or every iteration's label table stays cached for the life
     // of the session (node-count-sized at scale)
     var cachedGen = labels
-    var changed = 1L
+    var prevSum = labels.agg(sum($"lbl")).first().getLong(0)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val neigh = edges.join(labels, edges("id_b") === labels("doc_id"))
-        .select(edges("id_a").as("doc_id"), labels("lbl").as("nlbl"))
-        .groupBy($"doc_id").agg(min($"nlbl").as("minn"))
-      // inner join: the node set is DERIVED from the symmetric edge list,
-      // so every node has ≥ 1 neighbor and appears in `neigh`
-      val stepped = labels.join(neigh, Seq("doc_id"))
-        .select($"doc_id", $"lbl", least($"lbl", $"minn").as("nlbl"))
+    while (!converged && iter < 20) {
+      // labels (node-sized, the SMALL side) build the hash table; edges
+      // stream from cache already partitioned on d
+      val stepped = edges
+        .join(labels.hint("shuffle_hash"), edges("d") === labels("doc_id"))
+        .groupBy(edges("s").as("doc_id")).agg(min($"lbl").as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = stepped.filter($"nlbl" < $"lbl").count() // materializes stepped
+      val s = stepped.agg(sum($"lbl")).first().getLong(0) // materializes stepped
       cachedGen.unpersist()
       cachedGen = stepped
-      labels = stepped.select($"doc_id", $"nlbl".as("lbl"))
+      labels = stepped
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     labels
