@@ -167,13 +167,126 @@ object TextQueries {
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
   }
 
+  /** TF-IDF: top-3 terms per document, score = tf × ln(N/df).
+    *
+    * Scale shape: one explode + shuffle on (doc_id, term) for tf, a
+    * term-level shuffle join for df (NOT a broadcast — web-scale
+    * vocabularies are unbounded), the corpus size N as a 1-row aggregate
+    * cross-joined in (broadcast of one row, no driver-side job at plan
+    * time), and a per-doc window for the top-k. Ties break on term so the
+    * ranking is total; ln parity Spark↔DuckDB is within the checker's
+    * 1e-9 tolerance (integer-ratio inputs keep genuine score ties exact).
+    */
+  def qTextTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = table(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+    val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = table(spark, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", $"tf".cast("double") * log($"n_docs" / $"df".cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"term", $"rnk", $"tf", $"df", $"score")
+  }
+
+  /** BM25 (k1=1.2, b=0.75) of every document against a fixed query term
+    * set — the retrieval-scoring face of the same statistics as
+    * [[qTextTfidf]]. idf uses the standard
+    * ln(1 + (N − df + 0.5)/(df + 0.5)) form; dl/avgdl is whitespace
+    * tokens. Per-term partials shuffle once on doc_id into the final sum;
+    * corpus constants (N, avgdl) ride in as 1-row broadcast aggregates.
+    */
+  def qTextBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queryTerms = Seq("spark", "query", "join")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = table(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id",
+        size(filter($"ws", w => w =!= "")).cast("double").as("dl"),
+        $"ws")
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"ws").as("term"))
+      .filter($"term".isin(queryTerms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("part",
+        $"idf" * $"tf" * (lit(k1) + 1.0) /
+          ($"tf" + lit(k1) * (lit(1.0) - lit(b) + lit(b) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      // column names chosen to sort AFTER doc_id: the checker orders
+      // columns alphabetically and sorts rows by that tuple, so a float
+      // column sorting first would pair rows across engines by a value
+      // that can differ in the last ulp
+      .agg(sum($"part").as("score_bm25"),
+        count(lit(1)).as("n_terms_hit"),
+        first($"dl").cast("long").as("n_tokens"))
+  }
+
+  /** Gopher-style repetition / quality rules per document [Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", §A1.1]: duplicate-word fraction, most-frequent-bigram
+    * fraction, mean word length, and the composed keep/drop flag. All
+    * ratios are integer-ratio doubles (exact in both engines). The bigram
+    * top-1 is a (doc_id, bigram) shuffle + per-doc window with a total
+    * tie-break; everything else is one scan-side projection.
+    */
+  def qTextGopher(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = table(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws",
+        size($"ws").cast("long").as("n_words"),
+        size(array_distinct($"ws")).cast("long").as("n_distinct"))
+    val perDoc = base.select($"doc_id", $"n_words",
+      (lit(1.0) - $"n_distinct".cast("double") / $"n_words".cast("double"))
+        .as("dup_word_frac"),
+      (aggregate(transform($"ws", w => length(w)), lit(0L), (a, x) => a + x)
+        .cast("double") / $"n_words".cast("double")).as("mean_word_len"))
+    val bigrams = base
+      .select($"doc_id", $"n_words", explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1)," +
+          " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))")).as("bg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"cnt".desc, $"bg")
+    val topBigram = bigrams
+      .groupBy($"doc_id", $"n_words", $"bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" === 1)
+      .select($"doc_id", $"bg".as("top_bigram"),
+        ($"cnt".cast("double") / ($"n_words" - 1L).cast("double"))
+          .as("top_bigram_frac"))
+    perDoc.join(topBigram, "doc_id")
+      .withColumn("gopher_pass",
+        ($"dup_word_frac" <= 0.85 && $"top_bigram_frac" <= 0.2 &&
+          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+          $"n_words" >= 50L).cast("boolean"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_text_lang_id" -> qTextLangId,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_scrub" -> qTextScrub,
-    "q_text_packing" -> qTextPacking
+    "q_text_packing" -> qTextPacking,
+    "q_text_tfidf" -> qTextTfidf,
+    "q_text_bm25" -> qTextBm25,
+    "q_text_gopher" -> qTextGopher
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +363,72 @@ object TextQueries {
         |SELECT (before // 2048)::BIGINT AS bin, count(*) AS n_docs,
         | sum(toks)::BIGINT AS bin_tokens,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM p GROUP BY 1""".stripMargin
+        |FROM p GROUP BY 1""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM words WHERE term <> '' GROUP BY 1, 2),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        | scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |   tf.tf::DOUBLE * ln(n.n_docs / dfreq.df::DOUBLE) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term,
+        | row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk,
+        | tf, df, score
+        |FROM scored QUALIFY rnk <= 3""".stripMargin,
+    "q_text_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |   len(list_filter(string_split(text, ' '), w -> w <> ''))::DOUBLE AS dl,
+        |   string_split(text, ' ') AS ws
+        |  FROM documents),
+        | stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs),
+        | tf AS (
+        |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM docs)
+        |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2, 3),
+        | dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        | parts AS (
+        |  SELECT tf.doc_id, tf.dl,
+        |   ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |     * tf.tf * (1.2 + 1.0)
+        |     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS part
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+        |SELECT doc_id, sum(part) AS score_bm25, count(*) AS n_terms_hit,
+        | min(dl)::BIGINT AS n_tokens
+        |FROM parts GROUP BY 1""".stripMargin,
+    "q_text_gopher" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |   len(string_split(text, ' '))::BIGINT AS n_words,
+        |   len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct
+        |  FROM documents),
+        | per_doc AS (
+        |  SELECT doc_id, n_words,
+        |   1.0 - n_distinct::DOUBLE / n_words::DOUBLE AS dup_word_frac,
+        |   list_sum([length(w) FOR w IN ws])::DOUBLE / n_words::DOUBLE AS mean_word_len
+        |  FROM base),
+        | bg AS (
+        |  SELECT doc_id, n_words,
+        |   unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS bg
+        |  FROM base),
+        | top_bg AS (
+        |  SELECT doc_id, bg AS top_bigram,
+        |   cnt::DOUBLE / (n_words - 1)::DOUBLE AS top_bigram_frac
+        |  FROM (
+        |   SELECT doc_id, n_words, bg, count(*)::BIGINT AS cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, bg) AS rnk
+        |   FROM bg GROUP BY 1, 2, 3)
+        |  WHERE rnk = 1)
+        |SELECT p.doc_id, p.n_words, p.dup_word_frac, p.mean_word_len,
+        | t.top_bigram, t.top_bigram_frac,
+        | (p.dup_word_frac <= 0.85 AND t.top_bigram_frac <= 0.2 AND
+        |  p.mean_word_len >= 3.0 AND p.mean_word_len <= 10.0 AND
+        |  p.n_words >= 50) AS gopher_pass
+        |FROM per_doc p JOIN top_bg t ON p.doc_id = t.doc_id""".stripMargin
   )
 }
