@@ -126,7 +126,78 @@ object EventsQueries {
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
   }
 
+  /** Ordered funnel conversion view → click → purchase: a user advances a
+    * stage only with an event STRICTLY AFTER their previous-stage entry
+    * time. Three chained conditional-min aggregations, each one shuffle on
+    * user_id; the per-stage tables are user-cardinality (small relative to
+    * events), so the stage joins are cheap and the whole funnel is 3 scans
+    * + 3 user-keyed shuffles — no per-event self-join.
+    */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = table(spark, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val stage = (no: Int, name: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(no.toLong).as("funnel_step"), lit(name).as("stage"),
+          $"n_users")
+    stage(1, "view", s1)
+      .unionAll(stage(2, "click", s2))
+      .unionAll(stage(3, "purchase", s3))
+  }
+
+  /** Weekly cohort retention: cohort = the user's first-seen week, one row
+    * per (cohort, week-offset) with distinct active users. Two shuffles on
+    * user_id (first-seen + distinct user-week activity), then a join that
+    * reuses the user_id clustering and a small rollup — the standard
+    * retention-matrix shape, linear at any event volume.
+    */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firstSeen = table(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val activity = table(spark, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").as("activity_week"))
+      .distinct()
+    activity.join(firstSeen, "user_id")
+      .select($"cohort_week",
+        ((unix_timestamp($"activity_week") - unix_timestamp($"cohort_week"))
+          / 604800L).cast("long").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** lag/lead/ntile window surface per user: previous/next value along the
+    * event-time order plus the value quartile within the user's history —
+    * one shuffle on user_id, two sorts (time order, value order), all
+    * tie-broken on event_id so the result is total under any
+    * partitioning.
+    */
+  def qWindowLagNtile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val byValue = Window.partitionBy($"user_id")
+      .orderBy($"value".asc, $"event_id".asc)
+    table(spark, dir, "events")
+      .select($"event_id", $"user_id", $"value",
+        lag($"value", 1).over(byTime).as("prev_value"),
+        lead($"value", 1).over(byTime).as("next_value"),
+        ntile(4).over(byValue).cast("long").as("quartile"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_events_funnel" -> qEventsFunnel,
+    "q_events_retention" -> qEventsRetention,
+    "q_window_lag_ntile" -> qWindowLagNtile,
     "q_events_tumbling" -> qEventsTumbling,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_session_stats" -> qEventsSessionStats,
@@ -136,6 +207,42 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        | s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT 1::BIGINT AS funnel_step, 'view' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2::BIGINT, 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT 3::BIGINT, 'purchase', count(*) FROM s3""".stripMargin,
+    "q_events_retention" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+        |  FROM events GROUP BY 1),
+        | activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS activity_week
+        |  FROM events)
+        |SELECT f.cohort_week,
+        | ((floor(epoch(a.activity_week)) - floor(epoch(f.cohort_week)))
+        |   // 604800)::BIGINT AS week_offset,
+        | count(*) AS n_users
+        |FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q_window_lag_ntile" ->
+      """SELECT event_id, user_id, value,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+        | lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_value,
+        | ntile(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC)::BIGINT AS quartile
+        |FROM events""".stripMargin,
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n, sum(value) AS sum_value
