@@ -1,0 +1,124 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.GraftSession.table
+
+/** Iterative graph analytics beyond the dedup components fixpoint:
+  * weighted PageRank over a graph AGGREGATED from the fact tables — the
+  * 100 TB shape where the expensive part is distilling trillions of fact
+  * rows into a graph, then iterating on the (much smaller) node/edge
+  * tables.
+  */
+object GraphQueries {
+
+  /** Weighted PageRank (d = 0.85, 10 fixed iterations) over the
+    * customer-nation → supplier-nation trade graph: edge weight = number
+    * of lineitems shipped from a supplier in nation `dst` against an
+    * order from a customer in nation `src`; transition probability =
+    * weight / out-weight.
+    *
+    * Scale shape:
+    *   - the graph BUILD is the heavy part: lineitem ⋈ orders shuffles on
+    *     orderkey once; customer and supplier are broadcast dims; the
+    *     edge aggregation collapses everything to |nations|² rows;
+    *   - edges / nodes / the node count persist once, so the iteration
+    *     subtree stays constant-size (without the persist, every
+    *     iteration would clone the 4-way join into the plan);
+    *   - the 10 iterations are a FIXED, action-free plan: rank flows by
+    *     one equi-join + sum per step with a left join back to the node
+    *     spine for in-degree-0 nodes — no driver loop actions, no
+    *     convergence count (fixed iterations keep the DuckDB oracle
+    *     expressible as an unrolled CTE chain and the result
+    *     deterministic);
+    *   - integer edge weights make p = w/out_w an exactly-rounded double
+    *     in both engines; cross-engine drift is only the neighbor-sum
+    *     addition order, far inside the checker's 1e-9 tolerance.
+    */
+  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+    val ord = table(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val cust = table(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val supp = table(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val edges = li
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".cast("long").as("src"),
+        $"s_nationkey".cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outW = edges.groupBy($"src").agg(sum($"w").as("out_w"))
+    val trans = edges.join(outW, "src")
+      .select($"src", $"dst",
+        ($"w".cast("double") / $"out_w".cast("double")).as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select($"node", (lit(1.0) / $"n_nodes").as("rank"))
+    for (_ <- 1 to 10) {
+      // join by column NAME (rank spine renamed to src): edges/nodes/ranks
+      // share lineage, so dataset-qualified refs trip the ambiguous
+      // self-join check
+      val contrib = ranks.withColumnRenamed("node", "src")
+        .join(trans, "src")
+        .groupBy($"dst".as("node"))
+        .agg(sum($"rank" * $"p").as("contrib"))
+      ranks = nodes.crossJoin(broadcast(n))
+        .join(contrib, Seq("node"), "left")
+        .select($"node",
+          (lit(0.15) / $"n_nodes" +
+            lit(0.85) * coalesce($"contrib", lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  /** The oracle unrolls the same 10 iterations as a chained CTE sequence
+    * (recursive CTEs cannot aggregate in the recursive member).
+    */
+  private def pagerankOracle: String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT c.c_nationkey::BIGINT AS src, s.s_nationkey::BIGINT AS dst,
+        |   count(*)::BIGINT AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        | trans AS (
+        |  SELECT e.src, e.dst, e.w::DOUBLE / t.out_w::DOUBLE AS p
+        |  FROM edges e JOIN (SELECT src, sum(w)::BIGINT AS out_w FROM edges GROUP BY 1) t
+        |    ON e.src = t.src),
+        | nodes AS (SELECT DISTINCT src AS node FROM edges
+        |           UNION SELECT DISTINCT dst FROM edges),
+        | nn AS (SELECT count(*)::DOUBLE AS n_nodes FROM nodes),
+        | pr0 AS (SELECT node, 1.0 / nn.n_nodes AS rank FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to 10).map { k =>
+      s""" pr$k AS (
+         |  SELECT nodes.node,
+         |   0.15 / nn.n_nodes + 0.85 * coalesce(c.contrib, 0.0) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT t.dst AS node, sum(pr${k - 1}.rank * t.p) AS contrib
+         |    FROM pr${k - 1} JOIN trans t ON t.src = pr${k - 1}.node
+         |    GROUP BY 1) c ON c.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, rank FROM pr10"
+  }
+
+  val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_graph_pagerank" -> qGraphPagerank
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_graph_pagerank" -> pagerankOracle
+  )
+}
