@@ -277,7 +277,35 @@ object TextQueries {
           $"n_words" >= 50L).cast("boolean"))
   }
 
+  /** Heavy hitters (terms with ≥ 1/50 of all token mass) via count-min
+    * sketch pruning + exact verification — the frequency analog of the
+    * bloom-pruned join: the CMS estimate can only OVER-count, so
+    * `est·50 ≥ total` keeps a SUPERSET of the true heavy hitters (no
+    * false negatives), the scan-side probe drops light terms BEFORE the
+    * groupBy shuffle, and the exact count of survivors restores
+    * exactness. At 100 TB the sketch is 128 KiB broadcast against a
+    * full-vocabulary shuffle avoided; the oracle is the plain
+    * count-HAVING query. Threshold arithmetic stays in integers
+    * (`n·50 ≥ total`) so both engines compare exactly.
+    */
+  def qTextHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CmsFunctions.register(spark)
+    val words = table(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+    val sketch = words.agg(
+      expr("graft_cms_agg(xxhash64(term), 4096, 4)").as("cms"),
+      count(lit(1)).as("total"))
+    words.crossJoin(broadcast(sketch))
+      .filter(expr("graft_cms_min(cms, xxhash64(term), 4)") * 50L >= $"total")
+      .groupBy($"term").agg(count(lit(1)).as("n"), first($"total").as("total"))
+      .filter($"n" * 50L >= $"total")
+      .select($"term", $"n")
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_text_heavy_hitters" -> qTextHeavyHitters,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_text_lang_id" -> qTextLangId,
@@ -290,6 +318,15 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        | w AS (SELECT term FROM words WHERE term <> ''),
+        | total AS (SELECT count(*)::BIGINT AS total FROM w)
+        |SELECT term, count(*)::BIGINT AS n
+        |FROM w CROSS JOIN total
+        |GROUP BY term, total.total
+        |HAVING count(*) * 50 >= total.total""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
