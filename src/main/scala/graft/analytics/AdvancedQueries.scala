@@ -40,6 +40,31 @@ object AdvancedQueries {
           .as("gap_seconds"))
   }
 
+  /** As-of join WITH TOLERANCE: like [[qAsofJoin]] but a match expires
+    * after 15 minutes — the staleness bound of market-data / sensor
+    * as-of semantics (pandas `merge_asof(tolerance=...)`). Same
+    * single-shuffle running-window plan; the tolerance is a post-window
+    * null-out, not a second probe.
+    */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = table(spark, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        when($"event_type" === "click", $"event_id").as("click_id"),
+        when($"event_type" === "click", $"ts").as("click_ts"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    u.withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("gap",
+        unix_timestamp($"ts") - unix_timestamp($"last_click_ts"))
+      .select($"event_id", $"user_id",
+        when($"gap" <= 900L, $"last_click_id").as("matched_click_id"),
+        when($"gap" <= 900L, $"gap").as("gap_seconds"))
+  }
+
   /** Exact percentiles (median / p90) — Spark `percentile` and DuckDB
     * `quantile_cont` share linear interpolation.
     */
@@ -286,6 +311,7 @@ object AdvancedQueries {
     "q_correlated_scalar" -> qCorrelatedScalar,
     "q_window_range_frame" -> qWindowRangeFrame,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_tolerance" -> qAsofTolerance,
     "q_percentiles" -> qPercentiles,
     "q_conditional_agg" -> qConditionalAgg,
     "q_datetime_arith" -> qDatetimeArith,
@@ -370,6 +396,30 @@ object AdvancedQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
         |  FROM u) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |   CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |   CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        | t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |   last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+        |   last_value(click_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM u),
+        | g AS (
+        |  SELECT event_id, user_id,
+        |   last_click_id,
+        |   (floor(epoch(ts)) - floor(epoch(last_click_ts)))::BIGINT AS gap
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        | CASE WHEN gap <= 900 THEN last_click_id END AS matched_click_id,
+        | CASE WHEN gap <= 900 THEN gap END AS gap_seconds
+        |FROM g""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         | quantile_cont(o_totalprice, 0.5) AS median_price,

@@ -284,7 +284,73 @@ object CoreQueries {
       )
   }
 
+  /** TPC-H Q7-style volume shipping: bilateral trade revenue between two
+    * nations by ship year. Nation dims broadcast; the symmetric pair
+    * predicate keeps both directions in one plan (no union re-scan).
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val ord = table(spark, dir, "orders")
+    val cust = broadcast(table(spark, dir, "customer"))
+    val supp = broadcast(table(spark, dir, "supplier"))
+    val n1 = broadcast(table(spark, dir, "nation")
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(table(spark, dir, "nation")
+      .select($"n_nationkey".as("c_nkey"), $"n_name".as("cust_nation")))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(n1, $"s_nationkey" === $"s_nkey")
+      .join(n2, $"c_nationkey" === $"c_nkey")
+      .filter(
+        ($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q14-style promo revenue share per ship month: conditional sum /
+    * total sum in ONE aggregation pass over the part-joined lineitems.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val part = broadcast(table(spark, dir, "part"))
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    li.join(part, $"l_partkey" === $"p_partkey")
+      .groupBy(date_trunc("month", $"l_shipdate").as("ship_month"))
+      .agg(
+        (sum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0))) * 100.0 /
+          sum(rev)).as("promo_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q19-style disjunctive predicate: OR-of-ANDs over brand / size /
+    * quantity bands. The disjunction stays ONE scan+filter (Catalyst
+    * factors the common join key); no union-of-three-scans.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val part = broadcast(table(spark, dir, "part"))
+    li.join(part, $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(1.0, 20.0)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(10.0, 30.0)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 25) &&
+          $"l_quantity".between(20.0, 40.0)))
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q14_promo_revenue" -> q14PromoRevenue,
+    "q19_disjunctive" -> q19Disjunctive,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -307,6 +373,37 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate)::BIGINT AS l_year,
+        | sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS ship_month,
+        | sum(CASE WHEN p_type = 'PROMO'
+        |          THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
+        |   / sum(l_extendedprice * (1.0 - l_discount)) AS promo_share,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1.0 AND 20.0)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 10.0 AND 30.0)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -154,6 +154,26 @@ object EventStreams {
         $"amount", $"click_id", $"click_ts")
   }
 
+  /** Windowed count-min sketch on the stream: one
+    * [[graft.functions.CmsAgg]] sketch per tumbling hour — the streaming
+    * face of the heavy-hitters pipeline. The custom aggregate's buffer
+    * serializes into the streaming state store and its sum-merge is
+    * exact, so cross-batch accumulation equals a batch build over the
+    * same rows (pinned by `EventStreamsSpec`). State per window is the
+    * FIXED sketch size (here 8 KiB), not the key cardinality — the point
+    * of sketching a 100 TB/day stream.
+    */
+  def windowedCms(events: Dataset[StreamEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    graft.functions.CmsFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(expr("graft_cms_agg(xxhash64(event_type), 256, 4)").as("cms"),
+        count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"cms", $"n")
+  }
+
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** Gap-based sessionization with explicit state: a session closes when a

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{lit, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -219,6 +220,36 @@ class EventStreamsSpec extends SparkSpec {
       val rows = spark.table("dedup_content").as[StreamEvent].collect()
       assert(rows.length === 2)
       assert(rows.map(_.event_id).sorted.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("windowed CMS accumulates across micro-batches exactly (sum-merge in state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedCms(input.toDS())
+      .writeStream.format("memory").queryName("wcms")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour-0 rows split across TWO batches: the sketch must merge in the
+      // state store, not restart per batch
+      input.addData(ev(1, 5, tpe = "click"), ev(2, 10, tpe = "view"))
+      q.processAllAvailable()
+      input.addData(ev(3, 20, tpe = "click"), ev(4, 25, tpe = "click"))
+      q.processAllAvailable()
+      input.addData(ev(5, 300)) // advance watermark → finalize hour 0
+      q.processAllAvailable()
+      val row = spark.table("wcms")
+        .filter($"window_start" === ts(0)).collect().head
+      assert(row.getLong(2) === 4L)
+      val cms = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        row.getSeq[Long](1).toArray)
+      val hashOf = (s: String) => spark.range(1)
+        .select(xxhash64(lit(s))).first().getLong(0)
+      // 2 distinct keys in a 256-wide 4-deep sketch: estimates are exact
+      // unless all 4 rows collide (probability ~(2/256)^4)
+      assert(graft.functions.CmsKernel.estimate(cms, hashOf("click"), 4) === 3L)
+      assert(graft.functions.CmsKernel.estimate(cms, hashOf("view"), 4) === 1L)
     } finally q.stop()
   }
 }
