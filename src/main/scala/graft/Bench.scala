@@ -41,11 +41,24 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }.toSeq.sortBy(_._1)
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // min over N cold passes (cache cleared between, so every pass pays
+    // the same costs in the same order): the host shows transient
+    // contention spikes that inflate single-pass numbers up to 10×
+    // (observed: a 2.3 s hash-groupBy reading 38 s); the per-query min is
+    // the reproducible cost. Pass structure (not per-query repetition)
+    // keeps the suite's deliberate cache sharing identical to a real run.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (p <- 1 to passes) {
+      if (p > 1) spark.sharedState.cacheManager.clearCache()
+      selected.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
+      }
     }
+    val results = selected.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
