@@ -110,9 +110,33 @@ object MultimodalQueries {
         min($"first_byte").as("min_first_byte"))
   }
 
+  /** Fixed-size chunking (the media-chunk fan-out shape: audio frames /
+    * image tiles / video GOPs): each payload explodes into 64-byte chunks
+    * with a per-chunk Karp–Rabin fingerprint via the native
+    * `graft_poly_hash` kernel. Scan-side explode — fan-out happens
+    * partition-local BEFORE any shuffle, and the chunk table carries
+    * (doc_id, chunk_no) so downstream chunk-level dedup/indexing can
+    * shuffle on content, not payloads.
+    */
+  def qMmChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, cast((length(text) - 1) div 64 as int))," +
+          " i -> struct(i AS chunk_no, substring(text, i * 64 + 1, 64) AS chunk))"))
+        .as("c"))
+      .select($"doc_id",
+        $"c.chunk_no".cast("long").as("chunk_no"),
+        length($"c.chunk").cast("long").as("chunk_len"),
+        expr("graft_poly_hash(c.chunk)").as("chunk_fp"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_mm_manifest" -> qMmManifest,
-    "q_mm_decode_features" -> qMmDecodeFeatures
+    "q_mm_decode_features" -> qMmDecodeFeatures,
+    "q_mm_chunks" -> qMmChunks
   )
 
   val oracles: Map[String, String] = Map(
@@ -138,6 +162,21 @@ object MultimodalQueries {
         | sum(checksum)::BIGINT AS sum_checksum,
         | sum(frame_checksum)::BIGINT AS sum_frame_checksum,
         | min(first_byte) AS min_first_byte
-        |FROM f GROUP BY 1""".stripMargin
+        |FROM f GROUP BY 1""".stripMargin,
+    "q_mm_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |   unnest(range(0, ((length(text) - 1) // 64) + 1)) AS chunk_no, text
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id, chunk_no,
+        |   substr(text, (chunk_no * 64 + 1)::INT, 64) AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+        | length(chunk)::BIGINT AS chunk_len,
+        | list_reduce(list_prepend(7::BIGINT,
+        |     [ascii(ch)::BIGINT FOR ch IN string_split(chunk, '')]),
+        |   (acc, ch) -> (acc * 31 + ch) % 2147483647) AS chunk_fp
+        |FROM s""".stripMargin
   )
 }
