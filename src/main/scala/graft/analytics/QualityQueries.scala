@@ -1,0 +1,177 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Data-quality and anomaly-detection operators — the monitoring face of
+  * a production pipeline: column profiling, statistical outlier flagging,
+  * and slowly-changing-dimension history. All single-scan or
+  * two-aggregation shapes; nothing here grows super-linearly.
+  */
+object QualityQueries {
+
+  /** Z-score outliers per event type: group stats (one aggregation) join
+    * back to the stream (broadcast — the stats table is |event_types|
+    * rows), flag |z| > 3. Population stddev so both engines share the
+    * formula exactly.
+    */
+  def qOutlierZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = table(spark, dir, "events")
+    val stats = ev.groupBy($"event_type")
+      .agg(avg($"value").as("mu"), stddev_pop($"value").as("sigma"),
+        count(lit(1)).as("n_type"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", ($"value" - $"mu") / $"sigma")
+      .filter(abs($"z") > 3.0)
+      .select($"event_id", $"event_type", $"value", $"z")
+  }
+
+  /** IQR-rule outliers on event values per type: exact quartiles via
+    * `percentile` (one aggregation), fence = 1.5×IQR, then a broadcast
+    * join back flags rows outside the fences. The grouped-quantile +
+    * join-back shape of any anomaly monitor. (The TPC-H price columns are
+    * near-uniform — no mass ever crosses a 1.5×IQR fence — so the fence
+    * demo runs on the heavy-tailed `events.value`.)
+    */
+  def qOutlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = table(spark, dir, "events")
+    val q = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", $"q1" - ($"q3" - $"q1") * 1.5)
+      .withColumn("hi", $"q3" + ($"q3" - $"q1") * 1.5)
+    ev.join(broadcast(q), "event_type")
+      .filter($"value" < $"lo" || $"value" > $"hi")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+        min($"value").as("min_out"),
+        max($"value").as("max_out"))
+  }
+
+  /** Column profile of lineitem: null rate / distinct count / min / max
+    * per profiled column in ONE scan (conditional aggregates, no
+    * per-column jobs — a 100 TB profile is one pass).
+    */
+  def qDqProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val profiled = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    val row = (c: String) => struct(
+      lit(c).as("col_name"),
+      count(when(col(c).isNull, 1)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("double").as("min_v"),
+      max(col(c)).cast("double").as("max_v"))
+    li.agg(count(lit(1)).as("n_rows"),
+        array(profiled.map(row): _*).as("cols"))
+      .select($"n_rows", explode($"cols").as("c"))
+      .select($"c.col_name".as("col_name"), $"n_rows", $"c.n_null".as("n_null"),
+        $"c.n_distinct".as("n_distinct"), $"c.min_v".as("min_v"),
+        $"c.max_v".as("max_v"))
+  }
+
+  /** SCD Type-2 change history: each customer's order-status timeline as
+    * validity ranges — a new version row whenever the status CHANGES
+    * along the (o_orderdate, o_orderkey) order, valid_to = next change's
+    * date (null = current). One shuffle on custkey, two windows (lag for
+    * change detection, lead for range close) — the warehouse
+    * dimension-history build as a single pass.
+    */
+  def qScd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byCust = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val changes = table(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderstatus")
+      .withColumn("prev_status", lag($"o_orderstatus", 1).over(byCust))
+      .filter($"prev_status".isNull || $"prev_status" =!= $"o_orderstatus")
+    val byCust2 = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    changes
+      .withColumn("valid_to", lead($"o_orderdate", 1).over(byCust2))
+      .withColumn("version",
+        row_number().over(byCust2).cast("long"))
+      .select($"o_custkey".cast("long").as("custkey"), $"version",
+        $"o_orderstatus".as("status"),
+        $"o_orderdate".as("valid_from"), $"valid_to")
+  }
+
+  val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_outlier_zscore" -> qOutlierZscore,
+    "q_outlier_iqr" -> qOutlierIqr,
+    "q_dq_profile" -> qDqProfile,
+    "q_scd2_history" -> qScd2History
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_outlier_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        | (e.value - s.mu) / s.sigma AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs((e.value - s.mu) / s.sigma) > 3.0""".stripMargin,
+    "q_outlier_iqr" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |   quantile_cont(value, 0.25) AS q1,
+        |   quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        | f AS (
+        |  SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        |   q3 + (q3 - q1) * 1.5 AS hi FROM q)
+        |SELECT e.event_type, count(*) AS n_outliers,
+        | min(e.value) AS min_out, max(e.value) AS max_out
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |WHERE e.value < f.lo OR e.value > f.hi
+        |GROUP BY 1""".stripMargin,
+    "q_dq_profile" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, n.n_rows,
+        | count(CASE WHEN l_quantity IS NULL THEN 1 END)::BIGINT AS n_null,
+        | count(DISTINCT l_quantity)::BIGINT AS n_distinct,
+        | min(l_quantity)::DOUBLE AS min_v, max(l_quantity)::DOUBLE AS max_v
+        |FROM lineitem CROSS JOIN n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'l_discount', n.n_rows,
+        | count(CASE WHEN l_discount IS NULL THEN 1 END)::BIGINT,
+        | count(DISTINCT l_discount)::BIGINT,
+        | min(l_discount)::DOUBLE, max(l_discount)::DOUBLE
+        |FROM lineitem CROSS JOIN n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'l_tax', n.n_rows,
+        | count(CASE WHEN l_tax IS NULL THEN 1 END)::BIGINT,
+        | count(DISTINCT l_tax)::BIGINT,
+        | min(l_tax)::DOUBLE, max(l_tax)::DOUBLE
+        |FROM lineitem CROSS JOIN n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'l_extendedprice', n.n_rows,
+        | count(CASE WHEN l_extendedprice IS NULL THEN 1 END)::BIGINT,
+        | count(DISTINCT l_extendedprice)::BIGINT,
+        | min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE
+        |FROM lineitem CROSS JOIN n GROUP BY n.n_rows""".stripMargin,
+    "q_scd2_history" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |   lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey) AS prev_status
+        |  FROM orders),
+        | c AS (
+        |  SELECT * FROM t
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+        |SELECT o_custkey::BIGINT AS custkey,
+        | row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey)::BIGINT AS version,
+        | o_orderstatus AS status,
+        | o_orderdate AS valid_from,
+        | lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |FROM c""".stripMargin
+  )
+}
