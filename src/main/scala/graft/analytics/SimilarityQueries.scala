@@ -141,14 +141,58 @@ object SimilarityQueries {
         $"min_norm", $"max_norm", $"centroid_norm")
   }
 
+  /** Int8 vector quantization (the PQ/SQ-prep shape of an ANN index
+    * build): per-vector absmax scale, q = floor(x·127/mx), plus the
+    * reconstruction-error summary. Pure scan-side projection — the
+    * quantized table is what ships to the index at 1/4 the bytes; both
+    * engines evaluate the identical IEEE expression tree, so floor
+    * boundaries agree exactly. Output keyed `id` so the checker's
+    * alphabetical column order pairs rows on the unique integer, not a
+    * float.
+    */
+  def qEmbeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "embeddings")
+      .select($"vec_id".as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("mx", expr("aggregate(v, 0.0d, (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("q",
+        expr("transform(v, x -> cast(floor(x * 127.0 / mx) as bigint))"))
+      .select($"id", $"mx",
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+        expr("array_min(q)").as("min_q"),
+        expr("array_max(q)").as("max_q"),
+        expr("aggregate(zip_with(v, q, (x, b) -> abs(x - b * mx / 127.0))," +
+          " 0.0d, (a, e) -> a + e) / size(v)").as("mean_abs_err"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_knn_brute" -> qKnnBrute,
     "q_knn_ivf" -> qKnnIvf,
     "q_knn_ivf_kmeans" -> qKnnIvfKmeans,
-    "q_embedding_stats" -> qEmbeddingStats
+    "q_embedding_stats" -> qEmbeddingStats,
+    "q_embedding_quantize" -> qEmbeddingQuantize
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embedding_quantize" ->
+      """WITH d AS (
+        |  SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS v
+        |  FROM embeddings),
+        | m AS (
+        |  SELECT id, v,
+        |   list_reduce(list_prepend(0.0, v), (a, x) -> greatest(a, abs(x))) AS mx
+        |  FROM d),
+        | qq AS (
+        |  SELECT id, v, mx,
+        |   [floor(x * 127.0 / mx)::BIGINT FOR x IN v] AS q
+        |  FROM m)
+        |SELECT id, mx,
+        | list_sum(q)::BIGINT AS sum_q,
+        | list_min(q) AS min_q, list_max(q) AS max_q,
+        | list_sum([abs(v[i] - q[i] * mx / 127.0) FOR i IN range(1, len(v) + 1)])
+        |   / len(v) AS mean_abs_err
+        |FROM qq""".stripMargin,
     "q_knn_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

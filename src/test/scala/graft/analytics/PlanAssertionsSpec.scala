@@ -89,6 +89,19 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("CMS probe reaches the heavy-hitters scan before the vocabulary shuffle") {
+    val plan = run("q_text_heavy_hitters")
+    assert(plan.contains("graft_cms_min"), plan)
+    // the exact verification aggregation must still exist (partial+final)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("pagerank iterations read the cached graph, not the fact join") {
+    val plan = run("q_graph_pagerank")
+    // edges/nodes persist: the 10-iteration subtree must scan the cache
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"), plan)
+  }
+
   test("bloom probe prunes the fact scan before the join exchange") {
     val plan = run("q_bloom_join")
     // the codegen'd probe must be IN the plan (not optimized away) and the
