@@ -485,7 +485,49 @@ object DedupQueries {
       }.mkString(" ")
   }
 
+  /** The end-to-end curation funnel — the operators of this engine
+    * COMPOSED the way a training-data pipeline runs them: language filter
+    * → Gopher quality rules → exact-dedup keeper → near-dup keeper
+    * (corpus-wide LSH components), reporting survivors per stage.
+    *
+    * Composition notes: the Gopher metrics run on the language survivors
+    * only (each stage consumes the previous); exact keeper = min doc_id
+    * per SHA-256 digest among quality survivors (a window, no extra
+    * scan); near-dup non-keepers come from [[qDedupComponents]] — the
+    * corpus-wide pair graph (near-dup detection runs corpus-wide before
+    * per-doc filters in a real pipeline), removed with a left-anti join.
+    * Every stage is a frame → the funnel is 5 tiny count aggregates over
+    * shared lineage.
+    */
+  def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select($"doc_id", $"lang", $"text")
+    val s1 = docs.filter($"lang" === "en")
+    val passing = TextQueries.gopherMetrics(s1.select($"doc_id", $"text"))
+      .filter($"dup_word_frac" <= 0.85 && $"top_bigram_frac" <= 0.2 &&
+        $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+        $"n_words" >= 50L)
+      .select($"doc_id")
+    val s2 = s1.join(passing, "doc_id")
+    val wDigest = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2($"text", 256))
+    val s3 = s2.withColumn("keeper", min($"doc_id").over(wDigest))
+      .filter($"doc_id" === $"keeper").select($"doc_id")
+    val nonKeepers = qDedupComponents(spark, dir)
+      .filter(!$"is_keeper").select($"doc_id")
+    val s4 = s3.join(nonKeepers, Seq("doc_id"), "left_anti")
+    def stage(no: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"), $"n_docs")
+    stage(1, "all", docs)
+      .unionAll(stage(2, "lang_en", s1))
+      .unionAll(stage(3, "quality", s2))
+      .unionAll(stage(4, "exact_keeper", s3))
+      .unionAll(stage(5, "near_dup_keeper", s4))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_curation_pipeline" -> qCurationPipeline,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
@@ -538,6 +580,63 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_curation_pipeline" ->
+      s"""WITH RECURSIVE s1 AS (
+         |  SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         | base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |   len(string_split(text, ' '))::BIGINT AS n_words,
+         |   len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct
+         |  FROM s1),
+         | per_doc AS (
+         |  SELECT doc_id, n_words,
+         |   1.0 - n_distinct::DOUBLE / n_words::DOUBLE AS dup_word_frac,
+         |   list_sum([length(w) FOR w IN ws])::DOUBLE / n_words::DOUBLE AS mean_word_len
+         |  FROM base),
+         | bg AS (
+         |  SELECT doc_id, n_words,
+         |   unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS bg
+         |  FROM base),
+         | top_bg AS (
+         |  SELECT doc_id, cnt::DOUBLE / (n_words - 1)::DOUBLE AS top_bigram_frac
+         |  FROM (
+         |   SELECT doc_id, n_words, bg, count(*)::BIGINT AS cnt,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, bg) AS rnk
+         |   FROM bg GROUP BY 1, 2, 3)
+         |  WHERE rnk = 1),
+         | s2 AS (
+         |  SELECT s1.doc_id, s1.text
+         |  FROM s1 JOIN per_doc p ON s1.doc_id = p.doc_id
+         |  JOIN top_bg t ON s1.doc_id = t.doc_id
+         |  WHERE p.dup_word_frac <= 0.85 AND t.top_bigram_frac <= 0.2
+         |   AND p.mean_word_len BETWEEN 3.0 AND 10.0 AND p.n_words >= 50),
+         | s3 AS (
+         |  SELECT doc_id FROM (
+         |   SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+         |   FROM s2)
+         |  WHERE doc_id = keeper),
+         | shm AS (SELECT doc_id, $duckShingles AS s FROM documents),
+         | pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shm a JOIN shm b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+         | edges AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         | reach(doc, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, re.r FROM reach re JOIN edges e ON e.id_b = re.doc),
+         | comp AS (SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc),
+         | non_keep AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+         | s4 AS (
+         |  SELECT doc_id FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM non_keep))
+         |SELECT 1::BIGINT AS stage_no, 'all' AS stage, count(*) AS n_docs FROM documents
+         |UNION ALL SELECT 2::BIGINT, 'lang_en', count(*) FROM s1
+         |UNION ALL SELECT 3::BIGINT, 'quality', count(*) FROM s2
+         |UNION ALL SELECT 4::BIGINT, 'exact_keeper', count(*) FROM s3
+         |UNION ALL SELECT 5::BIGINT, 'near_dup_keeper', count(*) FROM s4""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_dups,
         | substr(sha256(text), 1, 16) AS digest16

@@ -247,7 +247,21 @@ object TextQueries {
     */
   def qTextGopher(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = table(spark, dir, "documents")
+    gopherMetrics(table(spark, dir, "documents").select($"doc_id", $"text"))
+      .withColumn("gopher_pass",
+        ($"dup_word_frac" <= 0.85 && $"top_bigram_frac" <= 0.2 &&
+          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+          $"n_words" >= 50L).cast("boolean"))
+  }
+
+  /** Per-doc Gopher metrics over a (doc_id, text) frame — shared by
+    * [[qTextGopher]] and the curation pipeline
+    * ([[DedupQueries.qCurationPipeline]]), which applies the same rules
+    * to a filtered survivor set.
+    */
+  private[analytics] def gopherMetrics(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", $"ws",
         size($"ws").cast("long").as("n_words"),
@@ -271,10 +285,6 @@ object TextQueries {
         ($"cnt".cast("double") / ($"n_words" - 1L).cast("double"))
           .as("top_bigram_frac"))
     perDoc.join(topBigram, "doc_id")
-      .withColumn("gopher_pass",
-        ($"dup_word_frac" <= 0.85 && $"top_bigram_frac" <= 0.2 &&
-          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
-          $"n_words" >= 50L).cast("boolean"))
   }
 
   /** Heavy hitters (terms with ≥ 1/50 of all token mass) via count-min
