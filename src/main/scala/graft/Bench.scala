@@ -59,10 +59,18 @@ object Bench {
       }
     }
     val results = selected.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // the driver records only the trailing ~2000 chars of output, so the
+    // line is laid out to survive truncation FROM THE FRONT: per-query
+    // timings first (ascending, so the slowest — the ones worth reading —
+    // sit at the visible end), then sf, then the total metric last.
+    // 3-decimal rounding keeps the line as short as possible; JSON object
+    // key order carries no semantics.
+    val qs = results.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
