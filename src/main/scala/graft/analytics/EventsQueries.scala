@@ -25,6 +25,21 @@ object EventsQueries {
       .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
   }
 
+  /** Sliding 1-hour window every 15 minutes — the batch face of
+    * `EventStreams.slidingCounts`. Each event lands in exactly 4
+    * overlapping windows (window/slide = 4); Spark's `window()` does the
+    * fan-out scan-side, the oracle unrolls it as an explicit k ∈ [0,4)
+    * explode. The shuffle carries (window, event_type) groups — 4× the
+    * tumbling group count, independent of event volume.
+    */
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+  }
+
   /** Per-user session assignment: a new session starts after a >30 min gap.
     * Two stacked windows (lag → running sum of boundary flags); both fully
     * tiebroken so results are deterministic under any partitioning. This is
@@ -199,6 +214,7 @@ object EventsQueries {
     "q_events_retention" -> qEventsRetention,
     "q_window_lag_ntile" -> qWindowLagNtile,
     "q_events_tumbling" -> qEventsTumbling,
+    "q_events_sliding" -> qEventsSliding,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_session_stats" -> qEventsSessionStats,
     "q_events_session_window" -> qEventsSessionWindow,
@@ -247,6 +263,16 @@ object EventsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sliding" ->
+      """WITH k AS (SELECT unnest(range(0, 4)) AS k),
+        | a AS (
+        |  SELECT to_timestamp(floor(floor(epoch(ts)) / 900) * 900
+        |    - k.k * 900)::TIMESTAMP AS window_start,
+        |   event_type, value
+        |  FROM events CROSS JOIN k)
+        |SELECT window_start, event_type,
+        | count(*) AS n, sum(value) AS sum_value
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "q_events_sessionize" ->
       """SELECT user_id, event_id,
         | SUM(CASE WHEN prev_ts IS NULL
