@@ -57,9 +57,31 @@ object SamplingQueries {
         $"rk".cast("long").as("rk"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES via
+    * the log-trick): per doc, u = content-hash uniform in (0,1], key =
+    * ln(u)/weight, keep the top-10 keys per language — inclusion
+    * probability ∝ weight (here n_chars: longer docs sampled more, the
+    * quality-weighted curation draw). Content hashing keeps the draw
+    * reproducible across engines/reruns/partitionings, same as the other
+    * sampling ops; one shuffle on the stratum key.
+    */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // first 8 md5 hex chars → uniform in (0,1] (4294967296 = 16^8)
+    val v = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+    val key = log((v + 1L) / lit(4294967296.0)) / $"n_chars"
+    val w = Window.partitionBy($"lang").orderBy(key.desc, $"doc_id".asc)
+    table(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 10)
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_sample_stratified" -> qSampleStratified,
-    "q_sample_topk" -> qSampleTopK
+    "q_sample_topk" -> qSampleTopK,
+    "q_sample_weighted" -> qSampleWeighted
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,6 +96,25 @@ object SamplingQueries {
         |   row_number() OVER (PARTITION BY event_type
         |     ORDER BY md5(event_id::VARCHAR) ASC, event_id ASC)::BIGINT AS rk
         |  FROM events) t
-        |WHERE rk <= 20""".stripMargin
+        |WHERE rk <= 20""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |   list_reduce(list_prepend(0::BIGINT,
+        |     [CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+        |           ELSE ascii(c) - 48 END::BIGINT
+        |      FOR c IN string_split(substr(md5(doc_id::VARCHAR), 1, 8), '')]),
+        |    (a, d) -> a * 16 + d) AS v
+        |  FROM documents),
+        | k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |   ln((v + 1) / 4294967296.0) / n_chars AS key
+        |  FROM h)
+        |SELECT doc_id, lang, n_chars, rk FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY key DESC, doc_id ASC)::BIGINT AS rk
+        |  FROM k) t
+        |WHERE rk <= 10""".stripMargin
   )
 }
