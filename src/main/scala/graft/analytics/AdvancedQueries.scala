@@ -151,6 +151,24 @@ object AdvancedQueries {
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
   }
 
+  /** Approximate percentiles (Greenwald–Khanna style sketch,
+    * `approx_percentile` accuracy 1000 ⇒ rank error ≤ 1/1000) — the
+    * quantile face of the sketch family: constant memory per group at any
+    * row count, mergeable partials, one pass. No DuckDB oracle
+    * (approximation is engine-specific) — the driver records a rows-only
+    * check and `ApproxSpec` pins the rank-error envelope against the
+    * exact percentiles.
+    */
+  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+          .as("approx_pcts"),
+        count(lit(1)).as("n"))
+  }
+
   /** Pivot (long→wide): order revenue by status × priority. Spark's
     * `pivot` with EXPLICIT values — without them the engine must first scan
     * for distinct pivot values (an extra job) and the output schema becomes
@@ -317,7 +335,8 @@ object AdvancedQueries {
     "q_datetime_arith" -> qDatetimeArith,
     "q_string_funcs2" -> qStringFuncs2,
     "q_sql_surface" -> qSqlSurface,
-    "q_approx_distinct" -> qApproxDistinct
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_percentile" -> qApproxPercentile
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,49 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Error envelopes for the approximate operators (no DuckDB oracle —
+  * approximation is engine-specific, so the bound IS the contract).
+  */
+class ApproxSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_percentile stays within the rank-error bound vs exact") {
+    val approx = AdvancedQueries.qApproxPercentile(spark, dir)
+      .select(col("l_returnflag"), posexplode(col("approx_pcts")))
+      .withColumnRenamed("col", "apx")
+    val exact = graft.GraftSession.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.49, 0.51))").as("p50"),
+        expr("percentile(l_extendedprice, array(0.89, 0.91))").as("p90"),
+        expr("percentile(l_extendedprice, array(0.98, 1.0))").as("p99"))
+    // accuracy 1000 ⇒ rank error ≤ 0.001; checking against ±0.01-rank
+    // exact envelopes is 10× looser — a real regression still fails
+    val j = approx.join(exact, "l_returnflag")
+    val bad = j.filter(
+      (col("pos") === 0 && (col("apx") < element_at(col("p50"), 1) ||
+        col("apx") > element_at(col("p50"), 2))) ||
+      (col("pos") === 1 && (col("apx") < element_at(col("p90"), 1) ||
+        col("apx") > element_at(col("p90"), 2))) ||
+      (col("pos") === 2 && (col("apx") < element_at(col("p99"), 1) ||
+        col("apx") > element_at(col("p99"), 2))))
+    assert(bad.count() === 0)
+  }
+
+  test("approx_count_distinct stays within its relative-error envelope") {
+    val approx = AdvancedQueries.qApproxDistinct(spark, dir)
+    val exact = graft.GraftSession.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("x_parts"),
+        countDistinct(col("l_orderkey")).as("x_orders"))
+    val j = approx.join(exact, "l_returnflag")
+    // rsd 0.02 requested; 5 sigma envelope
+    val bad = j.filter(
+      abs(col("approx_parts") - col("x_parts")) > col("x_parts") * 0.1 ||
+      abs(col("approx_orders") - col("x_orders")) > col("x_orders") * 0.1)
+    assert(bad.count() === 0)
+  }
+}
