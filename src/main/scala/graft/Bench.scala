@@ -20,7 +20,7 @@ object Bench {
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try {
         val df = spark.read.parquet(s"$sfDir/$t.parquet")
-        df.select(df.columns.map(c =>
+        df.select(df.columns.toIndexedSeq.map(c =>
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.col(c))): _*).collect()
       } catch { case _: Throwable => () }
