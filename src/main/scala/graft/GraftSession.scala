@@ -32,6 +32,15 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB-backed streaming state: state spills to local disk instead
+      // of living on the heap — the store that survives 100 M live keys
+      // per executor (watermarked windows, dedup fingerprints,
+      // stream-stream join buffers). Changelog checkpointing keeps commit
+      // cost proportional to the delta, not the store size.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {

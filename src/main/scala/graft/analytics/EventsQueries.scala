@@ -130,6 +130,30 @@ object EventsQueries {
       .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
   }
 
+  /** FULL OUTER join of two hourly aggregates (clicks vs purchases):
+    * hours with one side missing survive with zeroed counts and a side
+    * tag. Both inputs aggregate BEFORE the join, so the outer join runs
+    * on bucket-cardinality tables; the join key is the already-clustered
+    * groupBy key, so no extra exchange.
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = table(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy(date_trunc("hour", $"ts").as("bucket_hour"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy(date_trunc("hour", $"ts").as("bucket_hour"))
+      .agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("bucket_hour"), "full_outer")
+      .select($"bucket_hour",
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"),
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        when($"n_clicks".isNull, "purchase_only")
+          .when($"n_purchases".isNull, "click_only")
+          .otherwise("both").as("side"))
+  }
+
   /** JSON prop extraction (the envelope's semi-structured value surface):
     * pull `k` out of the props JSON and bucket counts by k % 10.
     */
@@ -219,6 +243,7 @@ object EventsQueries {
     "q_events_session_stats" -> qEventsSessionStats,
     "q_events_session_window" -> qEventsSessionWindow,
     "q_events_json_props" -> qEventsJsonProps,
+    "q_full_outer" -> qFullOuter,
     "q_range_join" -> qRangeJoin
   )
 
@@ -309,6 +334,20 @@ object EventsQueries {
         |SELECT user_id, min(ts) AS session_start,
         | count(*) AS n_events, sum(value) AS sum_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS bucket_hour, count(*)::BIGINT AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        | p AS (
+        |  SELECT date_trunc('hour', ts) AS bucket_hour, count(*)::BIGINT AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.bucket_hour, p.bucket_hour) AS bucket_hour,
+        | coalesce(c.n_clicks, 0) AS n_clicks,
+        | coalesce(p.n_purchases, 0) AS n_purchases,
+        | CASE WHEN c.n_clicks IS NULL THEN 'purchase_only'
+        |      WHEN p.n_purchases IS NULL THEN 'click_only'
+        |      ELSE 'both' END AS side
+        |FROM c FULL OUTER JOIN p ON c.bucket_hour = p.bucket_hour""".stripMargin,
     "q_events_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
