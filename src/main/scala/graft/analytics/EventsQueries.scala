@@ -230,7 +230,9 @@ object EventsQueries {
       .select($"event_id", $"user_id", $"value",
         lag($"value", 1).over(byTime).as("prev_value"),
         lead($"value", 1).over(byTime).as("next_value"),
-        ntile(4).over(byValue).cast("long").as("quartile"))
+        ntile(4).over(byValue).cast("long").as("quartile"),
+        percent_rank().over(byValue).as("pct_rank"),
+        cume_dist().over(byValue).as("cume"))
   }
 
   val queries: Map[String, CoreQueries.QFn] = Map(
@@ -282,7 +284,9 @@ object EventsQueries {
       """SELECT event_id, user_id, value,
         | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
         | lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_value,
-        | ntile(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC)::BIGINT AS quartile
+        | ntile(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC)::BIGINT AS quartile,
+        | percent_rank() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS pct_rank,
+        | cume_dist() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS cume
         |FROM events""".stripMargin,
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
