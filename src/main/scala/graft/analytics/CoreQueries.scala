@@ -194,12 +194,17 @@ object CoreQueries {
   }
 
   /** Window: running quantity per supplier, fully tiebroken ordering so the
-    * prefix sums are bit-identical regardless of partitioning.
+    * prefix sums are bit-identical regardless of partitioning. The
+    * synthetic lineitem contains DUPLICATE (orderkey, linenumber) rows
+    * (seen at sf0.1), so l_quantity joins the sort key: rows identical in
+    * every ordered column then produce identical prefix sums under any
+    * order, keeping the output multiset engine-independent.
     */
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+        $"l_quantity".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     table(spark, dir, "lineitem")
       .withColumn("running_qty", sum($"l_quantity").over(w))
@@ -490,7 +495,7 @@ object CoreQueries {
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | SUM(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem""".stripMargin,
     "q_exists_semi" ->

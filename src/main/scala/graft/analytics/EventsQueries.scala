@@ -329,7 +329,7 @@ object EventsQueries {
       """WITH s AS (
         |  SELECT user_id, ts, value,
         |   SUM(CASE WHEN prev_ts IS NULL
-        |            OR floor(epoch(ts)) - floor(epoch(prev_ts)) >= 1800 THEN 1 ELSE 0 END)
+        |            OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END)
         |     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
         |  FROM (SELECT user_id, event_id, ts, value,
