@@ -151,6 +151,23 @@ object AdvancedQueries {
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
   }
 
+  /** Statistical aggregates: Pearson correlation, population covariance
+    * and variance per group — one partial-agg pass (all algebraic /
+    * mergeable co-moment aggregates, numerically stable single-pass
+    * updates in both engines).
+    */
+  def qCorrStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        corr($"l_quantity", $"l_extendedprice").as("qty_price_corr"),
+        covar_pop($"l_quantity", $"l_discount").as("qty_disc_covar"),
+        var_pop($"l_tax").as("tax_var"),
+        min($"l_quantity").as("min_qty"),
+        count(lit(1)).as("n"))
+  }
+
   /** Approximate percentiles (Greenwald–Khanna style sketch,
     * `approx_percentile` accuracy 1000 ⇒ rank error ≤ 1/1000) — the
     * quantile face of the sketch family: constant memory per group at any
@@ -336,10 +353,19 @@ object AdvancedQueries {
     "q_string_funcs2" -> qStringFuncs2,
     "q_sql_surface" -> qSqlSurface,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_corr_stats" -> qCorrStats,
     "q_approx_percentile" -> qApproxPercentile
   )
 
   val oracles: Map[String, String] = Map(
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        | corr(l_quantity, l_extendedprice) AS qty_price_corr,
+        | covar_pop(l_quantity, l_discount) AS qty_disc_covar,
+        | var_pop(l_tax) AS tax_var,
+        | min(l_quantity) AS min_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_bloom_join" ->
       """SELECT year(o_orderdate)::BIGINT AS d_year,
         | sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
