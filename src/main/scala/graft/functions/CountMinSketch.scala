@@ -173,23 +173,21 @@ case class CmsEstimate(left: Expression, right: Expression, depth: Int)
 }
 
 object CmsFunctions {
+  import KernelShapes.foldableInt
   def register(spark: SparkSession): Unit = {
-    def lit(e: Expression, what: String): Int = {
-      require(e.foldable, s"$what must be a literal")
-      e.eval().asInstanceOf[Number].intValue()
-    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_agg",
       { exprs: Seq[Expression] =>
         require(exprs.length == 3, "graft_cms_agg takes (h, width, depth)")
-        CmsAgg(exprs.head, lit(exprs(1), "width"), lit(exprs(2), "depth"))
+        CmsAgg(exprs.head, foldableInt(exprs(1), "width"),
+          foldableInt(exprs(2), "depth"))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_min",
       { exprs: Seq[Expression] =>
         require(exprs.length == 3, "graft_cms_min takes (counters, h, depth)")
-        CmsEstimate(exprs.head, exprs(1), lit(exprs(2), "depth"))
+        CmsEstimate(exprs.head, exprs(1), foldableInt(exprs(2), "depth"))
       },
       "built-in")
   }

@@ -109,10 +109,11 @@ class PlanAssertionsSpec extends SparkSpec {
     // bloom only reduces its input)
     assert(plan.contains("graft_bloom_contains"), plan)
     assert(plan.contains("HashJoin"), plan)
-    // the probe filter must sit BELOW the join: in the formatted plan the
-    // bloom predicate appears in a Filter node over the lineitem side
+    // the probe filter must sit BELOW the join: the formatted plan prints
+    // operators in pre-order (parents before children), so the filter's
+    // node must appear AFTER the join header that consumes it
     val filterIdx = plan.indexOf("graft_bloom_contains")
     val joinIdx = plan.indexOf("HashJoin")
-    assert(filterIdx >= 0 && joinIdx >= 0, plan)
+    assert(filterIdx > joinIdx, plan)
   }
 }
