@@ -314,7 +314,30 @@ object TextQueries {
       .select($"term", $"n")
   }
 
+  /** Unigram language-model scoring: per-doc mean negative log-likelihood
+    * under the corpus's own unigram distribution — the perplexity-filter
+    * shape of a curation pipeline (docs scoring far from the corpus model
+    * are outliers). Corpus counts are a term-level aggregation joined back
+    * to the token stream on term (shuffle join — vocabulary never
+    * broadcasts); the total token count rides as a 1-row broadcast. One
+    * token-level shuffle each for counts and for the per-doc rollup.
+    */
+  def qTextUnigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = table(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+    val counts = words.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val total = words.agg(count(lit(1)).cast("double").as("total"))
+    words.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log($"cnt".cast("double") / $"total"))
+      .groupBy($"doc_id")
+      .agg(avg($"nll").as("mean_nll"), count(lit(1)).as("n_tokens"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_text_unigram_nll" -> qTextUnigramNll,
     "q_text_heavy_hitters" -> qTextHeavyHitters,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
@@ -328,6 +351,16 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_unigram_nll" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | w AS (SELECT doc_id, term FROM words WHERE term <> ''),
+        | counts AS (SELECT term, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
+        | total AS (SELECT count(*)::DOUBLE AS total FROM w)
+        |SELECT doc_id, avg(-ln(cnt::DOUBLE / total)) AS mean_nll,
+        | count(*) AS n_tokens
+        |FROM w JOIN counts USING (term) CROSS JOIN total
+        |GROUP BY 1""".stripMargin,
     "q_text_heavy_hitters" ->
       """WITH words AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
