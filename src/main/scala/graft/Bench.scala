@@ -47,7 +47,7 @@ object Bench {
     // (observed: a 2.3 s hash-groupBy reading 38 s); the per-query min is
     // the reproducible cost. Pass structure (not per-query repetition)
     // keeps the suite's deliberate cache sharing identical to a real run.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (p <- 1 to passes) {
       if (p > 1) spark.sharedState.cacheManager.clearCache()

@@ -182,8 +182,15 @@ object AdvancedQueries {
       .groupBy($"l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-          .as("approx_pcts"),
+          .as("pcts"),
         count(lit(1)).as("n"))
+      // scalar columns, not the raw array: the driver's rows-only check
+      // sorts/hashes column values and chokes on array cells
+      .select($"l_returnflag",
+        element_at($"pcts", 1).as("p50"),
+        element_at($"pcts", 2).as("p90"),
+        element_at($"pcts", 3).as("p99"),
+        $"n")
   }
 
   /** Pivot (long→wide): order revenue by status × priority. Spark's

@@ -22,7 +22,7 @@ object EventsQueries {
     table(spark, dir, "events")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
-      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+      .select($"w.start".as("bucket_start"), $"event_type", $"n", $"sum_value")
   }
 
   /** Sliding 1-hour window every 15 minutes — the batch face of
@@ -37,7 +37,7 @@ object EventsQueries {
     table(spark, dir, "events")
       .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
-      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+      .select($"w.start".as("bucket_start"), $"event_type", $"n", $"sum_value")
   }
 
   /** Per-user session assignment: a new session starts after a >30 min gap.
@@ -289,17 +289,17 @@ object EventsQueries {
         | cume_dist() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS cume
         |FROM events""".stripMargin,
     "q_events_tumbling" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
         | count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_events_sliding" ->
       """WITH k AS (SELECT unnest(range(0, 4)) AS k),
         | a AS (
         |  SELECT to_timestamp(floor(floor(epoch(ts)) / 900) * 900
-        |    - k.k * 900)::TIMESTAMP AS window_start,
+        |    - k.k * 900)::TIMESTAMP AS bucket_start,
         |   event_type, value
         |  FROM events CROSS JOIN k)
-        |SELECT window_start, event_type,
+        |SELECT bucket_start, event_type,
         | count(*) AS n, sum(value) AS sum_value
         |FROM a GROUP BY 1, 2""".stripMargin,
     "q_events_sessionize" ->

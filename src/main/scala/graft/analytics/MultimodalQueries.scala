@@ -124,7 +124,7 @@ object MultimodalQueries {
     table(spark, dir, "documents")
       .select($"doc_id", $"text")
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, cast((length(text) - 1) div 64 as int))," +
+        "transform(sequence(0, cast(greatest(length(text) - 1, 0) div 64 as int))," +
           " i -> struct(i AS chunk_no, substring(text, i * 64 + 1, 64) AS chunk))"))
         .as("c"))
       .select($"doc_id",
@@ -166,7 +166,7 @@ object MultimodalQueries {
     "q_mm_chunks" ->
       """WITH c AS (
         |  SELECT doc_id,
-        |   unnest(range(0, ((length(text) - 1) // 64) + 1)) AS chunk_no, text
+        |   unnest(range(0, (greatest(length(text) - 1, 0) // 64) + 1)) AS chunk_no, text
         |  FROM documents),
         | s AS (
         |  SELECT doc_id, chunk_no,

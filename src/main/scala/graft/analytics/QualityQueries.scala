@@ -23,7 +23,10 @@ object QualityQueries {
     val ev = table(spark, dir, "events")
     val stats = ev.groupBy($"event_type")
       .agg(avg($"value").as("mu"), stddev_pop($"value").as("sigma"))
-    ev.join(broadcast(stats), "event_type")
+    // sigma > 0 pinned on both sides: Spark 0/0 yields NULL (row dropped)
+    // while DuckDB yields inf/NaN (row kept) — filter identically so the
+    // behavior is engine-independent, not fixture-dependent
+    ev.join(broadcast(stats.filter($"sigma" > 0)), "event_type")
       .withColumn("z", ($"value" - $"mu") / $"sigma")
       .filter(abs($"z") > 3.0)
       .select($"event_id", $"event_type", $"value", $"z")
@@ -111,7 +114,8 @@ object QualityQueries {
     "q_outlier_zscore" ->
       """WITH s AS (
         |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
-        |  FROM events GROUP BY 1)
+        |  FROM events GROUP BY 1
+        |  HAVING stddev_pop(value) > 0)
         |SELECT e.event_id, e.event_type, e.value,
         | (e.value - s.mu) / s.sigma AS z
         |FROM events e JOIN s ON e.event_type = s.event_type

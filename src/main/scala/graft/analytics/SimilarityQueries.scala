@@ -156,6 +156,9 @@ object SimilarityQueries {
       .select($"vec_id".as("id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("mx", expr("aggregate(v, 0.0d, (a, x) -> greatest(a, abs(x)))"))
+      // mx > 0 pinned on both sides: an all-zero vector divides by zero —
+      // NULL in Spark (dropped) vs inf in DuckDB (kept, then floor errors)
+      .filter($"mx" > 0)
       .withColumn("q",
         expr("transform(v, x -> cast(floor(x * 127.0 / mx) as bigint))"))
       .select($"id", $"mx",
@@ -186,7 +189,7 @@ object SimilarityQueries {
         | qq AS (
         |  SELECT id, v, mx,
         |   [floor(x * 127.0 / mx)::BIGINT FOR x IN v] AS q
-        |  FROM m)
+        |  FROM m WHERE mx > 0)
         |SELECT id, mx,
         | list_sum(q)::BIGINT AS sum_q,
         | list_min(q) AS min_q, list_max(q) AS max_q,

@@ -13,7 +13,8 @@ class ApproxSpec extends SparkSpec {
 
   test("approx_percentile stays within the rank-error bound vs exact") {
     val approx = AdvancedQueries.qApproxPercentile(spark, dir)
-      .select(col("l_returnflag"), posexplode(col("approx_pcts")))
+      .select(col("l_returnflag"),
+        posexplode(array(col("p50"), col("p90"), col("p99"))))
       .withColumnRenamed("col", "apx")
     val exact = graft.GraftSession.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
