@@ -230,6 +230,32 @@ object DedupQueries {
     verifyJaccard(per, lshCandidates(per, bands = 32, rowsPerBand = 4), 0.7)
   }
 
+  /** Nearest neighbor per involved doc (semantic-dedup evidence: for each
+    * doc in a near-dup relationship, its single most-similar peer). Built
+    * ON TOP of the verified j ≥ 0.7 pair set — the expensive part
+    * (LSH candidates + exact verify) is the shared pipeline; this adds
+    * only a symmetric explode of the tiny pair table and a per-doc top-1
+    * window. Ties break on (jaccard desc, nbr_id): the jaccard is an
+    * exact integer-ratio in BOTH engines (same intersection/union
+    * counts), so cross-engine tie order is deterministic.
+    */
+  def qNeighborTopk(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNgramJaccard(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("nbr_id").asc)
+    pairs
+      .select(explode(array(
+        struct(col("id_a").as("doc_id"), col("id_b").as("nbr_id"),
+          col("jaccard")),
+        struct(col("id_b").as("doc_id"), col("id_a").as("nbr_id"),
+          col("jaccard")))).as("e"))
+      .select(col("e.doc_id"), col("e.nbr_id"), col("e.jaccard"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("jaccard"), col("nbr_id"))
+  }
+
   /** Near-dup CONNECTED COMPONENTS + keeper selection — the step that
     * turns pairwise near-dup evidence into dedup decisions: transitive
     * closure over the j ≥ 0.8 pair graph, component id = min doc_id (the
@@ -555,6 +581,7 @@ object DedupQueries {
     "q_curation_pipeline" -> qCurationPipeline,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_neighbor_topk" -> qNeighborTopk,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -673,6 +700,22 @@ object DedupQueries {
          | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7""".stripMargin,
+    "q_neighbor_topk" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+         | p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+         | e AS (
+         |  SELECT id_a AS doc_id, id_b AS nbr_id, jaccard FROM p
+         |  UNION ALL
+         |  SELECT id_b AS doc_id, id_a AS nbr_id, jaccard FROM p),
+         | r AS (
+         |  SELECT doc_id, nbr_id, jaccard, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS rk
+         |  FROM e)
+         |SELECT doc_id, jaccard, nbr_id FROM r WHERE rk = 1""".stripMargin,
     "q_dedup_minhash_lsh" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
