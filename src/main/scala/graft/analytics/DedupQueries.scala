@@ -227,7 +227,11 @@ object DedupQueries {
     */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val per = minhashPer(spark, dir)
+    // persisted for the same reason as [[qDedupMinhashLsh]]: the verified
+    // pair set is tiny and [[qNeighborTopk]] consumes the identical plan —
+    // without the cache entry it would re-run the 32-band LSH + verify
     verifyJaccard(per, lshCandidates(per, bands = 32, rowsPerBand = 4), 0.7)
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Nearest neighbor per involved doc (semantic-dedup evidence: for each
