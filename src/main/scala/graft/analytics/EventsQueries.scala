@@ -154,6 +154,47 @@ object EventsQueries {
           .otherwise("both").as("side"))
   }
 
+  /** Time-series resample + gap fill: hourly means per event type on a
+    * DENSE hour spine (per-type min..max, generated scan-side from the
+    * 1-row-per-type bounds table — the spine explode costs |types|·hours
+    * rows, no driver job), missing hours linearly interpolated between
+    * the bracketing observations (edges carry the nearest value). The
+    * windows partition by event_type — state per key is one type's
+    * spine, never the table. This is the feature-engineering resample
+    * (`pandas.resample().interpolate()`) as pure DataFrame ops.
+    */
+  def qResampleInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = table(spark, dir, "events")
+      .filter($"event_type".isin("purchase", "click"))
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(avg($"value").as("v"))
+    val spine = h.groupBy($"event_type")
+      .agg(min($"hour").as("lo"), max($"hour").as("hi"))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+    val wPrev = Window.partitionBy($"event_type").orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"event_type").orderBy($"hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(h, Seq("event_type", "hour"), "left")
+      .withColumn("pv", last($"v", ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(wNext))
+      .withColumn("ph",
+        last(when($"v".isNotNull, $"hour"), ignoreNulls = true).over(wPrev))
+      .withColumn("nh",
+        first(when($"v".isNotNull, $"hour"), ignoreNulls = true).over(wNext))
+      .withColumn("filled",
+        when($"v".isNotNull, $"v")
+          .when($"pv".isNotNull && $"nv".isNotNull,
+            $"pv" + ($"nv" - $"pv") *
+              (unix_timestamp($"hour") - unix_timestamp($"ph")) /
+              (unix_timestamp($"nh") - unix_timestamp($"ph")))
+          .otherwise(coalesce($"pv", $"nv")))
+      .select($"event_type", $"hour".as("bucket_hour"),
+        $"filled", $"v".isNull.as("was_gap"))
+  }
+
   /** JSON prop extraction (the envelope's semi-structured value surface):
     * pull `k` out of the props JSON and bucket counts by k % 10.
     */
@@ -241,6 +282,7 @@ object EventsQueries {
     "q_window_lag_ntile" -> qWindowLagNtile,
     "q_events_tumbling" -> qEventsTumbling,
     "q_events_sliding" -> qEventsSliding,
+    "q_resample_interpolate" -> qResampleInterpolate,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_session_stats" -> qEventsSessionStats,
     "q_events_session_window" -> qEventsSessionWindow,
@@ -302,6 +344,43 @@ object EventsQueries {
         |SELECT bucket_start, event_type,
         | count(*) AS n, sum(value) AS sum_value
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "q_resample_interpolate" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |   avg(value) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1, 2),
+        | bounds AS (
+        |  SELECT event_type, min(hour) AS lo, max(hour) AS hi
+        |  FROM h GROUP BY 1),
+        | spine AS (
+        |  SELECT b.event_type,
+        |   unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds b),
+        | j AS (
+        |  SELECT s.event_type, s.hour, h.v
+        |  FROM spine s LEFT JOIN h
+        |   ON s.event_type = h.event_type AND s.hour = h.hour),
+        | f AS (
+        |  SELECT event_type, hour, v,
+        |   last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |     ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |   first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |     ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |   last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+        |     OVER (PARTITION BY event_type
+        |     ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |   first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+        |     OVER (PARTITION BY event_type
+        |     ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, hour AS bucket_hour,
+        | CASE WHEN v IS NOT NULL THEN v
+        |      WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |        pv + (nv - pv) * (epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph))
+        |      ELSE coalesce(pv, nv) END AS filled,
+        | (v IS NULL) AS was_gap
+        |FROM f""".stripMargin,
     "q_events_sessionize" ->
       """SELECT user_id, event_id,
         | SUM(CASE WHEN prev_ts IS NULL

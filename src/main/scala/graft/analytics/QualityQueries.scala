@@ -55,6 +55,70 @@ object QualityQueries {
         max($"value").as("max_out"))
   }
 
+  /** MAD (median absolute deviation) robust outliers per event type —
+    * the outlier detector that survives the outliers themselves (mean
+    * and stddev are dragged by the very tail they're meant to flag;
+    * medians aren't). Two grouped quantile passes (median, then median
+    * of |x−med|), both tiny broadcast tables joined back to the stream;
+    * modified z = 0.6745·(x−med)/MAD, flag |z| > 3.5 (Iglewicz–Hoaglin
+    * convention). mad > 0 pinned on both sides like the sigma/mx guards.
+    */
+  def qOutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = table(spark, dir, "events")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(first($"med").as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+      .filter($"mad" > 0)
+    ev.join(broadcast(mad), "event_type")
+      .withColumn("rz", lit(0.6745) * ($"value" - $"med") / $"mad")
+      .filter(abs($"rz") > 3.5)
+      .select($"event_id", $"event_type", $"value", $"rz")
+  }
+
+  /** Fixed-bin histogram per event type: bin boundaries are PLAN-TIME
+    * CONSTANTS (lo/hi/width literals), so the histogram is one scan-side
+    * projection + one aggregation — sizing bins from a min/max `count()`
+    * would put a driver job on the plan path and make the schema
+    * data-dependent. Edge values clamp into the boundary bins.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 25.0 // events.value spans (0, 500): 20 bins
+    table(spark, dir, "events")
+      .select($"event_type",
+        least(greatest(floor(($"value" - 0.0) / width), lit(0.0)), lit(19.0))
+          .cast("long").as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Median + deterministic mode per group. Spark's `median` is the
+    * interpolated quantile (exact, mergeable partials); the mode of the
+    * discrete bucket column is spelled as count + rank with a TOTAL tie
+    * order (count desc, bucket asc) — a bare `mode()` is nondeterministic
+    * on ties across engines and partitionings, the same class of bug as
+    * unordered string_agg.
+    */
+  def qModeMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = table(spark, dir, "events")
+      .withColumn("bucket", ($"user_id" % 10).cast("long"))
+    val wMode = Window.partitionBy($"event_type")
+      .orderBy($"c".desc, $"bucket".asc)
+    val mode = ev.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(wMode))
+      .filter($"rk" === 1)
+      .select($"event_type", $"bucket".as("mode_bucket"))
+    ev.groupBy($"event_type")
+      .agg(median($"value").as("median_value"), count(lit(1)).as("n"))
+      .join(mode, "event_type")
+  }
+
   /** Column profile of lineitem: null rate / distinct count / min / max
     * per profiled column in ONE scan (conditional aggregates, no
     * per-column jobs — a 100 TB profile is one pass).
@@ -105,6 +169,9 @@ object QualityQueries {
 
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_outlier_zscore" -> qOutlierZscore,
+    "q_outlier_mad" -> qOutlierMad,
+    "q_histogram" -> qHistogram,
+    "q_mode_median" -> qModeMedian,
     "q_outlier_iqr" -> qOutlierIqr,
     "q_dq_profile" -> qDqProfile,
     "q_scd2_history" -> qScd2History
@@ -120,6 +187,37 @@ object QualityQueries {
         | (e.value - s.mu) / s.sigma AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
         |WHERE abs((e.value - s.mu) / s.sigma) > 3.0""".stripMargin,
+    "q_outlier_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        | d AS (
+        |  SELECT e.event_type, any_value(m.med) AS med,
+        |   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN m USING (event_type) GROUP BY 1
+        |  HAVING quantile_cont(abs(e.value - m.med), 0.5) > 0)
+        |SELECT e.event_id, e.event_type, e.value,
+        | 0.6745 * (e.value - d.med) / d.mad AS rz
+        |FROM events e JOIN d USING (event_type)
+        |WHERE abs(0.6745 * (e.value - d.med) / d.mad) > 3.5""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type,
+        | least(greatest(floor((value - 0.0) / 25.0), 0.0), 19.0)::BIGINT AS bin,
+        | count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_mode_median" ->
+      """WITH b AS (
+        |  SELECT event_type, value, user_id % 10 AS bucket FROM events),
+        | c AS (
+        |  SELECT event_type, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        | md AS (
+        |  SELECT event_type, bucket AS mode_bucket, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY c DESC, bucket) AS rk
+        |  FROM c)
+        |SELECT b.event_type, quantile_cont(b.value, 0.5) AS median_value,
+        | count(*)::BIGINT AS n, any_value(md.mode_bucket) AS mode_bucket
+        |FROM b JOIN md ON b.event_type = md.event_type AND md.rk = 1
+        |GROUP BY 1""".stripMargin,
     "q_outlier_iqr" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -96,6 +96,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("rank-filter queries get the built-in WindowGroupLimit pushdown") {
+    // grouped top-k (filter on row_number <= k) must prune per-partition
+    // BEFORE the key shuffle via Spark's Partial WindowGroupLimit — the
+    // shuffle then carries at most k rows per (key, input-partition)
+    // instead of every row. This is why no custom top-k operator exists
+    // in this engine: the built-in already does the two-phase pushdown.
+    val plan = run("q_sample_topk")
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+  }
+
   test("pagerank iterations read the cached graph, not the fact join") {
     val plan = run("q_graph_pagerank")
     // edges/nodes persist: the 10-iteration subtree must scan the cache
