@@ -151,6 +151,43 @@ object AdvancedQueries {
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
   }
 
+  /** Cohort-overlap cardinalities via the KMV theta sketch
+    * ([[graft.functions.KmvSketch]]): one pass builds a bottom-256 sketch
+    * of distinct users per event type; every pairwise audience overlap /
+    * union after that is SKETCH-ONLY arithmetic (sorted-merge intersect
+    * via `graft_sorted_and_count`, θ = min of the k-th minima) — no
+    * re-scan, no distinct-join. The capability HLL lacks: HLL unions but
+    * cannot intersect without inclusion–exclusion error blowup. The pair
+    * join runs on |types| 1-row sketches — broadcast trivially. No DuckDB
+    * oracle (engine-specific sketch); `KmvSpec` pins the error envelope,
+    * sparse-mode exactness and partition invariance.
+    */
+  def qCohortOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val k = 256
+    // u = hash mapped to (0,1); sparse sketches (<k values) are exact
+    def theta(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(arr) < k, lit(1.0))
+        .otherwise((element_at(arr, k).cast("double") -
+          lit(Long.MinValue.toDouble)) / lit(math.pow(2, 64)))
+    def est(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / theta(arr))
+    val sk = table(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(expr("graft_kmv(xxhash64(user_id))").as("sk"))
+    val a = sk.select($"event_type".as("type_a"), $"sk".as("ska"))
+    val b = sk.select($"event_type".as("type_b"), $"sk".as("skb"))
+    a.join(broadcast(b), $"type_a" < $"type_b")
+      .withColumn("common", expr("graft_sorted_and_count(ska, skb)"))
+      .withColumn("theta", least(theta($"ska"), theta($"skb")))
+      .select($"type_a", $"type_b",
+        round(est($"ska"), 1).as("est_a"),
+        round(est($"skb"), 1).as("est_b"),
+        round($"common" / $"theta", 1).as("est_overlap"))
+  }
+
   /** Statistical aggregates: Pearson correlation, population covariance
     * and variance per group — one partial-agg pass (all algebraic /
     * mergeable co-moment aggregates, numerically stable single-pass
@@ -360,6 +397,7 @@ object AdvancedQueries {
     "q_string_funcs2" -> qStringFuncs2,
     "q_sql_surface" -> qSqlSurface,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_cohort_overlap" -> qCohortOverlap,
     "q_corr_stats" -> qCorrStats,
     "q_approx_percentile" -> qApproxPercentile
   )

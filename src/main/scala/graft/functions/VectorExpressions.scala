@@ -373,6 +373,13 @@ object VectorFunctions {
         MinHash64(exprs.head, numPerms = 128)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_kmv takes exactly 1 argument")
+        KmvSketch(exprs.head)
+      },
+      "built-in")
   }
 
   /** Σ a[i]·b[i] as a codegen'd primitive loop. */
