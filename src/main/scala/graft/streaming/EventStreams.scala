@@ -223,4 +223,85 @@ object EventStreams {
           }
       }
   }
+
+  /** One upserted row in the keyed latest-state store. */
+  final case class UserLatest(
+      user_id: Long, ts_ms: Long, event_id: Long, value: Double)
+
+  /** The versioned KV target of [[upsertLatest]] — last-writer-wins on the
+    * (ts, event_id) version with a CAS loop, so applying the same batch
+    * twice (at-least-once replay) or applying batches out of order
+    * converges to the same state: the EFFECT is exactly-once even though
+    * delivery is not. Test/demo implementation is a single-JVM concurrent
+    * map (local-mode executors share the JVM); in production the same
+    * merge contract is a Delta/Iceberg MERGE or a keyed JDBC/KV upsert —
+    * the per-partition write parallelism and the version rule carry over
+    * unchanged.
+    */
+  final class UpsertStore extends Serializable {
+    // the store object ships into executor closures SERIALIZED — a plain
+    // field would make each task write to its own copy. Only the id
+    // travels; the backing map resolves through a JVM-global registry
+    // (local-mode executors share the JVM — an external KV/Delta table
+    // plays this role on a real cluster).
+    private val id = java.util.UUID.randomUUID().toString
+    private def map = UpsertStore.forId(id)
+    @annotation.tailrec
+    def put(row: UserLatest): Unit = {
+      val cur = map.get(row.user_id)
+      val newer = cur == null || row.ts_ms > cur.ts_ms ||
+        (row.ts_ms == cur.ts_ms && row.event_id > cur.event_id)
+      if (newer) {
+        val ok =
+          if (cur == null) map.putIfAbsent(row.user_id, row) == null
+          else map.replace(row.user_id, cur, row)
+        if (!ok) put(row)
+      }
+    }
+    def snapshot: Map[Long, UserLatest] = {
+      import scala.jdk.CollectionConverters._
+      map.asScala.toMap
+    }
+  }
+
+  object UpsertStore {
+    private val registry = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[Long, UserLatest]]()
+    private def forId(id: String) =
+      registry.computeIfAbsent(id,
+        _ => new java.util.concurrent.ConcurrentHashMap[Long, UserLatest]())
+  }
+
+  /** Merge one (micro-)batch into the store: reduce to ONE row per key
+    * first (`max_by` the deterministic (ts, event_id) version — shrinks
+    * the write set map-side before any store traffic), then upsert per
+    * partition. Idempotent by the store's version rule.
+    */
+  def mergeBatch(batch: Dataset[StreamEvent], store: UpsertStore): Unit = {
+    import batch.sparkSession.implicits._
+    batch
+      .groupBy($"user_id")
+      .agg(max(struct(unix_millis($"ts").as("ts_ms"), $"event_id",
+        $"value")).as("v"))
+      .select($"user_id", $"v.ts_ms", $"v.event_id", $"v.value")
+      .as[UserLatest]
+      .foreachPartition { (rows: Iterator[UserLatest]) =>
+        rows.foreach(store.put)
+      }
+  }
+
+  /** Streaming SCD1 upsert sink: keep the LATEST event per user in a
+    * keyed store via `foreachBatch` merge — the pattern for materializing
+    * CDC/event streams into serving tables. Complements the checkpoint
+    * WAL: replayed batches re-merge harmlessly (see [[UpsertStore]]).
+    */
+  def upsertLatest(events: Dataset[StreamEvent], store: UpsertStore,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[StreamEvent], _: Long) =>
+        mergeBatch(batch, store)
+      }
+      .start()
 }

@@ -252,4 +252,36 @@ class EventStreamsSpec extends SparkSpec {
       assert(graft.functions.CmsKernel.estimate(cms, hashOf("view"), 4) === 1L)
     } finally q.stop()
   }
+
+  test("foreachBatch upsert keeps latest-per-user; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = new EventStreams.UpsertStore
+    val input = MemoryStream[StreamEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-upsert-ckpt").toString
+    val q = EventStreams.upsertLatest(input.toDS(), store, ckpt)
+    try {
+      input.addData(ev(1, 10, user = 1, value = 5.0),
+        ev(2, 20, user = 1, value = 7.0), ev(3, 15, user = 2, value = 3.0))
+      q.processAllAvailable()
+      assert(store.snapshot(1L).event_id === 2L)
+      assert(store.snapshot(1L).value === 7.0)
+      assert(store.snapshot(2L).event_id === 3L)
+      // a later batch overwrites user 1, leaves user 2
+      input.addData(ev(4, 30, user = 1, value = 9.0))
+      q.processAllAvailable()
+      assert(store.snapshot(1L).event_id === 4L)
+      assert(store.snapshot(2L).event_id === 3L)
+    } finally q.stop()
+    // at-least-once replay: re-merging old batches (any order) must not
+    // move the store backwards — the version rule makes the effect
+    // exactly-once
+    val before = store.snapshot
+    val replay = Seq(ev(1, 10, user = 1, value = 5.0),
+      ev(2, 20, user = 1, value = 7.0), ev(3, 15, user = 2, value = 3.0)).toDS()
+    EventStreams.mergeBatch(replay, store)
+    EventStreams.mergeBatch(replay, store)
+    assert(store.snapshot === before)
+  }
 }
