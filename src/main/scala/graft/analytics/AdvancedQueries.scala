@@ -137,6 +137,21 @@ object AdvancedQueries {
         |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** LATERAL VIEW explode in SQL — the table-generating-function surface
+    * (the SQL spelling of the DataFrame `explode`): split each order
+    * priority into tokens, count per (priority, token). The generator
+    * runs scan-side (fan-out before the aggregation shuffle), identical
+    * to the Column-API explode plan.
+    */
+  def qLateralExplode(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders_lv")
+    spark.sql(
+      """SELECT o_orderpriority, w AS word, count(*) AS n
+        |FROM orders_lv
+        |LATERAL VIEW explode(split(o_orderpriority, '-')) t AS w
+        |GROUP BY 1, 2""".stripMargin)
+  }
+
   /** HLL cardinality sketches — the 100 TB path where exact distinct is a
     * full shuffle of the key universe but a sketch is O(kB) per group. No
     * DuckDB oracle (approximation differs by engine); the driver records a
@@ -398,6 +413,7 @@ object AdvancedQueries {
     "q_sql_surface" -> qSqlSurface,
     "q_approx_distinct" -> qApproxDistinct,
     "q_cohort_overlap" -> qCohortOverlap,
+    "q_lateral_explode" -> qLateralExplode,
     "q_corr_stats" -> qCorrStats,
     "q_approx_percentile" -> qApproxPercentile
   )
@@ -540,6 +556,13 @@ object AdvancedQueries {
         | string_split(p_type, ' ')[-1] AS type_tail,
         | reverse(p_brand) AS brand_rev
         |FROM part""".stripMargin,
+    "q_lateral_explode" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |   unnest(string_split(o_orderpriority, '-')) AS word
+        |  FROM orders)
+        |SELECT o_orderpriority, word, count(*)::BIGINT AS n
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "q_sql_surface" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | sum(o_totalprice) AS revenue, avg(o_totalprice) AS avg_price

@@ -336,8 +336,43 @@ object TextQueries {
       .agg(avg($"nll").as("mean_nll"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Per-doc mean NLL under an add-1-smoothed corpus BIGRAM model — the
+    * next LM filter after [[qTextUnigramNll]]: conditional probability
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) catches locally-incoherent text a
+    * unigram model scores as normal. Same scale shape as TF-IDF/BM25:
+    * bigram and prefix counts are key-level aggregations joined back on
+    * the key (shuffle joins — the bigram vocabulary NEVER broadcasts),
+    * the vocabulary size rides as a 1-row broadcast. Docs under 2 words
+    * are excluded identically on both sides (no bigrams exist).
+    */
+  def qTextBigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+    val pairs = docs
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("p"))
+      .select($"doc_id", $"p.w1", $"p.w2")
+    val cb = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val cu = pairs.groupBy($"w1").agg(count(lit(1)).as("cu"))
+    val v = docs.select(explode($"ws").as("w"))
+      .agg(countDistinct($"w").cast("double").as("v"))
+    pairs
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll",
+        -log(($"cb".cast("double") + 1.0) / ($"cu".cast("double") + $"v")))
+      .groupBy($"doc_id")
+      .agg(avg($"nll").as("mean_nll"), count(lit(1)).as("n_bigrams"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_text_unigram_nll" -> qTextUnigramNll,
+    "q_text_bigram_nll" -> qTextBigramNll,
     "q_text_heavy_hitters" -> qTextHeavyHitters,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
@@ -351,6 +386,25 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_bigram_nll" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        | p AS (
+        |  SELECT doc_id,
+        |   unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+        |     FOR i IN range(1, len(ws))]) AS pr
+        |  FROM d),
+        | pp AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p),
+        | cb AS (SELECT w1, w2, count(*) AS cb FROM pp GROUP BY 1, 2),
+        | cu AS (SELECT w1, count(*) AS cu FROM pp GROUP BY 1),
+        | v AS (
+        |  SELECT count(DISTINCT w)::DOUBLE AS v
+        |  FROM (SELECT unnest(ws) AS w FROM d))
+        |SELECT pp.doc_id, avg(-ln((cb.cb + 1.0) / (cu.cu + v.v))) AS mean_nll,
+        | count(*)::BIGINT AS n_bigrams
+        |FROM pp JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
     "q_text_unigram_nll" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
