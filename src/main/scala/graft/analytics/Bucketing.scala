@@ -37,4 +37,21 @@ object Bucketing {
       rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Write `df` hive-partitioned by `col` — the OTHER ingest-time layout
+    * lever: bucketing elides the JOIN shuffle, directory partitioning
+    * elides the SCAN. A reader filtering on the partition column touches
+    * only the matching directories (partition PRUNING — `PartitionFilters`
+    * in the scan node), so a day/tenant-scoped query over a 100 TB table
+    * reads that day's files, not 100 TB. Choose a column whose
+    * cardinality keeps files ≥ ~128 MB (date/tenant/event_type — never a
+    * high-cardinality key, which degenerates into millions of tiny files
+    * and a metadata-bound driver).
+    */
+  def writePartitioned(df: DataFrame, path: String, col: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .partitionBy(col)
+      .save(path)
 }

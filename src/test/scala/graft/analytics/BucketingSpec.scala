@@ -41,4 +41,33 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_items")
     }
   }
+
+  test("partitioned layout prunes non-matching directories at scan time") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-partitioned").toString
+    val events = graft.GraftSession
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"event_type", $"value")
+    Bucketing.writePartitioned(events, path, "event_type")
+
+    val filtered = spark.read.parquet(path)
+      .filter($"event_type" === "purchase")
+    val expected = events.filter($"event_type" === "purchase").count()
+    assert(filtered.count() === expected)
+
+    // the filter must land in PartitionFilters (directory pruning), not
+    // as a post-scan data filter over every file
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("event_type#") && scan.contains("purchase"), scan)
+    val pf = scan.split("PartitionFilters: \\[")(1)
+    assert(pf.takeWhile(_ != ']').contains("purchase"),
+      s"partition filter must carry the predicate:\n$scan")
+
+    // one directory per distinct value on disk
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("event_type=purchase")), dirs)
+  }
 }
