@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Source-format breadth: the engine's operators are format-agnostic
+  * DataFrame plans, so any format Spark reads feeds them. This spec pins
+  * the JSON and CSV round-trips (schema declared EXPLICITLY on read —
+  * schema inference is a full extra pass over the data at 100 TB and a
+  * nondeterminism source, so production reads always declare).
+  */
+class TableIOSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def events = graft.GraftSession
+    .table(spark, "/root/testdata/sf0.001", "events")
+    .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  test("json round-trip preserves the events surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    events.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.count() === events.count())
+    assert(back.exceptAll(events).count() === 0)
+    assert(events.exceptAll(back).count() === 0)
+  }
+
+  test("csv round-trip preserves the events surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    events.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.count() === events.count())
+    assert(back.exceptAll(events).count() === 0)
+    assert(events.exceptAll(back).count() === 0)
+  }
+
+  test("an analytics operator runs unchanged over the json copy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json2").toString
+    events.write.mode("overwrite").json(dir)
+    val agg = spark.read.schema(schema).json(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val expected = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    assert(agg.exceptAll(expected).count() === 0)
+  }
+}

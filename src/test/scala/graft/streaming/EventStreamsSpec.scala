@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{lit, xxhash64}
+import org.apache.spark.sql.functions.{count, lit, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -251,6 +251,25 @@ class EventStreamsSpec extends SparkSpec {
       assert(graft.functions.CmsKernel.estimate(cms, hashOf("click"), 4) === 3L)
       assert(graft.functions.CmsKernel.estimate(cms, hashOf("view"), 4) === 1L)
     } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the backlog and terminates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    input.addData(ev(1, 10), ev(2, 20), ev(3, 30))
+    val q = input.toDS()
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("avail_now")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // the batch-catchup operation mode: process everything available,
+    // commit the checkpoint, stop on its own (no manual stop())
+    assert(q.awaitTermination(60000), "query must self-terminate")
+    assert(!q.isActive)
+    val n = spark.table("avail_now").as[(String, Long)].collect().toMap
+    assert(n("click") === 3L)
   }
 
   test("foreachBatch upsert keeps latest-per-user; replay is idempotent") {
