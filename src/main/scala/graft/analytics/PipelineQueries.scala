@@ -196,7 +196,28 @@ object PipelineQueries {
           .as("n_novowel"))
   }
 
+  /** The salted skew join on the DRIVER-CHECKED surface: lineitem ⋈
+    * orders on orderkey with the lineitem side scattered over 8 salt
+    * buckets and the orders side replicated into them
+    * ([[SkewUtils.saltedJoin]]) — result-identical to the plain join by
+    * construction (the oracle IS the plain join), while the hot key's
+    * rows spread across 8 reducers instead of stalling one. The rollup
+    * keys on o_orderpriority so the output is tiny and exact.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice")
+    val ord = table(spark, dir, "orders")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    SkewUtils.saltedJoin(li, ord, "l_orderkey", saltBuckets = 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_extendedprice").as("revenue"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_salted_join" -> qSaltedJoin,
     "q_split_assign" -> qSplitAssign,
     "q_shard_balance" -> qShardBalance,
     "q_text_contamination" -> qTextContamination,
@@ -207,6 +228,12 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        | count(*)::BIGINT AS n_items,
+        | sum(l_extendedprice) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_split_assign" ->
       """SELECT lang,
         | CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'train'
