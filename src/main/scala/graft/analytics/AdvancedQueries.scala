@@ -180,7 +180,7 @@ object AdvancedQueries {
   def qCohortOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    val k = 256
+    val k = graft.functions.KmvSketch.DefaultK
     // u = hash mapped to (0,1); sparse sketches (<k values) are exact
     def theta(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(size(arr) < k, lit(1.0))

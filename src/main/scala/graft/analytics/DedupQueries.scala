@@ -547,7 +547,7 @@ object DedupQueries {
     // ONE linear pass: per-doc survival flags for every stage, then a
     // single aggregate. A union-of-stage-counts spelling re-evaluates the
     // shared lineage per branch (gopher metrics 3x, the digest window 2x
-    // — measured 8.3 s at sf0.1 vs ~3 s for this shape); flags make each
+    // — measured 8.3 s at sf0.1 vs 5.5 s for this shape); flags make each
     // upstream operator run exactly once. The exact-keeper window runs
     // over ALL en docs with min(when(q, doc_id)) — the min over quality
     // survivors within a digest group, identical to windowing the

@@ -140,9 +140,18 @@ object PipelineQueries {
     */
   def qTextEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
+    entropyOf(table(spark, dir, "documents")
       .select($"doc_id", $"text")
-      .repartition($"doc_id")
+      .repartition($"doc_id"))
+  }
+
+  /** Char entropy of a (doc_id, text) frame — split out so the spec can
+    * drive the PRODUCTION operator on literal fixtures (uniform text →
+    * log2(alphabet), constant text → 0).
+    */
+  private[analytics] def entropyOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", explode(split($"text", "")).as("ch"))
       .groupBy($"doc_id", $"ch")
       .agg(count(lit(1)).cast("double").as("c"))

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class KmvSketch(
     child: Expression,
-    k: Int = 256,
+    k: Int = KmvSketch.DefaultK,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
@@ -114,4 +114,14 @@ case class KmvSketch(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KmvSketch =
     copy(child = newChild)
+}
+
+object KmvSketch {
+  /** The k every consumer must share: the estimator, theta and the
+    * sparse/full classification in downstream Column arithmetic
+    * (`qCohortOverlap`, `KmvSpec`) read the k-th array slot — a drifted
+    * constant mis-estimates SILENTLY (a full sketch of a smaller k
+    * classifies as sparse), so the width lives here once.
+    */
+  val DefaultK = 256
 }

@@ -262,6 +262,12 @@ object EventStreams {
       import scala.jdk.CollectionConverters._
       map.asScala.toMap
     }
+    /** Drop this store's backing map from the JVM registry. The registry
+      * holds state strongly until closed — a long-lived driver creating
+      * stores per stream MUST close retired ones or their keyed state
+      * leaks for the life of the JVM.
+      */
+    def close(): Unit = UpsertStore.release(id)
   }
 
   object UpsertStore {
@@ -270,6 +276,7 @@ object EventStreams {
     private def forId(id: String) =
       registry.computeIfAbsent(id,
         _ => new java.util.concurrent.ConcurrentHashMap[Long, UserLatest]())
+    private def release(id: String): Unit = registry.remove(id)
   }
 
   /** Merge one (micro-)batch into the store: reduce to ONE row per key

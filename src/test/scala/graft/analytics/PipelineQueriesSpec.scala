@@ -55,14 +55,11 @@ class PipelineQueriesSpec extends SparkSpec {
 
   test("entropy is log2(alphabet) for uniform text and 0 for constant text") {
     import spark.implicits._
-    val docs = Seq((1L, "abcd"), (2L, "aaaa")).toDF("doc_id", "text")
-      .withColumn("ch", explode(split($"text", "")))
-      .groupBy($"doc_id", $"ch").agg(count(lit(1)).cast("double").as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n"), sum($"c" * log2($"c")).as("slc"))
-      .select($"doc_id", (log2($"n") - $"slc" / $"n").as("entropy"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(math.abs(docs(1L) - 2.0) < 1e-12) // 4 distinct chars -> 2 bits
-    assert(math.abs(docs(2L)) < 1e-12)
+    val out = PipelineQueries.entropyOf(
+      Seq((1L, "abcd"), (2L, "aaaa")).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(math.abs(out(1L) - 2.0) < 1e-12) // 4 distinct chars -> 2 bits
+    assert(math.abs(out(2L)) < 1e-12)
   }
 }

@@ -11,7 +11,7 @@ import graft.SparkSpec
   */
 class KmvSpec extends SparkSpec {
 
-  private val K = 256
+  private val K = KmvSketch.DefaultK
 
   test("sparse mode is exact: fewer than k distinct values => sketch = set") {
     VectorFunctions.register(spark)

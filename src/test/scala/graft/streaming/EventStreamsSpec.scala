@@ -302,5 +302,7 @@ class EventStreamsSpec extends SparkSpec {
     EventStreams.mergeBatch(replay, store)
     EventStreams.mergeBatch(replay, store)
     assert(store.snapshot === before)
+    store.close()
+    assert(store.snapshot.isEmpty) // released from the JVM registry
   }
 }
