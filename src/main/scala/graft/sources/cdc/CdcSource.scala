@@ -242,12 +242,99 @@ final case class CdcInputPartition(path: String, fromLine: Long, toLine: Long)
 
 final class CdcMicroBatchStream(dir: Path, options: Map[String, String],
     dbs: Option[Set[String]], tables: Option[Set[String]])
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    // SupportsTriggerAvailableNow (extends SupportsAdmissionControl) is
+    // implemented NATIVELY: Spark's fallback AvailableNowDataStreamWrapper
+    // returns the captured end offset from latestOffset(start, limit) and
+    // DROPS the read limit — the same reason the Kafka and file sources
+    // implement the interface themselves rather than rely on the wrapper.
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** End bound captured at Trigger.AvailableNow start: batches drain up
+    * to here (paced by the read limit), then the query self-terminates;
+    * data appended mid-run waits for the next invocation.
+    */
+  @volatile private var availableNowCap: Option[CdcOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(latestOffset().asInstanceOf[CdcOffset])
 
   /** per-stream incremental tail index: unchanged segments cost one stat
     * per trigger, grown ones scan only the appended suffix
     */
   private val lineIndex = new CdcSource.SegmentLineIndex
+
+  /** `maxLinesPerTrigger` — admission control / backpressure: caps how
+    * many binlog lines one micro-batch admits, the analog of the Kafka
+    * source's `maxOffsetsPerTrigger` and the reference's bounded event
+    * channel. Without a cap, a restart against a deep backlog plans ONE
+    * giant catch-up batch (checkpoint progress, state growth and retry
+    * granularity all suffer); with it, catch-up proceeds in bounded,
+    * individually-committed steps. Keys arrive lowercased via
+    * `CaseInsensitiveStringMap`.
+    */
+  private val maxLinesPerTrigger: Option[Long] =
+    options.get("maxlinespertrigger").map(_.toLong)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxLinesPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val avail = availableNowCap
+      .getOrElse(latestOffset().asInstanceOf[CdcOffset])
+    limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        cappedOffset(start.asInstanceOf[CdcOffset], avail, r.maxRows())
+      case _ => avail
+    }
+  }
+
+  /** True head of the stream regardless of the cap — drives the
+    * `latestOffset` progress metric so backlog depth stays observable
+    * while admission control paces consumption.
+    */
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Walk segments from `start`, spending at most `budget` lines, and
+    * return the capped end offset. Per-segment line totals come from the
+    * incremental index (one stat per unchanged segment).
+    */
+  private def cappedOffset(
+      start: CdcOffset, avail: CdcOffset, budget0: Long): CdcOffset = {
+    if (avail.segment.isEmpty) return avail
+    var budget = math.max(budget0, 1L) // always admit progress
+    var resSeg = start.segment
+    var resLine = start.line
+    val segs = CdcSource.segments(dir)
+    val it = segs.iterator
+    while (budget > 0 && it.hasNext) {
+      val p = it.next()
+      val name = p.getFileName.toString
+      val inRange =
+        (start.segment.isEmpty || name >= start.segment) && name <= avail.segment
+      if (inRange) {
+        val total =
+          if (name == avail.segment) avail.line else lineIndex.lines(p)
+        val from = if (name == start.segment) start.line else 0L
+        val take = math.min(budget, math.max(total - from, 0L))
+        if (take > 0) {
+          resSeg = name
+          resLine = from + take
+          budget -= take
+        } else if (name > resSeg || resSeg.isEmpty) {
+          // fully-consumed segment: advance the pointer past it so the
+          // next batch doesn't replan an empty range
+          resSeg = name
+          resLine = total
+        }
+      }
+    }
+    if (resSeg.isEmpty) avail else CdcOffset(resSeg, resLine)
+  }
 
   override def initialOffset(): Offset =
     options.getOrElse("startingOffsets", "earliest").toLowerCase match {

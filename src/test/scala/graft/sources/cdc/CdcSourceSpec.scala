@@ -138,4 +138,33 @@ class CdcSourceSpec extends SparkSpec {
       s"expected pushed db filter in ${scan.map(_.description())}")
     assert(df.as[RawBinlogEvent].collect().map(_.logPos).toSeq == Seq(1L))
   }
+
+  test("maxLinesPerTrigger paces catch-up into bounded micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcsrc4")
+    val ckpt = Files.createTempDirectory("cdcsrc4-ckpt")
+    // a 7-line backlog across two segments; cap = 2 lines per batch
+    seg(dir, "binlog.000001.jsonl", (1 to 4).map(i => line(i, "shop", "orders", i)))
+    seg(dir, "binlog.000002.jsonl", (5 to 7).map(i => line(i, "shop", "orders", i)))
+    val batches = collection.mutable.Buffer.empty[Seq[Long]]
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir.toString)
+      .option("maxLinesPerTrigger", "2")
+      .load().as[RawBinlogEvent]
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[RawBinlogEvent], _: Long) =>
+        batches += b.collect().map(_.logPos).toSeq.sorted
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    // complete, in-order delivery...
+    assert(batches.flatten.toSeq == (1L to 7L))
+    // ...in >= ceil(7/2) = 4 batches, none above the cap (a segment
+    // boundary may split a batch below it)
+    assert(batches.count(_.nonEmpty) >= 4, batches)
+    assert(batches.forall(_.length <= 2), batches)
+  }
 }
