@@ -123,6 +123,89 @@ object SimilarityQueries {
         $"rank".cast("long").as("rank"), $"cos")
   }
 
+  /** Product-quantization ANN (the IVF-PQ codebook half): split the
+    * 64-dim space into m=8 subspaces of 8 dims, train a 16-centroid
+    * codebook per subspace ([[KMeans.fit]] over the slice — an index-BUILD
+    * action, like the IVF fit), encode every corpus vector as 8 one-byte
+    * codes, then answer queries by ASYMMETRIC DISTANCE COMPUTATION:
+    * each query precomputes an 8×16 lookup table of
+    * `||c||² − 2·q_j·c` subspace distances (the `||q_j||²` terms are
+    * per-query constants — dropped, ranking-invariant), and scoring a
+    * corpus point is 8 table lookups + adds instead of a 64-dim dot.
+    *
+    * The 100 TB arithmetic this buys (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search"): the corpus shrinks 32× (8 bytes of
+    * codes vs 256 bytes of float32) — the index FITS where the vectors
+    * don't — and scan cost per (query, point) drops from 64 mul-adds to 8
+    * lookups. The LUT rides the broadcast query side (8×16 doubles per
+    * query); the corpus side streams only (vec_id, codes).
+    *
+    * No SQL oracle (k-means codebooks are not SQL-expressible; rows-only
+    * check — output is queries × 5, deterministic for the seeded init).
+    * `PqSpec` pins the mechanics: codebook-exact corpora rank exactly, and
+    * ADC neighbors stay inside the planted cluster on clustered data.
+    */
+  def qKnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, dir)
+    val (codes, luts) = Pq.index(all, queryPred = $"vec_id" % 50 === 0)
+    val scored = codes.join(broadcast(luts), $"vec_id" =!= $"query_id")
+      .withColumn("adist", Pq.adcExpr)
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adist".asc, $"vec_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), $"adist")
+  }
+
+  /** PQ plumbing, split out so the spec drives the production encoder /
+    * LUT / ADC on fixture corpora.
+    */
+  private[analytics] object Pq {
+    val M = 8 // subspaces
+    val Ksub = 16 // centroids per subspace
+
+    /** (corpus codes, query LUTs) for a (vec_id, v) frame. `dim` is taken
+      * from the first vector at fit time (the KMeans seed collect — part
+      * of the same index-build action, not an extra pass).
+      */
+    def index(all: DataFrame, queryPred: org.apache.spark.sql.Column)
+        : (DataFrame, DataFrame) = {
+      import all.sparkSession.implicits._
+      val dim = all.select(size($"v")).first().getInt(0)
+      require(dim % M == 0, s"dim $dim must split into $M subspaces")
+      val dsub = dim / M
+      val books: Array[Array[Array[Double]]] = (0 until M).map { j =>
+        KMeans.fit(all.select($"vec_id", slice($"v", j * dsub + 1, dsub).as("v")),
+          "vec_id", "v", k = Ksub, iters = 3)
+      }.toArray
+      val codes = all.select($"vec_id", array((0 until M).map(j =>
+        KMeans.assignExpr(slice($"v", j * dsub + 1, dsub), books(j))): _*)
+        .as("codes"))
+      val lut = array((0 until M).map { j =>
+        array((0 until Ksub).map { c =>
+          val cent = books(j)(c)
+          val cc = cent.map(x => x * x).sum
+          lit(cc) - lit(2.0) * call_function("graft_dot",
+            slice($"v", j * dsub + 1, dsub), typedlit(cent.toSeq))
+        }: _*)
+      }: _*)
+      val luts = all.filter(queryPred)
+        .select($"vec_id".as("query_id"), lut.as("lut"))
+      (codes, luts)
+    }
+
+    /** Σ_j lut[j][codes[j]] — the 8-lookup ADC score of a (codes, lut)
+      * pair row. All codegen'd `element_at`s (1-indexed).
+      */
+    def adcExpr: org.apache.spark.sql.Column =
+      (0 until M).map(j =>
+        element_at(element_at(col("lut"), j + 1),
+          element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+  }
+
   /** Per-cluster vector statistics: count, norm spread, centroid norm
     * (element-wise mean via posexplode → two tiny shuffles).
     */
@@ -173,6 +256,7 @@ object SimilarityQueries {
     "q_knn_brute" -> qKnnBrute,
     "q_knn_ivf" -> qKnnIvf,
     "q_knn_ivf_kmeans" -> qKnnIvfKmeans,
+    "q_knn_pq" -> qKnnPq,
     "q_embedding_stats" -> qEmbeddingStats,
     "q_embedding_quantize" -> qEmbeddingQuantize
   )

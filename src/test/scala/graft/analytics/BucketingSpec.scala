@@ -70,4 +70,43 @@ class BucketingSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.exists(_.startsWith("event_type=purchase")), dirs)
   }
+
+  test("z-order layout keeps per-file min/max narrow in BOTH dimensions") {
+    import spark.implicits._
+    // 64×64 uniform grid: every (a, b) pair once — the layout, not the
+    // data distribution, determines the per-file stats
+    val grid = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64))
+      .toDF("a", "b")
+    val zPath = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val linPath = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    Bucketing.writeZOrdered(grid, zPath, "a", "b", bits = 6, numFiles = 16)
+    grid.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.mode("overwrite").parquet(linPath)
+
+    // same rows in both layouts
+    assert(spark.read.parquet(zPath).count() === 4096L)
+
+    val zA = Bucketing.fileCoverage(spark, zPath, "a")
+    val zB = Bucketing.fileCoverage(spark, zPath, "b")
+    val linA = Bucketing.fileCoverage(spark, linPath, "a")
+    val linB = Bucketing.fileCoverage(spark, linPath, "b")
+    // single-column sort: perfect on a, hopeless on b (each file spans the
+    // whole b domain — no skipping possible for b predicates)
+    assert(linA < 0.2, s"linear layout should be tight on a: $linA")
+    assert(linB > 0.8, s"linear layout must span b: $linB")
+    // z-order: 16 contiguous Morton ranges of a 64×64 grid ≈ 16×16 tiles —
+    // BOTH dims stay near √(1/16) = 0.25 of the domain (range-partitioner
+    // sampling can smear boundaries; 0.5 is still 2× better than linear)
+    assert(zA < 0.5 && zB < 0.5,
+      s"z-order must bound both dims: a=$zA b=$zB")
+  }
+
+  test("morton interleave round-trips bit positions") {
+    import spark.implicits._
+    val df = Seq((5L, 3L)).toDF("a", "b") // a=101₂, b=011₂
+    // z = b2 a2 b1 a1 b0 a0 = 0 1 1 0 1 1 = 27
+    val z = df.select(Bucketing.zOrderValue($"a", $"b", 3).as("z"))
+      .collect().head.getLong(0)
+    assert(z === 27L)
+  }
 }
