@@ -56,6 +56,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
         if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
+        // live progress on stderr (stdout stays the single JSON line the
+        // driver records); lets a profiling run attribute wall time to the
+        // query that is actually burning it
+        System.err.println(f"[bench] pass $p $name%-28s $t%8.3f s")
       }
     }
     val results = selected.map { case (name, _) => name -> best(name) }

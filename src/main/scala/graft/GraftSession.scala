@@ -30,6 +30,16 @@ object GraftSession {
       // run thousands of keys per partition with small buffers, so raise
       // the bar (4096 keys × ~3 KB buffers ≈ 12 MB/partition, safe).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // the generated-class cache holds 100 classes by default — a long
+      // analytics session (the 100+-query bench/verify surface, or any
+      // real multi-query workload) cycles far more distinct codegen units
+      // than that, and several plans here embed large literal tables
+      // (seeded hyperplanes, k-means centroids, PQ lookup tables) that
+      // each occupy a unique unit. Once the cache thrashes, EVERY query
+      // re-Janino-compiles its whole pipeline (measured: the same query
+      // suite ran ~4x slower at cache size 100 than with this headroom).
+      // Static conf — must be set before the session starts.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // RocksDB-backed streaming state: state spills to local disk instead

@@ -177,10 +177,7 @@ object SimilarityQueries {
       val dim = all.select(size($"v")).first().getInt(0)
       require(dim % M == 0, s"dim $dim must split into $M subspaces")
       val dsub = dim / M
-      val books: Array[Array[Array[Double]]] = (0 until M).map { j =>
-        KMeans.fit(all.select($"vec_id", slice($"v", j * dsub + 1, dsub).as("v")),
-          "vec_id", "v", k = Ksub, iters = 3)
-      }.toArray
+      val books = fitAll(all, dsub, iters = 3)
       val codes = all.select($"vec_id", array((0 until M).map(j =>
         KMeans.assignExpr(slice($"v", j * dsub + 1, dsub), books(j))): _*)
         .as("codes"))
@@ -204,6 +201,51 @@ object SimilarityQueries {
       (0 until M).map(j =>
         element_at(element_at(col("lut"), j + 1),
           element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+
+    /** Train ALL M codebooks with 4 driver actions total: the seed collect
+      * grabs the Ksub lowest-id vectors ONCE (sliced driver-side into the
+      * M initial codebooks), and each Lloyd iteration is ONE job over the
+      * exploded (subspace, subvector) frame — a per-subspace `when` chain
+      * routes each row to its own codebook's argmin, and one
+      * groupBy(j, c, pos) re-centers every codebook together. Per-subspace
+      * [[KMeans.fit]] calls would be M×(iters+1) serial driver round-trips
+      * — measured ~30 s of pure job-launch latency at ANY data size; this
+      * shape is iters+1 round-trips regardless of M.
+      */
+    def fitAll(all: DataFrame, dsub: Int, iters: Int): Array[Array[Array[Double]]] = {
+      import all.sparkSession.implicits._
+      graft.functions.VectorFunctions.register(all.sparkSession)
+      val seed = all.orderBy($"vec_id").limit(Ksub).select($"v").collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(seed.length == Ksub, s"need ≥ $Ksub vectors to seed PQ codebooks")
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(M)(j => seed.map(_.slice(j * dsub, (j + 1) * dsub)))
+      val sub = all.select($"vec_id", explode(array((0 until M).map(j =>
+        struct(lit(j).as("j"), slice($"v", j * dsub + 1, dsub).as("sv"))): _*))
+        .as("e"))
+        .select($"e.j".as("j"), $"e.sv".as("sv"))
+      (0 until iters).foreach { _ =>
+        val assign = (1 until M).foldLeft(
+          when($"j" === 0, KMeans.assignExpr($"sv", books(0)))) {
+          case (acc, j) => acc.when($"j" === j, KMeans.assignExpr($"sv", books(j)))
+        }
+        val sums = sub
+          .withColumn("c", assign)
+          .select($"j", $"c", posexplode($"sv").as(Seq("pos", "x")))
+          .groupBy($"j", $"c", $"pos")
+          .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val acc = Array.fill(M, Ksub, dsub)(0.0)
+        val n = Array.fill(M, Ksub)(0L)
+        sums.foreach { r =>
+          val j = r.getInt(0); val c = r.getInt(1); val pos = r.getInt(2)
+          acc(j)(c)(pos) = r.getDouble(3); n(j)(c) = r.getLong(4)
+        }
+        books = Array.tabulate(M)(j => Array.tabulate(Ksub)(c =>
+          if (n(j)(c) == 0L) books(j)(c) else acc(j)(c).map(_ / n(j)(c))))
+      }
+      books
+    }
   }
 
   /** Per-cluster vector statistics: count, norm spread, centroid norm
