@@ -137,6 +137,31 @@ object AdvancedQueries {
         |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4.x `WITH RECURSIVE`) — the calendar-spine
+    * shape: generate every month of the order history from a fixed
+    * anchor, then LEFT JOIN the fact aggregate so empty months survive
+    * with zero rows (the gap a plain GROUP BY silently drops). The
+    * recursion is bounded METADATA (80 spine rows, depth = months, one
+    * row per step) — the fact table never enters the loop; the spine
+    * side broadcasts into the join at any corpus size.
+    */
+  def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders_rec")
+    spark.sql(
+      """WITH RECURSIVE spine(n) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT n + 1 FROM spine WHERE n < 79
+        |)
+        |SELECT add_months(DATE '1995-01-01', n) AS month,
+        |       count(o_orderkey) AS n_orders,
+        |       coalesce(sum(o_totalprice), 0.0D) AS revenue
+        |FROM spine LEFT JOIN orders_rec
+        |  ON to_date(date_trunc('MONTH', o_orderdate)) =
+        |     add_months(DATE '1995-01-01', n)
+        |GROUP BY 1""".stripMargin)
+  }
+
   /** LATERAL VIEW explode in SQL — the table-generating-function surface
     * (the SQL spelling of the DataFrame `explode`): split each order
     * priority into tokens, count per (priority, token). The generator
@@ -411,6 +436,7 @@ object AdvancedQueries {
     "q_datetime_arith" -> qDatetimeArith,
     "q_string_funcs2" -> qStringFuncs2,
     "q_sql_surface" -> qSqlSurface,
+    "q_sql_recursive" -> qSqlRecursive,
     "q_approx_distinct" -> qApproxDistinct,
     "q_cohort_overlap" -> qCohortOverlap,
     "q_lateral_explode" -> qLateralExplode,
@@ -568,7 +594,20 @@ object AdvancedQueries {
         | sum(o_totalprice) AS revenue, avg(o_totalprice) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus <> 'F'
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE spine(n) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT n + 1 FROM spine WHERE n < 79
+        |)
+        |SELECT (DATE '1995-01-01' + n * INTERVAL 1 MONTH)::DATE AS month,
+        |       count(o_orderkey)::BIGINT AS n_orders,
+        |       coalesce(sum(o_totalprice), 0.0) AS revenue
+        |FROM spine LEFT JOIN orders
+        |  ON date_trunc('month', o_orderdate) =
+        |     DATE '1995-01-01' + n * INTERVAL 1 MONTH
+        |GROUP BY 1""".stripMargin
     // q_approx_distinct: intentionally no oracle (engine-specific sketch)
   )
 }
