@@ -133,10 +133,42 @@ object MultimodalQueries {
         expr("graft_poly_hash(c.chunk)").as("chunk_fp"))
   }
 
+  /** Cross-asset duplicate-chunk detection — the media-dedup signal: for
+    * each asset, how many of its distinct 64-byte chunks appear verbatim
+    * in at least one OTHER asset (shared intro frames / boilerplate
+    * headers / watermark tiles). Same one-pass shape as the document
+    * span dedup: chunk fan-out is partition-local after a repartition on
+    * doc_id, ONE shuffle on chunk content groups the (bounded,
+    * dup-density-sized) asset lists, one shuffle on doc_id rolls up. No
+    * self-join. Production variant chunks with a ROLLING Rabin boundary
+    * (content-defined chunking, insert-resistant) and shuffles the
+    * fingerprint, not the bytes — identical plan shape; fixed-size +
+    * string chunks kept here so the oracle is byte-exact.
+    */
+  def qMmChunkDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .repartition($"doc_id")
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, cast(greatest(length(text) - 1, 0) div 64 as int))," +
+          " i -> substring(text, i * 64 + 1, 64))")).as("chunk"))
+      .distinct()
+      .groupBy($"chunk")
+      .agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("nd"))
+      .select(explode($"ids").as("doc_id"), $"nd")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        ($"n_dup_chunks".cast("double") / $"n_chunks").as("dup_frac"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_mm_manifest" -> qMmManifest,
     "q_mm_decode_features" -> qMmDecodeFeatures,
-    "q_mm_chunks" -> qMmChunks
+    "q_mm_chunks" -> qMmChunks,
+    "q_mm_chunk_dup" -> qMmChunkDup
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +209,21 @@ object MultimodalQueries {
         | list_reduce(list_prepend(7::BIGINT,
         |     [ascii(ch)::BIGINT FOR ch IN string_split(chunk, '') IF ch <> '']),
         |   (acc, ch) -> (acc * 31 + ch) % 2147483647) AS chunk_fp
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "q_mm_chunk_dup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |   unnest(range(0, (greatest(length(text) - 1, 0) // 64) + 1)) AS chunk_no, text
+        |  FROM documents),
+        | ck AS (
+        |  SELECT DISTINCT doc_id,
+        |   substr(text, (chunk_no * 64 + 1)::INT, 64) AS chunk
+        |  FROM c),
+        | cnt AS (SELECT chunk, count(*) AS nd FROM ck GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        | count(CASE WHEN nd > 1 THEN 1 END)::BIGINT AS n_dup_chunks,
+        | count(CASE WHEN nd > 1 THEN 1 END)::DOUBLE / count(*) AS dup_frac
+        |FROM ck JOIN cnt USING (chunk)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -160,6 +160,47 @@ object SimilarityQueries {
         $"rank".cast("long").as("rank"), $"adist")
   }
 
+  /** IVF-PQ — the composed index: coarse k-means clusters prune the
+    * corpus (IVF half, equi-join on the probed cluster ids — sub-linear
+    * candidate generation) and ADC scores only the bucket-mates (PQ half
+    * — 8 lookups per candidate on an index 32× smaller than the raw
+    * vectors). This is the structure of every production billion-vector
+    * ANN deployment; the two halves are the independently-tested
+    * [[KMeans]] and [[Pq]] components, composed. Codes are raw-vector PQ
+    * (not residual-encoded — documented simplification; residual encoding
+    * adds one subtraction before [[Pq.index]] and changes nothing
+    * structural).
+    *
+    * Rows-only (two learned stages); the IVF mechanics are pinned by
+    * `KMeansSpec`, the ADC mechanics by `PqSpec`, and the plan is pinned
+    * quadratic-join-free by `PlanAssertionsSpec` — unlike `q_knn_pq`
+    * (brute ADC scan), the join here is an equi-join on cluster id.
+    */
+  def qKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, dir)
+    val coarse = KMeans.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val (codes, luts) = Pq.index(all, queryPred = $"vec_id" % 50 === 0)
+    val corpus = codes.join(
+      all.select($"vec_id", KMeans.assignExpr($"v", coarse).as("cluster")),
+      "vec_id")
+    val queries = broadcast(
+      all.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"),
+          explode(KMeans.probeExpr($"v", coarse, nprobe = 2)).as("cluster"))
+        .join(luts, "query_id"))
+    val scored = corpus.join(queries, Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adist", Pq.adcExpr)
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adist".asc, $"vec_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), $"adist")
+  }
+
   /** PQ plumbing, split out so the spec drives the production encoder /
     * LUT / ADC on fixture corpora.
     */
@@ -299,6 +340,7 @@ object SimilarityQueries {
     "q_knn_ivf" -> qKnnIvf,
     "q_knn_ivf_kmeans" -> qKnnIvfKmeans,
     "q_knn_pq" -> qKnnPq,
+    "q_knn_ivfpq" -> qKnnIvfPq,
     "q_embedding_stats" -> qEmbeddingStats,
     "q_embedding_quantize" -> qEmbeddingQuantize
   )

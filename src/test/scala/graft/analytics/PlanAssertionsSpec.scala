@@ -66,12 +66,24 @@ class PlanAssertionsSpec extends SparkSpec {
     // equi-joins on band buckets, never from an all-pairs expansion. A
     // regression to BroadcastNestedLoopJoin (or worse, an interpreted
     // CartesianProduct) would still pass value checks at sf0.01.
+    // (q_knn_pq is deliberately absent: ADC is a compressed-domain brute
+    // scan — the broadcast-query NLJ is its intended shape, like
+    // q_knn_brute; candidate pruning is IVF's job, not PQ's)
     Seq("q_dedup_simhash", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
-        "q_dedup_embedding_lsh", "q_knn_ivf_kmeans", "q_range_join").foreach { q =>
+        "q_dedup_embedding_lsh", "q_knn_ivf_kmeans", "q_knn_ivfpq",
+        "q_range_join", "q_fuzzy_join", "q_dedup_semantic").foreach { q =>
       val plan = run(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
     }
+  }
+
+  test("span dedup is join-free: one linear pass, two shuffles") {
+    // the suffix-array stand-in must never self-join the span table —
+    // counts ride along with the doc ids through groupBy(span) → explode
+    // → groupBy(doc_id). A Join node means the one-pass shape regressed.
+    val plan = run("q_dedup_spans")
+    assert(!plan.contains("Join"), plan)
   }
 
   test("exact embedding baseline keeps the codegen'd BNLJ, not Cartesian") {

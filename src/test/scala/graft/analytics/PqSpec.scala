@@ -107,4 +107,14 @@ class PqSpec extends SparkSpec {
       assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to 5L))
     }
   }
+
+  test("q_knn_ivfpq composes cluster pruning with ADC: dense ranks per query") {
+    val out = SimilarityQueries.qKnnIvfPq(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ranks = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ranks === (1L to ranks.length) && ranks.length <= 5,
+        s"ranks must be dense from 1: $ranks")
+    }
+  }
 }
