@@ -96,6 +96,32 @@ object Bucketing {
       .format("parquet")
       .save(path)
 
+  /** Compact a directory of small parquet files into ~`targetBytes`
+    * files — the ingest-ops lever against the "millions of tiny files"
+    * failure mode: streaming micro-batches and over-parallel writers leave
+    * a 100 TB table as KB-sized files whose open/footer/seek costs
+    * dominate every scan and whose count alone stalls driver-side
+    * planning. File count is sized from the ON-DISK byte total (one
+    * metadata listing, no data read), the rewrite is one narrow
+    * round-robin repartition, and the output lands in `outPath` — an
+    * atomic swap (rename) is the caller's final step, so readers never
+    * see a half-compacted table. Returns the output file count.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(conf)
+    val totalBytes = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).format("parquet").save(outPath)
+    nFiles
+  }
+
   /** Per-file (min, max) spread of a column over a written layout,
     * normalized by the global domain — the data-skipping figure of merit
     * (average fraction of the domain a file's stats range covers; what a

@@ -101,6 +101,30 @@ class BucketingSpec extends SparkSpec {
       s"z-order must bound both dims: a=$zA b=$zB")
   }
 
+  test("compaction collapses small files to the byte-sized target, rows intact") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-tiny").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 64 tiny files
+    (1L to 6400L).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartition(64).write.mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles === 64)
+    val totalBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = half the total → expect exactly 2 output files
+    val n = Bucketing.compact(spark, in, out, targetBytes = totalBytes / 2 + 1)
+    assert(n === 2, s"expected 2 target files, got $n")
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles === n)
+    // contents preserved exactly
+    assert(spark.read.parquet(out).count() === 6400L)
+    assert(spark.read.parquet(out).agg(sum($"id")).first().getLong(0) ===
+      (6400L * 6401L) / 2)
+  }
+
   test("morton interleave round-trips bit positions") {
     import spark.implicits._
     val df = Seq((5L, 3L)).toDF("a", "b") // a=101₂, b=011₂
