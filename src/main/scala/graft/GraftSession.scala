@@ -36,8 +36,9 @@ object GraftSession {
       // than that, and several plans here embed large literal tables
       // (seeded hyperplanes, k-means centroids, PQ lookup tables) that
       // each occupy a unique unit. Once the cache thrashes, EVERY query
-      // re-Janino-compiles its whole pipeline (measured: the same query
-      // suite ran ~4x slower at cache size 100 than with this headroom).
+      // re-Janino-compiles its whole pipeline (measured: 2.8x on the
+      // full-suite total — 385 s -> 139 s at sf0.1 — with short queries
+      // individually inflated 10-40x at cache size 100).
       // Static conf — must be set before the session starts.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.session.timeZone", "UTC")

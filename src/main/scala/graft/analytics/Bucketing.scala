@@ -86,7 +86,19 @@ object Bucketing {
     * row-group-level stats prune too.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      bits: Int, numFiles: Int): Unit =
+      bits: Int, numFiles: Int): Unit = {
+    // guard the domain: zOrderValue interleaves only the low `bits` bits,
+    // so values ≥ 2^bits (or negative) would silently collapse distinct
+    // keys onto the same curve position and void the clustering this
+    // write exists to produce. One cheap aggregate over data that is
+    // about to be fully rewritten anyway.
+    val Array(loA, hiA, loB, hiB) = df
+      .agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB)))
+      .collect().head.toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
+    val cap = 1L << bits
+    require(loA >= 0 && loB >= 0 && hiA < cap && hiB < cap,
+      s"z-order domain [$loA,$hiA]×[$loB,$hiB] must fit in [0, 2^$bits); " +
+        "raise `bits` or pre-rank the columns")
     df.withColumn("__z", zOrderValue(col(colA), col(colB), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -95,6 +107,7 @@ object Bucketing {
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .save(path)
+  }
 
   /** Compact a directory of small parquet files into ~`targetBytes`
     * files — the ingest-ops lever against the "millions of tiny files"
@@ -112,9 +125,18 @@ object Bucketing {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(conf)
-    val totalBytes = fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive listing: a hive-partitioned layout keeps its data files in
+    // date=…/tenant=… subdirectories — a top-level listing would count 0
+    // bytes and funnel the whole table through one task. (Compact one
+    // PARTITION directory at a time on partitioned tables regardless:
+    // spark.read of the root would flatten the partition columns into the
+    // rewritten files.)
+    var totalBytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath)
       .repartition(nFiles)
@@ -128,15 +150,17 @@ object Bucketing {
     * min/max-pruning reader must read for a uniform point predicate).
     */
   def fileCoverage(spark: SparkSession, path: String, colName: String): Double = {
-    val df = spark.read.parquet(path)
+    val per = spark.read.parquet(path)
       .select(col(colName).cast("double").as("x"),
         input_file_name().as("f"))
-    val per = df.groupBy(col("f"))
+      .groupBy(col("f"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val Array(lo, hi) = df.agg(min(col("x")), max(col("x")))
-      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+      .collect()
+    // global domain from the per-file aggregate already in hand (global
+    // min = min of file mins) — no second scan of the data
+    val lo = per.map(_.getDouble(1)).min
+    val hi = per.map(_.getDouble(2)).max
     val span = math.max(hi - lo, 1e-12)
-    per.agg(avg((col("mx") - col("mn")) / lit(span)))
-      .collect().head.getDouble(0)
+    per.map(r => (r.getDouble(2) - r.getDouble(1)) / span).sum / per.length
   }
 }

@@ -86,19 +86,36 @@ object LinkageQueries {
     */
   private[analytics] def spanStats(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    dupStats(
+      docs.select($"doc_id", split($"text", " ").as("ws")),
+      spanExpr, unitPrefix = "span")
+  }
+
+  /** The shared cross-document duplicate-unit rollup (consumed by span
+    * dedup here and chunk dedup in [[MultimodalQueries]]): repartition on
+    * doc_id → partition-local explode of `unitExpr` → distinct (no
+    * exchange — doc_id clustering satisfies the (doc_id, unit) grouping
+    * by the subset rule) → ONE shuffle on unit content grouping doc lists
+    * (list size = that unit's dup-cluster size, bounded by duplication
+    * density, not corpus size) → explode back → ONE shuffle on doc_id for
+    * the per-doc rollup. No self-join anywhere.
+    */
+  private[analytics] def dupStats(docs: DataFrame, unitExpr: String,
+      unitPrefix: String): DataFrame = {
+    import docs.sparkSession.implicits._
     docs
-      .select($"doc_id", split($"text", " ").as("ws"))
       .repartition($"doc_id")
-      .select($"doc_id", explode(expr(spanExpr)).as("span"))
+      .select($"doc_id", explode(expr(unitExpr)).as("u"))
       .distinct()
-      .groupBy($"span")
+      .groupBy($"u")
       .agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("nd"))
       .select(explode($"ids").as("doc_id"), $"nd")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
-      .select($"doc_id", $"n_spans", $"n_dup_spans",
-        ($"n_dup_spans".cast("double") / $"n_spans").as("dup_frac"))
+      .agg(count(lit(1)).as(s"n_${unitPrefix}s"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as(s"n_dup_${unitPrefix}s"))
+      .select($"doc_id", col(s"n_${unitPrefix}s"), col(s"n_dup_${unitPrefix}s"),
+        (col(s"n_dup_${unitPrefix}s").cast("double") / col(s"n_${unitPrefix}s"))
+          .as("dup_frac"))
   }
 
   /** SemDeDup (semantic dedup): k-means over the embedding space, then

@@ -147,21 +147,11 @@ object MultimodalQueries {
     */
   def qMmChunkDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select($"doc_id", $"text")
-      .repartition($"doc_id")
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, cast(greatest(length(text) - 1, 0) div 64 as int))," +
-          " i -> substring(text, i * 64 + 1, 64))")).as("chunk"))
-      .distinct()
-      .groupBy($"chunk")
-      .agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("nd"))
-      .select(explode($"ids").as("doc_id"), $"nd")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
-      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
-        ($"n_dup_chunks".cast("double") / $"n_chunks").as("dup_frac"))
+    LinkageQueries.dupStats(
+      table(spark, dir, "documents").select($"doc_id", $"text"),
+      "transform(sequence(0, cast(greatest(length(text) - 1, 0) div 64 as int))," +
+        " i -> substring(text, i * 64 + 1, 64))",
+      unitPrefix = "chunk")
   }
 
   val queries: Map[String, CoreQueries.QFn] = Map(
