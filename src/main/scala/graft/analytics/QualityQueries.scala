@@ -167,7 +167,48 @@ object QualityQueries {
         $"o_orderdate".as("valid_from"), $"valid_to")
   }
 
+  /** Expectation-suite quarantine (the Deequ/Great-Expectations shape):
+    * evaluate a rule set over the fact table in ONE conditional-aggregate
+    * scan — per-rule violation counts plus the `any` row (rows a loader
+    * would quarantine: violating ≥ 1 rule). Row-level flags are a pure
+    * scan-side projection; no rule adds a pass over the data, and the
+    * output is |rules|+1 rows at any corpus size. The quarantine SPLIT
+    * itself (valid → target, invalid → quarantine path) is the same
+    * flags-projection with two filtered writes — this query is its audit
+    * report.
+    */
+  def qDqQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flags = table(spark, dir, "lineitem")
+      .select(
+        ($"l_quantity" < 1.0 || $"l_quantity" > 45.0).as("v_qty"),
+        ($"l_discount" > 0.08).as("v_disc"),
+        ($"l_extendedprice" < 1000.0).as("v_price"),
+        (!$"l_returnflag".isin("A", "N", "R")).as("v_flag"))
+    val agg = flags.agg(
+      count(lit(1)).as("n"),
+      sum(when($"v_qty", 1L).otherwise(0L)).as("n_qty"),
+      sum(when($"v_disc", 1L).otherwise(0L)).as("n_disc"),
+      sum(when($"v_price", 1L).otherwise(0L)).as("n_price"),
+      sum(when($"v_flag", 1L).otherwise(0L)).as("n_flag"),
+      sum(when($"v_qty" || $"v_disc" || $"v_price" || $"v_flag", 1L)
+        .otherwise(0L)).as("n_any"))
+    agg.select(explode(array(
+      struct(lit("quantity_in_1_45").as("rule"), $"n_qty".as("n_bad"),
+        ($"n_qty".cast("double") / $"n").as("bad_frac")),
+      struct(lit("discount_le_008").as("rule"), $"n_disc".as("n_bad"),
+        ($"n_disc".cast("double") / $"n").as("bad_frac")),
+      struct(lit("price_ge_1000").as("rule"), $"n_price".as("n_bad"),
+        ($"n_price".cast("double") / $"n").as("bad_frac")),
+      struct(lit("returnflag_domain").as("rule"), $"n_flag".as("n_bad"),
+        ($"n_flag".cast("double") / $"n").as("bad_frac")),
+      struct(lit("any").as("rule"), $"n_any".as("n_bad"),
+        ($"n_any".cast("double") / $"n").as("bad_frac")))).as("r"))
+      .select($"r.rule", $"r.n_bad", $"r.bad_frac")
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_dq_quarantine" -> qDqQuarantine,
     "q_outlier_zscore" -> qOutlierZscore,
     "q_outlier_mad" -> qOutlierMad,
     "q_histogram" -> qHistogram,
@@ -178,6 +219,27 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dq_quarantine" ->
+      """WITH f AS (
+        |  SELECT (l_quantity < 1.0 OR l_quantity > 45.0) AS v_qty,
+        |   (l_discount > 0.08) AS v_disc,
+        |   (l_extendedprice < 1000.0) AS v_price,
+        |   (l_returnflag NOT IN ('A', 'N', 'R')) AS v_flag
+        |  FROM lineitem),
+        | a AS (
+        |  SELECT count(*) AS n,
+        |   count(CASE WHEN v_qty THEN 1 END) AS n_qty,
+        |   count(CASE WHEN v_disc THEN 1 END) AS n_disc,
+        |   count(CASE WHEN v_price THEN 1 END) AS n_price,
+        |   count(CASE WHEN v_flag THEN 1 END) AS n_flag,
+        |   count(CASE WHEN v_qty OR v_disc OR v_price OR v_flag THEN 1 END) AS n_any
+        |  FROM f)
+        |SELECT 'quantity_in_1_45' AS rule, n_qty::BIGINT AS n_bad,
+        | n_qty::DOUBLE / n AS bad_frac FROM a
+        |UNION ALL SELECT 'discount_le_008', n_disc, n_disc::DOUBLE / n FROM a
+        |UNION ALL SELECT 'price_ge_1000', n_price, n_price::DOUBLE / n FROM a
+        |UNION ALL SELECT 'returnflag_domain', n_flag, n_flag::DOUBLE / n FROM a
+        |UNION ALL SELECT 'any', n_any, n_any::DOUBLE / n FROM a""".stripMargin,
     "q_outlier_zscore" ->
       """WITH s AS (
         |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma

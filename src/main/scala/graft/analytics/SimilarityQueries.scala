@@ -215,10 +215,8 @@ object SimilarityQueries {
     def index(all: DataFrame, queryPred: org.apache.spark.sql.Column)
         : (DataFrame, DataFrame) = {
       import all.sparkSession.implicits._
-      val dim = all.select(size($"v")).first().getInt(0)
-      require(dim % M == 0, s"dim $dim must split into $M subspaces")
-      val dsub = dim / M
-      val books = fitAll(all, dsub, iters = 3)
+      val books = fitAll(all, iters = 3) // dim read from the seed collect
+      val dsub = books(0)(0).length
       val codes = all.select($"vec_id", array((0 until M).map(j =>
         KMeans.assignExpr(slice($"v", j * dsub + 1, dsub), books(j))): _*)
         .as("codes"))
@@ -253,12 +251,17 @@ object SimilarityQueries {
       * — measured ~30 s of pure job-launch latency at ANY data size; this
       * shape is iters+1 round-trips regardless of M.
       */
-    def fitAll(all: DataFrame, dsub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    def fitAll(all: DataFrame, iters: Int): Array[Array[Array[Double]]] = {
       import all.sparkSession.implicits._
       graft.functions.VectorFunctions.register(all.sparkSession)
       val seed = all.orderBy($"vec_id").limit(Ksub).select($"v").collect()
         .map(_.getSeq[Double](0).toArray)
       require(seed.length == Ksub, s"need ≥ $Ksub vectors to seed PQ codebooks")
+      // dimensionality comes from the seed rows already in hand — no
+      // separate first() driver action just to read the vector width
+      val dim = seed.head.length
+      require(dim % M == 0, s"dim $dim must split into $M subspaces")
+      val dsub = dim / M
       var books: Array[Array[Array[Double]]] =
         Array.tabulate(M)(j => seed.map(_.slice(j * dsub, (j + 1) * dsub)))
       val sub = all.select($"vec_id", explode(array((0 until M).map(j =>
