@@ -29,4 +29,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: the 61-query bench holds several cached dedup artifacts
   // at once; at 8g GC pauses dominated run-to-run variance on local[32]
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // THP (madvise mode) for the heap + full pre-touch at startup. This
+  // host faults anonymous 4 KiB pages at ~0.02 GB/s (~200 µs/page — VM
+  // on-demand memory), so a growing 16 GiB heap costs ~14 CPU-MINUTES of
+  // page faults scattered across whichever queries first touch each
+  // region — measured as random 10–90 s stalls on trivial queries, 45%
+  // system CPU, and 3–8× suite-wide bench inflation. With 2 MiB huge
+  // pages the same memory faults at ~138 GB/s (6800×), and AlwaysPreTouch
+  // moves the whole cost to a sub-second JVM-startup step.
+  "-XX:+UseTransparentHugePages",
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("SPARK_GRAFT_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -48,6 +48,21 @@ object Bench {
     // the reproducible cost. Pass structure (not per-query repetition)
     // keeps the suite's deliberate cache sharing identical to a real run.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    // chain attribution: queries sharing a persisted lineage (the dedup
+    // chain: docShingles → minhash → LSH → verify → components) charge the
+    // whole cold build to whichever member runs FIRST in name order —
+    // q_curation_pipeline, alphabetically before q_dedup_*. The suite
+    // total is honest (the chain is built once, like a real multi-query
+    // session); the marker below keeps the PER-QUERY lines honest too, so
+    // a regression in a chain head is distinguishable from a plan
+    // regression in the query itself. Deliberately NOT pre-warmed: warming
+    // would hide the chain's true cost from the total.
+    val chainMembers: Map[String, String] = Map(
+      "q_curation_pipeline" -> "dedup-chain head (cold: shingles+minhash+LSH+verify+components)",
+      "q_dedup_minhash_lsh" -> "dedup-chain member (reuses cached chain)",
+      "q_dedup_ngram_jaccard" -> "dedup-chain member (reuses cached minhash; cold: 32-band LSH+verify)",
+      "q_dedup_components" -> "dedup-chain member (reuses cached pair set)",
+      "q_neighbor_topk" -> "dedup-chain member (reuses cached pair set)")
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (p <- 1 to passes) {
       if (p > 1) spark.sharedState.cacheManager.clearCache()
@@ -59,7 +74,8 @@ object Bench {
         // live progress on stderr (stdout stays the single JSON line the
         // driver records); lets a profiling run attribute wall time to the
         // query that is actually burning it
-        System.err.println(f"[bench] pass $p $name%-28s $t%8.3f s")
+        val chain = chainMembers.get(name).map(c => s"  [chain: $c]").getOrElse("")
+        System.err.println(f"[bench] pass $p $name%-28s $t%8.3f s$chain")
       }
     }
     val results = selected.map { case (name, _) => name -> best(name) }
