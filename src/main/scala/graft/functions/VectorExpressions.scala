@@ -376,8 +376,58 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv",
       { exprs: Seq[Expression] =>
-        require(exprs.length == 1, "graft_kmv takes exactly 1 argument")
-        KmvSketch(exprs.head)
+        require(exprs.length == 1 || exprs.length == 2,
+          "graft_kmv takes 1 or 2 arguments (hash[, k])")
+        if (exprs.length == 1) KmvSketch(exprs.head)
+        else {
+          require(exprs(1).foldable, "graft_kmv: k must be a literal")
+          KmvSketch(exprs.head,
+            k = exprs(1).eval(null).asInstanceOf[Number].intValue)
+        }
+      },
+      "built-in")
+    // codebook/centroid kernels (see MatrixExpressions.scala): matrices
+    // ride as ONE foldable literal child, never as unrolled subtrees
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_argmin_dot",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "graft_argmin_dot takes exactly 3 arguments")
+        CodebookArgmin(exprs(0), exprs(1), exprs(2))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_probe_dot",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "graft_probe_dot takes exactly 3 arguments")
+        CentroidProbe(exprs(0), exprs(1), exprs(2))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_pq_encode takes exactly 2 arguments")
+        PqEncodeExpr(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_lut",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_pq_lut takes exactly 2 arguments")
+        PqLutExpr(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_adc",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_adc takes exactly 2 arguments")
+        AdcScore(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp_sig",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_srp_sig takes exactly 2 arguments")
+        SrpSignature(exprs(0), exprs(1))
       },
       "built-in")
   }

@@ -77,7 +77,7 @@ class PqSpec extends SparkSpec {
     import spark.implicits._
     val corpus = exactCorpus
     val pred = $"vec_id" % 5 === 0
-    val (codes, luts) = SimilarityQueries.Pq.index(corpus, pred)
+    val (codes, luts) = SimilarityQueries.Pq.index(corpus, "spec:exact", pred)
     val adc = codes.join(broadcast(luts), $"vec_id" =!= $"query_id")
       .withColumn("adist", SimilarityQueries.Pq.adcExpr)
     assert(topK(adc, "adist", 3) === topK(exactScored(corpus, pred), "d", 3))
@@ -87,7 +87,7 @@ class PqSpec extends SparkSpec {
     import spark.implicits._
     val corpus = clustered
     val pred = $"vec_id" % 20 === 0
-    val (codes, luts) = SimilarityQueries.Pq.index(corpus, pred)
+    val (codes, luts) = SimilarityQueries.Pq.index(corpus, "spec:clustered", pred)
     val adc = codes.join(broadcast(luts), $"vec_id" =!= $"query_id")
       .withColumn("adist", SimilarityQueries.Pq.adcExpr)
     val pq = topK(adc, "adist", 3)
