@@ -58,13 +58,18 @@ object DedupQueries {
     "transform(sequence(1, greatest(length(text) - 4, 1))," +
       " i -> substring(text, i, 5))"
 
-  /** (doc_id, shingle) DISTINCT SET — one narrow projection + explode +
-    * dedup. The distinct costs NO exchange (grouping on (doc_id, sh) is
-    * satisfied by the doc_id clustering below — subset rule), every
-    * consumer is set-semantics-compatible (min and collect_set are
-    * dedup-insensitive; SimHash's bit-majority REQUIRES the set), and it
-    * shrinks the cached table — so the suite pays one partial-agg here
-    * instead of a per-query distinct where set semantics are needed.
+  /** (doc_id, hx, hp) — the DISTINCT shingle set of each doc, carried as
+    * its two hash projections: `hx` = xxhash64 (MinHash / verify-set
+    * stream) and `hp` = the Karp–Rabin polynomial hash (SimHash stream).
+    * One narrow projection + explode + dedup. The distinct runs on the
+    * shingle STRINGS (exactly the oracle's set semantics — deduping on a
+    * hash would collapse rare colliding shingles the oracle still counts)
+    * and costs NO exchange (grouping on (doc_id, sh) is satisfied by the
+    * doc_id clustering below — subset rule); the strings then DIE inside
+    * the same stage — only the 16 bytes of hashes per shingle reach the
+    * cache. Measured at sf0.1 this cuts the cached chain ~3× (~9.5 M
+    * shingle strings otherwise live in cache for the life of the suite)
+    * and with it the GC load every downstream dedup query inherits.
     *
     * Persisted (memory-and-disk, spill-safe): the dedup suite consumes the
     * exploded shingles from several independent stages and Spark's
@@ -75,6 +80,7 @@ object DedupQueries {
     */
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     // repartition BY doc_id before the ~N×5 explode: the corpus arrives as
     // few parquet splits (1 at small SF), so without this the whole
     // shingle pipeline runs on one core; hashing on doc_id also satisfies
@@ -86,6 +92,8 @@ object DedupQueries {
       .repartition($"doc_id")
       .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
       .distinct()
+      .select($"doc_id", xxhash64($"sh").as("hx"),
+        expr("graft_poly_hash(sh)").as("hp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -130,11 +138,10 @@ object DedupQueries {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     docShingles(spark, dir)
-      .withColumn("h", xxhash64($"sh"))
       .groupBy($"doc_id")
       .agg(
-        expr("graft_minhash128(h)").as("mhsig"),
-        sort_array(collect_set($"h")).as("hs"))
+        expr("graft_minhash128(hx)").as("mhsig"),
+        sort_array(collect_set($"hx")).as("hs"))
       .withColumn("sz", size($"hs").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
@@ -363,16 +370,14 @@ object DedupQueries {
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    // docShingles is distinct on SHINGLE STRINGS (exactly the oracle's set
-    // semantics — deduping on the hash instead would collapse rare
-    // colliding shingles the oracle still counts)
-    val shh = docShingles(spark, dir) // bit-majority needs SET semantics
-      .withColumn("h", expr("graft_poly_hash(sh)")) // native Karp–Rabin kernel
+    // docShingles is distinct on SHINGLE STRINGS before hashing (exactly
+    // the oracle's set semantics — the bit-majority REQUIRES the set);
+    // `hp` is the Karp–Rabin kernel's hash of each distinct shingle
     // ONE custom aggregate ([[graft.functions.SimHash32]]) instead of 32
     // sum(CASE …) columns — collapses the Janino-heavy wide plan into a
     // single ObjectHashAggregate with map-side partial merge
-    val sim = shh.groupBy($"doc_id")
-      .agg(expr("graft_simhash32(h)").as("sim"))
+    val sim = docShingles(spark, dir).groupBy($"doc_id")
+      .agg(expr("graft_simhash32(hp)").as("sim"))
       // persisted: both self-join sides scan it; cache output partitioning
       // (doc_id from the groupBy) also feeds the band shuffle cheaply
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -456,17 +461,21 @@ object DedupQueries {
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-    // 8 band values, each packing 4 sign bits of seeded ±1 hyperplane dots
-    val bandBits: Seq[Column] = (0 until Srp.Bands).map { b =>
-      (0 until Srp.RowsPerBand).map { r =>
-        val p = b * Srp.RowsPerBand + r
-        when(expr(Srp.sparkPlaneDot(p)) >= 0, lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    val banded = e.select($"vec_id", $"v", $"nrm",
-      explode(array(bandBits.zipWithIndex.map { case (bits, b) =>
-        struct(lit(b).as("band"), bits.as("bits"))
-      }: _*)).as("bb"))
+    // all 32 sign bits in ONE codegen'd kernel over the literal ±1 matrix
+    // ([[graft.functions.SrpSignature]] — the former 32 unrolled
+    // `graft_dot(v, array(±1,…)) >= 0` subtrees were a giant codegen
+    // unit); band b's 4-bit value is then a shift/mask of the packed sig,
+    // identical to the per-plane `1L << r` packing it replaces
+    val signsLit = typedlit((0 until Srp.Planes).map(p =>
+      (0 until Srp.Dims).map(d => Srp.sign(p, d).toDouble)))
+    val banded = e
+      .withColumn("sig", call_function("graft_srp_sig", $"v", signsLit))
+      .select($"vec_id", $"v", $"nrm",
+        explode(array((0 until Srp.Bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright($"sig", Srp.RowsPerBand * b)
+              .bitwiseAND(lit((1L << Srp.RowsPerBand) - 1)).as("bits"))): _*))
+          .as("bb"))
       .select($"vec_id", $"v", $"nrm",
         $"bb.band".as("band"), $"bb.bits".as("bits"))
       .persist(StorageLevel.MEMORY_AND_DISK)
