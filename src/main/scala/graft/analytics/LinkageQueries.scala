@@ -30,13 +30,19 @@ object LinkageQueries {
     * head noun), verify `levenshtein ≤ 4` within blocks, emit matched
     * pairs. The 100 TB shape of record linkage:
     *
-    *   - dedup-first: distance runs over DISTINCT names (64 here, bounded
-    *     by vocabulary at any corpus size), never over the row count —
-    *     the verify cost is independent of fact-table growth;
+    *   - dedup-first: distance runs over DISTINCT names, never over the
+    *     row count — duplicate rows add zero verify cost (p_name is a
+    *     5-word draw from a 92-word vocabulary, so distinct names still
+    *     grow with part count; dedup removes the ROW multiplicity, not
+    *     the name growth);
     *   - blocking: the equi-join on the block key means only same-block
-    *     names ever meet — candidate volume scales with block sizes (name
-    *     distribution), not corpus²; a skewed block is exactly the AQE
-    *     skew-join / salting case the session already handles;
+    *     names ever meet — candidate volume is Σ (block size)², bounded
+    *     by the block-size distribution, not corpus². Within-block pair
+    *     volume grows quadratically in names-per-block, so a larger
+    *     corpus needs finer blocking keys (head noun + first-word prefix,
+    *     phonetic key, …) to keep blocks bounded; a skewed block is
+    *     exactly the AQE skew-join / salting case the session already
+    *     handles;
     *   - `levenshtein` is a codegen'd built-in in both engines, so the
     *     oracle is exact.
     */
@@ -95,21 +101,25 @@ object LinkageQueries {
     * dedup here and chunk dedup in [[MultimodalQueries]]): repartition on
     * doc_id → partition-local explode of `unitExpr` → distinct (no
     * exchange — doc_id clustering satisfies the (doc_id, unit) grouping
-    * by the subset rule) → ONE shuffle on unit content grouping doc lists
-    * (list size = that unit's dup-cluster size, bounded by duplication
-    * density, not corpus size) → explode back → ONE shuffle on doc_id for
-    * the per-doc rollup. No self-join anywhere.
+    * by the subset rule) → per-unit COUNT (one shuffle on unit content,
+    * map-side partial agg) → join the count back onto the (doc_id, unit)
+    * rows on the unit key → ONE shuffle on doc_id for the per-doc rollup.
+    * No self-join, and no per-unit doc-id LIST: only the count `nd` is
+    * needed downstream, and a universal unit (boilerplate present in
+    * every document) would otherwise materialize a corpus-sized
+    * collect_list in one task. The count join-back keys on the unit, so
+    * even a universal unit costs one hot JOIN key (AQE-splittable), never
+    * an unbounded buffer.
     */
   private[analytics] def dupStats(docs: DataFrame, unitExpr: String,
       unitPrefix: String): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    val units = docs
       .repartition($"doc_id")
       .select($"doc_id", explode(expr(unitExpr)).as("u"))
       .distinct()
-      .groupBy($"u")
-      .agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("nd"))
-      .select(explode($"ids").as("doc_id"), $"nd")
+    val counts = units.groupBy($"u").agg(count(lit(1)).as("nd"))
+    units.join(counts, "u")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as(s"n_${unitPrefix}s"),
         sum(when($"nd" > 1, 1L).otherwise(0L)).as(s"n_dup_${unitPrefix}s"))
@@ -143,7 +153,7 @@ object LinkageQueries {
     val all = table(spark, dir, "embeddings")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-    val cents = KMeans.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val cents = KMeans.fitMemo(s"emb:$dir", all, "vec_id", "v", k = 8, iters = 3)
     val c = all.withColumn("cluster", KMeans.assignExpr($"v", cents))
     semanticPrune(c, threshold = 0.46)
   }

@@ -78,12 +78,16 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
-  test("span dedup is join-free: one linear pass, two shuffles") {
-    // the suffix-array stand-in must never self-join the span table —
-    // counts ride along with the doc ids through groupBy(span) → explode
-    // → groupBy(doc_id). A Join node means the one-pass shape regressed.
+  test("span dedup: count join-back, no quadratic join, no per-unit lists") {
+    // the suffix-array stand-in must never SELF-join the span table on
+    // anything but the unit key, and must never materialize a per-unit
+    // doc-id list (a universal boilerplate span would make that one
+    // corpus-sized buffer in one task). The shape is: per-unit COUNT,
+    // equi-joined back onto the (doc_id, unit) rows.
     val plan = run("q_dedup_spans")
-    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("collect_list"), plan)
   }
 
   test("exact embedding baseline keeps the codegen'd BNLJ, not Cartesian") {
