@@ -138,11 +138,12 @@ object AdvancedQueries {
   }
 
   /** Recursive CTE (Spark 4.x `WITH RECURSIVE`) — the calendar-spine
-    * shape: generate every month of the order history from a fixed
-    * anchor, then LEFT JOIN the fact aggregate so empty months survive
-    * with zero rows (the gap a plain GROUP BY silently drops). The
-    * recursion is bounded METADATA (80 spine rows, depth = months, one
-    * row per step) — the fact table never enters the loop; the spine
+    * shape: generate every month of the order history (TPC-H orders span
+    * 1992-01 .. 1998-08 — exactly the 80-month spine anchored at
+    * 1992-01-01), then LEFT JOIN the fact aggregate so empty months
+    * survive with zero rows (the gap a plain GROUP BY silently drops).
+    * The recursion is bounded METADATA (80 spine rows, depth = months,
+    * one row per step) — the fact table never enters the loop; the spine
     * side broadcasts into the join at any corpus size.
     */
   def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
@@ -153,12 +154,12 @@ object AdvancedQueries {
         |  UNION ALL
         |  SELECT n + 1 FROM spine WHERE n < 79
         |)
-        |SELECT add_months(DATE '1995-01-01', n) AS month,
+        |SELECT add_months(DATE '1992-01-01', n) AS month,
         |       count(o_orderkey) AS n_orders,
         |       coalesce(sum(o_totalprice), 0.0D) AS revenue
         |FROM spine LEFT JOIN orders_rec
         |  ON to_date(date_trunc('MONTH', o_orderdate)) =
-        |     add_months(DATE '1995-01-01', n)
+        |     add_months(DATE '1992-01-01', n)
         |GROUP BY 1""".stripMargin)
   }
 
@@ -198,14 +199,21 @@ object AdvancedQueries {
     * via `graft_sorted_and_count`, θ = min of the k-th minima) — no
     * re-scan, no distinct-join. The capability HLL lacks: HLL unions but
     * cannot intersect without inclusion–exclusion error blowup. The pair
-    * join runs on |types| 1-row sketches — broadcast trivially. No DuckDB
-    * oracle (engine-specific sketch); `KmvSpec` pins the error envelope,
-    * sparse-mode exactness and partition invariance.
+    * join runs on |types| 1-row sketches — broadcast trivially.
+    *
+    * k is sized (64 Ki) so the test-scale cohorts stay in SPARSE mode,
+    * where the sketch IS the distinct value set and every estimate is
+    * exact — which is what makes the DuckDB oracle below a real
+    * hash-check of the whole sketch pipeline (build, merge, θ, the
+    * sorted-merge intersect). Past k distinct users the SAME query
+    * degrades gracefully to the (k−1)/u_k estimator (±1/√(k−2) ≈ 0.4%)
+    * at a fixed 512 KiB per group — that regime's error envelope is
+    * pinned by `KmvSpec`, which drives the sketch past saturation.
     */
   def qCohortOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    val k = graft.functions.KmvSketch.DefaultK
+    val k = 65536
     // u = hash mapped to (0,1); sparse sketches (<k values) are exact
     def theta(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(size(arr) < k, lit(1.0))
@@ -216,7 +224,7 @@ object AdvancedQueries {
         .otherwise(lit((k - 1).toDouble) / theta(arr))
     val sk = table(spark, dir, "events")
       .groupBy($"event_type")
-      .agg(expr("graft_kmv(xxhash64(user_id))").as("sk"))
+      .agg(expr(s"graft_kmv(xxhash64(user_id), $k)").as("sk"))
     val a = sk.select($"event_type".as("type_a"), $"sk".as("ska"))
     val b = sk.select($"event_type".as("type_b"), $"sk".as("skb"))
     a.join(broadcast(b), $"type_a" < $"type_b")
@@ -601,13 +609,33 @@ object AdvancedQueries {
         |  UNION ALL
         |  SELECT n + 1 FROM spine WHERE n < 79
         |)
-        |SELECT (DATE '1995-01-01' + n * INTERVAL 1 MONTH)::DATE AS month,
+        |SELECT (DATE '1992-01-01' + n * INTERVAL 1 MONTH)::DATE AS month,
         |       count(o_orderkey)::BIGINT AS n_orders,
         |       coalesce(sum(o_totalprice), 0.0) AS revenue
         |FROM spine LEFT JOIN orders
         |  ON date_trunc('month', o_orderdate) =
-        |     DATE '1995-01-01' + n * INTERVAL 1 MONTH
-        |GROUP BY 1""".stripMargin
+        |     DATE '1992-01-01' + n * INTERVAL 1 MONTH
+        |GROUP BY 1""".stripMargin,
+    // exact in KMV sparse mode (see qCohortOverlap's k sizing): the
+    // oracle computes the true distinct counts and pairwise overlaps —
+    // a full hash-check of the sketch build/merge/intersect pipeline.
+    // (64-bit xxhash64 collisions would break the equality; at ≤ 64 Ki
+    // distinct users the collision probability is < 2^-32.)
+    "q_cohort_overlap" ->
+      """WITH t AS (SELECT DISTINCT event_type, user_id FROM events),
+        | c AS (SELECT event_type, count(*)::DOUBLE AS n FROM t GROUP BY 1),
+        | ov AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |   count(*)::DOUBLE AS o
+        |  FROM t x JOIN t y
+        |   ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        | round(ca.n, 1) AS est_a, round(cb.n, 1) AS est_b,
+        | round(coalesce(ov.o, 0.0), 1) AS est_overlap
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN ov ON ov.type_a = ca.event_type
+        | AND ov.type_b = cb.event_type""".stripMargin
     // q_approx_distinct: intentionally no oracle (engine-specific sketch)
   )
 }

@@ -92,9 +92,16 @@ object Bucketing {
     // keys onto the same curve position and void the clustering this
     // write exists to produce. One cheap aggregate over data that is
     // about to be fully rewritten anyway.
-    val Array(loA, hiA, loB, hiB) = df
+    val bounds = df
       .agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB)))
-      .collect().head.toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
+      .collect().head
+    // an empty (or all-null) input yields null aggregates — fail with a
+    // clear message instead of an NPE from the Number cast
+    require((0 until 4).forall(!bounds.isNullAt(_)),
+      s"writeZOrdered: empty input (no non-null $colA/$colB rows) — " +
+        "nothing to cluster")
+    val Array(loA, hiA, loB, hiB) =
+      bounds.toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
     val cap = 1L << bits
     require(loA >= 0 && loB >= 0 && hiA < cap && hiB < cap,
       s"z-order domain [$loA,$hiA]×[$loB,$hiB] must fit in [0, 2^$bits); " +

@@ -276,7 +276,40 @@ object EventsQueries {
         cume_dist().over(byValue).as("cume"))
   }
 
+  /** Batch face of the streaming SCD1 upsert sink
+    * ([[graft.streaming.EventStreams.mergeBatch]] — the exact merge the
+    * `foreachBatch` sink runs per micro-batch): the events table replayed
+    * as 3 deterministic micro-batches, with the middle batch applied
+    * TWICE (the at-least-once redelivery case), merged into the keyed
+    * last-writer-wins store, snapshot read back as the serving table.
+    * The driver's oracle hash-check thereby pins the production merge
+    * semantics — version rule (ts, event_id), idempotent replay,
+    * map-side pre-reduce — that were previously spec-only. The merges
+    * are explicit sink ACTIONS (like the streaming sink they mirror),
+    * not plan-construction metadata; the snapshot is one row per user
+    * (store-sized, the serving table itself).
+    */
+  def qScd1Upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.{EventStreams, StreamEvent}
+    val ev = table(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent]
+    val store = new EventStreams.UpsertStore
+    try {
+      (0 until 3).foreach { b =>
+        EventStreams.mergeBatch(ev.filter($"event_id" % 3 === b), store)
+      }
+      // redeliver batch 1: the store's version CAS must converge to the
+      // same state (exactly-once EFFECT over at-least-once delivery)
+      EventStreams.mergeBatch(ev.filter($"event_id" % 3 === 1), store)
+      store.snapshot.values.toSeq.toDS()
+        .select($"user_id", $"ts_ms", $"event_id", $"value")
+    } finally store.close()
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
+    "q_scd1_upsert" -> qScd1Upsert,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_retention" -> qEventsRetention,
     "q_window_lag_ntile" -> qWindowLagNtile,
@@ -292,6 +325,13 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd1_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_ms(ts)::BIGINT AS ts_ms, event_id, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, ts_ms, event_id, value FROM r WHERE rk = 1""".stripMargin,
     "q_events_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
