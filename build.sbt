@@ -26,18 +26,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the 61-query bench holds several cached dedup artifacts
-  // at once; at 8g GC pauses dominated run-to-run variance on local[32]
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // THP (madvise mode) for the heap + full pre-touch at startup. This
-  // host faults anonymous 4 KiB pages at ~0.02 GB/s (~200 µs/page — VM
-  // on-demand memory), so a growing 16 GiB heap costs ~14 CPU-MINUTES of
-  // page faults scattered across whichever queries first touch each
-  // region — measured as random 10–90 s stalls on trivial queries, 45%
-  // system CPU, and 3–8× suite-wide bench inflation. With 2 MiB huge
-  // pages the same memory faults at ~138 GB/s (6800×), and AlwaysPreTouch
-  // moves the whole cost to a sub-second JVM-startup step.
+  // This host's VM memory is pathologically slow: FIRST touch of a fresh
+  // anonymous page provisions from the hypervisor at ~5–20 MB/s, and
+  // even RESIDENT memory that has gone cold re-reads at ~50 MB/s (host
+  // swap) — measured with a 6 GiB touch loop: first pass 0.005 GB/s,
+  // immediate second pass 0.047 GB/s, identical with 2 MiB THP pages
+  // (the bottleneck is host bandwidth, not per-fault overhead; an
+  // -Xms16g -XX:+AlwaysPreTouch experiment cost 13 MINUTES of JVM
+  // startup). The only lever that works here is a SMALL FOOTPRINT:
+  // demand-grown heap sized to the suite's live set (the dedup chain now
+  // caches 16-byte hash pairs, not shingle strings), so the JVM touches
+  // as little fresh memory as possible. THP stays on: fewer guest-side
+  // faults for the memory we do touch, zero fallbacks observed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   "-XX:+UseTransparentHugePages",
-  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)

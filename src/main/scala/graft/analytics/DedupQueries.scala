@@ -179,12 +179,20 @@ object DedupQueries {
     * (O(|a|+|b|) longs, zero allocation — `array_intersect` over string
     * shingles was 23 s of a 23.4 s query at sf0.1 / 283 k candidates).
     *
-    * Join sides, chosen for 100 TB: `per` (the corpus — LARGE) is already
-    * hash-partitioned on doc_id from its groupBy, so BOTH verify joins
-    * reuse that partitioning and never move it; only the candidate rows
-    * (SMALL — near-dup density bounded) shuffle, hinted shuffle-hash so the
-    * build side is the candidate set, never the corpus. No corpus-side
-    * broadcast, no driver-side job during plan construction.
+    * Join shapes, chosen for 100 TB (and measured on this host): join 1
+    * attaches A's hash set to each candidate pair — `per` (the corpus —
+    * LARGE) is already hash-partitioned on doc_id from its groupBy, so it
+    * never moves; only the NARROW candidate rows shuffle, hinted
+    * shuffle-hash so the build side is the (id_a, id_b) pair list, never
+    * the corpus. Join 2 has NO narrow side — the pair rows now carry
+    * A's full hash set — so it must NOT be a hash join: building a
+    * HashedRelation over pair×set rows is a multi-GB allocation spike
+    * (measured: 26/32 executor threads in LongToUnsafeRowMap.grow and
+    * 3.3 s/young-GC while the 32-band verify ran 108 s). Sort-merge
+    * streams both sides instead: the corpus side reuses its doc_id
+    * partitioning plus a local sort, the wide rows spill sequentially,
+    * and nothing rides the heap. No corpus-side broadcast, no
+    * driver-side job during plan construction.
     */
   private def verifyJaccard(per: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
@@ -194,7 +202,7 @@ object DedupQueries {
       col("hs").as("b_hs"), col("sz").as("b_sz"))
     val withA = a.join(cand.hint("shuffle_hash"), col("a_id") === col("id_a"))
       .select(col("id_a"), col("id_b"), col("a_hs"), col("a_sz"))
-    b.join(withA.hint("shuffle_hash"), col("id_b") === col("b_id"))
+    b.join(withA.hint("merge"), col("id_b") === col("b_id"))
       .withColumn("inter", expr("graft_sorted_and_count(a_hs, b_hs)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")))
