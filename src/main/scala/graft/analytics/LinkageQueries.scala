@@ -141,11 +141,13 @@ object LinkageQueries {
     * `graft_dot` kernel. `KMeans.fit` is an explicit index-build action
     * (train once, persist centroids, share across runs).
     *
-    * No SQL oracle (k-means training is not SQL-expressible — driver
-    * records a rows-only check; output is one row per non-empty cluster,
-    * deterministic for the seeded init). `LinkageQueriesSpec` pins the
-    * semantics: planted semantic duplicates are pruned, distant points
-    * survive, keeper choice is the min id.
+    * Oracled EXACTLY, k-means included: the deterministic training loop
+    * replays in DuckDB as unrolled Lloyd iterations
+    * ([[SimilarityQueries.OracleSql.semanticDedup]] — shared with the ANN
+    * oracles), then the same cluster-local pair prune and rollup.
+    * `LinkageQueriesSpec` still pins the semantics: planted semantic
+    * duplicates are pruned, distant points survive, keeper choice is the
+    * min id.
     */
   def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -191,6 +193,7 @@ object LinkageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_semantic" -> SimilarityQueries.OracleSql.semanticDedup,
     "q_fuzzy_join" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
         | k AS (

@@ -91,14 +91,20 @@ object SimilarityQueries {
     * assigned to those lists — the corpus is pruned by the equi-join on
     * `cluster` BEFORE any scoring, the property that makes IVF sub-linear.
     *
-    * No SQL oracle (k-means training is not SQL-expressible; the driver
-    * records a rows-only check): the MECHANICS — convergence, assignment
-    * purity, and recall vs brute ≥ 0.9 — are pinned by `KMeansSpec` on
-    * synthetic clustered data. On the DRIVER's embeddings table recall vs
-    * brute is inherently low for ANY index: the data is measured isotropic
-    * noise (avg within-label cos 0.0016 vs 0.0003 across; label-IVF
-    * achieves 0.08 recall vs brute), and ANN indexes only beat brute force
-    * when the data has neighborhood structure.
+    * Oracled EXACTLY, k-means included: the training loop is deterministic
+    * by construction (init = the k lowest-id vectors in id order, fixed 3
+    * iterations, argmin ties to the lowest centroid id, empty clusters
+    * keep their previous centroid), so the DuckDB oracle replays the SAME
+    * three Lloyd iterations as unrolled SQL (see [[kmeansOracleSql]]) and
+    * reproduces centroids, probe sets, and the final top-5 lists. The only
+    * engine divergence is float summation ORDER in the per-cluster means
+    * (both sides sum in data order), a ~1e-15 relative drift that cannot
+    * flip an argmin unless two centroids are equidistant to ~1e-14 —
+    * vanishingly unlikely off the exact-tie case, which the id tie-break
+    * already pins. The MECHANICS (convergence, assignment purity, recall
+    * vs brute ≥ 0.9 on clustered data) remain pinned by `KMeansSpec`;
+    * recall on the driver's isotropic-noise embeddings is inherently low
+    * for ANY index (avg within-label cos 0.0016 vs 0.0003 across).
     */
   def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -140,10 +146,13 @@ object SimilarityQueries {
     * lookups. The LUT rides the broadcast query side (8×16 doubles per
     * query); the corpus side streams only (vec_id, codes).
     *
-    * No SQL oracle (k-means codebooks are not SQL-expressible; rows-only
-    * check — output is queries × 5, deterministic for the seeded init).
-    * `PqSpec` pins the mechanics: codebook-exact corpora rank exactly, and
-    * ADC neighbors stay inside the planted cluster on clustered data.
+    * Oracled EXACTLY, codebook training included: [[Pq.fitAll]] is
+    * deterministic (seeded init from the Ksub lowest-id slices, fixed 3
+    * iterations, id tie-breaks), so the DuckDB oracle replays the joint
+    * per-subspace Lloyd loop as unrolled SQL ([[OracleSql.knnPq]]) and
+    * reproduces codes, LUTs, and the ADC top-5. `PqSpec` still pins the
+    * mechanics: codebook-exact corpora rank exactly, and ADC neighbors
+    * stay inside the planted cluster on clustered data.
     */
   def qKnnPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -171,10 +180,13 @@ object SimilarityQueries {
     * adds one subtraction before [[Pq.index]] and changes nothing
     * structural).
     *
-    * Rows-only (two learned stages); the IVF mechanics are pinned by
-    * `KMeansSpec`, the ADC mechanics by `PqSpec`, and the plan is pinned
-    * quadratic-join-free by `PlanAssertionsSpec` — unlike `q_knn_pq`
-    * (brute ADC scan), the join here is an equi-join on cluster id.
+    * Oracled EXACTLY despite the two learned stages — the coarse k-means
+    * and PQ codebook CTE chains of the component oracles compose the same
+    * way the Spark plans do ([[OracleSql.knnIvfPq]]). The IVF mechanics
+    * are pinned by `KMeansSpec`, the ADC mechanics by `PqSpec`, and the
+    * plan is pinned quadratic-join-free by `PlanAssertionsSpec` — unlike
+    * `q_knn_pq` (brute ADC scan), the join here is an equi-join on
+    * cluster id.
     */
   def qKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -354,7 +366,210 @@ object SimilarityQueries {
     "q_embedding_quantize" -> qEmbeddingQuantize
   )
 
+  /** DuckDB replay of the LEARNED indexes, as generated SQL. The training
+    * loops are deterministic by construction (seeded init from the lowest
+    * ids, fixed iteration count, argmin ties to the lowest centroid id,
+    * empty clusters keep their previous centroid), so k-means and the PQ
+    * codebooks are SQL-expressible as UNROLLED Lloyd iterations — each one
+    * an (assign, re-center) CTE pair mirroring the Spark kernels: the same
+    * `‖c‖² − 2·v·c` argmin, means as sum/count (not AVG), ascending-index
+    * float sums. The only engine divergence is summation ORDER in the
+    * distributed means (~1e-15 relative), which cannot flip an argmin
+    * unless two centroids are equidistant to ~1e-14 — and exact ties
+    * resolve identically via the id tie-break.
+    */
+  private[analytics] object OracleSql {
+
+    /** ‖cv‖² − 2·(x·cv), ascending-index sums like the Spark kernels. */
+    private def dist(x: String): String =
+      s"list_sum([cv[i] * cv[i] FOR i IN range(1, len(cv) + 1)])" +
+        s" - 2 * list_sum([$x[i] * cv[i] FOR i IN range(1, len(cv) + 1)])"
+
+    /** One Lloyd iteration over full vectors: assignment `a$i` under
+      * centroids `c${i-1}`, means `m$i`, refreshed centroids `c$i`.
+      */
+    private def kmeansIter(i: Int): String = {
+      val p = i - 1
+      s""" a$i AS (
+         |  SELECT vec_id, v, c FROM (
+         |   SELECT vv.vec_id, vv.v, c$p.c,
+         |    row_number() OVER (PARTITION BY vv.vec_id
+         |      ORDER BY ${dist("v")}, c$p.c) AS rk
+         |   FROM vv CROSS JOIN c$p) t WHERE rk = 1),
+         | m$i AS (
+         |  SELECT c, pos, sum(x) / count(*) AS mx FROM (
+         |   SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+         |   FROM a$i) t GROUP BY 1, 2),
+         | c$i AS (
+         |  SELECT c$p.c, coalesce(m.cv, c$p.cv) AS cv
+         |  FROM c$p LEFT JOIN (
+         |   SELECT c, list(mx ORDER BY pos) AS cv FROM m$i GROUP BY c) m
+         |   USING (c)),""".stripMargin
+    }
+
+    /** Shared coarse-quantizer CTE chain ([[KMeans.fit]] k=8, iters=3):
+      * `vv` (double vectors), `c0`..`c3` (centroid generations), `af`
+      * (final corpus assignment), `q` (query vectors), `probes` (each
+      * query's nprobe=2 nearest centroid ids).
+      */
+    private def coarseCtes: String =
+      s"""vv AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         | c0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS c, v AS cv
+         |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 8)),
+         |${kmeansIter(1)}
+         |${kmeansIter(2)}
+         |${kmeansIter(3)}
+         | af AS (
+         |  SELECT vec_id, v, c FROM (
+         |   SELECT vv.vec_id, vv.v, c3.c,
+         |    row_number() OVER (PARTITION BY vv.vec_id
+         |      ORDER BY ${dist("v")}, c3.c) AS rk
+         |   FROM vv CROSS JOIN c3) t WHERE rk = 1),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM vv WHERE vec_id % 50 = 0),
+         | probes AS (
+         |  SELECT query_id, c AS cluster FROM (
+         |   SELECT q.query_id, c3.c,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${dist("qv")}, c3.c) AS rk
+         |   FROM q CROSS JOIN c3) t WHERE rk <= 2),""".stripMargin
+
+    /** [[qKnnIvfKmeans]]: coarse chain + exact cosine within the probed
+      * clusters.
+      */
+    def knnIvfKmeans: String =
+      s"""WITH $coarseCtes
+         | s AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |   list_cosine_similarity(q.qv, a.v) AS cos
+         |  FROM probes p
+         |  JOIN af a ON a.c = p.cluster
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+         |  FROM s) t WHERE rank <= 5""".stripMargin
+
+    /** One Lloyd iteration over the (vec_id, j, sv) subvector frame
+      * ([[Pq.fitAll]]'s joint-training shape): per-subspace assignment
+      * `p$i` under codebooks `b${i-1}`, means `n$i`, refreshed `b$i`.
+      */
+    private def pqIter(i: Int): String = {
+      val p = i - 1
+      s""" p$i AS (
+         |  SELECT vec_id, j, sv, c FROM (
+         |   SELECT s.vec_id, s.j, s.sv, b.c,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY ${dist("sv")}, b.c) AS rk
+         |   FROM sub s JOIN b$p b ON b.j = s.j) t WHERE rk = 1),
+         | n$i AS (
+         |  SELECT j, c, pos, sum(x) / count(*) AS mx FROM (
+         |   SELECT j, c, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+         |   FROM p$i) t GROUP BY 1, 2, 3),
+         | b$i AS (
+         |  SELECT b.j, b.c, coalesce(m.cv, b.cv) AS cv
+         |  FROM b$p b LEFT JOIN (
+         |   SELECT j, c, list(mx ORDER BY pos) AS cv FROM n$i GROUP BY j, c) m
+         |   USING (j, c)),""".stripMargin
+    }
+
+    /** Shared PQ CTE chain ([[Pq.fitAll]] M=8, Ksub=16, iters=3 over
+      * dsub=8 slices): `sub` (subvector frame), `b0`..`b3` (codebook
+      * generations), `pf` (final per-subspace corpus codes), `lutv` (each
+      * query's per-(j, c) ADC table entries).
+      */
+    private def pqCtes: String =
+      s""" sub AS (
+         |  SELECT vec_id, j, [v[j * 8 + i] FOR i IN range(1, 9)] AS sv
+         |  FROM vv CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+         | b0 AS (
+         |  SELECT s.j,
+         |   (row_number() OVER (PARTITION BY s.j ORDER BY s.vec_id) - 1)::INT AS c,
+         |   s.sv AS cv
+         |  FROM sub s
+         |  WHERE s.vec_id IN (SELECT vec_id FROM vv ORDER BY vec_id LIMIT 16)),
+         |${pqIter(1)}
+         |${pqIter(2)}
+         |${pqIter(3)}
+         | pf AS (
+         |  SELECT vec_id, j, c FROM (
+         |   SELECT s.vec_id, s.j, b.c,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY ${dist("sv")}, b.c) AS rk
+         |   FROM sub s JOIN b3 b ON b.j = s.j) t WHERE rk = 1),
+         | lutv AS (
+         |  SELECT qs.vec_id AS query_id, b.j, b.c, ${dist("qs.sv")} AS d
+         |  FROM sub qs JOIN b3 b ON b.j = qs.j
+         |  WHERE qs.vec_id % 50 = 0),""".stripMargin
+
+    /** ADC top-5: Σ_j lut[j][codes[j]] per (query, corpus) pair, from the
+      * `pf` codes and `lutv` entries of [[pqCtes]], restricted by
+      * `candPred` (TRUE = brute ADC scan; IVF-PQ narrows it).
+      */
+    private def adcTopK(candJoin: String): String =
+      s""" ad AS (
+         |  SELECT l.query_id, pf.vec_id AS neighbor_id, sum(l.d) AS adist
+         |  FROM pf JOIN lutv l ON l.j = pf.j AND l.c = pf.c
+         |  $candJoin
+         |  WHERE pf.vec_id <> l.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank, adist FROM (
+         |  SELECT query_id, neighbor_id, adist,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adist ASC, neighbor_id ASC)::BIGINT AS rank
+         |  FROM ad) t WHERE rank <= 5""".stripMargin
+
+    /** [[LinkageQueries.qDedupSemantic]]: the same coarse k-means chain,
+      * then cluster-local cosine-near pairs (threshold 0.46, matching the
+      * Spark call) rolled up per cluster. A threshold flip would need a
+      * pair's cosine within ~1e-15 of 0.46 — negligible off planted ties.
+      */
+    def semanticDedup: String =
+      s"""WITH $coarseCtes
+         | near AS (
+         |  SELECT a.c AS cluster, a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.46),
+         | pruned AS (
+         |  SELECT cluster, count(*) AS n_pruned
+         |  FROM (SELECT DISTINCT cluster, id_b FROM near) GROUP BY 1),
+         | pairs AS (
+         |  SELECT cluster, count(*) AS n_near_pairs FROM near GROUP BY 1),
+         | sizes AS (SELECT c AS cluster, count(*) AS n_vecs FROM af GROUP BY 1)
+         |SELECT s.cluster::BIGINT AS cluster, s.n_vecs,
+         | coalesce(p.n_near_pairs, 0)::BIGINT AS n_near_pairs,
+         | coalesce(pr.n_pruned, 0)::BIGINT AS n_pruned
+         |FROM sizes s
+         |LEFT JOIN pairs p USING (cluster)
+         |LEFT JOIN pruned pr USING (cluster)""".stripMargin
+
+    /** [[qKnnPq]]: brute ADC scan over the codes. */
+    def knnPq: String =
+      s"""WITH vv AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |$pqCtes
+         |${adcTopK("")}""".stripMargin
+
+    /** [[qKnnIvfPq]]: coarse probes prune the candidates, ADC scores the
+      * rest — the composed index, oracle-composed the same way.
+      */
+    def knnIvfPq: String =
+      s"""WITH $coarseCtes
+         |$pqCtes
+         |${adcTopK(
+        """JOIN af a ON a.vec_id = pf.vec_id
+          |  JOIN probes pr ON pr.cluster = a.c AND pr.query_id = l.query_id""".stripMargin)}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_knn_ivf_kmeans" -> OracleSql.knnIvfKmeans,
+    "q_knn_pq" -> OracleSql.knnPq,
+    "q_knn_ivfpq" -> OracleSql.knnIvfPq,
     "q_embedding_quantize" ->
       """WITH d AS (
         |  SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS v

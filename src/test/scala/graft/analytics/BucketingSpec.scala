@@ -125,6 +125,36 @@ class BucketingSpec extends SparkSpec {
       (6400L * 6401L) / 2)
   }
 
+  test("compaction sizes from nested files: hive layout bytes are seen recursively") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-nested-out").toString
+    // hive-partitioned layout: data files live in k=…/ subdirectories, so a
+    // TOP-LEVEL listing sees 0 parquet bytes and would size the rewrite to
+    // the max(1, …) floor of one file regardless of input size
+    (1L to 6400L).map(i => (i, i % 4, s"row$i")).toDF("id", "k", "s")
+      .repartition(16).write.partitionBy("k").mode("overwrite").parquet(in)
+    assert(new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 0, "layout must be nested")
+    val nestedBytes = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(in))
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    // target = half the nested byte total → 2 files ONLY if the listing
+    // descended into the partition directories
+    val n = Bucketing.compact(spark, in, out, targetBytes = nestedBytes / 2 + 1)
+    assert(n === 2, s"recursive listing must see nested bytes, got $n files")
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 2)
+    // contents preserved, partition column rematerialized as a data column
+    val back = spark.read.parquet(out)
+    assert(back.count() === 6400L)
+    assert(back.agg(sum($"id")).first().getLong(0) === (6400L * 6401L) / 2)
+    assert(back.columns.toSet === Set("id", "k", "s"))
+  }
+
   test("morton interleave round-trips bit positions") {
     import spark.implicits._
     val df = Seq((5L, 3L)).toDF("a", "b") // a=101₂, b=011₂
