@@ -216,6 +216,60 @@ object SimilarityQueries {
         $"rank".cast("long").as("rank"), $"adist")
   }
 
+  /** RESIDUAL-encoded IVF-PQ — the full Jégou et al. construction, no
+    * simplifications left: the PQ codebooks are trained on the coarse
+    * RESIDUALS `v − c(v)` (which concentrate near the origin, so the 16
+    * centroids/subspace spend their resolution on the part of the vector
+    * the coarse quantizer did NOT explain), and a query builds a SEPARATE
+    * ADC table per probed list from ITS residual against that list's
+    * centroid, `q − c_list` — the detail plain `q_knn_ivfpq` elides by
+    * quantizing raw vectors. Costs at 100 TB are unchanged from the plain
+    * variant (the residual is one codegen'd `zip_with` at encode/probe
+    * time; the per-(query, list) LUT rides the broadcast side exactly like
+    * the per-query one), which is why production systems always residual-
+    * encode: same plan, strictly better quantization.
+    *
+    * Oracled EXACTLY like its siblings ([[OracleSql.knnIvfPqRes]]): the
+    * coarse chain, the residual projection, and the residual-trained
+    * codebook chain are all deterministic replays.
+    */
+  def qKnnIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, dir)
+    val coarse = KMeans.fitMemo(s"emb:$dir", all, "vec_id", "v", k = 8, iters = 3)
+    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+    // corpus residuals: r = v − coarse[cluster], elementwise (codegen'd)
+    val assigned = all
+      .withColumn("cluster", KMeans.assignExpr($"v", coarse))
+      .withColumn("r", zip_with($"v",
+        element_at(coarseLit, $"cluster" + 1), (a, b) => a - b))
+    val books = Pq.booksFor(
+      assigned.select($"vec_id", $"r".as("v")), s"emb-res:$dir")
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = assigned.select($"vec_id", $"cluster",
+      call_function("graft_pq_encode", $"r", booksLit).as("codes"))
+    // per-(query, probed list) LUT from the query's residual vs THAT list
+    val queries = broadcast(
+      all.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+        .withColumn("cluster",
+          explode(KMeans.probeExpr($"qv", coarse, nprobe = 2)))
+        .withColumn("qr", zip_with($"qv",
+          element_at(coarseLit, $"cluster" + 1), (a, b) => a - b))
+        .select($"query_id", $"cluster",
+          call_function("graft_pq_lut", $"qr", booksLit).as("lut")))
+    val scored = codes.join(queries, Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adist", Pq.adcExpr)
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adist".asc, $"vec_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), $"adist")
+  }
+
   /** PQ plumbing, split out so the spec drives the production encoder /
     * LUT / ADC on fixture corpora.
     */
@@ -239,11 +293,18 @@ object SimilarityQueries {
       * round 4's 128-subtree LUT projection spent ~10 s/query in
       * Janino/JIT before a single row moved.
       */
+    /** The trained codebooks for a (vec_id, v) frame, memoized on the
+      * caller's corpus key — the shared index artifact every consumer
+      * (plain PQ, IVF-PQ, residual IVF-PQ) reads instead of re-training.
+      */
+    def booksFor(all: DataFrame, key: String): Array[Array[Array[Double]]] =
+      trained.computeIfAbsent(s"$key:m=$M:ksub=$Ksub:i=3",
+        _ => fitAll(all, iters = 3)) // dim read from the seed collect
+
     def index(all: DataFrame, key: String,
         queryPred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
       import all.sparkSession.implicits._
-      val books = trained.computeIfAbsent(s"$key:m=$M:ksub=$Ksub:i=3",
-        _ => fitAll(all, iters = 3)) // dim read from the seed collect
+      val books = booksFor(all, key)
       val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
       val codes = all.select($"vec_id",
         call_function("graft_pq_encode", $"v", booksLit).as("codes"))
@@ -362,6 +423,7 @@ object SimilarityQueries {
     "q_knn_ivf_kmeans" -> qKnnIvfKmeans,
     "q_knn_pq" -> qKnnPq,
     "q_knn_ivfpq" -> qKnnIvfPq,
+    "q_knn_ivfpq_res" -> qKnnIvfPqRes,
     "q_embedding_stats" -> qEmbeddingStats,
     "q_embedding_quantize" -> qEmbeddingQuantize
   )
@@ -478,14 +540,16 @@ object SimilarityQueries {
     }
 
     /** Shared PQ CTE chain ([[Pq.fitAll]] M=8, Ksub=16, iters=3 over
-      * dsub=8 slices): `sub` (subvector frame), `b0`..`b3` (codebook
-      * generations), `pf` (final per-subspace corpus codes), `lutv` (each
-      * query's per-(j, c) ADC table entries).
+      * dsub=8 slices of `src`'s `v` column — raw vectors for plain PQ,
+      * coarse residuals for the residual variant): `sub` (subvector
+      * frame), `b0`..`b3` (codebook generations), `pf` (final
+      * per-subspace corpus codes), `lutv` (each query's per-(j, c) ADC
+      * table entries, raw-vector flavor).
       */
-    private def pqCtes: String =
+    private def pqCtes(src: String): String =
       s""" sub AS (
          |  SELECT vec_id, j, [v[j * 8 + i] FOR i IN range(1, 9)] AS sv
-         |  FROM vv CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+         |  FROM $src CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
          | b0 AS (
          |  SELECT s.j,
          |   (row_number() OVER (PARTITION BY s.j ORDER BY s.vec_id) - 1)::INT AS c,
@@ -552,7 +616,7 @@ object SimilarityQueries {
       s"""WITH vv AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v
          |  FROM embeddings),
-         |$pqCtes
+         |${pqCtes("vv")}
          |${adcTopK("")}""".stripMargin
 
     /** [[qKnnIvfPq]]: coarse probes prune the candidates, ADC scores the
@@ -560,16 +624,57 @@ object SimilarityQueries {
       */
     def knnIvfPq: String =
       s"""WITH $coarseCtes
-         |$pqCtes
+         |${pqCtes("vv")}
          |${adcTopK(
         """JOIN af a ON a.vec_id = pf.vec_id
           |  JOIN probes pr ON pr.cluster = a.c AND pr.query_id = l.query_id""".stripMargin)}""".stripMargin
+
+    /** [[qKnnIvfPqRes]]: the full residual construction — codebooks
+      * trained on `v − c(v)` (the `rr` frame feeds the PQ chain), and a
+      * per-(query, probed list) LUT from the query's residual against
+      * that list's centroid.
+      */
+    def knnIvfPqRes: String =
+      s"""WITH $coarseCtes
+         | rr AS (
+         |  SELECT a.vec_id,
+         |   [a.v[i] - cv[i] FOR i IN range(1, len(cv) + 1)] AS v,
+         |   a.c AS cluster
+         |  FROM af a JOIN c3 ON c3.c = a.c),
+         |${pqCtes("rr")}
+         | qres AS (
+         |  SELECT p.query_id, p.cluster,
+         |   [q.qv[i] - cv[i] FOR i IN range(1, len(cv) + 1)] AS qr
+         |  FROM probes p
+         |  JOIN q ON q.query_id = p.query_id
+         |  JOIN c3 ON c3.c = p.cluster),
+         | qsub AS (
+         |  SELECT query_id, cluster, j,
+         |   [qr[j * 8 + i] FOR i IN range(1, 9)] AS sv
+         |  FROM qres CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+         | lutr AS (
+         |  SELECT qs.query_id, qs.cluster, b.j, b.c, ${dist("qs.sv")} AS d
+         |  FROM qsub qs JOIN b3 b ON b.j = qs.j),
+         | ad AS (
+         |  SELECT l.query_id, pf.vec_id AS neighbor_id, sum(l.d) AS adist
+         |  FROM pf
+         |  JOIN rr ON rr.vec_id = pf.vec_id
+         |  JOIN lutr l ON l.cluster = rr.cluster
+         |   AND l.j = pf.j AND l.c = pf.c
+         |  WHERE pf.vec_id <> l.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank, adist FROM (
+         |  SELECT query_id, neighbor_id, adist,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adist ASC, neighbor_id ASC)::BIGINT AS rank
+         |  FROM ad) t WHERE rank <= 5""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q_knn_ivf_kmeans" -> OracleSql.knnIvfKmeans,
     "q_knn_pq" -> OracleSql.knnPq,
     "q_knn_ivfpq" -> OracleSql.knnIvfPq,
+    "q_knn_ivfpq_res" -> OracleSql.knnIvfPqRes,
     "q_embedding_quantize" ->
       """WITH d AS (
         |  SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS v

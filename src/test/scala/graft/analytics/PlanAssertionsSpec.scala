@@ -54,6 +54,24 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("partial_graft_minhash128"), plan)
   }
 
+  test("LSH verify joins: hash build only for the narrow pair list, wide join is sort-merge") {
+    // the second verify join carries the per-doc hash SETS on the pair
+    // rows — building a HashedRelation over those wide rows is a multi-GB
+    // allocation spike (measured: 3.3 s young GCs, q_dedup_ngram_jaccard
+    // at 108 s before the fix). The shape contract: at most one
+    // ShuffledHashJoin (candidate-list build) and at least one
+    // SortMergeJoin (the set-carrying join streams).
+    val plan = run("q_dedup_ngram_jaccard")
+    // AQE prints the tree twice (final + initial) plus a details section;
+    // assert on the FINAL tree only
+    val finalTree = plan.substring(
+      plan.indexOf("== Final Plan =="),
+      plan.indexOf("== Initial Plan =="))
+    assert(finalTree.contains("SortMergeJoin"), plan)
+    val shjCount = "ShuffledHashJoin".r.findAllIn(finalTree).length
+    assert(shjCount <= 1, s"wide verify join regressed to hash build:\n$plan")
+  }
+
   test("semi/anti joins stay joins, not subquery re-execution") {
     val semi = run("q_exists_semi")
     assert(semi.contains("LeftSemi"), semi)
@@ -71,7 +89,8 @@ class PlanAssertionsSpec extends SparkSpec {
     // q_knn_brute; candidate pruning is IVF's job, not PQ's)
     Seq("q_dedup_simhash", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
         "q_dedup_embedding_lsh", "q_knn_ivf_kmeans", "q_knn_ivfpq",
-        "q_range_join", "q_fuzzy_join", "q_dedup_semantic").foreach { q =>
+        "q_knn_ivfpq_res", "q_range_join", "q_fuzzy_join",
+        "q_dedup_semantic").foreach { q =>
       val plan = run(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
