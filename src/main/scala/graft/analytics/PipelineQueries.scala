@@ -212,6 +212,15 @@ object PipelineQueries {
     * construction (the oracle IS the plain join), while the hot key's
     * rows spread across 8 reducers instead of stalling one. The rollup
     * keys on o_orderpriority so the output is tiny and exact.
+    *
+    * The revenue sum runs over DECIMAL(18,2), not double: the salted
+    * shuffle-hash plan accumulates each group's rows in a different
+    * order than the oracle's plain join, and float addition is not
+    * associative — round 5's double sum drifted in the last ulps and
+    * failed the strict hash compare. TPC-H prices are exact 2-dp
+    * decimals, so the decimal sum is order-independent and exact; the
+    * result casts back to double (exact for these magnitudes) so the
+    * output schema stays the conventional one.
     */
   def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -222,7 +231,8 @@ object PipelineQueries {
     SkewUtils.saltedJoin(li, ord, "l_orderkey", saltBuckets = 8)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        sum($"l_extendedprice").as("revenue"))
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
   }
 
   val queries: Map[String, CoreQueries.QFn] = Map(
@@ -240,7 +250,8 @@ object PipelineQueries {
     "q_salted_join" ->
       """SELECT o_orderpriority,
         | count(*)::BIGINT AS n_items,
-        | sum(l_extendedprice) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
     "q_split_assign" ->
