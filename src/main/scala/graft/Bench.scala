@@ -66,13 +66,24 @@ object Bench {
       "q_dedup_components" -> "dedup-chain member (reuses cached pair set)",
       "q_neighbor_topk" -> "dedup-chain member (reuses cached pair set)")
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // a query that THROWS must not look like a fast success: record it as
+    // -1 (never a plausible duration), print the failure to stderr, and
+    // flip the process exit code — CORRECTNESS is the hard gate, but a
+    // silent rc-0 bench with a crashed query would misread as a perf win
+    val failed = scala.collection.mutable.Set.empty[String]
     for (p <- 1 to passes) {
       if (p > 1) spark.sharedState.cacheManager.clearCache()
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            failed += name
+            false
+          }
         val t = (System.nanoTime() - t0) / 1e9
-        if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
+        if (ok && t < best.getOrElse(name, Double.MaxValue)) best(name) = t
         // live progress on stderr (stdout stays the single JSON line the
         // driver records); lets a profiling run attribute wall time to the
         // query that is actually burning it
@@ -80,7 +91,11 @@ object Bench {
         System.err.println(f"[bench] pass $p $name%-28s $t%8.3f s$chain")
       }
     }
-    val results = selected.map { case (name, _) => name -> best(name) }
+    // a query with zero successful passes reports -1 and is excluded from
+    // the total (a partial-failure query keeps its best successful time)
+    val results = selected.map { case (name, _) =>
+      name -> best.getOrElse(name, -1.0)
+    }
     // the driver records only the trailing ~2000 chars of output, so the
     // line is laid out to survive truncation FROM THE FRONT: per-query
     // timings first (ascending, so the slowest — the ones worth reading —
@@ -91,8 +106,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
