@@ -59,12 +59,21 @@ object Bench {
     // a regression in a chain head is distinguishable from a plan
     // regression in the query itself. Deliberately NOT pre-warmed: warming
     // would hide the chain's true cost from the total.
+    // ANN markers: training runs AT MOST once per (corpus, params) — the
+    // session memo serves passes 2-3 and any persisted artifact under
+    // SPARK_GRAFT_INDEX_DIR serves even the first pass, so only a
+    // cold-artifact pass-1 line carries index-BUILD cost (by design:
+    // search sessions load indexes, they don't train them)
     val chainMembers: Map[String, String] = Map(
       "q_curation_pipeline" -> "dedup-chain head (cold: shingles+minhash+LSH+verify+components)",
       "q_dedup_minhash_lsh" -> "dedup-chain member (reuses cached chain)",
       "q_dedup_ngram_jaccard" -> "dedup-chain member (reuses cached minhash; cold: 32-band LSH+verify)",
       "q_dedup_components" -> "dedup-chain member (reuses cached pair set)",
-      "q_neighbor_topk" -> "dedup-chain member (reuses cached pair set)")
+      "q_neighbor_topk" -> "dedup-chain member (reuses cached pair set)",
+      "q_knn_ivf_kmeans" -> "ANN index consumer (trains coarse k-means only if no memo/artifact)",
+      "q_knn_pq" -> "ANN index consumer (trains PQ books only if no memo/artifact)",
+      "q_knn_ivfpq" -> "ANN index consumer (shares coarse+books artifacts)",
+      "q_knn_ivfpq_res" -> "ANN index consumer (shares coarse; residual books if no memo/artifact)")
     val best = scala.collection.mutable.Map.empty[String, Double]
     // a query that THROWS must not look like a fast success: record it as
     // -1 (never a plausible duration), print the failure to stderr, and

@@ -27,6 +27,41 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Cheap staleness fingerprint of a source parquet directory: a hash of
+    * the sorted (name, length, mtime) listing, read driver-side from the
+    * filesystem — zero Spark jobs. Rewriting the data at a path (new
+    * files, new sizes, or new mtimes) changes the fingerprint, so a
+    * persisted index trained on the old data can never be served for the
+    * new ([[KMeans.fitPersistent]] keys memo entries AND artifact paths
+    * by it — the staleness hazard a bare path-keyed memo has).
+    */
+  def sourceFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      entries += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+    }
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+    digest.take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Whether a persisted artifact exists (checks for the parquet commit
+    * marker, not just the directory — a killed writer leaves a partial
+    * dir that must read as absent).
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Artifact-path-safe encoding of a memo key. */
+  def sanitize(key: String): String =
+    key.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_')
+
   /** Write k-means centroids as a `(c, pos, x)` parquet table. */
   def saveCentroids(spark: SparkSession, path: String,
       cents: Array[Array[Double]]): Unit = {

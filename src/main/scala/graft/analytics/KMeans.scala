@@ -57,11 +57,52 @@ object KMeans {
   private val trained =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  /** [[fit]], memoized on (key, k, iters) for the life of the session. */
+  /** Number of full training runs this JVM has executed — observability
+    * for the train-once contract: specs assert a second consumer (memo
+    * hit) and a fresh session over a persisted artifact (load hit) leave
+    * this counter unchanged.
+    */
+  val fitRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Drop every memoized artifact (tests that regenerate fixture data
+    * under a reused key, or a deliberate retrain).
+    */
+  def clearMemo(): Unit = trained.clear()
+
+  /** [[fit]], memoized on (key, k, iters) for the life of the session.
+    * Callers whose data can change under a reused key should fold a data
+    * fingerprint into `key` ([[AnnIndex.sourceFingerprint]]) — the memo
+    * itself never re-reads the data.
+    */
   def fitMemo(key: String, vecs: DataFrame, idCol: String, vCol: String,
       k: Int, iters: Int): Array[Array[Double]] =
     trained.computeIfAbsent(s"$key:k=$k:i=$iters",
       _ => fit(vecs, idCol, vCol, k, iters))
+
+  /** The production train-once flow, both halves: in-session memo first,
+    * then the persisted parquet artifact ([[AnnIndex]]), then — only if
+    * neither exists — an actual training run, whose output is persisted
+    * before returning. `key` must embed a data fingerprint
+    * ([[AnnIndex.sourceFingerprint]]); it keys the memo AND the artifact
+    * path, so stale artifacts are unreachable rather than invalidated.
+    * At 100 TB this is the difference between every search session paying
+    * an iters-pass corpus scan and paying one millisecond-scale driver
+    * read of k·dim doubles.
+    */
+  def fitPersistent(root: String, key: String, vecs: DataFrame,
+      idCol: String, vCol: String, k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    val memoKey = s"$key:k=$k:i=$iters"
+    trained.computeIfAbsent(memoKey, _ => {
+      val path = s"$root/${AnnIndex.sanitize(memoKey)}/centroids"
+      if (AnnIndex.exists(spark, path)) AnnIndex.loadCentroids(spark, path)
+      else {
+        val cents = fit(vecs, idCol, vCol, k, iters)
+        AnnIndex.saveCentroids(spark, path, cents)
+        cents
+      }
+    })
+  }
 
   /** Lloyd's iterations. `vecs` must expose an id column (ordering seeds
     * the deterministic init) and an `array<double>` vector column. Empty
@@ -69,6 +110,7 @@ object KMeans {
     */
   def fit(vecs: DataFrame, idCol: String, vCol: String,
       k: Int, iters: Int): Array[Array[Double]] = {
+    fitRuns.incrementAndGet()
     graft.functions.VectorFunctions.register(vecs.sparkSession)
     val v = vecs.select(col(idCol).as("id"), col(vCol).as("v"))
     var cents: Array[Array[Double]] = v.orderBy(col("id")).limit(k).collect()

@@ -40,6 +40,23 @@ object SimilarityQueries {
   /** codegen'd primitive-loop kernel ([[graft.functions.ArrayDotProduct]]) */
   private val dot = expr("graft_dot(qv, v)")
 
+  /** Where persisted ANN artifacts live. Defaults to a per-host scratch
+    * dir; a deployment points it at a lake path so index-build jobs and
+    * search sessions share artifacts across machines.
+    */
+  private def indexRoot: String =
+    sys.props.get("graft.ann.index.dir") // spec override (env is immutable in-JVM)
+      .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-ann-index")
+
+  /** Fingerprinted corpus key for the embeddings source: the artifact is
+    * addressed by WHAT was trained on (content fingerprint), not WHERE it
+    * lived (path) — rewriting the data at the same path can never serve a
+    * stale index, and the same data at two paths shares one artifact.
+    */
+  private def corpusKey(spark: SparkSession, dir: String): String =
+    s"emb-${AnnIndex.sourceFingerprint(spark, s"$dir/embeddings.parquet")}"
+
   /** Exact brute-force cosine top-10 for each query vector
     * (queries = every 50th id — a small broadcast side).
     */
@@ -109,7 +126,8 @@ object SimilarityQueries {
   def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
-    val cents = KMeans.fitMemo(s"emb:$dir", all, "vec_id", "v", k = 8, iters = 3)
+    val cents = KMeans.fitPersistent(indexRoot, corpusKey(spark, dir),
+      all, "vec_id", "v", k = 8, iters = 3)
     val corpus = all
       .withColumn("cluster", KMeans.assignExpr($"v", cents))
     val queries = broadcast(
@@ -157,7 +175,8 @@ object SimilarityQueries {
   def qKnnPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
-    val (codes, luts) = Pq.index(all, s"emb:$dir", queryPred = $"vec_id" % 50 === 0)
+    val (codes, luts) = Pq.index(all, indexRoot, corpusKey(spark, dir),
+      queryPred = $"vec_id" % 50 === 0)
     val scored = codes.join(broadcast(luts), $"vec_id" =!= $"query_id")
       .withColumn("adist", Pq.adcExpr)
     val w = Window.partitionBy($"query_id")
@@ -194,8 +213,11 @@ object SimilarityQueries {
     // shared artifacts: the coarse quantizer is the SAME trained index
     // q_knn_ivf_kmeans uses, and the codebooks are the ones q_knn_pq
     // trained — one training pass per session, like a persisted index file
-    val coarse = KMeans.fitMemo(s"emb:$dir", all, "vec_id", "v", k = 8, iters = 3)
-    val (codes, luts) = Pq.index(all, s"emb:$dir", queryPred = $"vec_id" % 50 === 0)
+    val key = corpusKey(spark, dir)
+    val coarse = KMeans.fitPersistent(indexRoot, key,
+      all, "vec_id", "v", k = 8, iters = 3)
+    val (codes, luts) = Pq.index(all, indexRoot, key,
+      queryPred = $"vec_id" % 50 === 0)
     val corpus = codes.join(
       all.select($"vec_id", KMeans.assignExpr($"v", coarse).as("cluster")),
       "vec_id")
@@ -236,15 +258,20 @@ object SimilarityQueries {
   def qKnnIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
-    val coarse = KMeans.fitMemo(s"emb:$dir", all, "vec_id", "v", k = 8, iters = 3)
+    val key = corpusKey(spark, dir)
+    val coarse = KMeans.fitPersistent(indexRoot, key,
+      all, "vec_id", "v", k = 8, iters = 3)
     val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
     // corpus residuals: r = v − coarse[cluster], elementwise (codegen'd)
     val assigned = all
       .withColumn("cluster", KMeans.assignExpr($"v", coarse))
       .withColumn("r", zip_with($"v",
         element_at(coarseLit, $"cluster" + 1), (a, b) => a - b))
-    val books = Pq.booksFor(
-      assigned.select($"vec_id", $"r".as("v")), s"emb-res:$dir")
+    // residual books are keyed by the RAW corpus fingerprint (residuals
+    // derive deterministically from it via the coarse chain) with a
+    // variant tag, so they persist/share like the raw-vector books
+    val books = Pq.booksPersistent(indexRoot,
+      assigned.select($"vec_id", $"r".as("v")), s"$key-res")
     val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val codes = assigned.select($"vec_id", $"cluster",
       call_function("graft_pq_encode", $"r", booksLit).as("codes"))
@@ -301,10 +328,35 @@ object SimilarityQueries {
       trained.computeIfAbsent(s"$key:m=$M:ksub=$Ksub:i=3",
         _ => fitAll(all, iters = 3)) // dim read from the seed collect
 
-    def index(all: DataFrame, key: String,
+    /** Training-run counter + memo clear — same observability contract as
+      * [[KMeans.fitRuns]]/[[KMeans.clearMemo]].
+      */
+    val fitAllRuns = new java.util.concurrent.atomic.AtomicLong(0)
+    def clearMemo(): Unit = trained.clear()
+
+    /** [[booksFor]] with the persisted-artifact half: memo → parquet
+      * artifact ([[AnnIndex.loadBooks]]) → train-and-save. `key` must
+      * embed the source fingerprint (see [[KMeans.fitPersistent]]).
+      */
+    def booksPersistent(root: String, all: DataFrame,
+        key: String): Array[Array[Array[Double]]] = {
+      val spark = all.sparkSession
+      val memoKey = s"$key:m=$M:ksub=$Ksub:i=3"
+      trained.computeIfAbsent(memoKey, _ => {
+        val path = s"$root/${AnnIndex.sanitize(memoKey)}/books"
+        if (AnnIndex.exists(spark, path)) AnnIndex.loadBooks(spark, path)
+        else {
+          val books = fitAll(all, iters = 3)
+          AnnIndex.saveBooks(spark, path, books)
+          books
+        }
+      })
+    }
+
+    def index(all: DataFrame, root: String, key: String,
         queryPred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
       import all.sparkSession.implicits._
-      val books = booksFor(all, key)
+      val books = booksPersistent(root, all, key)
       val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
       val codes = all.select($"vec_id",
         call_function("graft_pq_encode", $"v", booksLit).as("codes"))
@@ -330,6 +382,7 @@ object SimilarityQueries {
       * shape is iters+1 round-trips regardless of M.
       */
     def fitAll(all: DataFrame, iters: Int): Array[Array[Array[Double]]] = {
+      fitAllRuns.incrementAndGet()
       import all.sparkSession.implicits._
       graft.functions.VectorFunctions.register(all.sparkSession)
       val seed = all.orderBy($"vec_id").limit(Ksub).select($"v").collect()

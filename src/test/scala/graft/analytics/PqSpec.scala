@@ -26,6 +26,10 @@ class PqSpec extends SparkSpec {
 
   private val dim = 16
 
+  /** throwaway artifact root — Pq.index now persists trained codebooks */
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("graft-pqspec").toString
+
   /** 16 vectors, each a distinct level-pattern — with exactly Ksub=16
     * points, the seeded k-means init IS the corpus and every point is its
     * own centroid: quantization is lossless by construction.
@@ -77,7 +81,8 @@ class PqSpec extends SparkSpec {
     import spark.implicits._
     val corpus = exactCorpus
     val pred = $"vec_id" % 5 === 0
-    val (codes, luts) = SimilarityQueries.Pq.index(corpus, "spec:exact", pred)
+    val (codes, luts) =
+      SimilarityQueries.Pq.index(corpus, root, "spec:exact", pred)
     val adc = codes.join(broadcast(luts), $"vec_id" =!= $"query_id")
       .withColumn("adist", SimilarityQueries.Pq.adcExpr)
     assert(topK(adc, "adist", 3) === topK(exactScored(corpus, pred), "d", 3))
@@ -87,7 +92,8 @@ class PqSpec extends SparkSpec {
     import spark.implicits._
     val corpus = clustered
     val pred = $"vec_id" % 20 === 0
-    val (codes, luts) = SimilarityQueries.Pq.index(corpus, "spec:clustered", pred)
+    val (codes, luts) =
+      SimilarityQueries.Pq.index(corpus, root, "spec:clustered", pred)
     val adc = codes.join(broadcast(luts), $"vec_id" =!= $"query_id")
       .withColumn("adist", SimilarityQueries.Pq.adcExpr)
     val pq = topK(adc, "adist", 3)
