@@ -178,19 +178,51 @@ object AdvancedQueries {
         |GROUP BY 1, 2""".stripMargin)
   }
 
-  /** HLL cardinality sketches — the 100 TB path where exact distinct is a
-    * full shuffle of the key universe but a sketch is O(kB) per group. No
-    * DuckDB oracle (approximation differs by engine); the driver records a
-    * rows-level check, and the spec pins the error envelope vs exact.
+  /** Sketch-based distinct cardinalities per group — the 100 TB path
+    * where exact distinct is a full shuffle of the key universe but a
+    * sketch is O(k) memory per group, one pass, mergeable partials.
+    *
+    * Estimator: the KMV/theta bottom-k sketch
+    * ([[graft.functions.KmvSketch]], same engine as `q_cohort_overlap`).
+    * k = 2²⁰ is sized an order of magnitude above the per-group distinct
+    * counts at every test SF (sf0.1: ≤ ~110 k distinct orderkeys per
+    * flag), so the sketch stays in SPARSE mode where it IS the distinct
+    * hash set and the estimate is exact — which is what lets the DuckDB
+    * oracle check the whole sketch pipeline (hash, bottom-k merge,
+    * sparse-mode estimate) as `count(DISTINCT …)`, the same degeneracy
+    * trick `q_cohort_overlap` uses. Past k the SAME query degrades to the
+    * (k−1)/u_k estimator at fixed memory; that regime's error envelope —
+    * and Spark's HLL (`approx_count_distinct`), the
+    * fixed-16-KiB-per-group alternative when even k·8 B is too much — are
+    * pinned by `ApproxSpec`/`KmvSpec` against exact counts. `KmvSpec`
+    * also pins the SPARSITY MARGIN itself, so a future SF bump fails with
+    * a clear diagnostic instead of a mysterious hash mismatch.
     */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val k = ApproxDistinctK
+    def est(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          ((element_at(arr, k).cast("double") -
+            lit(Long.MinValue.toDouble)) / lit(math.pow(2, 64))))
     table(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+        expr(s"graft_kmv(xxhash64(l_partkey), $k)").as("skp"),
+        expr(s"graft_kmv(xxhash64(l_orderkey), $k)").as("sko"),
+        count(lit(1)).as("n_rows"))
+      .select($"l_returnflag",
+        est($"skp").as("approx_parts"),
+        est($"sko").as("approx_orders"),
+        $"n_rows")
   }
+
+  /** Sketch size for [[qApproxDistinct]] — shared with the sparsity pin
+    * in `KmvSpec`.
+    */
+  val ApproxDistinctK: Int = 1 << 20
 
   /** Cohort-overlap cardinalities via the KMV theta sketch
     * ([[graft.functions.KmvSketch]]): one pass builds a bottom-256 sketch
@@ -635,7 +667,16 @@ object AdvancedQueries {
         | round(coalesce(ov.o, 0.0), 1) AS est_overlap
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN ov ON ov.type_a = ca.event_type
-        | AND ov.type_b = cb.event_type""".stripMargin
-    // q_approx_distinct: intentionally no oracle (engine-specific sketch)
+        | AND ov.type_b = cb.event_type""".stripMargin,
+    // exact because the KMV sketch is in sparse mode at every test SF —
+    // the sparsity margin is spec-pinned (KmvSpec); q_approx_percentile
+    // stays rows-only by design (GK at accuracy 1000 is genuinely
+    // approximate at sf0.01 group sizes; envelope pinned by ApproxSpec)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS DOUBLE) AS approx_parts,
+        | CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS approx_orders,
+        | count(*)::BIGINT AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

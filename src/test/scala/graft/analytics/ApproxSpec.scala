@@ -34,8 +34,15 @@ class ApproxSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
-  test("approx_count_distinct stays within its relative-error envelope") {
-    val approx = AdvancedQueries.qApproxDistinct(spark, dir)
+  test("approx_count_distinct (HLL) stays within its relative-error envelope") {
+    // HLL is no longer the q_approx_distinct surface (that query is now
+    // KMV-exact and DuckDB-oracled) but remains the fixed-memory operator
+    // for when even k·8 B sparse sketches are too much — pinned here
+    // directly against exact counts
+    val approx = graft.GraftSession.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
     val exact = graft.GraftSession.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("x_parts"),
@@ -46,5 +53,17 @@ class ApproxSpec extends SparkSpec {
       abs(col("approx_parts") - col("x_parts")) > col("x_parts") * 0.1 ||
       abs(col("approx_orders") - col("x_orders")) > col("x_orders") * 0.1)
     assert(bad.count() === 0)
+  }
+
+  test("q_approx_distinct is EXACT in sparse mode (the oracled contract)") {
+    val approx = AdvancedQueries.qApproxDistinct(spark, dir)
+    val exact = graft.GraftSession.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).cast("double").as("x_parts"),
+        countDistinct(col("l_orderkey")).cast("double").as("x_orders"))
+    val j = approx.join(exact, "l_returnflag")
+    val bad = j.filter(col("approx_parts") =!= col("x_parts") ||
+      col("approx_orders") =!= col("x_orders"))
+    assert(bad.count() === 0, "sparse-mode KMV estimates must equal exact")
   }
 }

@@ -69,4 +69,31 @@ class KmvSpec extends SparkSpec {
     // 10k true overlap, accept +/- 50%
     assert(math.abs(j - 10000.0) / 10000.0 < 0.5, s"est=$j exact=10000")
   }
+
+  /** The EXACT DuckDB oracles of `q_cohort_overlap` and
+    * `q_approx_distinct` are only valid while every sketch stays in
+    * SPARSE mode (distincts < k). This pins that assumption with a ≥2×
+    * margin so a future SF bump fails HERE with a clear diagnostic
+    * instead of as a mysterious hash mismatch in the driver gate.
+    * Measured margins: events users/type ≤ 1 500 at sf0.1 vs k = 65 536;
+    * lineitem distinct orderkeys/flag ≤ ~110 600 at sf0.1 vs k = 2²⁰.
+    */
+  test("oracled sketch queries stay in sparse mode with ≥2x margin (sf0.01)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val maxUsers = graft.GraftSession.table(spark, dir, "events")
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .agg(max($"n")).collect().head.getLong(0)
+    assert(maxUsers * 2 < 65536,
+      s"cohort sketches leaving sparse mode (max distinct users $maxUsers " +
+        "vs k=65536): q_cohort_overlap's exact oracle no longer holds")
+    val maxKeys = graft.GraftSession.table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"))
+      .agg(max($"n")).collect().head.getLong(0)
+    assert(maxKeys * 2 < graft.analytics.AdvancedQueries.ApproxDistinctK,
+      s"distinct sketches leaving sparse mode (max distinct keys $maxKeys " +
+        s"vs k=${graft.analytics.AdvancedQueries.ApproxDistinctK}): " +
+        "q_approx_distinct's exact oracle no longer holds")
+  }
 }
