@@ -70,6 +70,36 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(finalTree.contains("SortMergeJoin"), plan)
     val shjCount = "ShuffledHashJoin".r.findAllIn(finalTree).length
     assert(shjCount <= 1, s"wide verify join regressed to hash build:\n$plan")
+    // …and when the narrow-build join IS shuffle-hash, the build side must
+    // be the candidate pair list (BuildRight of a.join(cand)), never the
+    // corpus — a flipped build side hashes the whole per-doc set table
+    if (shjCount == 1) {
+      val shjLine = finalTree.linesIterator
+        .find(_.contains("ShuffledHashJoin")).get
+      assert(shjLine.contains("BuildRight"),
+        s"candidate-list build side flipped:\n$plan")
+    }
+  }
+
+  test("salted join stays a shuffle join — broadcast would undo the salt") {
+    // SkewUtils.saltedJoin exists to spread a hot key across (key, salt)
+    // REDUCERS; a broadcast join has no reducers to spread (and funnels
+    // the salt-replicated build side through the driver — measured ~9 s
+    // on a 750 k-row join at sf0.1). The hint pins shuffle-hash; this
+    // spec pins the hint against a Spark upgrade or hint change.
+    // collect(), not count(): count() builds a NEW plan on top, and this
+    // query's own AQE plan must finalize for the Final-tree assertion
+    // (the 5-row rollup is trivially collectable)
+    val df = SparkEntry.queries("q_salted_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalTree = plan.substring(
+      plan.indexOf("== Final Plan =="),
+      plan.indexOf("== Initial Plan =="))
+    assert(finalTree.contains("ShuffledHashJoin"),
+      s"salted join lost its shuffle-hash pin:\n$plan")
+    assert(!finalTree.contains("BroadcastHashJoin"),
+      s"salted join regressed to broadcast:\n$plan")
   }
 
   test("semi/anti joins stay joins, not subquery re-execution") {
