@@ -305,4 +305,40 @@ class EventStreamsSpec extends SparkSpec {
     store.close()
     assert(store.snapshot.isEmpty) // released from the JVM registry
   }
+
+  test("streaming upsert sink reproduces the ORACLED batch face on the real events table") {
+    // q_scd1_upsert (DuckDB-oracled in the driver gate) replays the
+    // events table as 3 batches with one redelivered through mergeBatch —
+    // the batch FACE of this sink. This spec closes the loop: the same
+    // table pushed through the ACTUAL foreachBatch streaming sink, same
+    // batch split, same redelivery, must produce the identical serving
+    // table — tying the oracled batch semantics to the streaming path
+    // (exactly-once effect over at-least-once delivery).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.GraftSession.table(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent]
+    val batches = (0 until 3).map(b =>
+      events.filter($"event_id" % 3 === b).collect().toSeq)
+    val store = new EventStreams.UpsertStore
+    val input = MemoryStream[StreamEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scd1-parity-ckpt").toString
+    val q = EventStreams.upsertLatest(input.toDS(), store, ckpt)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      // at-least-once: redeliver the middle batch as one more micro-batch
+      input.addData(batches(1)); q.processAllAvailable()
+      val streamed = store.snapshot.values
+        .map(r => (r.user_id, r.ts_ms, r.event_id, r.value)).toSet
+      val oracle = graft.analytics.EventsQueries
+        .qScd1Upsert(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === oracle,
+        "streaming sink state diverged from the oracled batch face")
+    } finally { q.stop(); store.close() }
+  }
 }
