@@ -122,6 +122,14 @@ object MatrixKernels {
         if (!taken(c) && d(c) < best) { best = d(c); bestC = c }
         c += 1
       }
+      // every distance NaN (a NaN element poisons all dots): fall back to
+      // the lowest untaken id — deterministic, and matching argminDot's
+      // bestC=0 default — instead of the bare taken(-1) crash
+      if (bestC < 0) {
+        c = 0
+        while (taken(c)) c += 1
+        bestC = c
+      }
       taken(bestC) = true
       out(r) = bestC
       r += 1

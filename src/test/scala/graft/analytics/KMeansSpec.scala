@@ -80,4 +80,41 @@ class KMeansSpec extends SparkSpec {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall $recall; brute=${brute.size} ivf=${ivf.size}")
   }
+
+  /** The learned-index DuckDB oracles replay the deterministic Lloyd loop
+    * and assume distributed float-sum order (~1e-15 relative drift in the
+    * per-cluster means) can never flip an argmin. That holds only if no
+    * corpus vector is ever NEAR-EQUIDISTANT between its best and
+    * second-best centroid — at ANY iteration of the replayed training,
+    * not just the last. This pins the assumption on the actual driver
+    * corpus at the gate SF: the minimum best-to-second-best distance gap
+    * stays ≥ 9 orders of magnitude above the drift, so a near-tie in
+    * future fixture data fails HERE with a number, not as a flaky
+    * hash_match in the driver gate.
+    */
+  test("oracle tie margins: no assignment within float-drift range of flipping (sf0.01)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val all = graft.GraftSession.table(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    // centroid sets ENTERING each of the 3 replayed iterations: the set
+    // entering iteration i+1 is fit's output after i iterations (iters=0
+    // returns the seed — deterministic by construction)
+    (0 to 2).foreach { it =>
+      val cents = KMeans.fit(all, "vec_id", "v", k = 8, iters = it)
+      val nrm = cents.map(c => c.map(x => x * x).sum)
+      val minGap = all
+        .withColumn("cl", typedlit(cents.map(_.toSeq).toSeq))
+        .withColumn("nl", typedlit(nrm.toSeq))
+        .withColumn("ds", array_sort(expr(
+          "zip_with(nl, cl, (n, c) -> n - 2 *" +
+            " aggregate(zip_with(v, c, (x, y) -> x * y), 0D, (a, x) -> a + x))")))
+        .select(min(element_at($"ds", 2) - element_at($"ds", 1)).as("g"))
+        .collect().head.getDouble(0)
+      assert(minGap > 1e-6,
+        s"iteration $it: best-to-second-best centroid gap $minGap is within " +
+          "float-drift range — the exact k-means oracle is no longer safe")
+    }
+  }
 }

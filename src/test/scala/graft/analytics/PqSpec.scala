@@ -123,4 +123,38 @@ class PqSpec extends SparkSpec {
         s"ranks must be dense from 1: $ranks")
     }
   }
+
+  /** Subspace twin of KMeansSpec's tie-margin pin: the exact PQ oracles
+    * replay the joint Lloyd loop and assume ~1e-15 float-sum drift can
+    * never flip a per-subspace argmin, at any replayed iteration. Pinned
+    * here on the driver corpus at the gate SF with a wide margin.
+    */
+  test("PQ oracle tie margins: no subspace assignment near flipping (sf0.01)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val all = graft.GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val m = SimilarityQueries.Pq.M
+    (0 to 2).foreach { it =>
+      val books = SimilarityQueries.Pq.fitAll(all, iters = it)
+      val nrm = books.map(_.map(c => c.map(x => x * x).sum))
+      val dsub = books(0)(0).length
+      val sub = all.select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice($"v", j * dsub + 1, dsub).as("sv"))): _*))
+        .as("e")).select($"e.j".as("j"), $"e.sv".as("sv"))
+      val minGap = sub
+        .withColumn("cl", element_at(
+          typedlit(books.map(_.map(_.toSeq).toSeq).toSeq), $"j" + 1))
+        .withColumn("nl", element_at(
+          typedlit(nrm.map(_.toSeq).toSeq), $"j" + 1))
+        .withColumn("ds", array_sort(expr(
+          "zip_with(nl, cl, (n, c) -> n - 2 *" +
+            " aggregate(zip_with(sv, c, (x, y) -> x * y), 0D, (a, x) -> a + x))")))
+        .select(min(element_at($"ds", 2) - element_at($"ds", 1)).as("g"))
+        .collect().head.getDouble(0)
+      assert(minGap > 1e-6,
+        s"iteration $it: subspace argmin gap $minGap is within float-drift " +
+          "range — the exact PQ oracle is no longer safe")
+    }
+  }
 }

@@ -65,6 +65,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.filter($"kernel" =!= $"hof").count() === 0)
   }
 
+  test("probe kernel survives an all-NaN vector (deterministic fallback, no crash)") {
+    // a NaN element poisons every centroid dot, leaving no distance
+    // < Double.MaxValue; the kernel must fall back to the lowest untaken
+    // ids (matching argmin's bestC=0 default), not crash on taken(-1)
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val out = Seq(Array(Double.NaN, 1.0)).toDF("v")
+      .select(expr(
+        "graft_probe_dot(v, array(array(1.0D, 0.0D), array(0.0D, 1.0D), array(1.0D, 1.0D)), 2)")
+        .as("probes"))
+      .collect().head.getSeq[Int](0)
+    assert(out === Seq(0, 1), s"NaN fallback must probe lowest ids, got $out")
+  }
+
   test("kernels survive codegen (no fallback) in a realistic plan") {
     VectorFunctions.register(spark)
     import spark.implicits._
