@@ -73,6 +73,7 @@ object Bench {
       "q_knn_ivf_kmeans" -> "ANN index consumer (trains coarse k-means only if no memo/artifact)",
       "q_knn_pq" -> "ANN index consumer (trains PQ books only if no memo/artifact)",
       "q_knn_ivfpq" -> "ANN index consumer (shares coarse+books artifacts)",
+      "q_knn_ivfpq_rerank" -> "ANN index consumer (shares coarse+books artifacts)",
       "q_knn_ivfpq_res" -> "ANN index consumer (shares coarse; residual books if no memo/artifact)")
     val best = scala.collection.mutable.Map.empty[String, Double]
     // a query that THROWS must not look like a fast success: record it as

@@ -297,6 +297,61 @@ object SimilarityQueries {
         $"rank".cast("long").as("rank"), $"adist")
   }
 
+  /** Two-stage retrieval: IVF-PQ ADC shortlist (top-20 per query — cheap,
+    * compressed-domain) RE-RANKED by exact cosine over the raw vectors
+    * (top-5) — the standard production construction for recovering the
+    * recall PQ quantization loses: the index answers from 8-byte codes,
+    * and only shortlist·k raw vectors are ever touched (Jégou et al. §V,
+    * "re-ranking with source coding"). At 100 TB the raw-vector fetch is
+    * an equi-join on vec_id against the (tiny) candidate list — the
+    * corpus-side vector table is never scanned for scoring, and the
+    * queries ride the broadcast side of both stages.
+    *
+    * Oracled EXACTLY like its siblings: the composed coarse+PQ chains
+    * produce the same deterministic shortlist (adist ties broken by id),
+    * and the re-rank is plain exact cosine — [[OracleSql.knnIvfPqRerank]].
+    */
+  def qKnnIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, dir)
+    val key = corpusKey(spark, dir)
+    val coarse = KMeans.fitPersistent(indexRoot, key,
+      all, "vec_id", "v", k = 8, iters = 3)
+    val (codes, luts) = Pq.index(all, indexRoot, key,
+      queryPred = $"vec_id" % 50 === 0)
+    val corpus = codes.join(
+      all.select($"vec_id", KMeans.assignExpr($"v", coarse).as("cluster")),
+      "vec_id")
+    val probed = broadcast(
+      all.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"),
+          explode(KMeans.probeExpr($"v", coarse, nprobe = 2)).as("cluster"))
+        .join(luts, "query_id"))
+    val wAdc = Window.partitionBy($"query_id")
+      .orderBy($"adist".asc, $"vec_id".asc)
+    val shortlist = corpus.join(probed, Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adist", Pq.adcExpr)
+      .withColumn("crank", row_number().over(wAdc))
+      .filter($"crank" <= 20)
+      .select($"query_id", $"vec_id")
+    // exact re-rank: candidates fetch their raw vectors by equi-join;
+    // query vectors broadcast (the corpus is never scanned for scoring)
+    val qv = broadcast(
+      all.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    shortlist
+      .join(all.select($"vec_id", $"v", $"nrm"), "vec_id")
+      .join(qv, "query_id")
+      .withColumn("cos", dot / ($"qn" * $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), $"cos")
+  }
+
   /** PQ plumbing, split out so the spec drives the production encoder /
     * LUT / ADC on fixture corpora.
     */
@@ -477,6 +532,7 @@ object SimilarityQueries {
     "q_knn_pq" -> qKnnPq,
     "q_knn_ivfpq" -> qKnnIvfPq,
     "q_knn_ivfpq_res" -> qKnnIvfPqRes,
+    "q_knn_ivfpq_rerank" -> qKnnIvfPqRerank,
     "q_embedding_stats" -> qEmbeddingStats,
     "q_embedding_quantize" -> qEmbeddingQuantize
   )
@@ -682,6 +738,37 @@ object SimilarityQueries {
         """JOIN af a ON a.vec_id = pf.vec_id
           |  JOIN probes pr ON pr.cluster = a.c AND pr.query_id = l.query_id""".stripMargin)}""".stripMargin
 
+    /** [[qKnnIvfPqRerank]]: the IVF-PQ ADC chain truncated to a top-20
+      * shortlist, then exact-cosine re-ranked over the raw vectors.
+      */
+    def knnIvfPqRerank: String =
+      s"""WITH $coarseCtes
+         |${pqCtes("vv")}
+         | ad AS (
+         |  SELECT l.query_id, pf.vec_id AS neighbor_id, sum(l.d) AS adist
+         |  FROM pf JOIN lutv l ON l.j = pf.j AND l.c = pf.c
+         |  JOIN af a ON a.vec_id = pf.vec_id
+         |  JOIN probes pr ON pr.cluster = a.c AND pr.query_id = l.query_id
+         |  WHERE pf.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         | cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id ASC) AS crank
+         |   FROM ad) t WHERE crank <= 20),
+         | ex AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |   list_cosine_similarity(q.qv, v.v) AS cos
+         |  FROM cand c
+         |  JOIN q ON q.query_id = c.query_id
+         |  JOIN vv v ON v.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+         |  FROM ex) t WHERE rank <= 5""".stripMargin
+
     /** [[qKnnIvfPqRes]]: the full residual construction — codebooks
       * trained on `v − c(v)` (the `rr` frame feeds the PQ chain), and a
       * per-(query, probed list) LUT from the query's residual against
@@ -728,6 +815,7 @@ object SimilarityQueries {
     "q_knn_pq" -> OracleSql.knnPq,
     "q_knn_ivfpq" -> OracleSql.knnIvfPq,
     "q_knn_ivfpq_res" -> OracleSql.knnIvfPqRes,
+    "q_knn_ivfpq_rerank" -> OracleSql.knnIvfPqRerank,
     "q_embedding_quantize" ->
       """WITH d AS (
         |  SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS v

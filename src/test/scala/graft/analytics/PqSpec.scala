@@ -124,6 +124,21 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("two-stage rerank: exact-cosine order, dense ranks, shortlist-bounded") {
+    val out = SimilarityQueries
+      .qKnnIvfPqRerank(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ranks = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ranks === (1L to ranks.length) && ranks.length <= 5,
+        s"ranks must be dense from 1: $ranks")
+      // re-ranked output is ordered by EXACT cosine (desc), not adist
+      val byRank = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(byRank === byRank.sorted.reverse,
+        s"rerank must order by exact cosine: $byRank")
+    }
+  }
+
   /** Subspace twin of KMeansSpec's tie-margin pin: the exact PQ oracles
     * replay the joint Lloyd loop and assume ~1e-15 float-sum drift can
     * never flip a per-subspace argmin, at any replayed iteration. Pinned
