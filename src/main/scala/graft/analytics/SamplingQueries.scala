@@ -78,10 +78,58 @@ object SamplingQueries {
       .filter($"rk" <= 10)
   }
 
+  /** UniMax language-balanced budget allocation (Chung et al., "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): given a character budget B (= the corpus
+    * total here) and a per-language epoch cap (6/5 = 1.2 epochs, floor
+    * division so arithmetic stays exact), water-fill ascending by
+    * capacity — each language gets `min(cap_l, fair share of what
+    * remains)`. The sequential greedy has a CLOSED FORM because with
+    * ascending capacities the capped set is provably a prefix:
+    * `f(i) = cap_i·(n−i+1) + prefix_i − B` is non-decreasing
+    * (`f(i+1) − f(i) = (cap_{i+1} − cap_i)·(n−i) ≥ 0`), so language i is
+    * capped iff `f(i) ≤ 0` with `prefix_i` the plain ascending cap prefix
+    * sum — one window pass, no iteration. Everything up to the final
+    * water-level division is BIGINT-exact, so Spark and DuckDB agree
+    * bit-for-bit and the driver hash-checks the whole allocation.
+    *
+    * Scale shape: the per-language rollup is the only data-sized shuffle;
+    * the water-filling itself runs on |langs| rows (the unpartitioned
+    * window is over vocabulary-bounded metadata, not data — same
+    * single-task-is-fine argument as `keySkewProfile`'s grand total).
+    */
+  def qSampleUnimax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = table(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").cast("long").as("chars"))
+      .withColumn("cap", expr("(6 * chars) div 5"))
+    val tot = per.agg(sum($"chars").cast("long").as("budget"),
+      count(lit(1)).cast("long").as("n_langs"))
+    val w = Window.orderBy($"cap".asc, $"lang".asc)
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pfx", coalesce(
+        sum($"cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("capped",
+        $"cap" * ($"n_langs" - $"i" + 1L) <= $"budget" - $"pfx")
+    val cappedAgg = ranked.agg(
+      sum(when($"capped", $"cap").otherwise(0L)).cast("long").as("capped_sum"),
+      sum(when($"capped", 1L).otherwise(0L)).cast("long").as("n_capped"))
+    ranked.crossJoin(broadcast(cappedAgg))
+      .withColumn("alloc", when($"capped", $"cap".cast("double"))
+        .otherwise(($"budget" - $"capped_sum").cast("double") /
+          ($"n_langs" - $"n_capped").cast("double")))
+      .select($"lang", $"n_docs", $"chars", $"cap", $"capped",
+        $"alloc", ($"alloc" / $"chars".cast("double")).as("epochs"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_topk" -> qSampleTopK,
-    "q_sample_weighted" -> qSampleWeighted
+    "q_sample_weighted" -> qSampleWeighted,
+    "q_sample_unimax" -> qSampleUnimax
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,6 +163,37 @@ object SamplingQueries {
         |   row_number() OVER (PARTITION BY lang
         |     ORDER BY key DESC, doc_id ASC)::BIGINT AS rk
         |  FROM k) t
-        |WHERE rk <= 10""".stripMargin
+        |WHERE rk <= 10""".stripMargin,
+    "q_sample_unimax" ->
+      """WITH per AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs,
+        |   sum(n_chars)::BIGINT AS chars,
+        |   (6 * sum(n_chars)::BIGINT) // 5 AS cap
+        |  FROM documents GROUP BY 1),
+        | tot AS (
+        |  SELECT sum(chars)::BIGINT AS budget,
+        |   count(*)::BIGINT AS n_langs FROM per),
+        | ranked AS (
+        |  SELECT per.*, tot.budget, tot.n_langs,
+        |   row_number() OVER (ORDER BY cap ASC, lang ASC)::BIGINT AS i,
+        |   coalesce(sum(cap) OVER (ORDER BY cap ASC, lang ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |     AS pfx
+        |  FROM per CROSS JOIN tot),
+        | flagged AS (
+        |  SELECT *, cap * (n_langs - i + 1) <= budget - pfx AS capped
+        |  FROM ranked),
+        | ca AS (
+        |  SELECT coalesce(sum(cap) FILTER (capped), 0)::BIGINT AS capped_sum,
+        |   count(*) FILTER (capped)::BIGINT AS n_capped
+        |  FROM flagged)
+        |SELECT lang, n_docs, chars, cap, capped,
+        | CASE WHEN capped THEN cap::DOUBLE
+        |      ELSE (budget - capped_sum)::DOUBLE / (n_langs - n_capped)::DOUBLE
+        | END AS alloc,
+        | CASE WHEN capped THEN cap::DOUBLE
+        |      ELSE (budget - capped_sum)::DOUBLE / (n_langs - n_capped)::DOUBLE
+        | END / chars::DOUBLE AS epochs
+        |FROM flagged CROSS JOIN ca""".stripMargin
   )
 }
