@@ -155,7 +155,12 @@ object LinkageQueries {
     val all = table(spark, dir, "embeddings")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-    val cents = KMeans.fitMemo(s"emb:$dir", all, "vec_id", "v", k = 8, iters = 3)
+    // the SAME fingerprinted persistent artifact the ANN queries resolve
+    // (SimilarityQueries.corpusKey): one coarse training per corpus,
+    // shared across SemDeDup and the whole IVF family, in-session and out
+    val cents = KMeans.fitPersistent(SimilarityQueries.indexRoot,
+      SimilarityQueries.corpusKey(spark, dir),
+      all, "vec_id", "v", k = 8, iters = 3)
     val c = all.withColumn("cluster", KMeans.assignExpr($"v", cents))
     semanticPrune(c, threshold = 0.46)
   }

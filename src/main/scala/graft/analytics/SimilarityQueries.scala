@@ -44,7 +44,7 @@ object SimilarityQueries {
     * dir; a deployment points it at a lake path so index-build jobs and
     * search sessions share artifacts across machines.
     */
-  private def indexRoot: String =
+  private[analytics] def indexRoot: String =
     sys.props.get("graft.ann.index.dir") // spec override (env is immutable in-JVM)
       .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-ann-index")
@@ -54,7 +54,7 @@ object SimilarityQueries {
     * lived (path) — rewriting the data at the same path can never serve a
     * stale index, and the same data at two paths shares one artifact.
     */
-  private def corpusKey(spark: SparkSession, dir: String): String =
+  private[analytics] def corpusKey(spark: SparkSession, dir: String): String =
     s"emb-${AnnIndex.sourceFingerprint(spark, s"$dir/embeddings.parquet")}"
 
   /** Exact brute-force cosine top-10 for each query vector
