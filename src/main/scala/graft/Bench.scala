@@ -69,6 +69,7 @@ object Bench {
       "q_dedup_minhash_lsh" -> "dedup-chain member (reuses cached chain)",
       "q_dedup_ngram_jaccard" -> "dedup-chain member (reuses cached minhash; cold: 32-band LSH+verify)",
       "q_dedup_components" -> "dedup-chain member (reuses cached pair set)",
+      "q_dedup_incremental" -> "dedup-chain member (reuses cached minhash; delta-probes-corpus bands)",
       "q_neighbor_topk" -> "dedup-chain member (reuses cached pair set)",
       "q_knn_ivf_kmeans" -> "ANN index consumer (trains coarse k-means only if no memo/artifact)",
       "q_knn_pq" -> "ANN index consumer (trains PQ books only if no memo/artifact)",

@@ -154,14 +154,23 @@ object DedupQueries {
     * in-bucket pair expansion emits sorted (id_a < id_b) pairs, deduped
     * across bands.
     */
-  private def lshCandidates(per: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** The banded bucket keys of a 128-slot `mhsig` column: one
+    * (band, sig) struct per band, sig = xxhash64 of that band's
+    * signature slots. Shared by the self-join candidate generator and
+    * the incremental (delta-probes-corpus) generator.
+    */
+  private def bandStructs(bands: Int, rowsPerBand: Int) = {
     require(bands * rowsPerBand <= 128, // graft_minhash128 signature width
       s"band shape $bands×$rowsPerBand exceeds the 128-slot signature")
-    val bandCols = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rowsPerBand).map(r =>
           element_at(col("mhsig"), b * rowsPerBand + r + 1)): _*).as("sig"))
     }
+  }
+
+  private def lshCandidates(per: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = bandStructs(bands, rowsPerBand)
     per
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .groupBy(col("bs.band"), col("bs.sig"))
@@ -224,6 +233,41 @@ object DedupQueries {
     // the LOOP, not the LSH+verify pipeline
     verifyJaccard(per, lshCandidates(per, bands = 16, rowsPerBand = 4), 0.8)
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** INCREMENTAL near-dup (j ≥ 0.8): the new batch ("delta", doc_id % 5
+    * = 4 — today's crawl increment) probed against the STANDING corpus's
+    * LSH index — the daily-ingest shape of every production dedup
+    * deployment. The structural point vs [[qDedupMinhashLsh]]: candidates
+    * come from an equi-join of the delta's band keys against the corpus's
+    * band keys, so corpus×corpus pairs are NEVER expanded — re-running
+    * ingest costs O(|delta| + matches), not O(|corpus|²) re-dedup. At
+    * 100 TB the corpus band table is the persisted LSH index (bucketed by
+    * (band, sig) — see `Bucketing`); the delta's bands shuffle to it and
+    * nothing else moves. Signatures reuse the SAME shared [[minhashPer]]
+    * chain as the batch dedup queries (one shingle+minhash build per
+    * session); verification is the same merge-scan exact-Jaccard engine,
+    * narrow-candidate build side and sort-merge wide join included.
+    * Banding miss probability at the threshold is the (1−0.8⁴)¹⁶ ≈ 4e-8
+    * of the 16×4 shape, so the output equals the oracle's exact
+    * delta×corpus answer.
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val per = minhashPer(spark, dir)
+    val bandCols = bandStructs(bands = 16, rowsPerBand = 4)
+    def bandsOf(df: DataFrame) = df
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val corpusBands = bandsOf(per.filter(col("doc_id") % 5 =!= 4))
+      .withColumnRenamed("doc_id", "id_a")
+    val deltaBands = bandsOf(per.filter(col("doc_id") % 5 === 4))
+      .withColumnRenamed("doc_id", "id_b")
+    val cand = deltaBands
+      .join(corpusBands, Seq("band", "sig"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(per, cand, 0.8)
+      .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
+        col("jaccard"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.7), MinHash-LSH candidate
@@ -604,6 +648,7 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_neighbor_topk" -> qNeighborTopk,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
@@ -742,6 +787,12 @@ object DedupQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+         |SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
+         | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH sh AS (

@@ -118,9 +118,9 @@ class PlanAssertionsSpec extends SparkSpec {
     // scan — the broadcast-query NLJ is its intended shape, like
     // q_knn_brute; candidate pruning is IVF's job, not PQ's)
     Seq("q_dedup_simhash", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
-        "q_dedup_embedding_lsh", "q_knn_ivf_kmeans", "q_knn_ivfpq",
-        "q_knn_ivfpq_res", "q_knn_ivfpq_rerank", "q_range_join",
-        "q_fuzzy_join", "q_dedup_semantic").foreach { q =>
+        "q_dedup_embedding_lsh", "q_dedup_incremental", "q_knn_ivf_kmeans",
+        "q_knn_ivfpq", "q_knn_ivfpq_res", "q_knn_ivfpq_rerank",
+        "q_range_join", "q_fuzzy_join", "q_dedup_semantic").foreach { q =>
       val plan = run(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
