@@ -125,11 +125,47 @@ object SamplingQueries {
         $"alloc", ($"alloc" / $"chars".cast("double")).as("epochs"))
   }
 
+  /** Temperature-flattened domain-mixture weights over the (lang, source)
+    * grid — the other standard multilingual/multi-domain mixing rule
+    * (mC4/PaLM style): sampling weight ∝ p^(1/T), here T = 2 so the
+    * weight is √chars — small domains are up-weighted relative to their
+    * raw share, large ones down-weighted, without UniMax's hard cap
+    * ([[qSampleUnimax]] is the capped alternative; a real pipeline
+    * reports both and picks). The weight is QUANTIZED to
+    * `floor(√chars)` as BIGINT: at corpus magnitudes the quantization is
+    * sub-0.1 %, and it buys full cross-engine determinism — IEEE sqrt is
+    * correctly rounded in both engines and the floor cannot flip (the
+    * gap to the nearest perfect square is ≫ 1 ulp below 2^52), so every
+    * sum in the query is BIGINT-exact and the only doubles are final
+    * divisions of exact integers. No float-accumulation-order hazard
+    * anywhere — the same design rule as [[qSampleUnimax]].
+    *
+    * Scale shape: one rollup shuffle on (lang, source); the mixture
+    * arithmetic runs on the vocabulary-bounded domain grid.
+    */
+  def qSampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = table(spark, dir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").cast("long").as("chars"))
+      .withColumn("w", floor(sqrt($"chars".cast("double"))).cast("long"))
+    val tot = per.agg(sum($"chars").cast("long").as("tot_chars"),
+      sum($"w").cast("long").as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .select($"lang", $"source", $"n_docs", $"chars", $"w",
+        ($"chars".cast("double") / $"tot_chars".cast("double")).as("p_raw"),
+        ($"w".cast("double") / $"tot_w".cast("double")).as("share"),
+        (($"w".cast("double") / $"tot_w".cast("double")) /
+          ($"chars".cast("double") / $"tot_chars".cast("double")))
+          .as("boost"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_topk" -> qSampleTopK,
     "q_sample_weighted" -> qSampleWeighted,
-    "q_sample_unimax" -> qSampleUnimax
+    "q_sample_unimax" -> qSampleUnimax,
+    "q_sample_temperature" -> qSampleTemperature
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,6 +230,21 @@ object SamplingQueries {
         | CASE WHEN capped THEN cap::DOUBLE
         |      ELSE (budget - capped_sum)::DOUBLE / (n_langs - n_capped)::DOUBLE
         | END / chars::DOUBLE AS epochs
-        |FROM flagged CROSS JOIN ca""".stripMargin
+        |FROM flagged CROSS JOIN ca""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH per AS (
+        |  SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |   sum(n_chars)::BIGINT AS chars,
+        |   floor(sqrt(sum(n_chars)::DOUBLE))::BIGINT AS w
+        |  FROM documents GROUP BY 1, 2),
+        | tot AS (
+        |  SELECT sum(chars)::BIGINT AS tot_chars,
+        |   sum(w)::BIGINT AS tot_w FROM per)
+        |SELECT lang, source, n_docs, chars, w,
+        | chars::DOUBLE / tot_chars::DOUBLE AS p_raw,
+        | w::DOUBLE / tot_w::DOUBLE AS share,
+        | (w::DOUBLE / tot_w::DOUBLE)
+        |   / (chars::DOUBLE / tot_chars::DOUBLE) AS boost
+        |FROM per CROSS JOIN tot""".stripMargin
   )
 }
