@@ -204,10 +204,18 @@ object DedupQueries {
     * driver-side job during plan construction.
     */
   private def verifyJaccard(per: DataFrame, cand: DataFrame,
-      threshold: Double): DataFrame = {
-    val a = per.select(col("doc_id").as("a_id"),
+      threshold: Double): DataFrame =
+    verifyJaccardSplit(per, per, cand, threshold)
+
+  /** [[verifyJaccard]] with separate id_a / id_b signature frames — the
+    * incremental shape, where the a-side is the standing corpus and the
+    * b-side a delta whose signatures were computed batch-locally.
+    */
+  private[graft] def verifyJaccardSplit(perA: DataFrame, perB: DataFrame,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    val a = perA.select(col("doc_id").as("a_id"),
       col("hs").as("a_hs"), col("sz").as("a_sz"))
-    val b = per.select(col("doc_id").as("b_id"),
+    val b = perB.select(col("doc_id").as("b_id"),
       col("hs").as("b_hs"), col("sz").as("b_sz"))
     val withA = a.join(cand.hint("shuffle_hash"), col("a_id") === col("id_a"))
       .select(col("id_a"), col("id_b"), col("a_hs"), col("a_sz"))
@@ -254,20 +262,46 @@ object DedupQueries {
     */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val per = minhashPer(spark, dir)
+    incrementalPairs(per.filter(col("doc_id") % 5 =!= 4),
+      per.filter(col("doc_id") % 5 === 4))
+  }
+
+  /** The delta-probes-corpus engine behind [[qDedupIncremental]] and the
+    * streaming ingest sink ([[graft.streaming.IngestDedup]]): band
+    * equi-join candidates (no corpus-internal expansion), then the exact
+    * merge-scan verify with the corpus as the a-side.
+    */
+  private[graft] def incrementalPairs(corpusPer: DataFrame,
+      deltaPer: DataFrame): DataFrame = {
     val bandCols = bandStructs(bands = 16, rowsPerBand = 4)
     def bandsOf(df: DataFrame) = df
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
-    val corpusBands = bandsOf(per.filter(col("doc_id") % 5 =!= 4))
-      .withColumnRenamed("doc_id", "id_a")
-    val deltaBands = bandsOf(per.filter(col("doc_id") % 5 === 4))
-      .withColumnRenamed("doc_id", "id_b")
+    val corpusBands = bandsOf(corpusPer).withColumnRenamed("doc_id", "id_a")
+    val deltaBands = bandsOf(deltaPer).withColumnRenamed("doc_id", "id_b")
     val cand = deltaBands
       .join(corpusBands, Seq("band", "sig"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(per, cand, 0.8)
+    verifyJaccardSplit(corpusPer, deltaPer, cand, 0.8)
       .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
         col("jaccard"))
+  }
+
+  /** Batch-scoped signature frame (doc_id, mhsig, hs, sz) from raw
+    * (doc_id, text) rows — the per-micro-batch face of [[minhashPer]]
+    * (same expressions, no session persist): what a streaming ingest
+    * computes for each arriving delta before probing the standing index.
+    */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("sh"))
+      .distinct()
+      .select(col("doc_id"), xxhash64(col("sh")).as("hx"))
+      .groupBy(col("doc_id"))
+      .agg(expr("graft_minhash128(hx)").as("mhsig"),
+        sort_array(collect_set(col("hx"))).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.7), MinHash-LSH candidate

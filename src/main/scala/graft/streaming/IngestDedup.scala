@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.analytics.DedupQueries
+
+/** One raw document arriving on the ingest stream. */
+final case class IngestDoc(doc_id: Long, text: String)
+
+/** Streaming ingest dedup — "dedup the firehose against the lake": each
+  * micro-batch of arriving documents computes its MinHash signatures
+  * batch-locally, probes the STANDING corpus's LSH band index by
+  * equi-join, and exact-verifies the candidates — the streaming face of
+  * the batch `q_dedup_incremental` (whose DuckDB oracle therefore also
+  * pins THIS pipeline's semantics; `IngestDedupSpec` asserts the parity).
+  *
+  * Scale shape, per batch: O(|batch|) signature build, a band equi-join
+  * against the (bucketed, persisted) corpus index, and a verify join
+  * whose width is bounded by the match count — the corpus is never
+  * re-paired with itself, so steady-state ingest cost is independent of
+  * corpus size beyond the index probe. Delivery is Spark's at-least-once
+  * `foreachBatch`: a replayed batch re-derives the identical pair rows
+  * (pure derivation, deterministic signatures), so any keyed/idempotent
+  * downstream sink (the `UpsertStore` pattern, a MERGE target keyed on
+  * (corpus_id, new_id)) yields exactly-once EFFECT — the same contract as
+  * [[EventStreams.upsertLatest]].
+  */
+object IngestDedup {
+
+  /** Start the ingest-dedup stream: `sink` receives each micro-batch's
+    * verified (corpus_id, new_id, jaccard) pairs plus the batch id.
+    * `corpusPer` is the standing corpus signature frame — at scale, a
+    * persisted index table; callers typically `.persist()` it so every
+    * batch probes memory, not the lake.
+    */
+  def dedupIngest(docs: Dataset[IngestDoc], corpusPer: DataFrame,
+      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
+        sink(DedupQueries.incrementalPairs(
+          corpusPer, DedupQueries.signaturesOf(batch.toDF())), batchId)
+      }
+      .start()
+}

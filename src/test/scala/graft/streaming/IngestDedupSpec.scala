@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Parity of the streaming ingest dedup with the ORACLED batch face: the
+  * same delta documents pushed through the actual foreachBatch sink in
+  * two micro-batches (plus one redelivered) must produce exactly the
+  * pair set `q_dedup_incremental` reports — tying the driver's DuckDB
+  * oracle to the streaming path, the `q_scd1_upsert` pattern applied to
+  * dedup.
+  */
+class IngestDedupSpec extends SparkSpec {
+
+  test("streaming ingest dedup reproduces the oracled batch face") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val corpusPer = graft.analytics.DedupQueries
+      .signaturesOf(docs.filter($"doc_id" % 5 =!= 4)).persist()
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id)
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+
+    // the idempotent keyed sink every production target provides (MERGE
+    // on (corpus_id, new_id)): a set, so redelivery is absorbed
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Double)]()
+    val input = MemoryStream[IngestDoc]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ckpt").toString
+    val q = IngestDedup.dedupIngest(input.toDS(), corpusPer, ckpt) {
+      (pairs, _) =>
+        pairs.collect().foreach(r =>
+          got.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+    }
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable() // at-least-once replay
+    } finally q.stop()
+
+    val batch = graft.analytics.DedupQueries
+      .qDedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain cross-split near-dups")
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === batch,
+      "streaming pair set diverged from the oracled batch face")
+  }
+}
