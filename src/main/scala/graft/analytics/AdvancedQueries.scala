@@ -286,19 +286,31 @@ object AdvancedQueries {
   }
 
   /** Approximate percentiles (Greenwald–Khanna style sketch,
-    * `approx_percentile` accuracy 1000 ⇒ rank error ≤ 1/1000) — the
-    * quantile face of the sketch family: constant memory per group at any
-    * row count, mergeable partials, one pass. No DuckDB oracle
-    * (approximation is engine-specific) — the driver records a rows-only
-    * check and `ApproxSpec` pins the rank-error envelope against the
-    * exact percentiles.
+    * `approx_percentile`) — the quantile face of the sketch family:
+    * memory bounded by the accuracy parameter at any row count, mergeable
+    * partials, one pass.
+    *
+    * `accuracy` is the operator's production knob (default 1000 ⇒ rank
+    * error ≤ N/1000 at O(accuracy) memory per group — the 100 TB
+    * configuration; `ApproxSpec` pins that envelope against the exact
+    * percentiles). The ORACLED face runs at `exactAccuracy`: GK's
+    * guarantee is |rank(returned) − target| ≤ N/accuracy, so once
+    * accuracy > N the bound is < 1 and the integer rank error is 0 —
+    * the sketch returns exactly the element at rank ⌈p·N⌉, which the
+    * DuckDB oracle selects directly. 3e6 covers lineitem group sizes
+    * through sf0.1 (~250 K rows/group) with margin; this face is a
+    * correctness pin, not the scale configuration.
     */
-  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    approxPercentile(spark, dir, accuracy = 3000000)
+
+  def approxPercentile(spark: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame = {
     import spark.implicits._
     table(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+        expr(s"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), $accuracy)")
           .as("pcts"),
         count(lit(1)).as("n"))
       // scalar columns, not the raw array: the driver's rows-only check
@@ -669,14 +681,33 @@ object AdvancedQueries {
         |LEFT JOIN ov ON ov.type_a = ca.event_type
         | AND ov.type_b = cb.event_type""".stripMargin,
     // exact because the KMV sketch is in sparse mode at every test SF —
-    // the sparsity margin is spec-pinned (KmvSpec); q_approx_percentile
-    // stays rows-only by design (GK at accuracy 1000 is genuinely
-    // approximate at sf0.01 group sizes; envelope pinned by ApproxSpec)
+    // the sparsity margin is spec-pinned (KmvSpec)
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         | CAST(count(DISTINCT l_partkey) AS DOUBLE) AS approx_parts,
         | CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS approx_orders,
         | count(*)::BIGINT AS n_rows
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // exact because GK at accuracy > N has integer rank error 0 (see
+    // qApproxPercentile): Spark returns the element at 1-based rank
+    // ⌈p·N⌉ of the sorted group (verified at sf0.001/0.01/0.1, which
+    // also pins the distributed partial-merge path). The accuracy-1000
+    // production envelope stays spec-pinned in ApproxSpec.
+    "q_approx_percentile" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice) AS rk,
+        |   count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        | max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+        |   THEN l_extendedprice END) AS p50,
+        | max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+        |   THEN l_extendedprice END) AS p90,
+        | max(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+        |   THEN l_extendedprice END) AS p99,
+        | max(n)::BIGINT AS n
+        |FROM r GROUP BY 1""".stripMargin
   )
 }

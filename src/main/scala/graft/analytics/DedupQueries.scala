@@ -506,9 +506,29 @@ object DedupQueries {
     * Ascending-index summation in [[graft.functions.ArrayDotProduct]] keeps
     * results bit-identical to the oracle's sequential fold.
     */
+  /** Fail-fast guard for the exact all-pairs baseline: N² cosines and an
+    * N-row broadcast are fine at corpus-sample sizes and an executor-OOM /
+    * cluster-melt at corpus sizes, so refuse to even START the quadratic
+    * plan past a bound. The count comes from parquet footer metadata
+    * (`spark.read.parquet(...).count()` is a metadata-only job — no column
+    * IO), so the gate costs milliseconds. Bound override (specs, deliberate
+    * big-sample runs): system property `graft.dedup.exact.maxRows`.
+    */
+  private def gateExactAllPairs(spark: SparkSession, dir: String): Unit = {
+    val maxRows = sys.props.get("graft.dedup.exact.maxRows")
+      .map(_.toLong).getOrElse(100000L)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    require(n <= maxRows,
+      s"q_dedup_embedding is the EXACT all-pairs baseline (O(N^2) cosines, " +
+      s"O(N) broadcast): $n embeddings exceeds the $maxRows-row gate. " +
+      s"Use q_dedup_embedding_lsh (banded SRP, no quadratic join) at scale, " +
+      s"or raise -Dgraft.dedup.exact.maxRows for a deliberate exact run.")
+  }
+
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
+    gateExactAllPairs(spark, dir)
     val e = table(spark, dir, "embeddings")
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))

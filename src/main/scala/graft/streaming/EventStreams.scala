@@ -288,8 +288,13 @@ object EventStreams {
     import batch.sparkSession.implicits._
     batch
       .groupBy($"user_id")
-      .agg(max(struct(unix_millis($"ts").as("ts_ms"), $"event_id",
-        $"value")).as("v"))
+      // `.cast("timestamp")`: the source column may arrive as TIMESTAMP_NTZ
+      // (the driver's parquet writes isAdjustedToUTC=false micros) and
+      // unix_millis is NTZ-strict; with the session TZ pinned to UTC the
+      // NTZ->TZ cast is the identity on the wall-clock value, so this
+      // matches the oracle's epoch_ms(ts) exactly for either encoding.
+      .agg(max(struct(unix_millis($"ts".cast("timestamp")).as("ts_ms"),
+        $"event_id", $"value")).as("v"))
       .select($"user_id", $"v.ts_ms", $"v.event_id", $"v.value")
       .as[UserLatest]
       .foreachPartition { (rows: Iterator[UserLatest]) =>

@@ -11,8 +11,9 @@ class ApproxSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("approx_percentile stays within the rank-error bound vs exact") {
-    val approx = AdvancedQueries.qApproxPercentile(spark, dir)
+  test("approx_percentile at accuracy 1000 (the production config) stays " +
+      "within the rank-error bound vs exact") {
+    val approx = AdvancedQueries.approxPercentile(spark, dir, accuracy = 1000)
       .select(col("l_returnflag"),
         posexplode(array(col("p50"), col("p90"), col("p99"))))
       .withColumnRenamed("col", "apx")
@@ -32,6 +33,29 @@ class ApproxSpec extends SparkSpec {
       (col("pos") === 2 && (col("apx") < element_at(col("p99"), 1) ||
         col("apx") > element_at(col("p99"), 2))))
     assert(bad.count() === 0)
+  }
+
+  test("q_approx_percentile (accuracy > N) is EXACT: the element at rank " +
+      "ceil(p*n) — the oracled contract") {
+    import org.apache.spark.sql.expressions.Window
+    val exact = graft.GraftSession.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(Window.partitionBy("l_returnflag")
+          .orderBy("l_extendedprice")).as("rk"),
+        count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rk") === ceil(col("n") * 0.5), col("l_extendedprice")))
+          .as("x50"),
+        max(when(col("rk") === ceil(col("n") * 0.9), col("l_extendedprice")))
+          .as("x90"),
+        max(when(col("rk") === ceil(col("n") * 0.99), col("l_extendedprice")))
+          .as("x99"))
+    val j = AdvancedQueries.qApproxPercentile(spark, dir)
+      .join(exact, "l_returnflag")
+    val bad = j.filter(col("p50") =!= col("x50") ||
+      col("p90") =!= col("x90") || col("p99") =!= col("x99"))
+    assert(bad.count() === 0, "GK with accuracy > N must be rank-exact")
   }
 
   test("approx_count_distinct (HLL) stays within its relative-error envelope") {

@@ -149,6 +149,22 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("exact embedding baseline REFUSES to start past the row-count gate") {
+    // the quadratic baseline must fail fast (metadata-only footer count)
+    // when pointed at a corpus-sized table, with a pointer to the banded
+    // scale path — not OOM an executor mid-broadcast
+    val prev = sys.props.put("graft.dedup.exact.maxRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DedupQueries.qDedupEmbedding(spark, "/root/testdata/sf0.001")
+      }
+      assert(e.getMessage.contains("q_dedup_embedding_lsh"), e.getMessage)
+    } finally prev match {
+      case Some(v) => sys.props.put("graft.dedup.exact.maxRows", v)
+      case None => sys.props.remove("graft.dedup.exact.maxRows")
+    }
+  }
+
   test("session stats is a single pass — no join back to the events scan") {
     val plan = run("q_events_session_stats")
     assert(!plan.contains("Join"), plan)
