@@ -51,31 +51,39 @@ object Bench {
     // the suite's deliberate cache sharing identical to a real run.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     // chain attribution: queries sharing a persisted lineage (the dedup
-    // chain: docShingles → minhash → LSH → verify → components) charge the
-    // whole cold build to whichever member runs FIRST in name order —
-    // q_curation_pipeline, alphabetically before q_dedup_*. The suite
-    // total is honest (the chain is built once, like a real multi-query
-    // session); the marker below keeps the PER-QUERY lines honest too, so
-    // a regression in a chain head is distinguishable from a plan
-    // regression in the query itself. Deliberately NOT pre-warmed: warming
-    // would hide the chain's true cost from the total.
+    // chain: docShingles → minhash → LSH → verify) previously charged the
+    // whole cold build to whichever member ran FIRST in name order, which
+    // made that row swing 2-4× with host memory pressure while the real
+    // per-query compute was stable. The build now runs at the top of each
+    // pass as its OWN labeled row (`chain_build`, included in the total —
+    // the cost is not hidden, just correctly named), so every chain
+    // member's line measures that query's own compute and back-to-back
+    // runs stay comparable.
     // ANN markers: training runs AT MOST once per (corpus, params) — the
     // session memo serves passes 2-3 and any persisted artifact under
     // SPARK_GRAFT_INDEX_DIR serves even the first pass, so only a
     // cold-artifact pass-1 line carries index-BUILD cost (by design:
     // search sessions load indexes, they don't train them)
     val chainMembers: Map[String, String] = Map(
-      "q_curation_pipeline" -> "dedup-chain head (cold: shingles+minhash+LSH+verify+components)",
-      "q_dedup_minhash_lsh" -> "dedup-chain member (reuses cached chain)",
-      "q_dedup_ngram_jaccard" -> "dedup-chain member (reuses cached minhash; cold: 32-band LSH+verify)",
-      "q_dedup_components" -> "dedup-chain member (reuses cached pair set)",
-      "q_dedup_incremental" -> "dedup-chain member (reuses cached minhash; delta-probes-corpus bands)",
-      "q_neighbor_topk" -> "dedup-chain member (reuses cached pair set)",
+      "q_curation_pipeline" -> "dedup-chain member (reuses prebuilt chain + components loop)",
+      "q_dedup_minhash_lsh" -> "dedup-chain member (reuses prebuilt pair set)",
+      "q_dedup_ngram_jaccard" -> "dedup-chain member (reuses prebuilt minhash; cold: 32-band LSH+verify)",
+      "q_dedup_components" -> "dedup-chain member (reuses prebuilt pair set)",
+      "q_dedup_incremental" -> "dedup-chain member (reuses prebuilt minhash; delta-probes-corpus bands)",
+      "q_dedup_simhash" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash agg+bands)",
+      "q_neighbor_topk" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_knn_ivf_kmeans" -> "ANN index consumer (trains coarse k-means only if no memo/artifact)",
       "q_knn_pq" -> "ANN index consumer (trains PQ books only if no memo/artifact)",
       "q_knn_ivfpq" -> "ANN index consumer (shares coarse+books artifacts)",
       "q_knn_ivfpq_rerank" -> "ANN index consumer (shares coarse+books artifacts)",
       "q_knn_ivfpq_res" -> "ANN index consumer (shares coarse; residual books if no memo/artifact)")
+    // only pay (and report) the chain build when a consumer is selected —
+    // a targeted SPARK_GRAFT_ONLY run of unrelated queries must not
+    // acquire a surprise row
+    val chainConsumers = Set("q_curation_pipeline", "q_dedup_minhash_lsh",
+      "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_incremental",
+      "q_dedup_simhash", "q_neighbor_topk")
+    val needChain = selected.exists(e => chainConsumers(e._1))
     val best = scala.collection.mutable.Map.empty[String, Double]
     // a query that THROWS must not look like a fast success: record it as
     // -1 (never a plausible duration), print the failure to stderr, and
@@ -84,6 +92,20 @@ object Bench {
     val failed = scala.collection.mutable.Set.empty[String]
     for (p <- 1 to passes) {
       if (p > 1) spark.sharedState.cacheManager.clearCache()
+      if (needChain) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.analytics.DedupQueries.buildChain(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] FAIL chain_build: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            failed += "chain_build"
+            false
+          }
+        val t = (System.nanoTime() - t0) / 1e9
+        if (ok && t < best.getOrElse("chain_build", Double.MaxValue))
+          best("chain_build") = t
+        System.err.println(f"[bench] pass $p ${"chain_build"}%-28s $t%8.3f s  [shared dedup-chain build]")
+      }
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -104,9 +126,10 @@ object Bench {
     }
     // a query with zero successful passes reports -1 and is excluded from
     // the total (a partial-failure query keeps its best successful time)
-    val results = selected.map { case (name, _) =>
-      name -> best.getOrElse(name, -1.0)
-    }
+    val results =
+      (if (needChain) Seq("chain_build" -> best.getOrElse("chain_build", -1.0))
+       else Seq.empty) ++
+      selected.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     // the driver records only the trailing ~2000 chars of output, so the
     // line is laid out to survive truncation FROM THE FRONT: per-query
     // timings first (ascending, so the slowest — the ones worth reading —

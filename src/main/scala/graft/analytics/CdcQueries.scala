@@ -89,10 +89,112 @@ object CdcQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** P7 oracled end-to-end: the reference's ALTER corpus shapes
+    * (`internal/sync_server/sync_test.go:147-156` — DROP COLUMN, ADD
+    * COLUMN FIRST/AFTER, CHANGE rename; MODIFY ignored) applied to the
+    * registry MID-STREAM between three replay phases, exactly where the
+    * streaming pipeline applies binlog DDL between micro-batches
+    * ([[CdcPipeline.start]]). A real binlog's row images always match the
+    * table's schema at that point in the log, so each phase generates its
+    * positional images in the CURRENT layout:
+    *
+    *   phase 0 (event_id%3=0): [event_id, user_id, value]   — v0 schema
+    *     then `DROP COLUMN value`, `ADD COLUMN score bigint FIRST`
+    *   phase 1 (event_id%3=1): [score, event_id, user_id]
+    *     then `ADD COLUMN region varchar(16) AFTER event_id`,
+    *          `CHANGE user_id uid bigint`, and a `MODIFY` that must be a
+    *          no-op
+    *   phase 2 (event_id%3=2): [score, event_id, region, uid]
+    *
+    * Each phase's projection captures the registry snapshot eagerly at
+    * plan-construction time (the per-micro-batch broadcast semantic), so
+    * the lazily-executed union still projects each phase under its own
+    * schema version. The flattened envelope columns — which fields exist,
+    * which are null, which name the row binds to — are the observable
+    * face of the positional evolution ops, reproduced by the DuckDB
+    * oracle from plain `events`.
+    */
+  def cdcDdlEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val registry = new SchemaRegistry()
+    eventTypes.foreach { t =>
+      registry.put(graft.model.TableSchema("app", t, Seq(
+        ColumnDef("event_id", "bigint"),
+        ColumnDef("user_id", "bigint"),
+        ColumnDef("value", "decimal(10,2)"))))
+    }
+    val filter = TaskFilter(databases = Seq("app"))
+    val ev = table(spark, dir, "events")
+    val mod10 = col("event_id") % 10
+    val idS = col("event_id").cast("string")
+    val userS = col("user_id").cast("string")
+    val user1S = (col("user_id") + 1).cast("string")
+    val fmtValue = regexp_replace(format_number(col("value"), 2), ",", "")
+    val scoreS = (col("user_id") % 100).cast("string")
+    val regionS = concat(lit("r"), (col("user_id") % 5).cast("string"))
+    // one phase of the synthetic binlog, images in the CURRENT positional
+    // layout; updates increment user_id in the after image (integer-exact,
+    // oracle-reproducible), deletes carry only the before image
+    def phaseRaw(phase: Int, img: Seq[org.apache.spark.sql.Column],
+        imgAfter: Seq[org.apache.spark.sql.Column]) =
+      ev.filter(col("event_id") % 3 === phase)
+        .select(
+          lit("master.000001").as("file"),
+          col("event_id").as("logPos"),
+          unix_timestamp(col("ts")).as("timestamp"),
+          when(mod10 === 0, "update_rows")
+            .when(mod10 === 1, "delete_rows")
+            .otherwise("write_rows").as("eventType"),
+          lit("app").as("database"),
+          col("event_type").as("table"),
+          when(mod10 === 0, array(array(img: _*), array(imgAfter: _*)))
+            .otherwise(array(array(img: _*))).as("rows"),
+          lit(null: String).as("query"),
+          lit(0).as("errorCode"),
+          lit(null: String).as("nextLogName"),
+          lit(0L).as("position"))
+        .as[graft.model.RawBinlogEvent]
+    def project(raw: org.apache.spark.sql.Dataset[graft.model.RawBinlogEvent]) =
+      graft.cdc.Projector.project(raw, registry.snapshot(), filter)
+    val p0 = project(phaseRaw(0,
+      Seq(idS, userS, fmtValue), Seq(idS, user1S, fmtValue)))
+    eventTypes.foreach { t =>
+      registry.applyDdl("app", s"ALTER TABLE `$t` DROP COLUMN `value`")
+      registry.applyDdl("app", s"ALTER TABLE $t ADD COLUMN score bigint FIRST")
+    }
+    val p1 = project(phaseRaw(1,
+      Seq(scoreS, idS, userS), Seq(scoreS, idS, user1S)))
+    eventTypes.foreach { t =>
+      registry.applyDdl("app",
+        s"ALTER TABLE $t ADD COLUMN region varchar(16) AFTER event_id")
+      registry.applyDdl("app", s"ALTER TABLE $t CHANGE user_id uid bigint")
+      // MODIFY must be ignored (baseinfo.go:129-131) — a regression here
+      // would rename/drop and break the oracle match
+      registry.applyDdl("app", s"ALTER TABLE $t MODIFY uid varchar(32)")
+    }
+    val p2 = project(phaseRaw(2,
+      Seq(scoreS, idS, regionS, userS), Seq(scoreS, idS, regionS, user1S)))
+    def field(name: String) =
+      coalesce(element_at($"after", name), element_at($"before", name))
+    p0.unionByName(p1).unionByName(p2)
+      .select(
+        $"database".as("db"),
+        $"table".as("tbl"),
+        $"action",
+        field("event_id").cast("long").as("event_id"),
+        // the USER column binds to `user_id` in phases 0-1 and to the
+        // renamed `uid` in phase 2 — same physical position, new name
+        coalesce(field("user_id"), field("uid")).cast("long").as("user_id"),
+        field("score").cast("long").as("score"),
+        field("region").as("region"),
+        field("value").as("value_str"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "cdc_envelope" -> cdcEnvelope,
     "cdc_update_pairing" -> cdcUpdatePairing,
-    "cdc_deep_include" -> cdcDeepInclude
+    "cdc_deep_include" -> cdcDeepInclude,
+    "cdc_ddl_evolution" -> cdcDdlEvolution
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +222,24 @@ object CdcQueries {
         |      ELSE 'insert' END AS action,
         | count(*) AS n
         |FROM events WHERE event_type IN ('view','error')
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // schema-evolution observability: which envelope fields exist per
+    // phase, and that the user column is +1 on updates regardless of its
+    // current NAME (user_id → uid after the CHANGE)
+    "cdc_ddl_evolution" ->
+      """SELECT 'app' AS db, event_type AS tbl,
+        | CASE WHEN event_id % 10 = 0 THEN 'update'
+        |      WHEN event_id % 10 = 1 THEN 'delete'
+        |      ELSE 'insert' END AS action,
+        | event_id,
+        | CASE WHEN event_id % 10 = 0 THEN user_id + 1 ELSE user_id END
+        |   AS user_id,
+        | CASE WHEN event_id % 3 = 0 THEN NULL
+        |      ELSE user_id % 100 END AS score,
+        | CASE WHEN event_id % 3 = 2 THEN 'r' || (user_id % 5)
+        |      ELSE NULL END AS region,
+        | CASE WHEN event_id % 3 = 0 THEN printf('%.2f', value)
+        |      ELSE NULL END AS value_str
+        |FROM events""".stripMargin
   )
 }

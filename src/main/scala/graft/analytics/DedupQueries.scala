@@ -233,6 +233,17 @@ object DedupQueries {
     * verify sets would perturb the count with probability ~|vocab|²/2⁶⁵ —
     * negligible at any realistic vocabulary.
     */
+  /** Materialize the shared dedup-chain caches (shingles → minhash
+    * signatures/hash-sets → banded 16×4 LSH → exact-verified pair set) in
+    * one action. Benchmark-attribution hook: the bench charges this to its
+    * own labeled row so each chain CONSUMER's line measures that query's
+    * own compute, not whichever member happened to run first cold.
+    */
+  def buildChain(spark: SparkSession, dir: String): Unit = {
+    qDedupMinhashLsh(spark, dir).count()
+    ()
+  }
+
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val per = minhashPer(spark, dir)
     // persisted: the verified pair set is tiny (near-dup-density-bounded)
