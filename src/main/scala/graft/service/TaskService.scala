@@ -34,16 +34,32 @@ final case class TaskConfig(
     startingOffsets: String = "earliest",
     trigger: String = "available_now", // or processing=<interval>
     schemas: Seq[TableSchema] = Seq.empty,
-    stopSync: Boolean = false) {
+    stopSync: Boolean = false,
+    // bounded historical backfill — the feature the reference DROPPED as
+    // "very performance hungry" (`README.md:75`, `pkg/req_resp.go:72`
+    // start_time): replay from an explicit (segment, line), paced by
+    // maxLinesPerTrigger admission, handing off to live tailing. Takes
+    // precedence over `startingOffsets` when set.
+    startOffset: Option[(String, Long)] = None,
+    maxLinesPerTrigger: Option[Long] = None) {
 
   /** `LegalVerification` analog (`pkg/req_resp.go:19-43`). */
   def validate: Either[String, TaskConfig] =
     if (taskId.trim.isEmpty) Left("task_id must be non-empty")
     else if (sourceDir.trim.isEmpty) Left("source_dir must be non-empty")
     else if (sinkDir.trim.isEmpty) Left("sink_dir must be non-empty")
+    else if (maxLinesPerTrigger.exists(_ <= 0))
+      Left("max_lines_per_trigger must be positive")
     else Right(this)
 
   def filter: TaskFilter = TaskFilter(databases, tables, excludeTables)
+
+  /** The source `startingOffsets` value this config resolves to. */
+  def resolvedStartingOffsets: String = startOffset match {
+    case Some((seg, line)) =>
+      graft.sources.cdc.CdcOffset(seg, line).json()
+    case None => startingOffsets
+  }
 }
 
 object TaskConfig {
@@ -59,7 +75,12 @@ object TaskConfig {
     "starting_offsets" -> MiniJson.str(c.startingOffsets),
     "trigger" -> MiniJson.str(c.trigger),
     "schemas" -> MiniJson.arr(c.schemas.map(schemaJson)),
-    "stop_sync" -> MiniJson.bool(c.stopSync)))
+    "stop_sync" -> MiniJson.bool(c.stopSync),
+    "start_offset" -> c.startOffset.map { case (seg, line) =>
+      JObj.of("segment" -> MiniJson.str(seg), "line" -> MiniJson.num(line))
+    }.getOrElse(MiniJson.JNull),
+    "max_lines_per_trigger" ->
+      c.maxLinesPerTrigger.map(n => MiniJson.num(n)).getOrElse(MiniJson.JNull)))
 
   private def schemaJson(s: TableSchema): JValue = JObj.of(
     "database" -> MiniJson.str(s.database),
@@ -95,7 +116,13 @@ object TaskConfig {
       startingOffsets = s("starting_offsets", "earliest"),
       trigger = s("trigger", "available_now"),
       schemas = schemas,
-      stopSync = (v \ "stop_sync").flatMap(_.asBool).getOrElse(false)
+      stopSync = (v \ "stop_sync").flatMap(_.asBool).getOrElse(false),
+      startOffset = for {
+        so <- (v \ "start_offset")
+        seg <- (so \ "segment").flatMap(_.asString)
+        line <- (so \ "line").flatMap(_.asLong)
+      } yield (seg, line),
+      maxLinesPerTrigger = (v \ "max_lines_per_trigger").flatMap(_.asLong)
     ).validate
   }
 
@@ -173,10 +200,12 @@ final class TaskService(spark: SparkSession, store: TaskStore) {
     c.schemas.foreach(s => if (registry.get(s.database, s.table).isEmpty)
       registry.put(s))
     val pipeline = new CdcPipeline(c.taskId, registry, c.filter)
-    val events = spark.readStream.format("graft-cdc")
+    val reader = spark.readStream.format("graft-cdc")
       .option("path", c.sourceDir)
-      .option("startingOffsets", c.startingOffsets)
-      .load().as[RawBinlogEvent]
+      .option("startingOffsets", c.resolvedStartingOffsets)
+    c.maxLinesPerTrigger.foreach(n =>
+      reader.option("maxLinesPerTrigger", n.toString))
+    val events = reader.load().as[RawBinlogEvent]
     val trigger = c.trigger match {
       case t if t.startsWith("processing=") =>
         Trigger.ProcessingTime(t.stripPrefix("processing="))
@@ -229,8 +258,10 @@ final class TaskService(spark: SparkSession, store: TaskStore) {
           // exactly the "new checkpoint dir + startingOffsets=latest"
           // mapping of SURVEY.md §3.3.
           val fresh = s"${c.checkpointDir.stripSuffix("/")}-v2-${System.nanoTime()}"
+          // a configured historical backfill must not replay again either —
+          // v2 means "from the head", full stop
           c.copy(stopSync = false, startingOffsets = "latest",
-            checkpointDir = fresh)
+            startOffset = None, checkpointDir = fresh)
         }
       store.put(cfg)
       try Right(start(cfg)) catch { case NonFatal(e) => Left(e.getMessage) }

@@ -336,11 +336,29 @@ final class CdcMicroBatchStream(dir: Path, options: Map[String, String],
     if (resSeg.isEmpty) avail else CdcOffset(resSeg, resLine)
   }
 
-  override def initialOffset(): Offset =
-    options.getOrElse("startingOffsets", "earliest").toLowerCase match {
+  /** S2 + the reference's dropped `start_time` backfill
+    * (`README.md:75`, `pkg/req_resp.go:72` — "very performance hungry"
+    * there because it replays unpaced): `startingOffsets` accepts
+    *   - `latest`   — SHOW MASTER STATUS seeding (tail only);
+    *   - `earliest` — full-log replay;
+    *   - `{"segment":"...","line":N}` — bounded historical backfill from
+    *     an explicit (segment, line). What made it performance-hungry in
+    *     the reference is exactly what admission control fixes here: the
+    *     catch-up drains as maxLinesPerTrigger-bounded, individually
+    *     committed micro-batches, then hands off to live tailing through
+    *     the same offset walk — no special backfill mode to exit.
+    * Only the INITIAL run consults this; a checkpoint restart resumes
+    * from the WAL (S3) as always.
+    */
+  override def initialOffset(): Offset = {
+    val raw = options.getOrElse("startingOffsets",
+      options.getOrElse("startingoffsets", "earliest")).trim
+    if (raw.startsWith("{")) CdcOffset.fromJson(raw)
+    else raw.toLowerCase match {
       case "latest" => latestOffset() // S2: SHOW MASTER STATUS seeding
       case _        => CdcOffset.Beginning
     }
+  }
 
   override def latestOffset(): Offset = {
     val segs = CdcSource.segments(dir)

@@ -158,6 +158,46 @@ class TaskServiceSpec extends SparkSpec {
     }
   }
 
+  test("start_offset task option backfills from a historical position, " +
+      "paced by max_lines_per_trigger, then tails live") {
+    val src = Files.createTempDirectory("svc5-src")
+    val sink = Files.createTempDirectory("svc5-sink")
+    val ckpt = Files.createTempDirectory("svc5-ckpt")
+    // 5-line history; the task wants only from (segment 1, line 3) on —
+    // the reference dropped this (`start_time`, pkg/req_resp.go:72) as
+    // "very performance hungry"; paced admission is what makes it safe
+    seg(src, "b.000001.jsonl", (1 to 5).map(i => line(i, "orders", i)))
+    val store = new TaskStore(Files.createTempDirectory("svc5-store"))
+    val service = new TaskService(spark, store)
+    try {
+      val cfgJson =
+        s"""{
+           |"task_id": "t5", "source_dir": "$src", "sink_dir": "$sink",
+           |"checkpoint_dir": "$ckpt", "database": ["shop"],
+           |"start_offset": {"segment": "b.000001.jsonl", "line": 3},
+           |"max_lines_per_trigger": 1,
+           |"schemas": [{"database": "shop", "table": "orders",
+           |  "columns": [{"name": "id", "type": "bigint"},
+           |              {"name": "name", "type": "varchar(50)"}]}]}""".stripMargin
+      val cfg = TaskConfig.parse(cfgJson).fold(e => fail(e), identity)
+      assert(cfg.startOffset.contains(("b.000001.jsonl", 3L)))
+      assert(cfg.maxLinesPerTrigger.contains(1L))
+      // config round-trips through the durable store (C8)
+      assert(TaskConfig.parse(TaskConfig.toJson(cfg)) == Right(cfg))
+      assert(service.postTask(cfg).isRight)
+      // only lines 4..5 of the history (positions AFTER the offset)
+      assert(await(sinkCount(sink) == 2L), s"sink has ${sinkCount(sink)}")
+      // hand-off to live tailing through the same checkpoint
+      seg(src, "b.000002.jsonl", Seq(line(6, "orders", 6)))
+      assert(service.restorationTask("t5").isRight)
+      assert(await(sinkCount(sink) == 3L), s"sink has ${sinkCount(sink)}")
+      // a validation error, not a silent unpaced replay
+      assert(TaskConfig.parse(cfgJson.replace(
+        """"max_lines_per_trigger": 1""",
+        """"max_lines_per_trigger": 0""")).isLeft)
+    } finally service.stopAll()
+  }
+
   test("debug runtime endpoint reports JVM + app state") {
     val storeDir = Files.createTempDirectory("svc4-store")
     val svc = new TaskService(spark, new TaskStore(storeDir))

@@ -139,6 +139,45 @@ class CdcSourceSpec extends SparkSpec {
     assert(df.as[RawBinlogEvent].collect().map(_.logPos).toSeq == Seq(1L))
   }
 
+  test("historical start offset replays from (segment, line), paced, then " +
+      "hands off to live tailing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcsrc5")
+    val ckpt = Files.createTempDirectory("cdcsrc5-ckpt")
+    // 4 + 3 line backlog; backfill from (segment 1, line 2): the first
+    // two lines of segment 1 are history the task does NOT want
+    seg(dir, "binlog.000001.jsonl", (1 to 4).map(i => line(i, "shop", "orders", i)))
+    seg(dir, "binlog.000002.jsonl", (5 to 7).map(i => line(i, "shop", "orders", i)))
+    val batches = collection.mutable.Buffer.empty[Seq[Long]]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", dir.toString)
+        .option("startingOffsets", """{"segment":"binlog.000001.jsonl","line":2}""")
+        .option("maxLinesPerTrigger", "2")
+        .load().as[RawBinlogEvent]
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[RawBinlogEvent], _: Long) =>
+          batches += b.collect().map(_.logPos).toSeq.sorted
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
+    // only lines >= the historical offset, complete and in order, under
+    // the admission cap throughout the catch-up
+    assert(batches.flatten.toSeq == (3L to 7L), batches)
+    assert(batches.forall(_.length <= 2), batches)
+    // live tail hand-off: new data arrives, the SAME checkpointed task
+    // picks up only the new lines (startingOffsets is initial-run only)
+    seg(dir, "binlog.000003.jsonl", Seq(line(8, "shop", "orders", 8)))
+    batches.clear()
+    run()
+    assert(batches.flatten.toSeq == Seq(8L), batches)
+  }
+
   test("maxLinesPerTrigger paces catch-up into bounded micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdcsrc4")
