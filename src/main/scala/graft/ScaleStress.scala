@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an N× corpus from a driver scale-factor dir for scale-stress
+  * runs of the dedup/ANN/text families (SCALE.md "measured stress" table):
+  *
+  *   sbt "runMain graft.ScaleStress /root/testdata/sf0.1 /tmp/sf0.1x10 10"
+  *   SPARK_GRAFT_SF_DIR=/tmp/sf0.1x10 SPARK_GRAFT_ONLY=... runMain graft.Bench
+  *
+  * Construction (copy k of each row, k = 0..copies-1):
+  *   - `documents`: doc_id += k·10⁹; for k > 0 the text goes through a
+  *     copy-specific BIJECTIVE character map (`translate` with the
+  *     letter/digit alphabets rotated by k — Caesar-style). Within a
+  *     copy every similarity relation is preserved exactly (the map is
+  *     a bijection on characters, so shingle-set overlaps are
+  *     invariant), while across copies the 5-CHAR shingle sets (the
+  *     unit `docShingles` dedups on) are disjoint except for
+  *     space/punct runs — copies are NOT near-duplicates of each
+  *     other, and the corpus keeps the ORGANIC dup density (each
+  *     original near-dup cluster recurs once per copy: dup volume
+  *     grows linearly with corpus size, like a real crawl). A naive
+  *     union WITHOUT the map would plant 10-deep exact-dup clusters
+  *     and grow every LSH bucket 10×, measuring the synthetic data's
+  *     cluster structure instead of the engine's scaling. (A word-level
+  *     salt was tried first and rejected: 5-char shingles INSIDE
+  *     unsalted words survive across copies, which planted ~8× extra
+  *     cross-copy near-dup pairs at j ≥ 0.7.)
+  *   - `embeddings`: vec_id += k·10⁹; the vector is rotated by k
+  *     positions. A rotation of an i.i.d. random vector is statistically
+  *     independent of the original (E[cos] ≈ 0), so copies don't form
+  *     artificial cosine near-dup clusters either.
+  * Both transforms are narrow (no shuffle) — generation is scan-speed.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, copiesS) = args.take(3)
+    val copies = copiesS.toInt
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-scalestress")
+    val idOffset = 1000000000L
+
+    val docs = GraftSession.table(spark, srcDir, "documents")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, k: Int): String = {
+      val n = k % s.length
+      s.drop(n) + s.take(n)
+    }
+    (0 until copies).map { k =>
+      val mapped =
+        if (k == 0) col("text")
+        else translate(col("text"), lower + upper + digits,
+          rot(lower, k) + rot(upper, k) + rot(digits, k))
+      docs.select(
+        (col("doc_id") + lit(k * idOffset)).as("doc_id"),
+        mapped.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = GraftSession.table(spark, srcDir, "embeddings")
+    val dims = emb.selectExpr("size(embedding)").first().getInt(0)
+    (0 until copies).map { k =>
+      val rot =
+        if (k == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), k + 1, dims - k),
+          slice(col("embedding"), 1, k))
+      emb.select(
+        (col("vec_id") + lit(k * idOffset)).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    println(s"[scalestress] wrote ${copies}x documents+embeddings to $outDir")
+    spark.stop()
+  }
+}
+
+/** Measures the banded near-dup chain under a configurable band shape:
+  *
+  *   sbt "runMain graft.ScaleProbe <dir> <bands> <rowsPerBand> <threshold>"
+  *
+  * Prints one JSON line with stage cardinalities + wall time — the
+  * instrument behind SCALE.md's band-shape scaling table. The signature
+  * build (shared chain) is timed separately from the band-dependent
+  * candidate+verify stages so shape comparisons aren't polluted by the
+  * shape-independent cost.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, bandsS, rowsS, thS) = args.take(4)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-scaleprobe")
+    // charge the shared signature chain once, outside the probe timing
+    val t0 = System.nanoTime()
+    analytics.DedupQueries.buildChain(spark, dir)
+    val chainSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val (docs, cand, verified) = analytics.DedupQueries.nearDupStats(
+      spark, dir, bandsS.toInt, rowsS.toInt, thS.toDouble)
+    val probeSec = (System.nanoTime() - t1) / 1e9
+    println(f"""{"dir":"$dir","bands":${bandsS.toInt},"rows":${rowsS.toInt},"threshold":${thS.toDouble},"docs":$docs,"candidates":$cand,"verified":$verified,"chain_sec":$chainSec%.3f,"probe_sec":$probeSec%.3f}""")
+    spark.stop()
+  }
+}

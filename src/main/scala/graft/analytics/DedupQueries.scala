@@ -329,6 +329,24 @@ object DedupQueries {
     * [[graft.functions.VectorExpressions]] as the fixed-vocabulary verifier
     * option.)
     */
+  /** Scale-probe face of the banded near-dup chain (NOT an oracled query):
+    * the same shared signature chain under a CONFIGURABLE band shape,
+    * reporting (docs, LSH candidates, verified pairs). The oracled queries
+    * pin r=4 at test scale; this is how the r-must-grow-with-log-N law is
+    * MEASURED (SCALE.md "10× stress"): with background similarity j₀ > 0
+    * the candidate count is ~N²·b·j₀^r, so holding it linear as N grows
+    * means raising rowsPerBand, not accepting a quadratic verify. All 128
+    * signature slots are available (b·r ≤ 128).
+    */
+  def nearDupStats(spark: SparkSession, dir: String, bands: Int,
+      rowsPerBand: Int, threshold: Double): (Long, Long, Long) = {
+    val per = minhashPer(spark, dir)
+    val cand = lshCandidates(per, bands, rowsPerBand)
+    val nCand = cand.count()
+    val nVerified = verifyJaccard(per, cand, threshold).count()
+    (per.count(), nCand, nVerified)
+  }
+
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val per = minhashPer(spark, dir)
     // persisted for the same reason as [[qDedupMinhashLsh]]: the verified
