@@ -41,6 +41,33 @@ class TableIOSpec extends SparkSpec {
     assert(events.exceptAll(back).count() === 0)
   }
 
+  test("GraftSession.table normalizes every events.ts encoding the driver " +
+      "has shipped (NTZ, int64 nanos, plain timestamp)") {
+    // the driver regenerated events.parquet with a different physical ts
+    // encoding twice already (int64 TIMESTAMP(NANOS) → timestamp[us] NTZ);
+    // this pins that all THREE load as the same session-TZ TimestampType
+    // with identical instants, so the next regeneration is a no-op here
+    val src = graft.GraftSession
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"))
+    def dirFor(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-enc-$tag").toString
+    val ntzDir = dirFor("ntz")
+    src.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val nanosDir = dirFor("nanos")
+    src.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val tzDir = dirFor("tz")
+    src.write.mode("overwrite").parquet(s"$tzDir/events.parquet")
+    Seq(ntzDir, nanosDir, tzDir).foreach { d =>
+      val back = graft.GraftSession.table(spark, d, "events")
+      assert(back.schema("ts").dataType === TimestampType, d)
+      assert(back.exceptAll(src).count() === 0, d)
+      assert(src.exceptAll(back).count() === 0, d)
+    }
+  }
+
   test("an analytics operator runs unchanged over the json copy") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json2").toString
     events.write.mode("overwrite").json(dir)
