@@ -159,9 +159,9 @@ object DedupQueries {
     * signature slots. Shared by the self-join candidate generator and
     * the incremental (delta-probes-corpus) generator.
     */
-  private def bandStructs(bands: Int, rowsPerBand: Int) = {
-    require(bands * rowsPerBand <= 128, // graft_minhash128 signature width
-      s"band shape $bands×$rowsPerBand exceeds the 128-slot signature")
+  private def bandStructs(bands: Int, rowsPerBand: Int, slots: Int = 128) = {
+    require(bands * rowsPerBand <= slots,
+      s"band shape $bands×$rowsPerBand exceeds the $slots-slot signature")
     (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rowsPerBand).map(r =>
@@ -169,8 +169,9 @@ object DedupQueries {
     }
   }
 
-  private def lshCandidates(per: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandCols = bandStructs(bands, rowsPerBand)
+  private def lshCandidates(per: DataFrame, bands: Int, rowsPerBand: Int,
+      slots: Int = 128): DataFrame = {
+    val bandCols = bandStructs(bands, rowsPerBand, slots)
     per
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .groupBy(col("bs.band"), col("bs.sig"))
@@ -340,11 +341,29 @@ object DedupQueries {
     */
   def nearDupStats(spark: SparkSession, dir: String, bands: Int,
       rowsPerBand: Int, threshold: Double): (Long, Long, Long) = {
-    val per = minhashPer(spark, dir)
-    val cand = lshCandidates(per, bands, rowsPerBand)
+    import spark.implicits._
+    // shapes within the shared 128-slot chain reuse its cache; wider
+    // shapes (the b=32 × r=8 = 256-slot corpus calibration) build their
+    // signature from the SAME cached shingle table with graft_minhash256
+    val slots = bands * rowsPerBand
+    val per =
+      if (slots <= 128) minhashPer(spark, dir)
+      else {
+        require(slots <= 256, s"widest registered signature is 256 slots, got $slots")
+        docShingles(spark, dir)
+          .groupBy($"doc_id")
+          .agg(
+            expr("graft_minhash256(hx)").as("mhsig"),
+            sort_array(collect_set($"hx")).as("hs"))
+          .withColumn("sz", size($"hs").cast("long"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    val cand = lshCandidates(per, bands, rowsPerBand, slots = math.max(slots, 128))
     val nCand = cand.count()
     val nVerified = verifyJaccard(per, cand, threshold).count()
-    (per.count(), nCand, nVerified)
+    val nDocs = per.count()
+    if (slots > 128) per.unpersist()
+    (nDocs, nCand, nVerified)
   }
 
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {

@@ -373,6 +373,16 @@ object VectorFunctions {
         MinHash64(exprs.head, numPerms = 128)
       },
       "built-in")
+    // the corpus-scale calibration (SCALE.md "band-shape law"): holding a
+    // hard j ≥ 0.7 recall while keeping candidates linear needs r=8 with
+    // b≈32 ⇒ 256 slots. Same aggregate, same permutation stream.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash256",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_minhash256 takes exactly 1 argument")
+        MinHash64(exprs.head, numPerms = 256)
+      },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv",
       { exprs: Seq[Expression] =>
