@@ -322,6 +322,13 @@ object DedupQueries {
     * signature (see the class doc for the band-shape reasoning and miss
     * bounds; r=2 banding measured degenerate on this corpus).
     *
+    * Band shape is the CORPUS-SCALE knob (SCALE.md "band-shape law",
+    * measured at 10×): r=4 is right at oracle scale but its candidate
+    * constant explodes on boilerplate-heavy corpora; at scale run r=8
+    * (same chain via [[nearDupStats]], `graft_minhash256` for b=32×r=8) —
+    * measured 360× candidate pruning at 50 k docs with the identical
+    * verified output, invariance spec-pinned in `DedupIncrementalSpec`.
+    *
     * (Earlier design note, kept for the record: a global shingle→bit
     * dictionary with bitset signatures verified exactly too, but its
     * dictionary width was a data-dependent `count()` — a driver-side Spark
