@@ -537,6 +537,53 @@ object DedupQueries {
       .distinct()
   }
 
+  /** The CORPUS-SCALE simhash face (SCALE.md band-shape law, measured at
+    * 10×: the 32-bit sketch's 8-bit bands cap band-value cardinality at
+    * 2⁸ and go quadratic once bucket occupancy grows): 60 reproducible
+    * bits — two independent 31-bit polynomial streams (`graft_poly_hash`,
+    * `graft_poly_hash2`), 30 bits each — banded 4×15, so each band ranges
+    * over 2¹⁵ values and bucket occupancy stays density-bound two orders
+    * of magnitude deeper into corpus growth. Hamming ≤ 3 over 60 bits is
+    * the same pigeonhole guarantee (≤ 3 differing bits cannot touch all 4
+    * bands); the tighter relative threshold (3/60 vs 3/32) is the point —
+    * at corpus scale the wide sketch separates near-dups from the noise
+    * floor that the 32-bit sketch's collision mass swamps. Same plan
+    * shape as [[qDedupSimhash]]: band equi-join, xor-popcount verify,
+    * cross-band distinct.
+    */
+  def qDedupSimhash64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // own shingle scan (not the shared [[docShingles]] cache): the second
+    // hash stream needs the shingle STRINGS, and widening the shared
+    // cached projection by 8 B/shingle for one consumer is the wrong
+    // trade — this query is the scale-path demonstrator
+    val sim = table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .repartition($"doc_id")
+      .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
+      .distinct()
+      .select($"doc_id",
+        (expr("graft_poly_hash(sh)") % lit(1073741824L) +
+          (expr("graft_poly_hash2(sh)") % lit(1073741824L)) * lit(1073741824L))
+          .as("h60"))
+      .groupBy($"doc_id")
+      .agg(expr("graft_simhash60(h60)").as("sim"))
+    val banded = sim.select($"doc_id", $"sim",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"sim", 15 * b).bitwiseAND(lit(32767L)).as("bits"))): _*))
+        .as("bb"))
+      .select($"doc_id", $"sim", $"bb.band".as("band"), $"bb.bits".as("bits"))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct()
+  }
+
   // ---------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.46, exact double cosine) —
@@ -759,6 +806,7 @@ object DedupQueries {
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "q_dedup_components" -> qDedupComponents
@@ -915,6 +963,37 @@ object DedupQueries {
          |  SELECT doc_id, i,
          |   sum(CASE WHEN (h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
          |  FROM hh CROSS JOIN range(0, 32) t(i) GROUP BY 1, 2),
+         | simh AS (
+         |  SELECT doc_id,
+         |   sum(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS sim
+         |  FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+         |FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+    // the 60-bit wide-sketch face: two polynomial streams combined into
+    // bits 0-29 / 30-59, bit-majority, all-pairs xor-popcount (the oracle
+    // may be quadratic; the Spark plan is the banded equi-join)
+    "q_dedup_simhash64" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         | hh AS (
+         |  SELECT doc_id,
+         |   list_reduce(list_prepend(7::BIGINT,
+         |      [ascii(c)::BIGINT FOR c IN string_split(sh, '')]),
+         |    (acc, c) -> (acc * 31 + c) % 2147483647) AS h1,
+         |   list_reduce(list_prepend(11::BIGINT,
+         |      [ascii(c)::BIGINT FOR c IN string_split(sh, '')]),
+         |    (acc, c) -> (acc * 31 + c) % 2147483629) AS h2
+         |  FROM sh),
+         | hc AS (
+         |  SELECT doc_id,
+         |   (h1 % 1073741824) + (h2 % 1073741824) * 1073741824 AS h
+         |  FROM hh),
+         | bits AS (
+         |  SELECT doc_id, i,
+         |   sum(CASE WHEN (h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM hc CROSS JOIN range(0, 60) t(i) GROUP BY 1, 2),
          | simh AS (
          |  SELECT doc_id,
          |   sum(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS sim

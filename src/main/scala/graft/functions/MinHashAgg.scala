@@ -112,28 +112,31 @@ case class MinHash64(
   */
 case class SimHash32(
     child: Expression,
+    bits: Int = 32,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
 
+  require(bits >= 1 && bits <= 64, s"simhash width must be 1..64, got $bits")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"graft_simhash32 requires bigint input, got ${dt.simpleString}")
+      s"$prettyName requires bigint input, got ${dt.simpleString}")
   }
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_simhash32"
+  override def prettyName: String = s"graft_simhash$bits"
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](32)
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var i = 0
-      while (i < 32) {
+      while (i < bits) {
         buf(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
         i += 1
       }
@@ -143,7 +146,7 @@ case class SimHash32(
 
   override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
     var i = 0
-    while (i < 32) { a(i) += b(i); i += 1 }
+    while (i < bits) { a(i) += b(i); i += 1 }
     a
   }
 
@@ -151,20 +154,20 @@ case class SimHash32(
   override def eval(buf: Array[Int]): Any = {
     var s = 0L
     var i = 0
-    while (i < 32) { if (buf(i) > 0) s |= 1L << i; i += 1 }
+    while (i < bits) { if (buf(i) > 0) s |= 1L << i; i += 1 }
     s
   }
 
   override def serialize(buf: Array[Int]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(32 * 4)
+    val bb = ByteBuffer.allocate(bits * 4)
     var i = 0
-    while (i < 32) { bb.putInt(buf(i)); i += 1 }
+    while (i < bits) { bb.putInt(buf(i)); i += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Int] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(32)(bb.getInt())
+    Array.fill(bits)(bb.getInt())
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimHash32 =

@@ -276,6 +276,25 @@ object PolyHashImpl {
     }
     acc
   }
+
+  /** An INDEPENDENT second 31-bit polynomial stream (seed 11, modulus
+    * 2³¹−19, also prime): paired with [[hash]] it yields 60+ reproducible
+    * bits for the wide-sketch operators (`graft_simhash60`) without
+    * needing a cross-engine 64-bit hash — both streams replay exactly in
+    * DuckDB as BIGINT-safe folds (acc·31 + cp < 2³⁶).
+    */
+  def hash2(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 11L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483629L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }
 
 /** `graft_poly_hash(s)`: Karp–Rabin polynomial hash of a string — the
@@ -284,23 +303,28 @@ object PolyHashImpl {
   * and evaluates the lambda interpreted per element; this kernel is one
   * static call per row.
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression, stream: Int = 1)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"graft_poly_hash requires string input, got ${dt.simpleString}")
+      s"$prettyName requires string input, got ${dt.simpleString}")
   }
 
   override def dataType: DataType = LongType
 
-  override def prettyName: String = "graft_poly_hash"
+  override def prettyName: String =
+    if (stream == 1) "graft_poly_hash" else "graft_poly_hash2"
+
+  private def impl = if (stream == 1) "hash" else "hash2"
 
   override protected def nullSafeEval(a: Any): Any =
-    PolyHashImpl.hash(a.asInstanceOf[UTF8String])
+    if (stream == 1) PolyHashImpl.hash(a.asInstanceOf[UTF8String])
+    else PolyHashImpl.hash2(a.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.PolyHashImpl.hash($a)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.PolyHashImpl.$impl($a)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
@@ -361,6 +385,24 @@ object VectorFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_simhash32 takes exactly 1 argument")
         SimHash32(exprs.head)
+      },
+      "built-in")
+    // the corpus-scale sketch width (SCALE.md band-shape law): 60
+    // reproducible bits from the two polynomial streams, banded 4×15 so
+    // band-value cardinality (2¹⁵ per band) outruns corpus growth where
+    // the 32-bit sketch's 8-bit bands (2⁸) go quadratic
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash60",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_simhash60 takes exactly 1 argument")
+        SimHash32(exprs.head, bits = 60)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly_hash2",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_poly_hash2 takes exactly 1 argument")
+        PolyHash(exprs.head, stream = 2)
       },
       "built-in")
     // wider signature for low-threshold LSH banding (r=4 × 32 bands keeps
