@@ -284,7 +284,12 @@ object EventStreams {
     * the write set map-side before any store traffic), then upsert per
     * partition. Idempotent by the store's version rule.
     */
-  def mergeBatch(batch: Dataset[StreamEvent], store: UpsertStore): Unit = {
+  /** Reduce a (micro-)batch to ONE row per key: `max` over the
+    * deterministic (ts_ms, event_id) version struct — shrinks the write
+    * set map-side before ANY store traffic. Shared by every upsert
+    * target: the version rule lives here, stores only re-apply it.
+    */
+  def reduceLatest(batch: Dataset[StreamEvent]): Dataset[UserLatest] = {
     import batch.sparkSession.implicits._
     batch
       .groupBy($"user_id")
@@ -297,9 +302,63 @@ object EventStreams {
         $"event_id", $"value")).as("v"))
       .select($"user_id", $"v.ts_ms", $"v.event_id", $"v.value")
       .as[UserLatest]
+  }
+
+  def mergeBatch(batch: Dataset[StreamEvent], store: UpsertStore): Unit =
+    reduceLatest(batch)
       .foreachPartition { (rows: Iterator[UserLatest]) =>
         rows.foreach(store.put)
       }
+
+  /** The TABLE-backed upsert target — the same merge contract as
+    * [[UpsertStore]] (last-writer-wins on the (ts_ms, event_id) version,
+    * idempotent under replay and reordering) materialized as a versioned
+    * parquet snapshot with an atomically-swapped pointer: the
+    * dependency-free stand-in for `MERGE INTO` on a Delta/Iceberg serving
+    * table. Merge = read current snapshot ∪ reduced batch → one
+    * `max(version-struct)` per key → write v(N+1) → move the pointer
+    * (rename is the atomic commit; readers either see vN or vN+1, never a
+    * torn state; a crash between write and move leaves vN intact).
+    *
+    * Scale shape: the merge is one shuffle on user_id over
+    * |store| + |batch| rows — the copy-on-write compaction pattern. A
+    * table format with MERGE (partition-pruned copy-on-write / merge-on-
+    * read deltas) replaces the full rewrite without touching the version
+    * rule or the sink wiring; that swap is configuration, not code.
+    */
+  final class ParquetUpsertStore(dir: String) extends Serializable {
+    private def pointer = new java.io.File(dir, "_CURRENT")
+
+    private def currentVersion: Option[Long] =
+      if (!pointer.exists()) None
+      else Some(new String(java.nio.file.Files.readAllBytes(pointer.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+
+    def snapshot(spark: org.apache.spark.sql.SparkSession): Dataset[UserLatest] = {
+      import spark.implicits._
+      currentVersion match {
+        case Some(v) => spark.read.parquet(s"$dir/v$v").as[UserLatest]
+        case None    => spark.emptyDataset[UserLatest]
+      }
+    }
+
+    def merge(reduced: Dataset[UserLatest]): Unit = {
+      val spark = reduced.sparkSession
+      import spark.implicits._
+      val next = snapshot(spark).unionByName(reduced)
+        .groupBy($"user_id")
+        .agg(max(struct($"ts_ms", $"event_id", $"value")).as("v"))
+        .select($"user_id", $"v.ts_ms", $"v.event_id", $"v.value")
+        .as[UserLatest]
+      val v = currentVersion.getOrElse(-1L) + 1L
+      next.write.mode("overwrite").parquet(s"$dir/v$v")
+      val tmp = new java.io.File(dir, s"_CURRENT.tmp$v")
+      java.nio.file.Files.write(tmp.toPath,
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, pointer.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** Streaming SCD1 upsert sink: keep the LATEST event per user in a
@@ -314,6 +373,20 @@ object EventStreams {
       .outputMode("update")
       .foreachBatch { (batch: Dataset[StreamEvent], _: Long) =>
         mergeBatch(batch, store)
+      }
+      .start()
+
+  /** [[upsertLatest]] against the table-backed store — same contract,
+    * serving-table-on-disk target.
+    */
+  def upsertLatestParquet(events: Dataset[StreamEvent],
+      store: ParquetUpsertStore,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[StreamEvent], _: Long) =>
+        store.merge(reduceLatest(batch))
       }
       .start()
 }

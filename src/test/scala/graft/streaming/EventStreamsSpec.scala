@@ -341,4 +341,46 @@ class EventStreamsSpec extends SparkSpec {
         "streaming sink state diverged from the oracled batch face")
     } finally { q.stop(); store.close() }
   }
+
+  test("ParquetUpsertStore honors the same merge contract as the KV store " +
+      "(parity, replay idempotence, atomic pointer)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.GraftSession.table(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent]
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-pq-upsert").toString
+    val pq = new EventStreams.ParquetUpsertStore(storeDir)
+    val input = MemoryStream[StreamEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-pq-upsert-ckpt").toString
+    val batches = (0 until 3).map(b =>
+      events.filter($"event_id" % 3 === b).collect().toSeq)
+    val q = EventStreams.upsertLatestParquet(input.toDS(), pq, ckpt)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      // at-least-once: redeliver the middle batch
+      input.addData(batches(1)); q.processAllAvailable()
+    } finally q.stop()
+    val table = pq.snapshot(spark).collect()
+      .map(r => (r.user_id, r.ts_ms, r.event_id, r.value)).toSet
+    val oracle = graft.analytics.EventsQueries
+      .qScd1Upsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(table === oracle,
+      "parquet serving table diverged from the oracled batch face")
+    // idempotence at the TABLE level: re-merging an old batch in batch
+    // mode must not move the snapshot (or its version pointer semantics)
+    val before = pq.snapshot(spark).collect().toSet
+    pq.merge(EventStreams.reduceLatest(batches(0).toDS()))
+    assert(pq.snapshot(spark).collect().toSet === before,
+      "replayed batch moved the serving table backwards")
+    // snapshots are versioned dirs + a pointer — the atomic-swap layout
+    val files = new java.io.File(storeDir).list().toSet
+    assert(files.contains("_CURRENT"), files)
+    assert(files.exists(_.startsWith("v")), files)
+  }
 }
