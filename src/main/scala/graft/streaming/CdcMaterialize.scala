@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.MQEvent
+
+/** CDC → queryable CURRENT-STATE table — the downstream-consumer half the
+  * reference promises but stubs out (`internal/mq_manager/{nsq,es,mongodb}`
+  * are `panic("implement me")`): every one of those sinks exists to keep an
+  * external store's row-state in sync with the stream. This is that
+  * materialization, Spark-native: per micro-batch, reduce the envelopes to
+  * the latest change per (table, primary key) and MERGE into a versioned
+  * parquet serving table with an atomically-swapped snapshot pointer (same
+  * layout as [[EventStreams.ParquetUpsertStore]]; a Delta/Iceberg MERGE or
+  * an ES/Mongo bulk-upsert replaces the store without touching the merge
+  * contract).
+  *
+  * Semantics:
+  *   - key = the configured primary-key column per `db.table` (the
+  *     reference pushes that knowledge to consumers; here it is the one
+  *     piece of configuration the materializer needs);
+  *   - version = (event timestamp, logPos) — the binlog emission order.
+  *     Idempotent under at-least-once redelivery and batch reordering by
+  *     the same last-writer-wins rule as the SCD1 sink;
+  *   - DELETE is a first-class tombstone: the latest version wins
+  *     INCLUDING deletes, and [[CdcServingTable.snapshot]] excludes
+  *     tombstoned rows — a re-insert after a delete resurrects the key
+  *     (newer version) while a redelivered stale insert cannot;
+  *   - the after image rides as the envelope's JSON face (`after_json`) so
+  *     the serving row set has ONE fixed schema under DDL evolution —
+  *     consumers recover typed views via `from_json` + the registry
+  *     snapshot, the same contract as the wire envelope.
+  *
+  * Scale shape: one shuffle on (table, pk) over |store| + |batch| rows per
+  * merge — the copy-on-write compaction pattern; partition-pruned MERGE in
+  * a table format replaces the full rewrite as a configuration change.
+  */
+final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
+
+  private def pointer = new java.io.File(dir, "_CURRENT")
+
+  private def currentVersion: Option[Long] =
+    if (!pointer.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(pointer.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+
+  /** Full store content incl. tombstones (for merge + forensics). */
+  def raw(spark: SparkSession): DataFrame = currentVersion match {
+    case Some(v) => spark.read.parquet(s"$dir/v$v")
+    case None =>
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("tbl", StringType), StructField("pk", StringType),
+          StructField("ver_ts", LongType), StructField("ver_pos", LongType),
+          StructField("action", StringType),
+          StructField("after_json", StringType))))
+  }
+
+  /** The serving view: one LIVE row per key (tombstones excluded). */
+  def snapshot(spark: SparkSession): DataFrame =
+    raw(spark).filter(col("action") =!= "delete")
+      .select(col("tbl"), col("pk"), col("after_json"))
+
+  /** Reduce a batch of envelopes to the latest change per key and merge.
+    * Tables without a configured pk are ignored (filter-first: they never
+    * reach the shuffle).
+    */
+  def merge(envelopes: Dataset[MQEvent]): Unit = {
+    val spark = envelopes.sparkSession
+    val pkLit = typedlit(pkOf)
+    val keyed = envelopes.toDF()
+      .withColumn("tbl", concat_ws(".", col("database"), col("table")))
+      .withColumn("pk_col", element_at(pkLit, col("tbl")))
+      .filter(col("pk_col").isNotNull)
+      // delete carries only the before image; its pk comes from there
+      .withColumn("pk", element_at(
+        when(col("action") === "delete", col("before")).otherwise(col("after")),
+        col("pk_col")))
+      .filter(col("pk").isNotNull)
+      .select(col("tbl"), col("pk"),
+        col("eventHeader.timestamp").as("ver_ts"),
+        col("eventHeader.logPos").as("ver_pos"),
+        col("action"),
+        to_json(col("after")).as("after_json"))
+    val next = raw(spark).unionByName(keyed)
+      // struct max = last-writer-wins on (ver_ts, ver_pos); action and the
+      // JSON image ride as deterministic tiebreaks (maps are not orderable,
+      // their JSON face is)
+      .groupBy(col("tbl"), col("pk"))
+      .agg(max(struct(col("ver_ts"), col("ver_pos"), col("action"),
+        col("after_json"))).as("v"))
+      .select(col("tbl"), col("pk"), col("v.ver_ts"), col("v.ver_pos"),
+        col("v.action"), col("v.after_json"))
+    val v = currentVersion.getOrElse(-1L) + 1L
+    next.write.mode("overwrite").parquet(s"$dir/v$v")
+    val tmp = new java.io.File(dir, s"_CURRENT.tmp$v")
+    java.nio.file.Files.write(tmp.toPath,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, pointer.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Drop snapshot versions older than the newest `keep` (the pointer's
+    * target is always kept) — the compaction-GC a long-running sink needs.
+    */
+  def prune(keep: Int = 2): Unit = currentVersion.foreach { cur =>
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toLong).toOption
+        .map(f -> _))
+      .filter { case (_, v) => v <= cur - keep }
+      .foreach { case (f, _) =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(); ()
+        }
+        rm(f)
+      }
+  }
+}

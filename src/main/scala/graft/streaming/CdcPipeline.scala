@@ -58,6 +58,21 @@ final class CdcPipeline(
       checkpointDir: String,
       writer: (DataFrame, Long) => Unit,
       trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    startProjected(events, checkpointDir,
+      (env, batchId) => writer(Envelope.toKafkaFrame(env, taskId), batchId),
+      trigger)
+
+  /** [[start]] with the sink fed the PROJECTED envelopes instead of the
+    * Kafka wire frame — for consumers of the typed envelope stream, e.g.
+    * the current-state materializer ([[CdcServingTable]]). DDL handling
+    * and live filter swap are identical.
+    */
+  def startProjected(
+      events: Dataset[RawBinlogEvent],
+      checkpointDir: String,
+      sink: (Dataset[graft.model.MQEvent], Long) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
     events.writeStream
       .outputMode(OutputMode.Append())
@@ -78,9 +93,7 @@ final class CdcPipeline(
               f.acceptsDatabase(e.database))
             registry.applyDdl(e.database, stmt)
         }
-        val out = Envelope.toKafkaFrame(
-          Projector.project(batch, registry.snapshot(), f), taskId)
-        writer(out, batchId)
+        sink(Projector.project(batch, registry.snapshot(), f), batchId)
       }
       .queryName(s"cdc-$taskId")
       .start()
