@@ -190,11 +190,64 @@ object CdcQueries {
         field("value").as("value_str"))
   }
 
+  /** K4–K6-analog oracled end-to-end: the events table replayed as keyed
+    * CHANGES (pk = user_id, so each key sees its whole event history;
+    * version = (unix ts, event_id) — the (timestamp, logPos) pair) through
+    * the REAL [[graft.streaming.CdcServingTable]] merge as 3 deterministic
+    * batches with the middle one applied TWICE (at-least-once redelivery),
+    * then the serving snapshot read back. The oracle computes the same
+    * current state in SQL: the latest change per (table, user), excluded
+    * if that latest change is a delete — pinning last-writer-wins, the
+    * tombstone rule, and replay idempotence in the driver's hash gate.
+    * The store merges are sink ACTIONS (like the streaming sink they
+    * mirror); the snapshot is store-sized (one live row per key).
+    */
+  def cdcServingState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.CdcServingTable
+    val ev = table(spark, dir, "events")
+    val mod10 = col("event_id") % 10
+    val img = map(
+      lit("event_id"), col("event_id").cast("string"),
+      lit("user_id"), col("user_id").cast("string"),
+      lit("value"), regexp_replace(format_number(col("value"), 2), ",", ""))
+    val emptyImg = typedlit(Map.empty[String, String])
+    val envs = ev.select(
+      lit("app").as("database"),
+      col("event_type").as("table"),
+      when(mod10 === 0, "update").when(mod10 === 1, "delete")
+        .otherwise("insert").as("action"),
+      when(mod10 === 1, img).otherwise(emptyImg).as("before"),
+      when(mod10 === 1, emptyImg).otherwise(img).as("after"),
+      typedlit(Seq.empty[Seq[String]]).as("orgRow"),
+      struct(unix_timestamp(col("ts")).as("timestamp"),
+        col("event_id").as("logPos")).as("eventHeader"),
+      col("event_id").as("batch_key"))
+    val serveDir = java.nio.file.Files
+      .createTempDirectory("graft-serving-state").toString
+    val serving = new CdcServingTable(serveDir,
+      eventTypes.map(t => s"app.$t" -> "user_id").toMap)
+    (0 until 3).foreach { b =>
+      serving.merge(envs.filter($"batch_key" % 3 === b).drop("batch_key")
+        .as[graft.model.MQEvent])
+    }
+    // redeliver batch 1: versions + tombstones must make this a no-op
+    serving.merge(envs.filter($"batch_key" % 3 === 1).drop("batch_key")
+      .as[graft.model.MQEvent])
+    serving.prune(keep = 1)
+    serving.snapshot(spark)
+      .select($"tbl", $"pk".cast("long").as("user_id"),
+        get_json_object($"after_json", "$.event_id").cast("long")
+          .as("last_event_id"),
+        get_json_object($"after_json", "$.value").as("value_str"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "cdc_envelope" -> cdcEnvelope,
     "cdc_update_pairing" -> cdcUpdatePairing,
     "cdc_deep_include" -> cdcDeepInclude,
-    "cdc_ddl_evolution" -> cdcDdlEvolution
+    "cdc_ddl_evolution" -> cdcDdlEvolution,
+    "cdc_serving_state" -> cdcServingState
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,6 +293,19 @@ object CdcQueries {
         |      ELSE NULL END AS region,
         | CASE WHEN event_id % 3 = 0 THEN printf('%.2f', value)
         |      ELSE NULL END AS value_str
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // current state = the LATEST change per (table, user) by the
+    // (timestamp, logPos=event_id) version, excluded when that latest
+    // change is a delete (event_id % 10 = 1) — the tombstone rule
+    "cdc_serving_state" ->
+      """WITH ch AS (
+        |  SELECT 'app.' || event_type AS tbl, user_id, event_id,
+        |   epoch(ts)::BIGINT AS ts_sec, value,
+        |   row_number() OVER (PARTITION BY event_type, user_id
+        |     ORDER BY epoch(ts) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT tbl, user_id, event_id AS last_event_id,
+        | printf('%.2f', value) AS value_str
+        |FROM ch WHERE rk = 1 AND event_id % 10 <> 1""".stripMargin
   )
 }
