@@ -41,7 +41,12 @@ final case class TaskConfig(
     // maxLinesPerTrigger admission, handing off to live tailing. Takes
     // precedence over `startingOffsets` when set.
     startOffset: Option[(String, Long)] = None,
-    maxLinesPerTrigger: Option[Long] = None) {
+    maxLinesPerTrigger: Option[Long] = None,
+    // K4–K6-analog: `db.table -> pk column` entries; when non-empty the
+    // task ALSO maintains a queryable current-state serving table
+    // (CdcServingTable under <sink_dir>/_serving) alongside the envelope
+    // sink — the materialization the reference's ES/Mongo sinks exist for
+    materializePk: Map[String, String] = Map.empty) {
 
   /** `LegalVerification` analog (`pkg/req_resp.go:19-43`). */
   def validate: Either[String, TaskConfig] =
@@ -80,7 +85,9 @@ object TaskConfig {
       JObj.of("segment" -> MiniJson.str(seg), "line" -> MiniJson.num(line))
     }.getOrElse(MiniJson.JNull),
     "max_lines_per_trigger" ->
-      c.maxLinesPerTrigger.map(n => MiniJson.num(n)).getOrElse(MiniJson.JNull)))
+      c.maxLinesPerTrigger.map(n => MiniJson.num(n)).getOrElse(MiniJson.JNull),
+    "materialize" -> JObj(scala.collection.immutable.ListMap.from(
+      c.materializePk.toSeq.sorted.map { case (k, v) => k -> MiniJson.str(v) }))))
 
   private def schemaJson(s: TableSchema): JValue = JObj.of(
     "database" -> MiniJson.str(s.database),
@@ -122,7 +129,10 @@ object TaskConfig {
         seg <- (so \ "segment").flatMap(_.asString)
         line <- (so \ "line").flatMap(_.asLong)
       } yield (seg, line),
-      maxLinesPerTrigger = (v \ "max_lines_per_trigger").flatMap(_.asLong)
+      maxLinesPerTrigger = (v \ "max_lines_per_trigger").flatMap(_.asLong),
+      materializePk = (v \ "materialize").flatMap(_.asObj)
+        .map(_.toSeq.flatMap { case (k, pv) => pv.asString.map(k -> _) }.toMap)
+        .getOrElse(Map.empty)
     ).validate
   }
 
@@ -211,8 +221,19 @@ final class TaskService(spark: SparkSession, store: TaskStore) {
         Trigger.ProcessingTime(t.stripPrefix("processing="))
       case _ => Trigger.AvailableNow()
     }
-    val query = pipeline.start(events, c.checkpointDir,
-      (df, _) => df.write.mode("append").parquet(c.sinkDir),
+    val serving = Option.when(c.materializePk.nonEmpty)(
+      new graft.streaming.CdcServingTable(
+        s"${c.sinkDir.stripSuffix("/")}/_serving", c.materializePk))
+    val query = pipeline.startProjected(events, c.checkpointDir,
+      (envs, _) => {
+        // two consumers of one batch: cache so the projection runs once
+        val cached = envs.persist()
+        try {
+          graft.cdc.Envelope.toKafkaFrame(cached, c.taskId)
+            .write.mode("append").parquet(c.sinkDir)
+          serving.foreach(_.merge(cached))
+        } finally { cached.unpersist(); () }
+      },
       trigger)
     tasks.put(c.taskId, Running(c, registry, pipeline, query))
     c.taskId

@@ -198,6 +198,45 @@ class TaskServiceSpec extends SparkSpec {
     } finally service.stopAll()
   }
 
+  test("materialize task option maintains a current-state serving table " +
+      "beside the envelope sink") {
+    val src = Files.createTempDirectory("svc6-src")
+    val sink = Files.createTempDirectory("svc6-sink")
+    val ckpt = Files.createTempDirectory("svc6-ckpt")
+    seg(src, "b.000001.jsonl", Seq(
+      line(1, "orders", 1), line(2, "orders", 2),
+      // delete row 2 (before image only)
+      s"""{"file":"b.1","logPos":3,"timestamp":1003,"eventType":"delete_rows","database":"shop","table":"orders","rows":[["2","n2"]],"errorCode":0,"position":0}"""))
+    val store = new TaskStore(Files.createTempDirectory("svc6-store"))
+    val service = new TaskService(spark, store)
+    try {
+      val cfgJson =
+        s"""{
+           |"task_id": "t6", "source_dir": "$src", "sink_dir": "$sink",
+           |"checkpoint_dir": "$ckpt", "database": ["shop"],
+           |"materialize": {"shop.orders": "id"},
+           |"schemas": [{"database": "shop", "table": "orders",
+           |  "columns": [{"name": "id", "type": "bigint"},
+           |              {"name": "name", "type": "varchar(50)"}]}]}""".stripMargin
+      val cfg = TaskConfig.parse(cfgJson).fold(e => fail(e), identity)
+      assert(cfg.materializePk === Map("shop.orders" -> "id"))
+      assert(TaskConfig.parse(TaskConfig.toJson(cfg)) == Right(cfg))
+      assert(service.postTask(cfg).isRight)
+      // AvailableNow drains and self-terminates; surface any sink failure
+      assert(await(service.get("t6").exists(!_.query.isActive)))
+      service.get("t6").flatMap(r => Option(r.query.exception.orNull))
+        .foreach(e => fail(s"query failed: ${e.cause}", e))
+      // envelope sink still gets all 3 events
+      assert(sinkCount(sink) === 3L, s"sink has ${sinkCount(sink)}")
+      // serving table holds CURRENT state: row 1 live, row 2 tombstoned
+      val serving = new graft.streaming.CdcServingTable(
+        s"$sink/_serving", Map("shop.orders" -> "id"))
+      val live = serving.snapshot(spark).collect()
+        .map(r => r.getAs[String]("pk")).toSet
+      assert(live === Set("1"), s"expected only pk 1 live, got $live")
+    } finally service.stopAll()
+  }
+
   test("debug runtime endpoint reports JVM + app state") {
     val storeDir = Files.createTempDirectory("svc4-store")
     val svc = new TaskService(spark, new TaskStore(storeDir))
