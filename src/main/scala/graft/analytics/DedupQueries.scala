@@ -58,18 +58,22 @@ object DedupQueries {
     "transform(sequence(1, greatest(length(text) - 4, 1))," +
       " i -> substring(text, i, 5))"
 
-  /** (doc_id, hx, hp) — the DISTINCT shingle set of each doc, carried as
-    * its two hash projections: `hx` = xxhash64 (MinHash / verify-set
-    * stream) and `hp` = the Karp–Rabin polynomial hash (SimHash stream).
-    * One narrow projection + explode + dedup. The distinct runs on the
-    * shingle STRINGS (exactly the oracle's set semantics — deduping on a
-    * hash would collapse rare colliding shingles the oracle still counts)
-    * and costs NO exchange (grouping on (doc_id, sh) is satisfied by the
-    * doc_id clustering below — subset rule); the strings then DIE inside
-    * the same stage — only the 16 bytes of hashes per shingle reach the
-    * cache. Measured at sf0.1 this cuts the cached chain ~3× (~9.5 M
-    * shingle strings otherwise live in cache for the life of the suite)
-    * and with it the GC load every downstream dedup query inherits.
+  /** (doc_id, hx, hp, hp2) — the DISTINCT shingle set of each doc, carried
+    * as its hash projections: `hx` = xxhash64 (MinHash / verify-set
+    * stream), `hp` = the Karp–Rabin polynomial hash (SimHash stream) and
+    * `hp2` = the independent second polynomial stream (the wide-simhash
+    * bits — 8 B/shingle buys the 60-bit sketch a free ride on this cache
+    * instead of a second corpus scan+explode+distinct, measured ~5 s at
+    * sf0.1). One narrow projection + explode + dedup. The distinct runs on
+    * the shingle STRINGS (exactly the oracle's set semantics — deduping on
+    * a hash would collapse rare colliding shingles the oracle still
+    * counts) and costs NO exchange (grouping on (doc_id, sh) is satisfied
+    * by the doc_id clustering below — subset rule); the strings then DIE
+    * inside the same stage — only the 24 bytes of hashes per shingle reach
+    * the cache. Measured at sf0.1 dropping the strings cuts the cached
+    * chain ~3× (~9.5 M shingle strings otherwise live in cache for the
+    * life of the suite) and with it the GC load every downstream dedup
+    * query inherits.
     *
     * Persisted (memory-and-disk, spill-safe): the dedup suite consumes the
     * exploded shingles from several independent stages and Spark's
@@ -93,7 +97,8 @@ object DedupQueries {
       .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
       .distinct()
       .select($"doc_id", xxhash64($"sh").as("hx"),
-        expr("graft_poly_hash(sh)").as("hp"))
+        expr("graft_poly_hash(sh)").as("hp"),
+        expr("graft_poly_hash2(sh)").as("hp2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -554,19 +559,14 @@ object DedupQueries {
   def qDedupSimhash64(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    // own shingle scan (not the shared [[docShingles]] cache): the second
-    // hash stream needs the shingle STRINGS, and widening the shared
-    // cached projection by 8 B/shingle for one consumer is the wrong
-    // trade — this query is the scale-path demonstrator
-    val sim = table(spark, dir, "documents")
-      .select($"doc_id", $"text")
-      .repartition($"doc_id")
-      .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
-      .distinct()
+    // rides the shared [[docShingles]] cache (which carries BOTH
+    // polynomial streams precisely for this consumer): the 60-bit value
+    // is a cheap scalar combine of the cached hashes — no second corpus
+    // scan anywhere in this query
+    val sim = docShingles(spark, dir)
       .select($"doc_id",
-        (expr("graft_poly_hash(sh)") % lit(1073741824L) +
-          (expr("graft_poly_hash2(sh)") % lit(1073741824L)) * lit(1073741824L))
-          .as("h60"))
+        ($"hp" % lit(1073741824L) +
+          ($"hp2" % lit(1073741824L)) * lit(1073741824L)).as("h60"))
       .groupBy($"doc_id")
       .agg(expr("graft_simhash60(h60)").as("sim"))
     val banded = sim.select($"doc_id", $"sim",
