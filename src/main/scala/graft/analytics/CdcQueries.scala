@@ -227,13 +227,18 @@ object CdcQueries {
       .createTempDirectory("graft-serving-state").toString
     val serving = new CdcServingTable(serveDir,
       eventTypes.map(t => s"app.$t" -> "user_id").toMap)
-    (0 until 3).foreach { b =>
-      serving.merge(envs.filter($"batch_key" % 3 === b).drop("batch_key")
+    // four merge ACTIONS consume the same adapter output — cache it so
+    // the events scan + envelope build runs once, not once per batch
+    val cached = envs.persist()
+    try {
+      (0 until 3).foreach { b =>
+        serving.merge(cached.filter($"batch_key" % 3 === b).drop("batch_key")
+          .as[graft.model.MQEvent])
+      }
+      // redeliver batch 1: versions + tombstones must make this a no-op
+      serving.merge(cached.filter($"batch_key" % 3 === 1).drop("batch_key")
         .as[graft.model.MQEvent])
-    }
-    // redeliver batch 1: versions + tombstones must make this a no-op
-    serving.merge(envs.filter($"batch_key" % 3 === 1).drop("batch_key")
-      .as[graft.model.MQEvent])
+    } finally { cached.unpersist(); () }
     serving.prune(keep = 1)
     serving.snapshot(spark)
       .select($"tbl", $"pk".cast("long").as("user_id"),
