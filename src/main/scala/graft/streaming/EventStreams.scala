@@ -174,6 +174,32 @@ object EventStreams {
       .select($"w.start".as("window_start"), $"cms", $"n")
   }
 
+  /** Windowed approximate quantiles on the stream: GK-sketch percentiles
+    * (p50/p90/p99 of `value`) per tumbling hour × event type — the
+    * streaming face of the quantile path (`q_approx_percentile`), i.e.
+    * the latency/size-percentile dashboards every event pipeline serves.
+    * `approx_percentile` is an ImperativeAggregate with mergeable
+    * partials, so its buffer lives in the streaming state store exactly
+    * like the CMS sketch above; state per (window, type) is
+    * O(accuracy), not O(rows) — the property that makes per-window
+    * percentiles runnable on an unbounded stream. Accuracy here is the
+    * production config (1000 ⇒ rank error ≤ N/1000); `EventStreamsSpec`
+    * pins cross-batch accumulation ≡ one batch pass over the same rows.
+    */
+  def windowedPercentiles(events: Dataset[StreamEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
+        .as("pcts"), count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"event_type",
+        element_at($"pcts", 1).as("p50"),
+        element_at($"pcts", 2).as("p90"),
+        element_at($"pcts", 3).as("p99"),
+        $"n")
+  }
+
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** Gap-based sessionization with explicit state: a session closes when a

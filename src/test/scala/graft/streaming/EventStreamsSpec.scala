@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{count, lit, xxhash64}
+import org.apache.spark.sql.functions.{count, element_at, expr, lit, window, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -250,6 +250,42 @@ class EventStreamsSpec extends SparkSpec {
       // unless all 4 rows collide (probability ~(2/256)^4)
       assert(graft.functions.CmsKernel.estimate(cms, hashOf("click"), 4) === 3L)
       assert(graft.functions.CmsKernel.estimate(cms, hashOf("view"), 4) === 1L)
+    } finally q.stop()
+  }
+
+  test("windowed approx-percentiles: GK buffers merge across batches in " +
+      "the state store; result equals the one-batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // values chosen so every quantile is a distinct element — any
+    // cross-batch merge bug shifts a rank and changes the output
+    val hour0 = (1 to 20).map(i => ev(i, (i % 55).toLong, value = i * 1.0))
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedPercentiles(input.toDS())
+      .writeStream.format("memory").queryName("wpct")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour-0 rows split across TWO batches: the sketch buffers must
+      // merge in the state store, not restart per batch
+      input.addData(hour0.take(8))
+      q.processAllAvailable()
+      input.addData(hour0.drop(8))
+      q.processAllAvailable()
+      input.addData(ev(99, 500)) // advance watermark → finalize hour 0
+      q.processAllAvailable()
+      val streamed = spark.table("wpct")
+        .filter($"window_start" === ts(0)).collect().head
+      // one batch pass over the same rows = the reference answer
+      val batch = hour0.toDS()
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
+          .as("p"))
+        .select(element_at($"p", 1), element_at($"p", 2), element_at($"p", 3))
+        .collect().head
+      assert(streamed.getDouble(2) === batch.getDouble(0), "p50")
+      assert(streamed.getDouble(3) === batch.getDouble(1), "p90")
+      assert(streamed.getDouble(4) === batch.getDouble(2), "p99")
+      assert(streamed.getLong(5) === 20L)
     } finally q.stop()
   }
 
