@@ -35,9 +35,15 @@ import org.apache.spark.sql.functions._
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, copiesS) = args.take(3)
-    val copies = copiesS.toInt
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-scalestress")
+    generate(spark, srcDir, outDir, copiesS.toInt)
+    println(s"[scalestress] wrote ${copiesS}x documents+embeddings to $outDir")
+    spark.stop()
+  }
+
+  def generate(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      outDir: String, copies: Int): Unit = {
     val idOffset = 1000000000L
 
     val docs = GraftSession.table(spark, srcDir, "documents")
@@ -73,9 +79,7 @@ object ScaleStress {
         rot.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-
-    println(s"[scalestress] wrote ${copies}x documents+embeddings to $outDir")
-    spark.stop()
+    ()
   }
 }
 

@@ -41,6 +41,22 @@ class TableIOSpec extends SparkSpec {
     assert(events.exceptAll(back).count() === 0)
   }
 
+  test("orc round-trip preserves the events surface (columnar alternative " +
+      "to parquet, predicate pushdown intact)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    events.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(schema).orc(dir)
+    assert(back.count() === events.count())
+    assert(back.exceptAll(events).count() === 0)
+    assert(events.exceptAll(back).count() === 0)
+    // ORC scans push predicates like parquet — the scan node must carry
+    // the filter, not evaluate it post-scan only
+    val plan = back.filter(col("event_id") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id,42)]"),
+      plan)
+  }
+
   test("GraftSession.table normalizes every events.ts encoding the driver " +
       "has shipped (NTZ, int64 nanos, plain timestamp)") {
     // the driver regenerated events.parquet with a different physical ts
