@@ -71,6 +71,7 @@ object Bench {
       "q_dedup_components" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_dedup_incremental" -> "dedup-chain member (reuses prebuilt minhash; delta-probes-corpus bands)",
       "q_dedup_simhash" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash agg+bands)",
+      "q_dedup_simhash64" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash64 agg+bands)",
       "q_neighbor_topk" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_knn_ivf_kmeans" -> "ANN index consumer (trains coarse k-means only if no memo/artifact)",
       "q_knn_pq" -> "ANN index consumer (trains PQ books only if no memo/artifact)",
@@ -82,7 +83,7 @@ object Bench {
     // acquire a surprise row
     val chainConsumers = Set("q_curation_pipeline", "q_dedup_minhash_lsh",
       "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_incremental",
-      "q_dedup_simhash", "q_neighbor_topk")
+      "q_dedup_simhash", "q_dedup_simhash64", "q_neighbor_topk")
     val needChain = selected.exists(e => chainConsumers(e._1))
     val best = scala.collection.mutable.Map.empty[String, Double]
     // a query that THROWS must not look like a fast success: record it as

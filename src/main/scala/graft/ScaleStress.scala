@@ -46,12 +46,22 @@ object ScaleStress {
       outDir: String, copies: Int): Unit = {
     val idOffset = 1000000000L
 
+    // cross-copy shingle disjointness requires every character class to be
+    // rotated by a DISTINCT non-zero amount per copy: the rotation amount
+    // 1 + (k-1) % (len-1) is never 0 (plain k % len is the identity at
+    // k = 10 for digits, k = 26 for letters — digit-heavy shingles would
+    // survive verbatim into those copies), and amounts stay distinct across
+    // copies only while k-1 < len-1, so the strict guarantee holds for the
+    // digit alphabet up to 10 copies — the harness's measured range.
+    require(copies <= 10,
+      s"copies=$copies: cross-copy shingle disjointness is only guaranteed " +
+        "for copies <= 10 (digit rotation amounts repeat beyond that)")
     val docs = GraftSession.table(spark, srcDir, "documents")
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     val digits = "0123456789"
     def rot(s: String, k: Int): String = {
-      val n = k % s.length
+      val n = 1 + (k - 1) % (s.length - 1)
       s.drop(n) + s.take(n)
     }
     (0 until copies).map { k =>

@@ -221,7 +221,8 @@ object CdcQueries {
       when(mod10 === 1, emptyImg).otherwise(img).as("after"),
       typedlit(Seq.empty[Seq[String]]).as("orgRow"),
       struct(unix_timestamp(col("ts")).as("timestamp"),
-        col("event_id").as("logPos")).as("eventHeader"),
+        col("event_id").as("logPos"),
+        lit("").as("segment")).as("eventHeader"),
       col("event_id").as("batch_key"))
     val serveDir = java.nio.file.Files
       .createTempDirectory("graft-serving-state").toString

@@ -44,7 +44,8 @@ object Projector {
       e: RawBinlogEvent,
       columns: Option[Seq[String]]
   ): Seq[MQEvent] = {
-    val header = EventHeader(e.timestamp, e.logPos)
+    val header = EventHeader(e.timestamp, e.logPos,
+      Option(e.file).getOrElse(""))
     Actions.ofEventType(e.eventType) match {
       case None => Seq.empty
       case Some(action) =>
@@ -161,7 +162,7 @@ object Projector {
       // maps
       .filter(forall($"rows", r => size(r) === size($"cols")))
       .select($"database", $"table", $"action", $"cols",
-        $"timestamp", $"logPos",
+        $"timestamp", $"logPos", $"file",
         explode(
           when($"action" === Actions.Insert, insertUnits)
             .when($"action" === Actions.Delete, deleteUnits)
@@ -173,7 +174,8 @@ object Projector {
         when($"action" === Actions.Update, array($"u.b", $"u.a"))
           .when($"action" === Actions.Insert, array($"u.a"))
           .otherwise(array($"u.b")).as("orgRow"),
-        struct($"timestamp", $"logPos").as("eventHeader"))
+        struct($"timestamp", $"logPos",
+          coalesce($"file", lit("")).as("segment")).as("eventHeader"))
       .as[MQEvent]
   }
 }

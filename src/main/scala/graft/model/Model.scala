@@ -17,8 +17,20 @@ package graft.model
 
 /** Binlog header carried on every emitted event.
   * Reference: `pkg/mq_config.go:33-36`.
+  *
+  * `segment` (the source binlog file name) is graft-internal version
+  * context, NOT part of the reference's wire header: `logPos` resets to ~4
+  * on file rotation and `timestamp` is second-granularity, so
+  * (timestamp, logPos) alone cannot order two events straddling a rotation
+  * within one second. Downstream last-writer-wins merges order on
+  * (timestamp, segment, logPos) — segment names carry a zero-padded numeric
+  * suffix (`master.000001` < `master.000002`), so lexicographic order IS
+  * rotation order, the same invariant [[graft.sources.cdc.CdcOffset]]'s
+  * segment walk relies on. [[graft.cdc.Envelope.valueColumn]] serializes
+  * only (timestamp, log_pos), keeping the wire face reference-shaped.
   */
-final case class EventHeader(timestamp: Long, logPos: Long)
+final case class EventHeader(timestamp: Long, logPos: Long,
+    segment: String = "")
 
 /** The output envelope — one change event with named before/after images.
   * Reference: `pkg/mq_config.go:23-36`. `orgRow` keeps the raw positional

@@ -353,7 +353,16 @@ final class CdcMicroBatchStream(dir: Path, options: Map[String, String],
   override def initialOffset(): Offset = {
     val raw = options.getOrElse("startingOffsets",
       options.getOrElse("startingoffsets", "earliest")).trim
-    if (raw.startsWith("{")) CdcOffset.fromJson(raw)
+    if (raw.startsWith("{")) {
+      // fail fast: fromJson defaults missing keys to ("", 0) == Beginning,
+      // so a typo like {"seg":...} would silently become the unpaced
+      // full-log replay that bounded backfill exists to prevent
+      val o = CdcOffset.fromJson(raw)
+      require(o.segment.nonEmpty,
+        s"""startingOffsets JSON must carry a non-empty "segment" """ +
+          s"""(got: $raw); use startingOffsets=earliest for a full replay""")
+      o
+    }
     else raw.toLowerCase match {
       case "latest" => latestOffset() // S2: SHOW MASTER STATUS seeding
       case _        => CdcOffset.Beginning

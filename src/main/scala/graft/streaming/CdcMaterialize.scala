@@ -20,9 +20,16 @@ import graft.model.MQEvent
   *   - key = the configured primary-key column per `db.table` (the
   *     reference pushes that knowledge to consumers; here it is the one
   *     piece of configuration the materializer needs);
-  *   - version = (event timestamp, logPos) — the binlog emission order.
-  *     Idempotent under at-least-once redelivery and batch reordering by
-  *     the same last-writer-wins rule as the SCD1 sink;
+  *   - version = (event timestamp, segment, logPos) — the binlog emission
+  *     order ACROSS file rotation: logPos resets on rotate and timestamps
+  *     are second-granularity, so the segment name (lexicographic =
+  *     rotation order, see [[graft.model.EventHeader]]) breaks the
+  *     intra-second tie a rotation can produce. Idempotent under
+  *     at-least-once redelivery and batch reordering by the same
+  *     last-writer-wins rule as the SCD1 sink. On a FULL version tie (the
+  *     same physical event redelivered) the struct-max falls through to
+  *     (action, after_json) — deterministic, and a no-op because a
+  *     redelivered event carries identical values there too;
   *   - DELETE is a first-class tombstone: the latest version wins
   *     INCLUDING deletes, and [[CdcServingTable.snapshot]] excludes
   *     tombstoned rows — a re-insert after a delete resurrects the key
@@ -54,7 +61,8 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
           StructField("tbl", StringType), StructField("pk", StringType),
-          StructField("ver_ts", LongType), StructField("ver_pos", LongType),
+          StructField("ver_ts", LongType), StructField("ver_seg", StringType),
+          StructField("ver_pos", LongType),
           StructField("action", StringType),
           StructField("after_json", StringType))))
   }
@@ -82,18 +90,20 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
       .filter(col("pk").isNotNull)
       .select(col("tbl"), col("pk"),
         col("eventHeader.timestamp").as("ver_ts"),
+        coalesce(col("eventHeader.segment"), lit("")).as("ver_seg"),
         col("eventHeader.logPos").as("ver_pos"),
         col("action"),
         to_json(col("after")).as("after_json"))
     val next = raw(spark).unionByName(keyed)
-      // struct max = last-writer-wins on (ver_ts, ver_pos); action and the
-      // JSON image ride as deterministic tiebreaks (maps are not orderable,
-      // their JSON face is)
+      // struct max = last-writer-wins on (ver_ts, ver_seg, ver_pos) — the
+      // rotation-safe emission order; action and the JSON image ride as
+      // deterministic tiebreaks (maps are not orderable, their JSON face
+      // is), reached only when the same physical event is redelivered
       .groupBy(col("tbl"), col("pk"))
-      .agg(max(struct(col("ver_ts"), col("ver_pos"), col("action"),
-        col("after_json"))).as("v"))
-      .select(col("tbl"), col("pk"), col("v.ver_ts"), col("v.ver_pos"),
-        col("v.action"), col("v.after_json"))
+      .agg(max(struct(col("ver_ts"), col("ver_seg"), col("ver_pos"),
+        col("action"), col("after_json"))).as("v"))
+      .select(col("tbl"), col("pk"), col("v.ver_ts"), col("v.ver_seg"),
+        col("v.ver_pos"), col("v.action"), col("v.after_json"))
     val v = currentVersion.getOrElse(-1L) + 1L
     next.write.mode("overwrite").parquet(s"$dir/v$v")
     val tmp = new java.io.File(dir, s"_CURRENT.tmp$v")

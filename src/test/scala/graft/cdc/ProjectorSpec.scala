@@ -21,7 +21,7 @@ class ProjectorSpec extends SparkSpec {
     assert(out.head.after == Map("id" -> "1", "name" -> "ada", "qty" -> "10"))
     assert(out.head.before.isEmpty)
     assert(out.head.orgRow == Seq(Seq("1", "ada", "10")))
-    assert(out.head.eventHeader == EventHeader(1000L, 42L))
+    assert(out.head.eventHeader == EventHeader(1000L, 42L, "master.000001"))
   }
 
   test("P2 delete: row image lands in `before`") {

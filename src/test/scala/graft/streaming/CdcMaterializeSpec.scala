@@ -16,13 +16,13 @@ import graft.registry.SchemaRegistry
 class CdcMaterializeSpec extends SparkSpec {
 
   private def env(action: String, id: Long, name: String, ts: Long,
-      pos: Long): MQEvent = {
+      pos: Long, seg: String = ""): MQEvent = {
     val img = Map("id" -> id.toString, "name" -> name)
     MQEvent("shop", "orders", action,
       before = if (action == "insert") Map.empty else img,
       after = if (action == "delete") Map.empty else img,
       orgRow = Seq(img.values.toSeq),
-      eventHeader = EventHeader(ts, pos))
+      eventHeader = EventHeader(ts, pos, seg))
   }
 
   private def liveRows(t: CdcServingTable): Map[String, String] =
@@ -60,6 +60,25 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(liveRows(t) === after3)
     val versions = new java.io.File(dir).list().count(_.startsWith("v"))
     assert(versions === 1, s"prune must keep exactly the current snapshot")
+  }
+
+  test("rotation within one second: (ts, segment, logPos) version orders " +
+      "across files where (ts, logPos) alone would serve stale state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-serve-rot").toString
+    val t = new CdcServingTable(dir, Map("shop.orders" -> "id"))
+    // logPos resets on rotate: the OLDER event (end of 000001, pos 5000)
+    // has a LARGER logPos than the NEWER one (start of 000002, pos 120),
+    // and the rotation happens within the same second (ts = 10 for both) —
+    // exactly the case where a (ts, logPos) version serves the stale row
+    t.merge(Seq(
+      env("insert", 1, "stale", 10, 5000, "master.000001"),
+      env("update", 1, "fresh", 10, 120, "master.000002")).toDS())
+    assert(liveRows(t)("1").contains("fresh"),
+      "segment must break the intra-second tie in rotation order")
+    // redelivering the pre-rotation event must remain a no-op
+    t.merge(Seq(env("insert", 1, "stale", 10, 5000, "master.000001")).toDS())
+    assert(liveRows(t)("1").contains("fresh"))
   }
 
   test("tables without a configured pk never reach the store") {
