@@ -120,3 +120,28 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** The SRP counterpart of [[ScaleProbe]]: stage cardinalities for a banded
+  * sign-LSH shape over `embeddings` —
+  *
+  *   sbt "runMain graft.SrpProbe <dir> <bands> <rowsPerBand>"
+  *
+  * `candidates` counts bucket-mate pairs BEFORE the distinct (Σ over
+  * (band, bits) buckets of n·(n−1)/2, computed from bucket occupancies —
+  * no join materializes), which is exactly the work the verify stage pays;
+  * `verified` is the final pair count at the oracle threshold. The
+  * evidence behind SCALE.md's SRP band-shape row.
+  */
+object SrpProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, bandsS, rowsS) = args.take(3)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-srpprobe")
+    val t0 = System.nanoTime()
+    val (vecs, cand, verified) = analytics.DedupQueries.srpStats(
+      spark, dir, bandsS.toInt, rowsS.toInt)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"dir":"$dir","bands":${bandsS.toInt},"rows":${rowsS.toInt},"vecs":$vecs,"candidates":$cand,"verified":$verified,"probe_sec":$sec%.3f}""")
+    spark.stop()
+  }
+}

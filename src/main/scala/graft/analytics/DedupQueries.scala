@@ -662,31 +662,74 @@ object DedupQueries {
     * p ≈ 0.856) the same pipeline at 64 bands × 16 bits gives recall 0.996
     * with ~1000× pruning; band shape is a config, not a code change.
     */
-  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    srpBandedPairs(spark, dir, Srp.Narrow)
+
+  /** The CORPUS-SCALE SRP face (the `q_dedup_simhash64` treatment applied
+    * to embeddings — SCALE.md measured the 4-bit bands of
+    * [[qDedupEmbeddingLsh]] at ×20.9 for 10× data): 128 seeded hyperplanes
+    * → 8 bands × 16 bits. A band now ranges over 2¹⁶ values instead of 2⁴,
+    * so bucket occupancy on background (near-orthogonal) vectors stays
+    * density-bound ~4 orders of magnitude deeper into corpus growth — at
+    * 2¹⁶ ≥ N the expected background bucket-mate count per band is
+    * ~N²/2¹⁷, i.e. the candidate join touches near-dups plus birthday
+    * collisions, not the corpus square.
+    *
+    * Recall is the honest price and is threshold-dependent (bit-agree
+    * p = 1 − θ/π): at this dataset's noise-floor cos ≥ 0.46 (p ≈ 0.652) a
+    * 16-bit band matches with p¹⁶ ≈ 1.1e-3 — near-zero recall, because
+    * nothing separates "near-dup" from noise here (see
+    * [[qDedupEmbedding]]); at a production near-dup threshold cos ≥ 0.9
+    * (p ≈ 0.856) recall is 1−(1−p¹⁶)⁸ ≈ 0.50, and doubling bands to 16
+    * (256 planes — band shape is a config, not a code change) gives 0.75.
+    * The oracle replays the identical seeded pipeline, so the row is
+    * hash-exact at ANY recall; this query's job is pinning the band shape
+    * whose candidate volume survives 100× corpus growth.
+    */
+  def qDedupEmbeddingLsh64(spark: SparkSession, dir: String): DataFrame =
+    srpBandedPairs(spark, dir, Srp.Wide)
+
+  /** Shared banded-SRP engine: `shape.planes` sign bits packed 64/word by
+    * the [[graft.functions.SrpSignature]] kernel (one codegen'd call per
+    * word — the former 32 unrolled `graft_dot(v, array(±1,…)) >= 0`
+    * subtrees were a giant codegen unit), band values shift/masked from
+    * the packed words, candidates from a shuffle equi-join on
+    * (band, bits), exact double-cosine verify via `graft_dot`, distinct
+    * to dedupe multi-band collisions. No all-pairs join anywhere in the
+    * plan, for any shape.
+    */
+  /** (vec_id, v, nrm, band, bits) — one row per vector per band, persisted
+    * (both sides of the candidate self-join scan it). */
+  private def srpBanded(spark: SparkSession, dir: String,
+      shape: SrpShape): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     val e = table(spark, dir, "embeddings")
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-    // all 32 sign bits in ONE codegen'd kernel over the literal ±1 matrix
-    // ([[graft.functions.SrpSignature]] — the former 32 unrolled
-    // `graft_dot(v, array(±1,…)) >= 0` subtrees were a giant codegen
-    // unit); band b's 4-bit value is then a shift/mask of the packed sig,
-    // identical to the per-plane `1L << r` packing it replaces
-    val signsLit = typedlit((0 until Srp.Planes).map(p =>
-      (0 until Srp.Dims).map(d => Srp.sign(p, d).toDouble)))
-    val banded = e
-      .withColumn("sig", call_function("graft_srp_sig", $"v", signsLit))
+    val sigCols = (0 until shape.words).map { w =>
+      val signsLit = typedlit((w * 64 until math.min((w + 1) * 64,
+        shape.planes)).map(p =>
+        (0 until Srp.Dims).map(d => Srp.sign(p, d).toDouble)))
+      call_function("graft_srp_sig", $"v", signsLit).as(s"sig$w")
+    }
+    e.select($"vec_id" +: $"v" +: $"nrm" +: sigCols: _*)
       .select($"vec_id", $"v", $"nrm",
-        explode(array((0 until Srp.Bands).map(b =>
+        explode(array((0 until shape.bands).map(b =>
           struct(lit(b).as("band"),
-            shiftright($"sig", Srp.RowsPerBand * b)
-              .bitwiseAND(lit((1L << Srp.RowsPerBand) - 1)).as("bits"))): _*))
+            shiftright(col(s"sig${shape.wordOf(b)}"), shape.shiftOf(b))
+              .bitwiseAND(lit((1L << shape.rowsPerBand) - 1)).as("bits"))): _*))
           .as("bb"))
       .select($"vec_id", $"v", $"nrm",
         $"bb.band".as("band"), $"bb.bits".as("bits"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def srpBandedPairs(spark: SparkSession, dir: String,
+      shape: SrpShape): DataFrame = {
+    import spark.implicits._
+    val banded = srpBanded(spark, dir, shape)
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
           $"a.vec_id" < $"b.vec_id")
@@ -696,15 +739,56 @@ object DedupQueries {
       .distinct()
   }
 
+  /** SRP band-shape instrumentation (the [[nearDupStats]] counterpart for
+    * sign-LSH — SCALE.md's SRP row): bucket-mate pair count from bucket
+    * OCCUPANCIES (Σ n·(n−1)/2 — the verify-stage workload, counted
+    * without materializing the join) + the verified pair count.
+    */
+  def srpStats(spark: SparkSession, dir: String, bands: Int,
+      rowsPerBand: Int): (Long, Long, Long) = {
+    import spark.implicits._
+    val shape = SrpShape(bands * rowsPerBand, bands, rowsPerBand)
+    val banded = srpBanded(spark, dir, shape)
+    val cand = banded.groupBy($"band", $"bits")
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum($"n" * ($"n" - 1) / 2), lit(0L)).cast("long"))
+      .first().getLong(0)
+    val verified = srpBandedPairs(spark, dir, shape).count()
+    val vecs = table(spark, dir, "embeddings").count()
+    banded.unpersist()
+    (vecs, cand, verified)
+  }
+
   /** Deterministic seeded Rademacher hyperplanes shared by the Spark plan
     * and the generated DuckDB oracle SQL. splitmix64-style finalizer —
     * public-domain PRNG construction (Steele et al., "Fast splittable
     * pseudorandom number generators").
     */
+  /** A banded-SRP signature layout. Sign bits pack 64 to a long word, and
+    * a band must never straddle a word (`64 % rowsPerBand == 0`), so band
+    * `b`'s value is one shift/mask of word `wordOf(b)` — in Spark and in
+    * the generated oracle alike. The plane index stream is GLOBAL (plane
+    * `p` means the same hyperplane in every shape), so widening a shape
+    * extends the signature rather than reseeding it.
+    */
+  private[analytics] final case class SrpShape(planes: Int, bands: Int,
+      rowsPerBand: Int) {
+    require(planes == bands * rowsPerBand,
+      s"SrpShape: $bands bands x $rowsPerBand rows != $planes planes")
+    require(rowsPerBand > 0 && 64 % rowsPerBand == 0,
+      s"SrpShape: rowsPerBand=$rowsPerBand must divide the 64-bit word")
+    val words: Int = (planes + 63) / 64
+    def wordOf(b: Int): Int = b * rowsPerBand / 64
+    def shiftOf(b: Int): Int = b * rowsPerBand % 64
+  }
+
   private[analytics] object Srp {
-    val Planes = 32
-    val Bands = 8
-    val RowsPerBand = 4
+    /** [[qDedupEmbeddingLsh]]: recall-leaning at the noise-floor
+      * threshold (modeled ≈ 0.80 at cos ≥ 0.46). */
+    val Narrow: SrpShape = SrpShape(planes = 32, bands = 8, rowsPerBand = 4)
+    /** [[qDedupEmbeddingLsh64]]: corpus-scale candidate volume (2¹⁶ band
+      * values keep buckets density-bound). */
+    val Wide: SrpShape = SrpShape(planes = 128, bands = 8, rowsPerBand = 16)
     val Dims = 64
 
     private def mix64(x: Long): Long = {
@@ -718,17 +802,10 @@ object DedupQueries {
     def sign(p: Int, d: Int): Int =
       if ((mix64(p.toLong * Dims + d) >>> 63) == 1L) 1 else -1
 
-    /** Spark SQL: `graft_dot(v, array(±1.0D, …))` — ascending-index
-      * summation in the kernel matches the oracle's left-assoc `+` chain
-      * bit-for-bit (±1 products are exact; adds occur in the same order).
-      */
-    def sparkPlaneDot(p: Int): String = {
-      val arr = (0 until Dims)
-        .map(d => if (sign(p, d) > 0) "1.0D" else "-1.0D").mkString(",")
-      s"graft_dot(v, array($arr))"
-    }
-
-    /** DuckDB: explicit left-assoc sum `±e[1] ±e[2] …` (1-indexed). */
+    /** DuckDB: explicit left-assoc sum `±e[1] ±e[2] …` (1-indexed) —
+      * ascending-index summation in the [[graft.functions.SrpSignature]]
+      * kernel matches this `+` chain bit-for-bit (±1 products are exact;
+      * adds occur in the same order). */
     def duckPlaneDot(p: Int): String =
       (0 until Dims).map { d =>
         val s = if (sign(p, d) > 0) "+" else "-"
@@ -809,6 +886,7 @@ object DedupQueries {
     "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
+    "q_dedup_embedding_lsh64" -> qDedupEmbeddingLsh64,
     "q_dedup_components" -> qDedupComponents
   )
 
@@ -816,22 +894,22 @@ object DedupQueries {
     "list_distinct([substr(text, i::INT, 5)" +
       " FOR i IN range(1, greatest(length(text) - 4, 1) + 1)])"
 
-  /** Oracle for [[qDedupEmbeddingLsh]]: the same seeded SRP pipeline in
-    * SQL — sign bits from explicit left-assoc ±component sums, band
-    * packing, band-bucket self-join, exact cosine verify.
+  /** Oracle for [[srpBandedPairs]] at a given shape: the same seeded SRP
+    * pipeline in SQL — sign bits from explicit left-assoc ±component sums,
+    * band packing, band-bucket self-join, exact cosine verify.
     */
-  private def embeddingLshOracle: String = {
-    val sigCols = (0 until Srp.Planes).map { p =>
+  private def embeddingLshOracle(shape: SrpShape): String = {
+    val sigCols = (0 until shape.planes).map { p =>
       s"CASE WHEN (${Srp.duckPlaneDot(p)}) >= 0 THEN 1 ELSE 0 END AS p$p"
     }.mkString(",\n   ")
-    val bandCase = (0 until Srp.Bands).map { b =>
-      val bits = (0 until Srp.RowsPerBand).map { r =>
-        val p = b * Srp.RowsPerBand + r
+    val bandCase = (0 until shape.bands).map { b =>
+      val bits = (0 until shape.rowsPerBand).map { r =>
+        val p = b * shape.rowsPerBand + r
         if (r == 0) s"p$p" else s"${1L << r}*p$p"
       }.mkString(" + ")
       s"WHEN $b THEN $bits"
     }.mkString(" ")
-    val bandList = (0 until Srp.Bands).map(b => s"($b)").mkString(",")
+    val bandList = (0 until shape.bands).map(b => s"($b)").mkString(",")
     s"""WITH v AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        | sig AS (
@@ -1007,7 +1085,8 @@ object DedupQueries {
         | list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.46""".stripMargin,
-    "q_dedup_embedding_lsh" -> embeddingLshOracle,
+    "q_dedup_embedding_lsh" -> embeddingLshOracle(Srp.Narrow),
+    "q_dedup_embedding_lsh64" -> embeddingLshOracle(Srp.Wide),
     "q_dedup_components" ->
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, $duckShingles AS s FROM documents),
