@@ -39,32 +39,42 @@ import graft.model.MQEvent
   *     consumers recover typed views via `from_json` + the registry
   *     snapshot, the same contract as the wire envelope.
   *
-  * Scale shape: one shuffle on (table, pk) over |store| + |batch| rows per
-  * merge — the copy-on-write compaction pattern; partition-pruned MERGE in
-  * a table format replaces the full rewrite as a configuration change.
+  * Scale shape: the snapshot is PARTITIONED BY `tbl` and a merge is
+  * partition-pruned copy-on-write — one shuffle on (table, pk) over
+  * |touched-table store rows| + |batch| rows (the `tbl IN touched` filter
+  * prunes untouched partition directories at the scan), with every
+  * untouched table's files carried into the new version as hard links
+  * ([[VersionedStore.linkUntouchedPartitions]] — zero data copied). A
+  * quiet table costs nothing per merge no matter how large the store
+  * grows; a table format's partition-pruned MERGE replaces the link step
+  * as a configuration change. The only driver-side materialization is the
+  * touched TABLE NAME list — bounded by the task's table count, never by
+  * row count.
   */
 final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
 
-  private def pointer = new java.io.File(dir, "_CURRENT")
+  private def currentVersion: Option[Long] = VersionedStore.currentVersion(dir)
 
-  private def currentVersion: Option[Long] =
-    if (!pointer.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(pointer.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  /** Store schema, declared explicitly on every read: `tbl` is the
+    * PARTITION column of the snapshot layout, and inference would happily
+    * type a numeric-looking `tbl=1.2` directory as DOUBLE.
+    */
+  private val storeSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("tbl", StringType), StructField("pk", StringType),
+      StructField("ver_ts", LongType), StructField("ver_seg", StringType),
+      StructField("ver_pos", LongType),
+      StructField("action", StringType),
+      StructField("after_json", StringType)))
+  }
 
   /** Full store content incl. tombstones (for merge + forensics). */
   def raw(spark: SparkSession): DataFrame = currentVersion match {
-    case Some(v) => spark.read.parquet(s"$dir/v$v")
+    case Some(v) => spark.read.schema(storeSchema).parquet(s"$dir/v$v")
     case None =>
-      import org.apache.spark.sql.types._
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("tbl", StringType), StructField("pk", StringType),
-          StructField("ver_ts", LongType), StructField("ver_seg", StringType),
-          StructField("ver_pos", LongType),
-          StructField("action", StringType),
-          StructField("after_json", StringType))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
   }
 
   /** The serving view: one LIVE row per key (tombstones excluded). */
@@ -94,42 +104,39 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
         col("eventHeader.logPos").as("ver_pos"),
         col("action"),
         to_json(col("after")).as("after_json"))
-    val next = raw(spark).unionByName(keyed)
-      // struct max = last-writer-wins on (ver_ts, ver_seg, ver_pos) — the
-      // rotation-safe emission order; action and the JSON image ride as
-      // deterministic tiebreaks (maps are not orderable, their JSON face
-      // is), reached only when the same physical event is redelivered
-      .groupBy(col("tbl"), col("pk"))
-      .agg(max(struct(col("ver_ts"), col("ver_seg"), col("ver_pos"),
-        col("action"), col("after_json"))).as("v"))
-      .select(col("tbl"), col("pk"), col("v.ver_ts"), col("v.ver_seg"),
-        col("v.ver_pos"), col("v.action"), col("v.after_json"))
-    val v = currentVersion.getOrElse(-1L) + 1L
-    next.write.mode("overwrite").parquet(s"$dir/v$v")
-    val tmp = new java.io.File(dir, s"_CURRENT.tmp$v")
-    java.nio.file.Files.write(tmp.toPath,
-      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, pointer.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // two consumers (touched-table list + the merge union) — one compute
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = keyed.select(col("tbl")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touched.nonEmpty) {
+        // partition pruning: `tbl IN touched` on the tbl-partitioned read
+        // means untouched tables' directories are never scanned
+        val next = raw(spark).filter(col("tbl").isin(touched: _*))
+          .unionByName(keyed)
+          // struct max = last-writer-wins on (ver_ts, ver_seg, ver_pos) —
+          // the rotation-safe emission order; action and the JSON image
+          // ride as deterministic tiebreaks (maps are not orderable, their
+          // JSON face is), reached only when the same physical event is
+          // redelivered
+          .groupBy(col("tbl"), col("pk"))
+          .agg(max(struct(col("ver_ts"), col("ver_seg"), col("ver_pos"),
+            col("action"), col("after_json"))).as("v"))
+          .select(col("tbl"), col("pk"), col("v.ver_ts"), col("v.ver_seg"),
+            col("v.ver_pos"), col("v.action"), col("v.after_json"))
+        val prev = currentVersion
+        val v = prev.getOrElse(-1L) + 1L
+        next.write.mode("overwrite").partitionBy("tbl").parquet(s"$dir/v$v")
+        prev.foreach(pv => VersionedStore.linkUntouchedPartitions(
+          new java.io.File(dir, s"v$pv"), new java.io.File(dir, s"v$v")))
+        VersionedStore.swapPointer(dir, v)
+      }
+    } finally { keyed.unpersist(); () }
   }
 
   /** Drop snapshot versions older than the newest `keep` (the pointer's
     * target is always kept) — the compaction-GC a long-running sink needs.
+    * Hard-linked carried files survive in newer versions.
     */
-  def prune(keep: Int = 2): Unit = currentVersion.foreach { cur =>
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toLong).toOption
-        .map(f -> _))
-      .filter { case (_, v) => v <= cur - keep }
-      .foreach { case (f, _) =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-          x.delete(); ()
-        }
-        rm(f)
-      }
-  }
+  def prune(keep: Int = 2): Unit = VersionedStore.prune(dir, keep)
 }

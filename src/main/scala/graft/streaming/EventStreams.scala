@@ -346,44 +346,76 @@ object EventStreams {
     * (rename is the atomic commit; readers either see vN or vN+1, never a
     * torn state; a crash between write and move leaves vN intact).
     *
-    * Scale shape: the merge is one shuffle on user_id over
-    * |store| + |batch| rows — the copy-on-write compaction pattern. A
-    * table format with MERGE (partition-pruned copy-on-write / merge-on-
-    * read deltas) replaces the full rewrite without touching the version
-    * rule or the sink wiring; that swap is configuration, not code.
+    * Scale shape: the snapshot is PARTITIONED into `buckets` hash buckets
+    * of user_id and the merge is partition-pruned copy-on-write — one
+    * shuffle on user_id over |touched-bucket store rows| + |batch| rows
+    * (the bucket filter prunes untouched directories at the scan), with
+    * untouched buckets carried into the new version as hard links
+    * ([[VersionedStore.linkUntouchedPartitions]] — zero data copied). A
+    * trickle batch touching k buckets rewrites k/buckets of the store,
+    * not all of it; `buckets` sizes the rewrite granularity (more buckets
+    * = finer pruning, more small files — the classic table-format
+    * trade). A table format with MERGE (partition-pruned copy-on-write /
+    * merge-on-read deltas) replaces the link step without touching the
+    * version rule or the sink wiring; that swap is configuration, not
+    * code.
     */
-  final class ParquetUpsertStore(dir: String) extends Serializable {
-    private def pointer = new java.io.File(dir, "_CURRENT")
+  final class ParquetUpsertStore(dir: String, buckets: Int = 16)
+      extends Serializable {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
 
     private def currentVersion: Option[Long] =
-      if (!pointer.exists()) None
-      else Some(new String(java.nio.file.Files.readAllBytes(pointer.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      VersionedStore.currentVersion(dir)
+
+    private def bucketCol: org.apache.spark.sql.Column =
+      pmod(hash(col("user_id")), lit(buckets))
+
+    /** Bucketed store content; `bkt` is the partition column, declared
+      * (not inferred) on the read. */
+    private def raw(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts_ms", LongType),
+        StructField("event_id", LongType), StructField("value", DoubleType),
+        StructField("bkt", IntegerType)))
+      currentVersion match {
+        case Some(v) => spark.read.schema(schema).parquet(s"$dir/v$v")
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    }
 
     def snapshot(spark: org.apache.spark.sql.SparkSession): Dataset[UserLatest] = {
       import spark.implicits._
-      currentVersion match {
-        case Some(v) => spark.read.parquet(s"$dir/v$v").as[UserLatest]
-        case None    => spark.emptyDataset[UserLatest]
-      }
+      raw(spark).select($"user_id", $"ts_ms", $"event_id", $"value")
+        .as[UserLatest]
     }
 
     def merge(reduced: Dataset[UserLatest]): Unit = {
       val spark = reduced.sparkSession
       import spark.implicits._
-      val next = snapshot(spark).unionByName(reduced)
-        .groupBy($"user_id")
-        .agg(max(struct($"ts_ms", $"event_id", $"value")).as("v"))
-        .select($"user_id", $"v.ts_ms", $"v.event_id", $"v.value")
-        .as[UserLatest]
-      val v = currentVersion.getOrElse(-1L) + 1L
-      next.write.mode("overwrite").parquet(s"$dir/v$v")
-      val tmp = new java.io.File(dir, s"_CURRENT.tmp$v")
-      java.nio.file.Files.write(tmp.toPath,
-        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp.toPath, pointer.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val batch = reduced.toDF().withColumn("bkt", bucketCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // driver-side list of touched BUCKET ids — bounded by `buckets`,
+        // never by row count
+        val touched = batch.select($"bkt").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (touched.nonEmpty) {
+          val next = raw(spark).filter($"bkt".isin(touched: _*))
+            .unionByName(batch)
+            .groupBy($"user_id")
+            .agg(max(struct($"ts_ms", $"event_id", $"value")).as("v"))
+            .select($"user_id", $"v.ts_ms", $"v.event_id", $"v.value")
+            .withColumn("bkt", bucketCol)
+          val prev = currentVersion
+          val v = prev.getOrElse(-1L) + 1L
+          next.write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/v$v")
+          prev.foreach(pv => VersionedStore.linkUntouchedPartitions(
+            new java.io.File(dir, s"v$pv"), new java.io.File(dir, s"v$v")))
+          VersionedStore.swapPointer(dir, v)
+        }
+      } finally { batch.unpersist(); () }
     }
   }
 

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Shared mechanics of the versioned-snapshot parquet stores
+  * ([[CdcServingTable]], [[EventStreams.ParquetUpsertStore]]): an
+  * atomically-swapped `_CURRENT` pointer over immutable `v{N}` snapshot
+  * directories, plus PARTITION-PRUNED copy-on-write — a merge writes new
+  * parquet only for partitions its batch touches and carries every
+  * untouched partition into the new version as hard links to the previous
+  * version's files (same inode, zero data copied, and the previous
+  * snapshot stays intact for in-flight readers; GC of old versions can't
+  * strand the links).
+  *
+  * This is the dependency-free local-FS stand-in for a table format's
+  * partition-pruned MERGE (Delta/Iceberg replace the link step with
+  * manifest references to unchanged data files — same idea, different
+  * metadata carrier); the merge contract of the stores does not change
+  * when that swap happens.
+  */
+private[streaming] object VersionedStore {
+
+  def pointer(dir: String): File = new File(dir, "_CURRENT")
+
+  def currentVersion(dir: String): Option[Long] = {
+    val p = pointer(dir)
+    if (!p.exists()) None
+    else Some(new String(Files.readAllBytes(p.toPath),
+      StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  /** Atomic commit: readers either see vN or vN+1, never a torn state; a
+    * crash between snapshot write and move leaves vN intact. */
+  def swapPointer(dir: String, v: Long): Unit = {
+    val tmp = new File(dir, s"_CURRENT.tmp$v")
+    Files.write(tmp.toPath, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, pointer(dir).toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Hard-link every `key=value` partition directory of `prevDir` that is
+    * ABSENT in `nextDir` (i.e. untouched by the merge that just wrote
+    * `nextDir`) into `nextDir`. Returns the number of partitions carried.
+    */
+  def linkUntouchedPartitions(prevDir: File, nextDir: File): Int = {
+    val carried = Option(prevDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("=") &&
+        !new File(nextDir, d.getName).exists())
+    carried.foreach { d =>
+      val tgt = new File(nextDir, d.getName)
+      tgt.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+        .foreach(f =>
+          Files.createLink(new File(tgt, f.getName).toPath, f.toPath))
+    }
+    carried.length
+  }
+
+  /** Drop snapshot versions older than the newest `keep` (the pointer's
+    * target is always kept). Hard-linked files shared with newer versions
+    * survive deletion of the old directory entry — link counts, not
+    * copies, are what the carry step paid for.
+    */
+  def prune(dir: String, keep: Int): Unit = currentVersion(dir).foreach { cur =>
+    val d = new File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toLong)
+        .toOption.map(f -> _))
+      .filter { case (_, v) => v <= cur - keep }
+      .foreach { case (f, _) => rm(f) }
+  }
+
+  private def rm(x: File): Unit = {
+    Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+    x.delete(); ()
+  }
+}

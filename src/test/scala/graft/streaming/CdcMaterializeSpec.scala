@@ -81,6 +81,48 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(liveRows(t)("1").contains("fresh"))
   }
 
+  test("partition-pruned merge: an untouched table's partition files are " +
+      "carried into the new version as the SAME files (hard links), and " +
+      "its content survives byte-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-serve-prune").toString
+    val t = new CdcServingTable(dir,
+      Map("shop.orders" -> "id", "shop.audit" -> "id"))
+    // batch 1 touches BOTH tables
+    t.merge(Seq(env("insert", 1, "a", 10, 1),
+      env("insert", 7, "log", 10, 2).copy(table = "audit")).toDS())
+    val v0 = new java.io.File(dir, "v0")
+    val auditDir0 = new java.io.File(v0, "tbl=shop.audit")
+    assert(auditDir0.isDirectory, "snapshot must be partitioned by tbl")
+    val auditFiles0 = auditDir0.listFiles().filter(_.isFile)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(auditFiles0.nonEmpty)
+    // batch 2 touches ONLY shop.orders
+    t.merge(Seq(env("update", 1, "a2", 11, 3)).toDS())
+    val v1 = new java.io.File(dir, "v1")
+    val auditDir1 = new java.io.File(v1, "tbl=shop.audit")
+    assert(auditDir1.isDirectory,
+      "untouched partition must be carried into the new version")
+    auditFiles0.foreach { f0 =>
+      val f1 = new java.io.File(auditDir1, f0.getName)
+      assert(f1.isFile, s"carried file missing: ${f0.getName}")
+      assert(Files.isSameFile(f0.toPath, f1.toPath),
+        s"untouched partition was REWRITTEN, not linked: ${f0.getName}")
+    }
+    // semantics unchanged: both tables serve the latest state
+    val rows = t.snapshot(spark).collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[String]("pk"),
+        r.getAs[String]("after_json")))
+    assert(rows.collect { case ("shop.audit", "7", j) => j }
+      .exists(_.contains("log")))
+    assert(rows.collect { case ("shop.orders", "1", j) => j }
+      .exists(_.contains("a2")))
+    // GC the old version: the carried (linked) files must stay readable
+    t.prune(keep = 1)
+    assert(!v0.exists())
+    assert(t.snapshot(spark).count() === 2)
+  }
+
   test("tables without a configured pk never reach the store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-serve2").toString

@@ -419,4 +419,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(files.contains("_CURRENT"), files)
     assert(files.exists(_.startsWith("v")), files)
   }
+
+  test("ParquetUpsertStore merge is bucket-pruned: buckets untouched by a " +
+      "batch carry into the new version as hard links") {
+    import spark.implicits._
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-pq-bucketed").toString
+    val pq = new EventStreams.ParquetUpsertStore(storeDir, buckets = 8)
+    // seed: many users spread across all buckets
+    pq.merge((1L to 200L).map(u =>
+      EventStreams.UserLatest(u, ts_ms = 1000L, event_id = u, value = 1.0)).toDS())
+    val v0 = new java.io.File(storeDir, "v0")
+    val bkts0 = v0.listFiles().filter(d =>
+      d.isDirectory && d.getName.startsWith("bkt=")).sortBy(_.getName)
+    assert(bkts0.length === 8, "200 users must populate all 8 buckets")
+    // a 1-user batch touches exactly one bucket
+    pq.merge(Seq(EventStreams.UserLatest(42L, 2000L, 9999L, 7.0)).toDS())
+    val v1 = new java.io.File(storeDir, "v1")
+    val touchedName = bkts0.map(_.getName).find { n =>
+      // the rewritten bucket: at least one file differs from v0's
+      val d1 = new java.io.File(v1, n)
+      d1.listFiles().exists(f =>
+        !new java.io.File(v0 + "/" + n, f.getName).exists() ||
+          !java.nio.file.Files.isSameFile(f.toPath,
+            new java.io.File(v0 + "/" + n, f.getName).toPath))
+    }
+    assert(touchedName.isDefined, "exactly one bucket should be rewritten")
+    val untouched = bkts0.filter(_.getName != touchedName.get)
+    assert(untouched.length === 7)
+    untouched.foreach { d0 =>
+      val d1 = new java.io.File(v1, d0.getName)
+      assert(d1.isDirectory, s"bucket ${d0.getName} missing from v1")
+      d0.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f0 =>
+        val f1 = new java.io.File(d1, f0.getName)
+        assert(f1.isFile && java.nio.file.Files.isSameFile(f0.toPath, f1.toPath),
+          s"untouched bucket rewritten: ${d0.getName}/${f0.getName}")
+      }
+    }
+    // and the merge semantics held
+    val row = pq.snapshot(spark).filter($"user_id" === 42L).collect()
+    assert(row.length === 1 && row.head.value === 7.0)
+    assert(pq.snapshot(spark).count() === 200)
+  }
 }
