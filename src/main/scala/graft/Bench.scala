@@ -68,6 +68,7 @@ object Bench {
       "q_curation_pipeline" -> "dedup-chain member (reuses prebuilt chain + components loop)",
       "q_dedup_minhash_lsh" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_dedup_ngram_jaccard" -> "dedup-chain member (reuses prebuilt minhash; cold: 32-band LSH+verify)",
+      "q_dedup_minhash256" -> "dedup-chain member (reuses prebuilt shingles; cold: 256-slot agg+32x8 bands)",
       "q_dedup_components" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_dedup_incremental" -> "dedup-chain member (reuses prebuilt minhash; delta-probes-corpus bands)",
       "q_dedup_simhash" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash agg+bands)",
@@ -82,8 +83,9 @@ object Bench {
     // a targeted SPARK_GRAFT_ONLY run of unrelated queries must not
     // acquire a surprise row
     val chainConsumers = Set("q_curation_pipeline", "q_dedup_minhash_lsh",
-      "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_incremental",
-      "q_dedup_simhash", "q_dedup_simhash64", "q_neighbor_topk")
+      "q_dedup_ngram_jaccard", "q_dedup_minhash256", "q_dedup_components",
+      "q_dedup_incremental", "q_dedup_simhash", "q_dedup_simhash64",
+      "q_neighbor_topk")
     val needChain = selected.exists(e => chainConsumers(e._1))
     val best = scala.collection.mutable.Map.empty[String, Double]
     // a query that THROWS must not look like a fast success: record it as

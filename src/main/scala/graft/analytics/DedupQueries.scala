@@ -151,6 +151,26 @@ object DedupQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** The 256-slot sibling of [[minhashPer]] — same ONE-shuffle shape, same
+    * shared [[docShingles]] cache underneath, wider signature
+    * (`graft_minhash256`: the aggregate is width-parameterized on the same
+    * permutation stream, so slots 1–128 of this signature ARE
+    * [[minhashPer]]'s slots — widening extends, never reseeds). Serves the
+    * corpus-scale r=8 band shapes whose 64-bit band values keep noise
+    * collisions falling as j₀⁸ (SCALE.md band-shape law).
+    */
+  private def minhash256Per(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    docShingles(spark, dir)
+      .groupBy($"doc_id")
+      .agg(
+        expr("graft_minhash256(hx)").as("mhsig"),
+        sort_array(collect_set($"hx")).as("hs"))
+      .withColumn("sz", size($"hs").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** LSH candidate pairs from the 128-slot MinHash signature, banded
     * `bands × rowsPerBand` (must fit the signature width — slots past the
     * end would read as null, hash every doc to the SAME band value, and
@@ -362,19 +382,12 @@ object DedupQueries {
       if (slots <= 128) minhashPer(spark, dir)
       else {
         require(slots <= 256, s"widest registered signature is 256 slots, got $slots")
-        docShingles(spark, dir)
-          .groupBy($"doc_id")
-          .agg(
-            expr("graft_minhash256(hx)").as("mhsig"),
-            sort_array(collect_set($"hx")).as("hs"))
-          .withColumn("sz", size($"hs").cast("long"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        minhash256Per(spark, dir)
       }
     val cand = lshCandidates(per, bands, rowsPerBand, slots = math.max(slots, 128))
     val nCand = cand.count()
     val nVerified = verifyJaccard(per, cand, threshold).count()
     val nDocs = per.count()
-    if (slots > 128) per.unpersist()
     (nDocs, nCand, nVerified)
   }
 
@@ -385,6 +398,25 @@ object DedupQueries {
     // without the cache entry it would re-run the 32-band LSH + verify
     verifyJaccard(per, lshCandidates(per, bands = 32, rowsPerBand = 4), 0.7)
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The corpus-scale near-dup default (SCALE.md band-shape law, measured
+    * at 10×): the SAME j ≥ 0.7 semantics as [[qDedupNgramJaccard]], banded
+    * 32×8 over the 256-slot signature. r=8 band values collide on
+    * background similarity as j₀⁸ instead of j₀⁴ — measured ~400× fewer
+    * candidates (3.9 M → 10.8 k at 50 k docs) with IDENTICAL verified
+    * output on this corpus, whose true dup mass sits at j ≥ 0.93 where
+    * the 32×8 S-curve is ≥ 1−4e-12. At a corpus with real mass at the
+    * 0.7 boundary, recall there is modeled 1−(1−0.7⁸)³² ≈ 0.85 — the
+    * shape to buy hard-threshold recall is more bands (b≈128), not
+    * narrower rows (the quadratic direction). Rides [[docShingles]]; the
+    * signature's slots 1–128 are [[minhashPer]]'s (same permutation
+    * stream — widening extends, never reseeds).
+    */
+  def qDedupMinhash256(spark: SparkSession, dir: String): DataFrame = {
+    val per = minhash256Per(spark, dir)
+    verifyJaccard(per,
+      lshCandidates(per, bands = 32, rowsPerBand = 8, slots = 256), 0.7)
   }
 
   /** Nearest neighbor per involved doc (semantic-dedup evidence: for each
@@ -879,6 +911,7 @@ object DedupQueries {
     "q_curation_pipeline" -> qCurationPipeline,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_minhash256" -> qDedupMinhash256,
     "q_neighbor_topk" -> qNeighborTopk,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_incremental" -> qDedupIncremental,
@@ -996,6 +1029,17 @@ object DedupQueries {
         |FROM documents
         |GROUP BY sha256(text), sha256(regexp_replace(lower(text), '\s+', ' ', 'g'))""".stripMargin,
     "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7""".stripMargin,
+    // identical SEMANTICS to q_dedup_ngram_jaccard (j >= 0.7 on the 5-char
+    // shingle sets) — the banding is recall machinery, and on this corpus
+    // (dup mass at j >= 0.93, where the 32x8 S-curve's miss probability is
+    // ~4e-12) the banded output equals the exact all-pairs answer, exactly
+    // as it provably does for the other banded minhash rows
+    "q_dedup_minhash256" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard

@@ -118,7 +118,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // scan — the broadcast-query NLJ is its intended shape, like
     // q_knn_brute; candidate pruning is IVF's job, not PQ's)
     Seq("q_dedup_simhash", "q_dedup_simhash64", "q_dedup_minhash_lsh",
-        "q_dedup_ngram_jaccard",
+        "q_dedup_ngram_jaccard", "q_dedup_minhash256",
         "q_dedup_embedding_lsh", "q_dedup_embedding_lsh64",
         "q_dedup_incremental", "q_knn_ivf_kmeans",
         "q_knn_ivfpq", "q_knn_ivfpq_res", "q_knn_ivfpq_rerank",
