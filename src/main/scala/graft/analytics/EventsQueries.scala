@@ -25,6 +25,31 @@ object EventsQueries {
       .select($"w.start".as("bucket_start"), $"event_type", $"n", $"sum_value")
   }
 
+  /** Tumbling 1-hour window × event-type percentiles — the BATCH FACE of
+    * [[graft.streaming.EventStreams.windowedPercentiles]] (the streaming
+    * GK-sketch dashboard aggregation), oracled via the
+    * `q_approx_percentile` recipe: `approx_percentile` at accuracy > N has
+    * integer rank error 0, so it returns exactly the element at 1-based
+    * rank ⌈p·N⌉ of the sorted group, which the DuckDB oracle selects
+    * directly. 3e6 covers the (window, type) group sizes at every test sf
+    * with margin; the production accuracy-1000 envelope (O(accuracy)
+    * state per group on an unbounded stream) stays spec-pinned in
+    * `EventStreamsSpec`/`ApproxSpec`.
+    */
+  def qEventsWindowPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(expr(
+        "approx_percentile(value, array(0.5, 0.9, 0.99), 3000000)")
+        .as("pcts"), count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"event_type",
+        element_at($"pcts", 1).as("p50"),
+        element_at($"pcts", 2).as("p90"),
+        element_at($"pcts", 3).as("p99"),
+        $"n")
+  }
+
   /** Sliding 1-hour window every 15 minutes — the batch face of
     * `EventStreams.slidingCounts`. Each event lands in exactly 4
     * overlapping windows (window/slide = 4); Spark's `window()` does the
@@ -314,6 +339,7 @@ object EventsQueries {
     "q_events_retention" -> qEventsRetention,
     "q_window_lag_ntile" -> qWindowLagNtile,
     "q_events_tumbling" -> qEventsTumbling,
+    "q_events_window_percentile" -> qEventsWindowPercentile,
     "q_events_sliding" -> qEventsSliding,
     "q_resample_interpolate" -> qResampleInterpolate,
     "q_events_sessionize" -> qEventsSessionize,
@@ -374,6 +400,26 @@ object EventsQueries {
       """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
         | count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // exact because GK at accuracy > N has integer rank error 0 (the
+    // q_approx_percentile recipe applied to the streaming dashboard's
+    // (window, type) groups): element at 1-based rank ceil(p*N)
+    "q_events_window_percentile" ->
+      """WITH r AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type, value,
+        |   row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |     ORDER BY value) AS rk,
+        |   count(*) OVER (PARTITION BY date_trunc('hour', ts), event_type)
+        |     AS n
+        |  FROM events)
+        |SELECT window_start, event_type,
+        | max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+        |   THEN value END) AS p50,
+        | max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+        |   THEN value END) AS p90,
+        | max(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+        |   THEN value END) AS p99,
+        | max(n)::BIGINT AS n
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q_events_sliding" ->
       """WITH k AS (SELECT unnest(range(0, 4)) AS k),
         | a AS (
