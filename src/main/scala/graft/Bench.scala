@@ -16,6 +16,9 @@ object Bench {
     // between rounds)
     // per-column count() (not a bare count(), which answers from row-group
     // metadata without touching data pages) forces a full data read
+    // input-table cardinalities ride into BENCH_SELF.json: scale claims
+    // must rest on row counts, not on this host's noisy clock
+    val tableRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try {
@@ -23,6 +26,7 @@ object Bench {
         df.select(df.columns.toIndexedSeq.map(c =>
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.col(c))): _*).collect()
+        tableRows(t) = df.count() // metadata-only after the warmup read
       } catch { case _: Throwable => () }
     }
     // optional comma-separated filter for targeted profiling runs — fail
@@ -93,6 +97,9 @@ object Bench {
     // flip the process exit code — CORRECTNESS is the hard gate, but a
     // silent rc-0 bench with a crashed query would misread as a perf win
     val failed = scala.collection.mutable.Set.empty[String]
+    // result row count per query (stable across passes — recorded so the
+    // self-emitted report carries a cardinality next to every wall time)
+    val outRows = scala.collection.mutable.Map.empty[String, Long]
     for (p <- 1 to passes) {
       if (p > 1) spark.sharedState.cacheManager.clearCache()
       if (needChain) {
@@ -112,7 +119,7 @@ object Bench {
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { outRows(name) = fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
             failed += name
@@ -145,6 +152,29 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    // self-emitted full report: the driver tail records only ~2000 chars
+    // of stdout (BENCH_r10 landed with "parsed": null), so the complete
+    // per-query table — times AND result cardinalities, plus the input
+    // table row counts — is also written to BENCH_SELF.json in-repo where
+    // nothing truncates it. Skipped for filtered runs: a SPARK_GRAFT_ONLY
+    // profiling run must not overwrite the full-suite report.
+    if (only.isEmpty) {
+      def fmt(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val tbls = tableRows.map { case (t, n) => s""""$t":$n""" }
+        .mkString("{", ",", "}")
+      val rows = results.sortBy(_._1).map { case (name, sec) =>
+        s""""$name":{"sec":${fmt(sec)},"out_rows":${outRows.getOrElse(name, -1L)}}"""
+      }.mkString("{", ",", "}")
+      val self =
+        s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,""" +
+          s""""total_sec":${fmt(total)},"table_rows":$tbls,"queries":$rows}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SELF.json"), self)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+      }
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

@@ -643,10 +643,13 @@ object DedupQueries {
   /** Fail-fast guard for the exact all-pairs baseline: N² cosines and an
     * N-row broadcast are fine at corpus-sample sizes and an executor-OOM /
     * cluster-melt at corpus sizes, so refuse to even START the quadratic
-    * plan past a bound. The count comes from parquet footer metadata
-    * (`spark.read.parquet(...).count()` is a metadata-only job — no column
-    * IO), so the gate costs milliseconds. Bound override (specs, deliberate
-    * big-sample runs): system property `graft.dedup.exact.maxRows`.
+    * plan past a bound. `spark.read.parquet(...).count()` IS a distributed
+    * job (one task per file split), but it answers from row-group METADATA
+    * — zero column IO — so its cost scales with file count, not data
+    * volume: milliseconds here, a listing-bound footer sweep at corpus
+    * scale, and either is negligible next to the N² plan it guards. Bound
+    * override (specs, deliberate big-sample runs): system property
+    * `graft.dedup.exact.maxRows`.
     */
   private def gateExactAllPairs(spark: SparkSession, dir: String): Unit = {
     val maxRows = sys.props.get("graft.dedup.exact.maxRows")
