@@ -588,13 +588,28 @@ object DedupQueries {
     * shape as [[qDedupSimhash]]: band equi-join, xor-popcount verify,
     * cross-band distinct.
     */
-  def qDedupSimhash64(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupSimhash64(spark: SparkSession, dir: String): DataFrame =
+    simhash60Pairs(spark, dir, bands = 4)
+
+  /** The 60-bit simhash engine at a CONFIGURABLE band count — the
+    * SCALE.md band-shape knob as a parameter instead of a code edit.
+    * Output is EXACTLY the hamming ≤ 3 pair set for every legal shape
+    * (pigeonhole: ≤ 3 differing bits cannot touch all `bands` bands when
+    * `bands ≥ 4`, so every qualifying pair still collides somewhere; the
+    * verify stage re-checks the full sketch), which `SimhashBandsSpec`
+    * pins — band count trades bucket cardinality (2^(60/bands)) against
+    * rows scanned per band, it never moves the answer. Rides the shared
+    * [[docShingles]] cache (which carries BOTH polynomial streams
+    * precisely for this consumer): the 60-bit value is a cheap scalar
+    * combine of the cached hashes — no second corpus scan.
+    */
+  def simhash60Pairs(spark: SparkSession, dir: String,
+      bands: Int): DataFrame = {
+    require(bands >= 4, s"hamming<=3 pigeonhole needs >= 4 bands, got $bands")
+    require(60 % bands == 0, s"bands=$bands must divide the 60-bit sketch")
+    val width = 60 / bands
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    // rides the shared [[docShingles]] cache (which carries BOTH
-    // polynomial streams precisely for this consumer): the 60-bit value
-    // is a cheap scalar combine of the cached hashes — no second corpus
-    // scan anywhere in this query
     val sim = docShingles(spark, dir)
       .select($"doc_id",
         ($"hp" % lit(1073741824L) +
@@ -602,9 +617,10 @@ object DedupQueries {
       .groupBy($"doc_id")
       .agg(expr("graft_simhash60(h60)").as("sim"))
     val banded = sim.select($"doc_id", $"sim",
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright($"sim", 15 * b).bitwiseAND(lit(32767L)).as("bits"))): _*))
+          shiftright($"sim", width * b)
+            .bitwiseAND(lit((1L << width) - 1)).as("bits"))): _*))
         .as("bb"))
       .select($"doc_id", $"sim", $"bb.band".as("band"), $"bb.bits".as("bits"))
     banded.as("a").join(banded.as("b"),
@@ -723,6 +739,19 @@ object DedupQueries {
     */
   def qDedupEmbeddingLsh64(spark: SparkSession, dir: String): DataFrame =
     srpBandedPairs(spark, dir, Srp.Wide)
+
+  /** The banded-SRP engine at a CONFIGURABLE shape — the SCALE.md tuning
+    * table as a parameter. Because the plane stream is GLOBAL (plane p is
+    * the same hyperplane in every shape), a shape's bands are a PREFIX of
+    * any wider same-rowsPerBand shape's bands, so growing `bands` only
+    * ADDS candidate buckets: output(b₁×r) ⊆ output(b₂×r) for b₁ ≤ b₂ —
+    * recall grows monotonically with bands, pinned in `SrpShapeSpec`.
+    * Every output pair is exact-cosine-verified regardless of shape.
+    */
+  def srpPairs(spark: SparkSession, dir: String, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    srpBandedPairs(spark, dir,
+      SrpShape(bands * rowsPerBand, bands, rowsPerBand))
 
   /** Shared banded-SRP engine: `shape.planes` sign bits packed 64/word by
     * the [[graft.functions.SrpSignature]] kernel (one codegen'd call per

@@ -45,6 +45,21 @@ class SrpShapeSpec extends SparkSpec {
     assert((wide0 & 0xFFFFFFFFL) === narrow)
   }
 
+  test("srpPairs: growing bands at fixed rowsPerBand only ADDS pairs " +
+      "(the global plane stream makes narrow shapes a prefix of wide ones)") {
+    def pairs(bands: Int, rpb: Int): Set[(Long, Long)] =
+      DedupQueries.srpPairs(spark, sf, bands, rpb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b4r16 = pairs(4, 16)
+    val b8r16 = pairs(8, 16) // == Srp.Wide
+    assert(b4r16.subsetOf(b8r16),
+      s"4x16 found pairs 8x16 missed: ${b4r16 -- b8r16}")
+    val b8r8 = pairs(8, 8)
+    val b16r8 = pairs(16, 8)
+    assert(b8r8.subsetOf(b16r8),
+      s"8x8 found pairs 16x8 missed: ${b8r8 -- b16r8}")
+  }
+
   test("q_dedup_embedding_lsh64: every reported pair is ordered, distinct, " +
       "and exact-cosine-qualified (the verify stage is not band trust)") {
     val out = DedupQueries.qDedupEmbeddingLsh64(spark, sf).collect()
