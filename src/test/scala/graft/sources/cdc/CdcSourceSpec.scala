@@ -178,6 +178,33 @@ class CdcSourceSpec extends SparkSpec {
     assert(batches.flatten.toSeq == Seq(8L), batches)
   }
 
+  test("malformed startingOffsets JSON fails fast instead of silently " +
+      "replaying the whole log") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcsrc6")
+    val ckpt = Files.createTempDirectory("cdcsrc6-ckpt")
+    seg(dir, "binlog.000001.jsonl", Seq(line(1, "shop", "orders", 1)))
+    // a typo'd key ("seg") parses to the default ("", 0) == Beginning —
+    // exactly the unpaced full replay the bounded-backfill option exists
+    // to prevent; the source must refuse, naming the problem
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir.toString)
+      .option("startingOffsets", """{"seg":"binlog.000001.jsonl","line":2}""")
+      .load().as[RawBinlogEvent]
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .format("noop")
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("segment")), messages(e))
+  }
+
   test("maxLinesPerTrigger paces catch-up into bounded micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdcsrc4")
