@@ -803,6 +803,33 @@ object DedupQueries {
       .distinct()
   }
 
+  /** INCREMENTAL embedding near-dup — the SRP counterpart of
+    * [[qDedupIncremental]]'s daily-ingest shape: the delta (vec_id % 5
+    * = 4, today's embedding batch) probes the STANDING corpus's banded
+    * SRP index by equi-join on (band, bits), so corpus×corpus pairs are
+    * never expanded and re-running ingest costs O(|delta| + matches),
+    * not O(|corpus|²). At 100 TB the corpus band table is the persisted
+    * index (bucketed by (band, bits)); the delta's bands shuffle to it
+    * and nothing else moves. Shares [[srpBanded]]'s cached frame (and
+    * therefore plan-cache identity) with [[qDedupEmbeddingLsh]] — the
+    * batch and ingest faces price one signature build between them.
+    * Semantics mirror the batch face: band collision AND exact
+    * cos ≥ 0.46, both replayed bit-identically by the oracle, so the row
+    * is hash-exact at the shape's honest recall.
+    */
+  def qDedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = srpBanded(spark, dir, Srp.Narrow)
+    val corpus = banded.filter($"vec_id" % 5 =!= 4)
+    val delta = banded.filter($"vec_id" % 5 === 4)
+    corpus.as("a").join(delta.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits")
+      .select($"a.vec_id".as("corpus_id"), $"b.vec_id".as("new_id"),
+        (expr("graft_dot(a.v, b.v)") / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .filter($"cos" >= 0.46)
+      .distinct()
+  }
+
   /** SRP band-shape instrumentation (the [[nearDupStats]] counterpart for
     * sign-LSH — SCALE.md's SRP row): bucket-mate pair count from bucket
     * OCCUPANCIES (Σ n·(n−1)/2 — the verify-stage workload, counted
@@ -952,6 +979,7 @@ object DedupQueries {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "q_dedup_embedding_lsh64" -> qDedupEmbeddingLsh64,
+    "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
     "q_dedup_components" -> qDedupComponents
   )
 
@@ -959,11 +987,15 @@ object DedupQueries {
     "list_distinct([substr(text, i::INT, 5)" +
       " FOR i IN range(1, greatest(length(text) - 4, 1) + 1)])"
 
-  /** Oracle for [[srpBandedPairs]] at a given shape: the same seeded SRP
+  /** Oracle for the banded-SRP engine at a given shape: the same seeded
     * pipeline in SQL — sign bits from explicit left-assoc ±component sums,
-    * band packing, band-bucket self-join, exact cosine verify.
+    * band packing, a band-bucket join under `joinPred` (self-join for the
+    * batch faces, corpus×delta for the incremental face), exact cosine
+    * verify.
     */
-  private def embeddingLshOracle(shape: SrpShape): String = {
+  private def embeddingLshOracle(shape: SrpShape,
+      joinPred: String = "a.vec_id < b.vec_id",
+      outA: String = "id_a", outB: String = "id_b"): String = {
     val sigCols = (0 until shape.planes).map { p =>
       s"CASE WHEN (${Srp.duckPlaneDot(p)}) >= 0 THEN 1 ELSE 0 END AS p$p"
     }.mkString(",\n   ")
@@ -986,14 +1018,14 @@ object DedupQueries {
        |   (CASE bb.band $bandCase END)::BIGINT AS bits
        |  FROM sig CROSS JOIN (VALUES $bandList) bb(band)),
        | cand AS (
-       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  SELECT DISTINCT a.vec_id AS $outA, b.vec_id AS $outB
        |  FROM banded a JOIN banded b
-       |   ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
-       |SELECT c.id_a, c.id_b,
+       |   ON a.band = b.band AND a.bits = b.bits AND $joinPred)
+       |SELECT c.$outA, c.$outB,
        | list_cosine_similarity(va.e, vb.e) AS cos
        |FROM cand c
-       | JOIN v va ON va.vec_id = c.id_a
-       | JOIN v vb ON vb.vec_id = c.id_b
+       | JOIN v va ON va.vec_id = c.$outA
+       | JOIN v vb ON vb.vec_id = c.$outB
        |WHERE list_cosine_similarity(va.e, vb.e) >= 0.46""".stripMargin
   }
 
@@ -1163,6 +1195,9 @@ object DedupQueries {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.46""".stripMargin,
     "q_dedup_embedding_lsh" -> embeddingLshOracle(Srp.Narrow),
     "q_dedup_embedding_lsh64" -> embeddingLshOracle(Srp.Wide),
+    "q_dedup_embedding_incremental" -> embeddingLshOracle(Srp.Narrow,
+      joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
+      outA = "corpus_id", outB = "new_id"),
     "q_dedup_components" ->
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, $duckShingles AS s FROM documents),
