@@ -289,6 +289,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed approx-percentiles: streaming output over the events " +
+      "table equals the ORACLED batch face q_events_window_percentile") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // at sf0.001 every (window, type) group is far below the streaming
+    // face's accuracy=1000, so GK's rank-error bound is < 1 and both
+    // accuracies return the exact rank element — the streaming dashboard
+    // and the driver-gate oracle row must agree cell-for-cell
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.GraftSession.table(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedPercentiles(input.toDS())
+      .writeStream.format("memory").queryName("wpct_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      events.grouped(300).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      // flush: watermark far past every window
+      input.addData(StreamEvent(999999L,
+        new Timestamp(events.map(_.ts.getTime).max + 100L * 3600_000L),
+        1L, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("wpct_parity")
+        .filter($"event_type" =!= "flush")
+        .select($"window_start", $"event_type", $"p50", $"p90", $"p99", $"n")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.analytics.EventsQueries
+        .qEventsWindowPercentile(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch,
+        "streaming dashboard diverged from the oracled batch face")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
