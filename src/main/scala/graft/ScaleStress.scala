@@ -121,6 +121,78 @@ object ScaleProbe {
   }
 }
 
+/** Measures the serving-table merge's partition pruning —
+  *
+  *   sbt "runMain graft.StoreProbe <sfDir> <copies>"
+  *
+  * Seeds a [[graft.streaming.CdcServingTable]] with `copies` × the events
+  * table — each copy as its OWN set of event-type tables (`click_k`, …),
+  * so growing `copies` grows the store's TABLE COUNT while every
+  * partition keeps the same size — then times a TRICKLE merge: a 100-row
+  * batch touching ONE table. Prints store size, seed time, trickle time,
+  * and how many partition files the trickle rewrote vs carried as links.
+  * The O(touched)-not-O(store) claim is the flat trickle line as the
+  * store grows around an unchanged touched partition — the evidence
+  * behind SCALE.md's partition-pruned-merge row.
+  */
+object StoreProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, copiesS) = args.take(2)
+    val copies = copiesS.toInt
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-storeprobe")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val types = ev.select($"event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val img = map(lit("event_id"), col("event_id").cast("string"),
+      lit("user_id"), col("user_id").cast("string"))
+    def envelopes(df: org.apache.spark.sql.DataFrame) = df.select(
+      lit("app").as("database"), col("event_type").as("table"),
+      lit("insert").as("action"),
+      typedlit(Map.empty[String, String]).as("before"), img.as("after"),
+      typedlit(Seq.empty[Seq[String]]).as("orgRow"),
+      struct(unix_timestamp(col("ts")).as("timestamp"),
+        col("event_id").as("logPos"), lit("").as("segment"))
+        .as("eventHeader")).as[graft.model.MQEvent]
+    val seedRows = (0 until copies).map(k =>
+      ev.withColumn("event_type", concat($"event_type", lit(s"_$k")))
+        .withColumn("event_id", $"event_id" + k * 1000000000L))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("store-probe").toString
+    val store = new graft.streaming.CdcServingTable(dir,
+      (for { t <- types.toSeq; k <- 0 until copies }
+        yield s"app.${t}_$k" -> "user_id").toMap)
+    val t0 = System.nanoTime()
+    store.merge(envelopes(seedRows))
+    val seedSec = (System.nanoTime() - t0) / 1e9
+    val storeRows = store.snapshot(spark).count()
+    // trickle: 100 fresh rows of ONE table (same table at every scale)
+    val trickle = ev.filter($"event_type" === types.head).limit(100)
+      .withColumn("event_type", concat($"event_type", lit("_0")))
+      .withColumn("event_id", $"event_id" + 5000000000L)
+      .withColumn("user_id", $"user_id" + 5000000000L)
+    val t1 = System.nanoTime()
+    store.merge(envelopes(trickle))
+    val trickleSec = (System.nanoTime() - t1) / 1e9
+    // rewritten = files in v1 that are NOT hard links of v0's (linked
+    // carries share an inode; Files.isSameFile detects them)
+    val v1 = new java.io.File(dir, "v1")
+    val parts = Option(v1.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+    val (rewritten, carried) = parts.partition { d =>
+      val twin = new java.io.File(new java.io.File(dir, "v0"), d.getName)
+      !twin.exists() || d.listFiles().exists(f =>
+        !new java.io.File(twin, f.getName).exists() ||
+          !java.nio.file.Files.isSameFile(f.toPath,
+            new java.io.File(twin, f.getName).toPath))
+    }
+    println(f"""{"copies":$copies,"tables":${types.length * copies},"store_rows":$storeRows,"seed_sec":$seedSec%.3f,"trickle_sec":$trickleSec%.3f,"partitions_rewritten":${rewritten.length},"partitions_carried":${carried.length}}""")
+    spark.stop()
+  }
+}
+
 /** The SRP counterpart of [[ScaleProbe]]: stage cardinalities for a banded
   * sign-LSH shape over `embeddings` —
   *
