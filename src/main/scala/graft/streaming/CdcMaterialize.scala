@@ -51,15 +51,22 @@ import graft.model.MQEvent
   * touched TABLE NAME list — bounded by the task's table count, never by
   * row count.
   */
-final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
+/** Shared CDC-envelope keying: reduce a batch of [[MQEvent]]s to one keyed
+  * change row per event — `(tbl, pk, version triple, action, after_json)` —
+  * under a per-`db.table` primary-key configuration. Both materializers
+  * consume this projection: [[CdcServingTable]] merges it (current state),
+  * [[CdcHistoryTable]] appends it (full history). Tables without a
+  * configured pk, and rows whose image lacks the pk column, are dropped
+  * filter-first — they never reach a shuffle.
+  */
+private[streaming] object CdcKeyed {
 
-  private def currentVersion: Option[Long] = VersionedStore.currentVersion(dir)
-
-  /** Store schema, declared explicitly on every read: `tbl` is the
-    * PARTITION column of the snapshot layout, and inference would happily
-    * type a numeric-looking `tbl=1.2` directory as DOUBLE.
+  /** Column layout of a keyed change row — also the store schema of both
+    * materializers. Declared explicitly on every store read: `tbl` is a
+    * PARTITION column in both layouts, and inference would happily type a
+    * numeric-looking `tbl=1.2` directory as DOUBLE.
     */
-  private val storeSchema: org.apache.spark.sql.types.StructType = {
+  val schema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("tbl", StringType), StructField("pk", StringType),
@@ -68,6 +75,37 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
       StructField("action", StringType),
       StructField("after_json", StringType)))
   }
+
+  def changes(envelopes: Dataset[MQEvent],
+      pkOf: Map[String, String]): DataFrame = {
+    val pkLit = typedlit(pkOf)
+    envelopes.toDF()
+      .withColumn("tbl", concat_ws(".", col("database"), col("table")))
+      .withColumn("pk_col", element_at(pkLit, col("tbl")))
+      .filter(col("pk_col").isNotNull)
+      // delete carries only the before image; its pk comes from there
+      .withColumn("pk", element_at(
+        when(col("action") === "delete", col("before")).otherwise(col("after")),
+        col("pk_col")))
+      .filter(col("pk").isNotNull)
+      .select(col("tbl"), col("pk"),
+        col("eventHeader.timestamp").as("ver_ts"),
+        coalesce(col("eventHeader.segment"), lit("")).as("ver_seg"),
+        col("eventHeader.logPos").as("ver_pos"),
+        col("action"),
+        to_json(col("after")).as("after_json"))
+  }
+}
+
+final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
+
+  private def currentVersion: Option[Long] = VersionedStore.currentVersion(dir)
+
+  /** Store schema, declared explicitly on every read: `tbl` is the
+    * PARTITION column of the snapshot layout, and inference would happily
+    * type a numeric-looking `tbl=1.2` directory as DOUBLE.
+    */
+  private val storeSchema = CdcKeyed.schema
 
   /** Full store content incl. tombstones (for merge + forensics). */
   def raw(spark: SparkSession): DataFrame = currentVersion match {
@@ -88,22 +126,7 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
     */
   def merge(envelopes: Dataset[MQEvent]): Unit = {
     val spark = envelopes.sparkSession
-    val pkLit = typedlit(pkOf)
-    val keyed = envelopes.toDF()
-      .withColumn("tbl", concat_ws(".", col("database"), col("table")))
-      .withColumn("pk_col", element_at(pkLit, col("tbl")))
-      .filter(col("pk_col").isNotNull)
-      // delete carries only the before image; its pk comes from there
-      .withColumn("pk", element_at(
-        when(col("action") === "delete", col("before")).otherwise(col("after")),
-        col("pk_col")))
-      .filter(col("pk").isNotNull)
-      .select(col("tbl"), col("pk"),
-        col("eventHeader.timestamp").as("ver_ts"),
-        coalesce(col("eventHeader.segment"), lit("")).as("ver_seg"),
-        col("eventHeader.logPos").as("ver_pos"),
-        col("action"),
-        to_json(col("after")).as("after_json"))
+    val keyed = CdcKeyed.changes(envelopes, pkOf)
       // two consumers (touched-table list + the merge union) — one compute
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -139,4 +162,99 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
     * Hard-linked carried files survive in newer versions.
     */
   def prune(keep: Int = 2): Unit = VersionedStore.prune(dir, keep)
+}
+
+/** CDC → queryable FULL-HISTORY table — the temporal complement of
+  * [[CdcServingTable]]: where the serving table answers "what is row X
+  * now?", this one answers "what was row X at time T?" and "when did it
+  * change?" — the audit/backfill face every CDC consumer that outgrows
+  * current-state serving reaches for (an SCD2 dimension, a time-travel
+  * read, a replication debugger).
+  *
+  * Write path is APPEND-ONLY: each batch of envelopes reduces to keyed
+  * change rows ([[CdcKeyed.changes]]) and appends to a `tbl`-partitioned
+  * changelog — O(|batch|) per micro-batch with ZERO store rewrite, no
+  * version pointer, no copy-on-write. That is the scale contrast with the
+  * serving merge (which must rewrite touched partitions): history ingest
+  * cost never grows with store size, making this the cheaper sink of the
+  * two at 100 TB — the expensive part moves to read time, where it
+  * belongs for an audit table.
+  *
+  * At-least-once redelivery is absorbed at READ time: a redelivered event
+  * appends an exact duplicate row, and both read faces collapse it —
+  * [[history]] by dropping rows whose full version equals their
+  * predecessor's inside the same (tbl, pk) window sort it already needs
+  * (no extra shuffle), [[asOf]] by the same last-writer-wins struct-max
+  * the serving merge uses (naturally idempotent). Exactly-once EFFECT
+  * over an at-least-once log, same contract as the serving table.
+  *
+  * Versioning is the rotation-safe (ver_ts, ver_seg, ver_pos) triple of
+  * [[graft.model.EventHeader]]; `action`/`after_json` ride as
+  * deterministic final tiebreaks (reached only for a same-version
+  * anomaly, a no-op for true redelivery).
+  */
+final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
+
+  private val logDir = s"$dir/log"
+
+  /** Append one batch of envelopes to the changelog. A sink ACTION (the
+    * `foreachBatch` body); safe to re-run on replay — see class doc.
+    */
+  def append(envelopes: Dataset[MQEvent]): Unit = {
+    val keyed = CdcKeyed.changes(envelopes, pkOf)
+    keyed.write.mode("append").partitionBy("tbl").parquet(logDir)
+  }
+
+  /** The raw changelog as appended (redelivered duplicates included). */
+  def changelog(spark: SparkSession): DataFrame =
+    if (new java.io.File(logDir).exists())
+      spark.read.schema(CdcKeyed.schema).parquet(logDir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CdcKeyed.schema)
+
+  /** Full version ordering within a key — ver triple first, then the
+    * deterministic tiebreaks.
+    */
+  private val verCols = Seq("ver_ts", "ver_seg", "ver_pos",
+    "action", "after_json")
+
+  /** The SCD2 view: one row per CHANGE with its validity interval.
+    * `valid_from` = the change's event timestamp; `valid_to` = the next
+    * change's (null while current); `is_current` = latest version and not
+    * a tombstone. ONE shuffle on (tbl, pk); the redelivery dedup and the
+    * interval `lead` share that window's sort.
+    */
+  def history(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tbl"), col("pk"))
+      .orderBy(verCols.map(col): _*)
+    val ver = struct(verCols.map(col): _*)
+    changelog(spark)
+      // a redelivered event sorts adjacent to its original; drop the copy
+      .withColumn("dup_of_prev", lag(ver, 1).over(w) === ver)
+      .filter(!coalesce(col("dup_of_prev"), lit(false)))
+      .withColumn("next_ts", lead(col("ver_ts"), 1).over(w))
+      .select(col("tbl"), col("pk"),
+        col("ver_ts"), col("ver_seg"), col("ver_pos"), col("action"),
+        col("after_json"),
+        col("ver_ts").as("valid_from"),
+        col("next_ts").as("valid_to"),
+        (col("next_ts").isNull && col("action") =!= "delete")
+          .as("is_current"))
+  }
+
+  /** Time travel: the live row set as of `tsSec` (inclusive) — the latest
+    * version per key at or before the cut, tombstones excluded. ONE
+    * struct-max shuffle; idempotent under redelivered duplicates by
+    * construction, so it reads the raw changelog directly.
+    */
+  def asOf(spark: SparkSession, tsSec: Long): DataFrame =
+    changelog(spark)
+      .filter(col("ver_ts") <= tsSec)
+      .groupBy(col("tbl"), col("pk"))
+      .agg(max(struct(verCols.map(col): _*)).as("v"))
+      .filter(col("v.action") =!= "delete")
+      .select(col("tbl"), col("pk"), col("v.ver_ts"), col("v.ver_pos"),
+        col("v.after_json"))
 }

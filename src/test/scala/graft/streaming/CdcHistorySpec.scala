@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model.{EventHeader, MQEvent}
+
+/** The CDC full-history materializer ([[CdcHistoryTable]]) — SCD2 validity
+  * intervals over the append-only changelog, time-travel reads, replay
+  * idempotence at read time, and rotation-safe version ordering.
+  */
+class CdcHistorySpec extends SparkSpec {
+
+  private def env(action: String, id: Long, name: String, ts: Long,
+      pos: Long, seg: String = ""): MQEvent = {
+    val img = Map("id" -> id.toString, "name" -> name)
+    MQEvent("shop", "orders", action,
+      before = if (action == "insert") Map.empty else img,
+      after = if (action == "delete") Map.empty else img,
+      orgRow = Seq(img.values.toSeq),
+      eventHeader = EventHeader(ts, pos, seg))
+  }
+
+  private def mkTable(): CdcHistoryTable = new CdcHistoryTable(
+    Files.createTempDirectory("cdc-hist").toString, Map("shop.orders" -> "id"))
+
+  // key 1: insert -> update -> delete -> re-insert; key 2: insert only
+  private def seed(t: CdcHistoryTable): Unit = {
+    import spark.implicits._
+    t.append(Seq(env("insert", 1, "a", 10, 1), env("insert", 2, "b", 11, 2)).toDS())
+    t.append(Seq(env("update", 1, "a2", 12, 3), env("delete", 1, "a2", 13, 4)).toDS())
+    t.append(Seq(env("insert", 1, "a3", 14, 5)).toDS())
+  }
+
+  test("history: SCD2 intervals chain per key; is_current marks the live " +
+      "non-tombstone head") {
+    val t = mkTable()
+    seed(t)
+    val h = t.history(spark).collect()
+      .map(r => (r.getAs[String]("pk"), r.getAs[Long]("valid_from")) ->
+        (Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+          r.getAs[String]("action"), r.getAs[Boolean]("is_current")))
+      .toMap
+    assert(h.size === 5)
+    // key 1's chain: each version's valid_to is the next version's valid_from
+    assert(h(("1", 10L)) === ((Some(12L), "insert", false)))
+    assert(h(("1", 12L)) === ((Some(13L), "update", false)))
+    assert(h(("1", 13L)) === ((Some(14L), "delete", false)))
+    assert(h(("1", 14L)) === ((None, "insert", true)))
+    // key 2: single open interval
+    assert(h(("2", 11L)) === ((None, "insert", true)))
+  }
+
+  test("history: a key whose LAST change is a delete has no current row") {
+    import spark.implicits._
+    val t = mkTable()
+    t.append(Seq(env("insert", 3, "c", 20, 1), env("delete", 3, "c", 21, 2)).toDS())
+    val cur = t.history(spark).filter("is_current").collect()
+    assert(cur.isEmpty, "a tombstoned key must not be current")
+  }
+
+  test("redelivered batch appends duplicates to the log but history and " +
+      "asOf absorb them (exactly-once effect)") {
+    import spark.implicits._
+    val t = mkTable()
+    seed(t)
+    val before = t.history(spark).collect().toSet
+    val asOfBefore = t.asOf(spark, 12).collect().toSet
+    // redeliver the middle batch — the log grows, the views must not move
+    t.append(Seq(env("update", 1, "a2", 12, 3), env("delete", 1, "a2", 13, 4)).toDS())
+    assert(t.changelog(spark).count() === 7, "append-only log keeps the dup")
+    assert(t.history(spark).collect().toSet === before,
+      "redelivery changed the history view")
+    assert(t.asOf(spark, 12).collect().toSet === asOfBefore,
+      "redelivery changed the as-of view")
+  }
+
+  test("asOf: latest version at or before the cut, tombstones excluded, " +
+      "resurrection visible after") {
+    val t = mkTable()
+    seed(t)
+    def names(ts: Long): Map[String, String] =
+      t.asOf(spark, ts).collect()
+        .map(r => r.getAs[String]("pk") -> r.getAs[String]("after_json")).toMap
+    assert(names(9) === Map.empty)
+    val at11 = names(11)
+    assert(at11.keySet === Set("1", "2") && at11("1").contains("\"a\""))
+    assert(names(12)("1").contains("a2"))
+    assert(names(13).keySet === Set("2"), "key 1 is deleted at ts 13")
+    assert(names(14)("1").contains("a3"), "re-insert resurrects key 1")
+  }
+
+  test("rotation within one second: (ts, segment, logPos) orders history " +
+      "across files where (ts, logPos) alone would invert the chain") {
+    import spark.implicits._
+    val t = mkTable()
+    // older event: end of 000001, pos 5000; newer: start of 000002, pos
+    // 120; same second — (ts, logPos) alone would order them backwards
+    t.append(Seq(
+      env("insert", 1, "stale", 10, 5000, "master.000001"),
+      env("update", 1, "fresh", 10, 120, "master.000002")).toDS())
+    val cur = t.history(spark).filter("is_current").collect()
+    assert(cur.length === 1 && cur.head.getAs[String]("after_json").contains("fresh"),
+      "segment must break the intra-second tie in rotation order")
+    assert(t.asOf(spark, 10).collect().head.getAs[String]("after_json")
+      .contains("fresh"))
+  }
+
+  test("tables without a configured pk never reach the log") {
+    import spark.implicits._
+    val t = mkTable()
+    val alien = MQEvent("shop", "carts", "insert", Map.empty,
+      Map("id" -> "9", "name" -> "x"), Seq(Seq("9", "x")), EventHeader(10, 1))
+    t.append(Seq(alien, env("insert", 1, "a", 10, 2)).toDS())
+    assert(t.changelog(spark).count() === 1)
+  }
+}
