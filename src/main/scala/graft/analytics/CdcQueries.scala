@@ -202,17 +202,21 @@ object CdcQueries {
     * The store merges are sink ACTIONS (like the streaming sink they
     * mirror); the snapshot is store-sized (one live row per key).
     */
-  def cdcServingState(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import graft.streaming.CdcServingTable
-    val ev = table(spark, dir, "events")
+  /** The events table replayed as keyed CHANGES — the shared adapter of
+    * the store-materializer oracles ([[cdcServingState]],
+    * [[cdcScd2History]], [[cdcTimeTravel]]): pk = user_id (each key sees
+    * its whole event history), version = (unix ts, event_id) — the
+    * (timestamp, logPos) pair — action by event_id mod 10 (0 = update,
+    * 1 = delete, else insert). `batch_key` rides along for batch splits.
+    */
+  private def changeEnvelopes(ev: DataFrame): DataFrame = {
     val mod10 = col("event_id") % 10
     val img = map(
       lit("event_id"), col("event_id").cast("string"),
       lit("user_id"), col("user_id").cast("string"),
       lit("value"), regexp_replace(format_number(col("value"), 2), ",", ""))
     val emptyImg = typedlit(Map.empty[String, String])
-    val envs = ev.select(
+    ev.select(
       lit("app").as("database"),
       col("event_type").as("table"),
       when(mod10 === 0, "update").when(mod10 === 1, "delete")
@@ -224,6 +228,12 @@ object CdcQueries {
         col("event_id").as("logPos"),
         lit("").as("segment")).as("eventHeader"),
       col("event_id").as("batch_key"))
+  }
+
+  def cdcServingState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.CdcServingTable
+    val envs = changeEnvelopes(table(spark, dir, "events"))
     val serveDir = java.nio.file.Files
       .createTempDirectory("graft-serving-state").toString
     val serving = new CdcServingTable(serveDir,
@@ -248,12 +258,77 @@ object CdcQueries {
         get_json_object($"after_json", "$.value").as("value_str"))
   }
 
+  /** The temporal complement of [[cdcServingState]], oracled end-to-end:
+    * the same keyed change stream appended to the REAL
+    * [[graft.streaming.CdcHistoryTable]] as 3 deterministic batches with
+    * the middle one applied TWICE (at-least-once redelivery — the
+    * append-only log keeps the duplicate; the read view must absorb it),
+    * then the SCD2 history read back: one row per change with its
+    * validity interval. The oracle computes the same intervals in SQL
+    * with a window `lead` per (table, user) — pinning interval chaining,
+    * the is_current/tombstone rule, and read-time replay idempotence in
+    * the driver's hash gate. The appends are sink ACTIONS; history read
+    * is ONE window shuffle over the log.
+    */
+  def cdcScd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.CdcHistoryTable
+    val envs = changeEnvelopes(table(spark, dir, "events"))
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft-scd2-history").toString
+    val hist = new CdcHistoryTable(histDir,
+      eventTypes.map(t => s"app.$t" -> "user_id").toMap)
+    // three append ACTIONS consume the same adapter output — cache it
+    val cached = envs.persist()
+    try {
+      (0 until 3).foreach { b =>
+        hist.append(cached.filter($"batch_key" % 3 === b).drop("batch_key")
+          .as[graft.model.MQEvent])
+      }
+      // redeliver batch 1: history/asOf must not move (read-time dedup)
+      hist.append(cached.filter($"batch_key" % 3 === 1).drop("batch_key")
+        .as[graft.model.MQEvent])
+    } finally { cached.unpersist(); () }
+    hist.history(spark)
+      .select($"tbl", $"pk".cast("long").as("user_id"),
+        $"ver_pos".as("event_id"), $"action",
+        $"valid_from", $"valid_to", $"is_current")
+  }
+
+  /** Time travel over the changelog: the live row set as of the corpus
+    * midpoint timestamp — the latest change per (table, user) at or
+    * before the cut, excluded if that change is a delete. The cut is
+    * (min+max)/2 of the event epoch seconds (integer arithmetic, exact
+    * in both engines). ONE struct-max shuffle over the log; idempotent
+    * under duplicates by construction, so a single append suffices.
+    */
+  def cdcTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.CdcHistoryTable
+    val ev = table(spark, dir, "events")
+    val envs = changeEnvelopes(ev)
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft-time-travel").toString
+    val hist = new CdcHistoryTable(histDir,
+      eventTypes.map(t => s"app.$t" -> "user_id").toMap)
+    hist.append(envs.drop("batch_key").as[graft.model.MQEvent])
+    // the cut is a 1-row scalar — an index-build-sized driver action
+    val cut = ev.agg(((min(unix_timestamp($"ts")) +
+      max(unix_timestamp($"ts"))) / 2).cast("long")).head().getLong(0)
+    hist.asOf(spark, cut)
+      .select($"tbl", $"pk".cast("long").as("user_id"),
+        $"ver_pos".as("last_event_id"),
+        get_json_object($"after_json", "$.value").as("value_str"))
+  }
+
   val queries: Map[String, CoreQueries.QFn] = Map(
     "cdc_envelope" -> cdcEnvelope,
     "cdc_update_pairing" -> cdcUpdatePairing,
     "cdc_deep_include" -> cdcDeepInclude,
     "cdc_ddl_evolution" -> cdcDdlEvolution,
-    "cdc_serving_state" -> cdcServingState
+    "cdc_serving_state" -> cdcServingState,
+    "cdc_scd2_history" -> cdcScd2History,
+    "cdc_time_travel" -> cdcTimeTravel
   )
 
   val oracles: Map[String, String] = Map(
@@ -310,6 +385,42 @@ object CdcQueries {
         |   row_number() OVER (PARTITION BY event_type, user_id
         |     ORDER BY epoch(ts) DESC, event_id DESC) AS rk
         |  FROM events)
+        |SELECT tbl, user_id, event_id AS last_event_id,
+        | printf('%.2f', value) AS value_str
+        |FROM ch WHERE rk = 1 AND event_id % 10 <> 1""".stripMargin,
+    // SCD2: each change's validity runs until the NEXT change of the same
+    // (table, user) key in (ts, event_id=logPos) version order; the head
+    // is current unless it is a tombstone. The redelivered batch must
+    // leave these intervals untouched.
+    "cdc_scd2_history" ->
+      """WITH ch AS (
+        |  SELECT 'app.' || event_type AS tbl, user_id, event_id,
+        |   floor(epoch(ts))::BIGINT AS ts_sec,
+        |   CASE WHEN event_id % 10 = 0 THEN 'update'
+        |        WHEN event_id % 10 = 1 THEN 'delete'
+        |        ELSE 'insert' END AS action
+        |  FROM events),
+        | h AS (
+        |  SELECT tbl, user_id, event_id, ts_sec, action,
+        |   lead(ts_sec) OVER (PARTITION BY tbl, user_id
+        |     ORDER BY ts_sec, event_id) AS next_ts
+        |  FROM ch)
+        |SELECT tbl, user_id, event_id, action,
+        | ts_sec AS valid_from, next_ts AS valid_to,
+        | (next_ts IS NULL AND action <> 'delete') AS is_current
+        |FROM h""".stripMargin,
+    // time travel: latest change per key at or before the corpus-midpoint
+    // cut, excluded when that change is a delete
+    "cdc_time_travel" ->
+      """WITH cut AS (
+        |  SELECT (min(floor(epoch(ts))::BIGINT) +
+        |          max(floor(epoch(ts))::BIGINT)) // 2 AS c
+        |  FROM events),
+        | ch AS (
+        |  SELECT 'app.' || event_type AS tbl, user_id, event_id, value,
+        |   row_number() OVER (PARTITION BY event_type, user_id
+        |     ORDER BY epoch(ts) DESC, event_id DESC) AS rk
+        |  FROM events, cut WHERE floor(epoch(ts))::BIGINT <= cut.c)
         |SELECT tbl, user_id, event_id AS last_event_id,
         | printf('%.2f', value) AS value_str
         |FROM ch WHERE rk = 1 AND event_id % 10 <> 1""".stripMargin
