@@ -530,6 +530,110 @@ object DedupQueries {
       .withColumn("is_keeper", ($"doc_id" === $"component").cast("boolean"))
   }
 
+  /** The LARGE-STAR / SMALL-STAR alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) over a canonical
+    * big→small directed edge frame `(s, d)` with `s > d`. Returns the
+    * `(doc_id, component)` labeling (component = min node id, every node
+    * incident to an edge labeled) and the number of alternation rounds
+    * used.
+    *
+    * Why a second components engine: [[qDedupComponents]]'s min-label
+    * propagation needs DIAMETER rounds — fine for template-duplicate
+    * clusters (diameter ~2), catastrophic for chain topologies (a crawl
+    * snapshot whose page k near-dups page k+1 makes a path graph; 10⁶
+    * docs ⇒ 10⁶ rounds). The star alternation contracts ANY topology in
+    * O(log n) rounds:
+    *   - large-star (symmetric view, one groupBy + one join on `s`):
+    *     each center u computes m = min(N(u) ∪ {u}) and rewires every
+    *     LARGER neighbor v > u to m. Output is inherently big→small
+    *     (m ≤ u < v) with no self-loops.
+    *   - small-star (big→small view, same shape): each center u rewires
+    *     itself and all its (smaller) neighbors to m = min(N(u) ∪ {u}).
+    * Both rounds are edge-sized shuffles on the center key — the
+    * symmetric view is repartitioned on `s` ONCE and that exchange is
+    * reused by its groupBy and its join (subset rule), so a full
+    * alternation costs 2 shuffle passes over the edge list, independent
+    * of topology.
+    *
+    * Convergence is checked EXACTLY — equal count plus an empty left-anti
+    * diff against the previous round's edge set (one more edge-sized
+    * shuffle, the same cost class as the round; no fingerprint
+    * heuristics that could false-converge). At the fixpoint the edge set
+    * is a star forest rooted at component minima, so the labeling is one
+    * projection: non-roots read their root off their single edge, roots
+    * label themselves.
+    */
+  private[graft] def starComponents(spark: SparkSession, edges0: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
+    import spark.implicits._
+    // EAGER lineage truncation each generation: the symmetric view
+    // references the previous generation TWICE, so without truncation the
+    // logical plan doubles per round — exponential plan growth that OOMs
+    // the driver around round 10 regardless of data size (persist() alone
+    // does NOT cut the plan; Catalyst still carries the full tree).
+    // localCheckpoint materializes the rows and replaces the lineage with
+    // the checkpointed RDD, keeping every round's plan O(1). At cluster
+    // scale swap for reliable `checkpoint()` to a durable dir — same
+    // truncation semantics, executor-loss-safe.
+    var edges = edges0.select($"s", $"d").distinct().localCheckpoint(true)
+    var nOld = edges.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: neighborhoods need both orientations; repartition the
+      // symmetric view on the center key once — groupBy and join reuse it
+      val sym = edges.select($"s", $"d")
+        .union(edges.select($"d".as("s"), $"s".as("d")))
+        .repartition($"s")
+      val mins = sym.groupBy($"s").agg(min($"d").as("mind"))
+        .select($"s".as("u"), least($"s", $"mind").as("m"))
+      val large = sym.join(mins, sym("s") === mins("u"))
+        .filter($"d" > $"s")
+        .select($"d".as("s"), $"m".as("d"))
+        .distinct()
+      // SMALL-STAR: already big→small oriented; center = the big end
+      val lmins = large.groupBy($"s").agg(min($"d").as("mind"))
+        .select($"s".as("u"), least($"s", $"mind").as("m"))
+      val small = large.join(lmins, large("s") === lmins("u"))
+        .select(explode(array(
+          struct($"d".as("ns"), $"m".as("nd")),
+          struct($"s".as("ns"), $"m".as("nd")))).as("e"))
+        .select($"e.ns".as("s"), $"e.nd".as("d"))
+        .filter($"s" =!= $"d")
+        .distinct()
+        .localCheckpoint(true)
+      val nNew = small.count()
+      converged = nNew == nOld &&
+        small.join(edges, Seq("s", "d"), "left_anti").limit(1).count() == 0
+      edges = small
+      nOld = nNew
+      iter += 1
+    }
+    val labels = edges
+      .select($"s".as("doc_id"), $"d".as("lbl"))
+      .union(edges.select($"d".as("doc_id"), $"d".as("lbl")))
+      .groupBy($"doc_id").agg(min($"lbl").as("component"))
+    (labels, iter)
+  }
+
+  /** Near-dup components via the star alternation — same pair graph, same
+    * output contract, and the SAME transitive-closure oracle as
+    * [[qDedupComponents]]: the two engines are verified against one
+    * independent recursive-CTE semantics, so the alternation's rewiring
+    * logic is hash-pinned, not merely compared to the sibling loop.
+    */
+  def qDedupComponentsStar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = qDedupMinhashLsh(spark, dir)
+      .select($"id_b".as("s"), $"id_a".as("d"))
+    val (labels, _) = starComponents(spark, edges)
+    labels
+      .withColumn("n_docs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"component")))
+      .withColumn("is_keeper", ($"doc_id" === $"component").cast("boolean"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash near-dup: 32-bit bit-majority sketch over polynomial shingle
@@ -980,7 +1084,8 @@ object DedupQueries {
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "q_dedup_embedding_lsh64" -> qDedupEmbeddingLsh64,
     "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
-    "q_dedup_components" -> qDedupComponents
+    "q_dedup_components" -> qDedupComponents,
+    "q_dedup_components_star" -> qDedupComponentsStar
   )
 
   private val duckShingles =
@@ -1198,7 +1303,15 @@ object DedupQueries {
     "q_dedup_embedding_incremental" -> embeddingLshOracle(Srp.Narrow,
       joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
       outA = "corpus_id", outB = "new_id"),
-    "q_dedup_components" ->
+    "q_dedup_components" -> componentsOracle,
+    "q_dedup_components_star" -> componentsOracle
+  )
+
+  /** Transitive closure over the exact all-pairs j ≥ 0.8 graph — ONE
+    * independent semantics pinning BOTH component engines (the min-label
+    * loop and the star alternation).
+    */
+  private def componentsOracle: String =
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, $duckShingles AS s FROM documents),
          | pairs AS (
@@ -1218,5 +1331,4 @@ object DedupQueries {
          | count(*) OVER (PARTITION BY component) AS n_docs,
          | doc_id = component AS is_keeper
          |FROM comp""".stripMargin
-  )
 }
