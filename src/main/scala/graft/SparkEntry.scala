@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AdvancedQueries, CdcQueries, CoreQueries, DedupQueries, EventsQueries, GraphQueries, LinkageQueries, MultimodalQueries, PipelineQueries, QualityQueries, SamplingQueries, SimilarityQueries, TextQueries}
+import graft.analytics.{AdvancedQueries, CdcQueries, CoreQueries, DedupQueries, EventsQueries, GraphQueries, Layout, LinkageQueries, MultimodalQueries, PipelineQueries, QualityQueries, SamplingQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
     CoreQueries.queries ++ CdcQueries.queries ++ EventsQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      AdvancedQueries.queries ++ SamplingQueries.queries ++ GraphQueries.queries ++ QualityQueries.queries ++ PipelineQueries.queries ++ LinkageQueries.queries
+      AdvancedQueries.queries ++ SamplingQueries.queries ++ GraphQueries.queries ++ QualityQueries.queries ++ PipelineQueries.queries ++ LinkageQueries.queries ++ Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +29,5 @@ object SparkEntry {
     CoreQueries.oracles ++ CdcQueries.oracles ++ EventsQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
-      AdvancedQueries.oracles ++ SamplingQueries.oracles ++ GraphQueries.oracles ++ QualityQueries.oracles ++ PipelineQueries.oracles ++ LinkageQueries.oracles
+      AdvancedQueries.oracles ++ SamplingQueries.oracles ++ GraphQueries.oracles ++ QualityQueries.oracles ++ PipelineQueries.oracles ++ LinkageQueries.oracles ++ Layout.oracles
 }

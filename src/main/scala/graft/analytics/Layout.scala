@@ -1,0 +1,123 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession.table
+
+/** Multi-dimensional data LAYOUT: Z-order (Morton) clustering, the
+  * standard answer to "queries filter on TWO columns but a sort key can
+  * only cluster one". Interleaving the bits of both keys makes rows that
+  * are close in (a, b) space close in the one-dimensional sort order, so
+  * every range-partitioned file (and every parquet row group inside it)
+  * covers a TIGHT 2-D bounding box — a box predicate then prunes by
+  * min/max statistics to the few files whose box intersects it, instead
+  * of scanning every file because the second column's values are spread
+  * uniformly across all of them.
+  *
+  * The 100 TB arithmetic: a fact table sorted by `a` alone answers
+  * `a BETWEEN …` with file skipping but `b BETWEEN …` with a full scan —
+  * at 100 TB the difference between touching ~√F of F files (z-order,
+  * box selectivity s per dimension ⇒ ~sF + boundary files) and touching
+  * all of them. Layout is paid ONCE at write time (one range exchange —
+  * the same cost class as any sorted write) and amortizes over every
+  * subsequent scan, exactly like [[Bucketing]] amortizes the join
+  * shuffle.
+  *
+  * The bit-interleave is the classic magic-number spread (5 codegen'd
+  * bitwise ops per coordinate, no UDF, stays inside whole-stage codegen);
+  * the same arithmetic runs verbatim in DuckDB, so the oracled face
+  * hash-pins the exact interleave rather than a rows-only shape check.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to even bit positions 0,2,…,30. */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(65535L))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(16711935L))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(252645135L))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(858993459L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(1431655765L))
+  }
+
+  /** Z-value of two non-negative 16-bit coordinates: bits of `a` at odd
+    * positions, bits of `b` at even — a 32-bit Morton code carried as
+    * LONG. Wider domains first quantize to 16 bits per dimension
+    * (min/max scale); 16 bits per axis already distinguishes 65 536
+    * range-partition boundaries per dimension, far beyond any practical
+    * file count.
+    */
+  def zValue(a: Column, b: Column): Column =
+    shiftleft(spread16(a), 1).bitwiseOR(spread16(b))
+
+  /** The production write path: range-partition on the z-value into `n`
+    * files, each internally z-sorted so parquet row-group min/max stats
+    * inherit the tight boxes too. Range boundaries come from Spark's
+    * reservoir sample — boundary PLACEMENT is sampling-dependent (hence
+    * the oracled face below pins buckets with ntile instead), but the
+    * clustering property every scan relies on (consecutive z-runs per
+    * file) holds for any boundaries.
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, n: Int,
+      path: String): Unit = {
+    val z = df.withColumn("zval", zValue(col(colA), col(colB)))
+    z.repartitionByRange(n, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Oracled face: z-order lineitem on (l_partkey, l_suppkey), cut the
+    * z-sorted order into 64 equal buckets (ntile over the deterministic
+    * (zval, l_orderkey, l_linenumber) total order — the pinned stand-in
+    * for sampled range boundaries), and report each bucket's 2-D
+    * bounding box. The boxes ARE the layout's value: their min/max spans
+    * are what a scan planner prunes against, and the spec asserts their
+    * total area is a fraction of what a single-column sort leaves.
+    */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .withColumn("zval", zValue($"l_partkey", $"l_suppkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"zval", $"l_orderkey", $"l_linenumber")
+    li.withColumn("bucket", ntile(64).over(w))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("min_part"), max($"l_partkey").as("max_part"),
+        min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> qZorderLayout
+  )
+
+  /** The identical spread/interleave arithmetic in DuckDB (layered CTEs —
+    * 0x00FF00FF=16711935, 0x0F0F0F0F=252645135, 0x33333333=858993459,
+    * 0x55555555=1431655765).
+    */
+  def oracles: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      """WITH s0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         (l_partkey & 65535) AS a, (l_suppkey & 65535) AS b
+        |  FROM lineitem),
+        | s1 AS (SELECT * REPLACE (((a | (a << 8)) & 16711935) AS a,
+        |         ((b | (b << 8)) & 16711935) AS b) FROM s0),
+        | s2 AS (SELECT * REPLACE (((a | (a << 4)) & 252645135) AS a,
+        |         ((b | (b << 4)) & 252645135) AS b) FROM s1),
+        | s3 AS (SELECT * REPLACE (((a | (a << 2)) & 858993459) AS a,
+        |         ((b | (b << 2)) & 858993459) AS b) FROM s2),
+        | s4 AS (SELECT * REPLACE (((a | (a << 1)) & 1431655765) AS a,
+        |         ((b | (b << 1)) & 1431655765) AS b) FROM s3),
+        | z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         ((a << 1) | b) AS zval FROM s4),
+        | t AS (SELECT *, ntile(64) OVER
+        |         (ORDER BY zval, l_orderkey, l_linenumber) AS bucket FROM z)
+        |SELECT bucket, count(*) AS n_rows,
+        |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+        |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |FROM t GROUP BY bucket""".stripMargin
+  )
+}
