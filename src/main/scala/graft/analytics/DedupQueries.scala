@@ -634,6 +634,66 @@ object DedupQueries {
       .withColumn("is_keeper", ($"doc_id" === $"component").cast("boolean"))
   }
 
+  // ----------------------------------------------------------- Containment
+
+  /** CONTAINMENT dedup (doc-inside-doc): ordered pairs (a, b) with
+    * |Sh(a) ∩ Sh(b)| / |Sh(a)| ≥ 0.9 — the asymmetric cousin of Jaccard
+    * that catches a small document quoted wholesale inside a big one,
+    * which symmetric near-dup misses outright (a 1-paragraph doc inside a
+    * 100-paragraph doc has Jaccard ≈ 0.01 and containment 1.0). The
+    * training-data use is quote/boilerplate/subset elimination.
+    *
+    * Candidate generation is EXACT prefix filtering (the SSJoin/PPJoin
+    * family, Chaudhuri et al., ICDE'06 — no LSH miss probability at all):
+    * order every doc's shingles by the GLOBAL (df ASC, hash ASC) total
+    * order; a doc missing more than ⌊0.1·|a|⌋ of a's shingles cannot be a
+    * 0.9-container, so if b contains a then b holds at least one of a's
+    * first ⌊0.1·|a|⌋+1 shingles (pigeonhole — integer arithmetic, no
+    * float edge). Candidates = a's prefix tokens equi-joined against the
+    * corpus inverted index. Rarest-first ordering makes each prefix
+    * token's posting list short, so candidate volume is Σ_prefix df(t) —
+    * the standard SSJoin cost, linear-ish in corpus size — while a
+    * random prefix order would pay stopword-shingle posting lists.
+    * Verification is the exact merge-scan kernel over the shared
+    * [[minhashPer]] sorted hash sets (one more chain consumer; the df
+    * table adds the only new shuffles: term-key groupBy + join, the
+    * vocabulary-sized pattern every TF-IDF query here already rides).
+    *
+    * Docs under 20 distinct shingles are excluded on BOTH sides (and in
+    * the oracle): sub-20-shingle texts are fragments whose containment is
+    * noise, and every real pipeline floors fragment length first.
+    */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir).select($"doc_id", $"hx")
+    val dfTable = sh.groupBy($"hx").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"hx")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val ranked = sh.join(dfTable, "hx")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter($"n" >= 20)
+    val prefixA = ranked
+      .filter($"rn" <= floor($"n" / 10) + 1)
+      .select($"doc_id".as("id_a"), $"hx")
+    val fullB = ranked.select($"doc_id".as("id_b"), $"hx")
+    val cand = prefixA.join(fullB, "hx")
+      .filter($"id_a" =!= $"id_b")
+      .select($"id_a", $"id_b").distinct()
+    val per = minhashPer(spark, dir)
+    val a = per.select($"doc_id".as("a_id"), $"hs".as("a_hs"),
+      $"sz".as("a_sz"))
+    val b = per.select($"doc_id".as("b_id"), $"hs".as("b_hs"))
+    val withA = a.join(cand.hint("shuffle_hash"), $"a_id" === $"id_a")
+      .select($"id_a", $"id_b", $"a_hs", $"a_sz")
+    b.join(withA.hint("merge"), $"id_b" === $"b_id")
+      .withColumn("inter", expr("graft_sorted_and_count(a_hs, b_hs)"))
+      .withColumn("containment", $"inter".cast("double") / $"a_sz")
+      .filter($"containment" >= 0.9)
+      .select($"id_a", $"id_b", $"containment")
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash near-dup: 32-bit bit-majority sketch over polynomial shingle
@@ -1085,7 +1145,8 @@ object DedupQueries {
     "q_dedup_embedding_lsh64" -> qDedupEmbeddingLsh64,
     "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
     "q_dedup_components" -> qDedupComponents,
-    "q_dedup_components_star" -> qDedupComponentsStar
+    "q_dedup_components_star" -> qDedupComponentsStar,
+    "q_dedup_containment" -> qDedupContainment
   )
 
   private val duckShingles =
@@ -1304,7 +1365,14 @@ object DedupQueries {
       joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
       outA = "corpus_id", outB = "new_id"),
     "q_dedup_components" -> componentsOracle,
-    "q_dedup_components_star" -> componentsOracle
+    "q_dedup_components_star" -> componentsOracle,
+    "q_dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+         | f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 20)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+         |FROM f a JOIN f b ON a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9""".stripMargin
   )
 
   /** Transitive closure over the exact all-pairs j ≥ 0.8 graph — ONE
