@@ -173,12 +173,14 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
   *
   * Write path is APPEND-ONLY: each batch of envelopes reduces to keyed
   * change rows ([[CdcKeyed.changes]]) and appends to a `tbl`-partitioned
-  * changelog — O(|batch|) per micro-batch with ZERO store rewrite, no
-  * version pointer, no copy-on-write. That is the scale contrast with the
-  * serving merge (which must rewrite touched partitions): history ingest
-  * cost never grows with store size, making this the cheaper sink of the
-  * two at 100 TB — the expensive part moves to read time, where it
-  * belongs for an audit table.
+  * changelog — O(|batch|) per micro-batch with ZERO store rewrite on the
+  * ingest path. That is the scale contrast with the serving merge (which
+  * must rewrite touched partitions): history ingest cost never grows
+  * with store size, making this the cheaper sink of the two at 100 TB —
+  * the expensive part moves to read time, where it belongs for an audit
+  * table. The price of append-only is small-file accrual, paid down out
+  * of band by [[compact]] (partition-pruned rewrite behind the same
+  * atomic version pointer as the serving snapshot).
   *
   * At-least-once redelivery is absorbed at READ time: a redelivered event
   * appends an exact duplicate row, and both read faces collapse it —
@@ -195,23 +197,85 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
   */
 final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
 
-  private val logDir = s"$dir/log"
+  private val logRoot = s"$dir/log"
+
+  /** The changelog directory is VERSIONED with the same `_CURRENT`
+    * pointer as the serving snapshot — appends land in the current
+    * version, and [[compact]] commits a rewritten version atomically.
+    */
+  private def currentDir: Option[java.io.File] =
+    VersionedStore.currentVersion(logRoot)
+      .map(v => new java.io.File(logRoot, s"v$v"))
 
   /** Append one batch of envelopes to the changelog. A sink ACTION (the
     * `foreachBatch` body); safe to re-run on replay — see class doc.
     */
   def append(envelopes: Dataset[MQEvent]): Unit = {
     val keyed = CdcKeyed.changes(envelopes, pkOf)
-    keyed.write.mode("append").partitionBy("tbl").parquet(logDir)
+    val tgt = currentDir.getOrElse {
+      val v0 = new java.io.File(logRoot, "v0")
+      v0.mkdirs()
+      VersionedStore.swapPointer(logRoot, 0L)
+      v0
+    }
+    keyed.write.mode("append").partitionBy("tbl").parquet(tgt.toString)
   }
 
   /** The raw changelog as appended (redelivered duplicates included). */
-  def changelog(spark: SparkSession): DataFrame =
-    if (new java.io.File(logDir).exists())
-      spark.read.schema(CdcKeyed.schema).parquet(logDir)
-    else
+  def changelog(spark: SparkSession): DataFrame = currentDir match {
+    case Some(d) => spark.read.schema(CdcKeyed.schema).parquet(d.toString)
+    case None =>
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CdcKeyed.schema)
+  }
+
+  /** Compact the changelog's small files. Each micro-batch append leaves
+    * one parquet file per touched partition, so a hot table accumulates a
+    * file per batch forever — a day of 5-second batches is ~17 k tiny
+    * files whose per-file open/footer cost (and at cluster scale, the
+    * listing tax) comes to dominate every read. Rewrites ONLY partitions
+    * holding more than `maxFiles` files — one shuffle whose input is just
+    * those partitions' rows (partition-pruned scan), hash-clustered on
+    * `tbl` so each rewritten partition lands as one file — hard-links
+    * every other partition, and commits with the atomic pointer swap:
+    * readers see the old or new version, never a torn state.
+    *
+    * Compaction preserves the log BYTE-FOR-BYTE as a multiset — including
+    * duplicates appended by at-least-once redelivery. Deduplication is
+    * the READ faces' contract ([[history]]/[[asOf]]); a compactor that
+    * deduped would silently change what "replay the log" means.
+    *
+    * Single-writer contract (same as every table format's compaction
+    * transaction): call from the loop that calls [[append]] — an append
+    * racing the rewrite could land in the version being replaced.
+    * Returns the number of partitions rewritten.
+    */
+  def compact(spark: SparkSession, maxFiles: Int = 4): Int = currentDir match {
+    case None => 0
+    case Some(cur) =>
+      val fat = Option(cur.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+        .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet")) > maxFiles)
+        .map(_.getName.stripPrefix("tbl="))
+      if (fat.isEmpty) 0
+      else {
+        val v = VersionedStore.currentVersion(logRoot).getOrElse(0L) + 1
+        val next = new java.io.File(logRoot, s"v$v")
+        spark.read.schema(CdcKeyed.schema).parquet(cur.toString)
+          .filter(col("tbl").isin(fat.toIndexedSeq: _*))
+          .repartition(col("tbl"))
+          .write.mode("overwrite").partitionBy("tbl").parquet(next.toString)
+        VersionedStore.linkUntouchedPartitions(cur, next)
+        VersionedStore.swapPointer(logRoot, v)
+        fat.length
+      }
+  }
+
+  /** Drop changelog versions older than the newest `keep` — the GC pair
+    * of [[compact]]; hard-linked carried files survive in newer versions.
+    */
+  def prune(keep: Int = 2): Unit = VersionedStore.prune(logRoot, keep)
 
   /** Full version ordering within a key — ver triple first, then the
     * deterministic tiebreaks.

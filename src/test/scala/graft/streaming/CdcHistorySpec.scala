@@ -106,6 +106,62 @@ class CdcHistorySpec extends SparkSpec {
       .contains("fresh"))
   }
 
+  test("compact: fat partition collapses to one file, log multiset and " +
+      "views unchanged, duplicates preserved") {
+    import spark.implicits._
+    val t = mkTable()
+    seed(t)
+    // a redelivered duplicate — compaction must carry it verbatim
+    t.append(Seq(env("insert", 1, "a3", 14, 5)).toDS())
+    val logBefore = t.changelog(spark).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val histBefore = t.history(spark).collect().toSet
+    def files(tmp: CdcHistoryTable): Int = {
+      val d = tmp.changelog(spark).inputFiles
+      d.length
+    }
+    assert(files(t) >= 4, "four appends must leave at least four files")
+    val rewritten = t.compact(spark, maxFiles = 1)
+    assert(rewritten === 1, "exactly the shop.orders partition is fat")
+    assert(files(t) === 1, "compacted partition must be one file")
+    val logAfter = t.changelog(spark).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(logAfter === logBefore, "compaction changed the log multiset")
+    assert(t.history(spark).collect().toSet === histBefore)
+  }
+
+  test("compact: untouched partitions are hard-linked, not rewritten; " +
+      "appends after compact remain visible") {
+    import spark.implicits._
+    val tdir = Files.createTempDirectory("cdc-hist").toString
+    val t = new CdcHistoryTable(tdir,
+      Map("shop.orders" -> "id", "shop.users" -> "id"))
+    // orders: 3 appends (fat); users: 1 append (thin)
+    t.append(Seq(env("insert", 1, "a", 10, 1)).toDS())
+    t.append(Seq(env("insert", 2, "b", 11, 2)).toDS())
+    t.append(Seq(env("insert", 3, "c", 12, 3)).toDS())
+    val user = MQEvent("shop", "users", "insert", Map.empty,
+      Map("id" -> "7", "name" -> "u"), Seq(Seq("7", "u")),
+      EventHeader(13, 4, ""))
+    t.append(Seq(user).toDS())
+    val thinBefore = new java.io.File(tdir, "log/v0/tbl=shop.users")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(t.compact(spark, maxFiles = 2) === 1)
+    val thinAfter = new java.io.File(tdir, "log/v1/tbl=shop.users")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(thinAfter.map(_.getName).toSet === thinBefore,
+      "thin partition files must carry over by name (hard links)")
+    thinAfter.foreach { f =>
+      assert(java.nio.file.Files.isSameFile(f.toPath,
+        new java.io.File(tdir, s"log/v0/tbl=shop.users/${f.getName}").toPath),
+        "carried file must be the same inode, not a copy")
+    }
+    // post-compact appends land in the new version and are visible
+    t.append(Seq(env("insert", 4, "d", 14, 5)).toDS())
+    assert(t.changelog(spark).count() === 5)
+    assert(t.asOf(spark, 14).count() === 5)
+  }
+
   test("tables without a configured pk never reach the log") {
     import spark.implicits._
     val t = mkTable()
