@@ -654,18 +654,43 @@ object DedupQueries {
     * token's posting list short, so candidate volume is Σ_prefix df(t) —
     * the standard SSJoin cost, linear-ish in corpus size — while a
     * random prefix order would pay stopword-shingle posting lists.
-    * Verification is the exact merge-scan kernel over the shared
-    * [[minhashPer]] sorted hash sets (one more chain consumer; the df
-    * table adds the only new shuffles: term-key groupBy + join, the
-    * vocabulary-sized pattern every TF-IDF query here already rides).
+    * Verification is the exact merge-scan kernel over per-doc sorted
+    * hash sets; the df table adds the only other shuffles (term-key
+    * groupBy + join, the vocabulary-sized pattern every TF-IDF query
+    * here already rides).
+    *
+    * The shingle unit is 16 CHARS, not the dedup chain's 5: prefix
+    * filtering lives or dies on vocabulary discrimination, and this
+    * corpus has only ~2 k distinct 5-char shingles over 5 k docs (sf0.1)
+    * — the "rarest" 5-gram still has df ≈ 250, the filter degenerates,
+    * and candidates approach all-pairs (measured: 11.9 M candidate pairs
+    * and a 77 s verify; the same corpus at 16 chars has 600 k distinct
+    * shingles, df ≈ 2.3, and the candidate set collapses ~50×). A
+    * 16-char window (~2–3 words) is also the natural quote-detection
+    * unit. General law: pick the prefix-filter token so that corpus
+    * vocabulary ≫ corpus size.
     *
     * Docs under 20 distinct shingles are excluded on BOTH sides (and in
     * the oracle): sub-20-shingle texts are fragments whose containment is
     * noise, and every real pipeline floors fragment length first.
     */
+  private[graft] val containShingleExpr =
+    "transform(sequence(1, greatest(length(text) - 15, 1))," +
+      " i -> substring(text, i, 16))"
+
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = docShingles(spark, dir).select($"doc_id", $"hx")
+    graft.functions.VectorFunctions.register(spark)
+    // own 16-char pipeline (NOT docShingles' 5-char cache — different
+    // unit); same narrow-projection discipline: strings die in-stage,
+    // only (doc_id, hash) reaches the cache
+    val sh = table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .repartition($"doc_id")
+      .select($"doc_id", explode(expr(containShingleExpr)).as("sh"))
+      .distinct()
+      .select($"doc_id", xxhash64($"sh").as("hx"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfTable = sh.groupBy($"hx").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"hx")
@@ -681,7 +706,9 @@ object DedupQueries {
     val cand = prefixA.join(fullB, "hx")
       .filter($"id_a" =!= $"id_b")
       .select($"id_a", $"id_b").distinct()
-    val per = minhashPer(spark, dir)
+    val per = sh.groupBy($"doc_id")
+      .agg(sort_array(collect_set($"hx")).as("hs"))
+      .withColumn("sz", size($"hs").cast("long"))
     val a = per.select($"doc_id".as("a_id"), $"hs".as("a_hs"),
       $"sz".as("a_sz"))
     val b = per.select($"doc_id".as("b_id"), $"hs".as("b_hs"))
@@ -1153,6 +1180,11 @@ object DedupQueries {
     "list_distinct([substr(text, i::INT, 5)" +
       " FOR i IN range(1, greatest(length(text) - 4, 1) + 1)])"
 
+  /** [[containShingleExpr]]'s DuckDB face — 16-char shingle set. */
+  private val duckContainShingles =
+    "list_distinct([substr(text, i::INT, 16)" +
+      " FOR i IN range(1, greatest(length(text) - 15, 1) + 1)])"
+
   /** Oracle for the banded-SRP engine at a given shape: the same seeded
     * pipeline in SQL — sign bits from explicit left-assoc ±component sums,
     * band packing, a band-bucket join under `joinPred` (self-join for the
@@ -1367,7 +1399,7 @@ object DedupQueries {
     "q_dedup_components" -> componentsOracle,
     "q_dedup_components_star" -> componentsOracle,
     "q_dedup_containment" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+      s"""WITH sh AS (SELECT doc_id, $duckContainShingles AS s FROM documents),
          | f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 20)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment

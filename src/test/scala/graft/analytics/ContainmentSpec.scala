@@ -21,8 +21,8 @@ class ContainmentSpec extends SparkSpec {
     // the prefix filter, df ranking, and candidate join under test
     val sh = graft.GraftSession.table(spark, dir, "documents")
       .select($"doc_id", explode(expr(
-        """transform(sequence(1, greatest(length(text) - 4, 1)),
-          |  i -> substring(text, i, 5))""".stripMargin)).as("sh"))
+        """transform(sequence(1, greatest(length(text) - 15, 1)),
+          |  i -> substring(text, i, 16))""".stripMargin)).as("sh"))
       .distinct()
       .select($"doc_id", xxhash64($"sh").as("hx"))
       .groupBy($"doc_id")
