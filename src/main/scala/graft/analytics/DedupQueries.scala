@@ -678,12 +678,18 @@ object DedupQueries {
     "transform(sequence(1, greatest(length(text) - 15, 1))," +
       " i -> substring(text, i, 16))"
 
-  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared 16-char frames: `ranked` = (doc_id, hx, rn, n) with `rn` the
+    * doc-local rank in the global (df ASC, hx ASC) order and `n` the
+    * doc's distinct-shingle count (fragment floor applied); `per` =
+    * (doc_id, hs, sz) sorted hash sets for the merge-scan verify. Own
+    * pipeline (NOT docShingles' 5-char cache — different unit); same
+    * narrow-projection discipline: strings die in-stage, only
+    * (doc_id, hash) reaches the cache.
+    */
+  private def containFrames(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    // own 16-char pipeline (NOT docShingles' 5-char cache — different
-    // unit); same narrow-projection discipline: strings die in-stage,
-    // only (doc_id, hash) reaches the cache
     val sh = table(spark, dir, "documents")
       .select($"doc_id", $"text")
       .repartition($"doc_id")
@@ -699,6 +705,29 @@ object DedupQueries {
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
       .filter($"n" >= 20)
+    val per = sh.groupBy($"doc_id")
+      .agg(sort_array(collect_set($"hx")).as("hs"))
+      .withColumn("sz", size($"hs").cast("long"))
+    (ranked, per)
+  }
+
+  /** Exact merge-scan containment verify of (id_a, id_b) candidates. */
+  private def verifyContainment(per: DataFrame, cand: DataFrame): DataFrame = {
+    val a = per.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
+      col("sz").as("a_sz"))
+    val b = per.select(col("doc_id").as("b_id"), col("hs").as("b_hs"))
+    val withA = a.join(cand.hint("shuffle_hash"), col("a_id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("a_hs"), col("a_sz"))
+    b.join(withA.hint("merge"), col("id_b") === col("b_id"))
+      .withColumn("inter", expr("graft_sorted_and_count(a_hs, b_hs)"))
+      .withColumn("containment", col("inter").cast("double") / col("a_sz"))
+      .filter(col("containment") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ranked, per) = containFrames(spark, dir)
     val prefixA = ranked
       .filter($"rn" <= floor($"n" / 10) + 1)
       .select($"doc_id".as("id_a"), $"hx")
@@ -706,19 +735,40 @@ object DedupQueries {
     val cand = prefixA.join(fullB, "hx")
       .filter($"id_a" =!= $"id_b")
       .select($"id_a", $"id_b").distinct()
-    val per = sh.groupBy($"doc_id")
-      .agg(sort_array(collect_set($"hx")).as("hs"))
-      .withColumn("sz", size($"hs").cast("long"))
-    val a = per.select($"doc_id".as("a_id"), $"hs".as("a_hs"),
-      $"sz".as("a_sz"))
-    val b = per.select($"doc_id".as("b_id"), $"hs".as("b_hs"))
-    val withA = a.join(cand.hint("shuffle_hash"), $"a_id" === $"id_a")
-      .select($"id_a", $"id_b", $"a_hs", $"a_sz")
-    b.join(withA.hint("merge"), $"id_b" === $"b_id")
-      .withColumn("inter", expr("graft_sorted_and_count(a_hs, b_hs)"))
-      .withColumn("containment", $"inter".cast("double") / $"a_sz")
-      .filter($"containment" >= 0.9)
-      .select($"id_a", $"id_b", $"containment")
+    verifyContainment(per, cand)
+  }
+
+  /** INCREMENTAL containment — the daily-ingest face: containment pairs
+    * with exactly one side in today's delta (doc_id % 5 = 4, the suite's
+    * delta convention), found by probing STANDING indexes with
+    * delta-sized inputs only:
+    *   - new-in-old: the delta's PREFIX tokens probe the corpus's full
+    *     inverted index (the standing token index);
+    *   - old-in-new: the delta's FULL tokens probe the corpus's PREFIX
+    *     index — which is ~10% of corpus tokens, the part a production
+    *     deployment persists precisely so this direction never scans
+    *     corpus-sized state.
+    * Both joins are O(|delta| × df) — corpus×corpus pairs never expand,
+    * the [[qDedupIncremental]] argument applied to the asymmetric
+    * relation. Prefix EXACTNESS is order-independent (the pigeonhole
+    * holds for ANY ⌊n/10⌋+1 distinct shingles of the contained doc), so
+    * df drift between index build and probe time can cost efficiency,
+    * never recall — the property that makes a persisted prefix index
+    * safe to probe without rebuilding on every ingest.
+    */
+  def qDedupContainmentIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val (ranked, per) = containFrames(spark, dir)
+    val isDelta = $"doc_id" % 5 === 4
+    val prefix = ranked.filter($"rn" <= floor($"n" / 10) + 1)
+    val newInOld = prefix.filter(isDelta).select($"doc_id".as("id_a"), $"hx")
+      .join(ranked.filter(!isDelta).select($"doc_id".as("id_b"), $"hx"), "hx")
+    val oldInNew = prefix.filter(!isDelta).select($"doc_id".as("id_a"), $"hx")
+      .join(ranked.filter(isDelta).select($"doc_id".as("id_b"), $"hx"), "hx")
+    val cand = newInOld.unionByName(oldInNew)
+      .select($"id_a", $"id_b").distinct()
+    verifyContainment(per, cand)
   }
 
   // --------------------------------------------------------------- SimHash
@@ -1173,7 +1223,8 @@ object DedupQueries {
     "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_components_star" -> qDedupComponentsStar,
-    "q_dedup_containment" -> qDedupContainment
+    "q_dedup_containment" -> qDedupContainment,
+    "q_dedup_containment_incremental" -> qDedupContainmentIncremental
   )
 
   private val duckShingles =
@@ -1404,6 +1455,14 @@ object DedupQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
          |FROM f a JOIN f b ON a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9""".stripMargin,
+    "q_dedup_containment_incremental" ->
+      s"""WITH sh AS (SELECT doc_id, $duckContainShingles AS s FROM documents),
+         | f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 20)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+         |FROM f a JOIN f b ON a.doc_id <> b.doc_id
+         | AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9""".stripMargin
   )
 

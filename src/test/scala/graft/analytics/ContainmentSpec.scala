@@ -40,6 +40,16 @@ class ContainmentSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("incremental face = the batch answer restricted to cross-delta pairs") {
+    import spark.implicits._
+    val inc = DedupQueries.qDedupContainmentIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchCross = DedupQueries.qDedupContainment(spark, dir)
+      .filter(($"id_a" % 5 === 4) =!= ($"id_b" % 5 === 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === batchCross)
+  }
+
   test("a paragraph quoted inside a bigger doc is caught, direction-correct") {
     import spark.implicits._
     val small = "the quick brown fox jumps over the lazy dog again and again, " +
