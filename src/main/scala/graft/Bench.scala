@@ -75,6 +75,7 @@ object Bench {
       "q_dedup_minhash256" -> "dedup-chain member (reuses prebuilt shingles; cold: 256-slot agg+32x8 bands)",
       "q_dedup_components" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_dedup_components_star" -> "dedup-chain member (reuses prebuilt pair set)",
+      "q_split_leakage_safe" -> "dedup-chain member (reuses prebuilt pair set + components loop)",
       "q_dedup_incremental" -> "dedup-chain member (reuses prebuilt minhash; delta-probes-corpus bands)",
       "q_dedup_simhash" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash agg+bands)",
       "q_dedup_simhash64" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash64 agg+bands)",
@@ -89,7 +90,7 @@ object Bench {
     // acquire a surprise row
     val chainConsumers = Set("q_curation_pipeline", "q_dedup_minhash_lsh",
       "q_dedup_ngram_jaccard", "q_dedup_minhash256", "q_dedup_components",
-      "q_dedup_components_star",
+      "q_dedup_components_star", "q_split_leakage_safe",
       "q_dedup_incremental", "q_dedup_simhash", "q_dedup_simhash64",
       "q_neighbor_topk")
     val needChain = selected.exists(e => chainConsumers(e._1))

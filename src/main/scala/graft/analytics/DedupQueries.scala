@@ -616,6 +616,37 @@ object DedupQueries {
     (labels, iter)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the [[graft.analytics
+    * .PipelineQueries.qSplitAssign]] hash split, keyed on the near-dup
+    * COMPONENT instead of the doc — every member of a duplicate cluster
+    * lands in the same split, so a test document can never have a
+    * near-duplicate in train. Hash-splitting independent docs is the
+    * standard reproducible-split idiom, but under duplication it leaks:
+    * at web-crawl dup densities a per-doc split puts a near-copy of a
+    * meaningful fraction of test INTO train, and eval scores inherit the
+    * contamination. Group-then-hash is the fix every serious pipeline
+    * applies (same reason eval decontamination `q_text_contamination`
+    * exists — this is the intra-corpus face of it).
+    *
+    * Shape at scale: the component map is near-dup-density-bounded
+    * (tiny vs the corpus) — the join is broadcast-able; everything after
+    * is a pure projection of exact md5 arithmetic, zero extra shuffles,
+    * reproducible on any cluster/partitioning. Rides the session's
+    * cached pair chain + components fixpoint.
+    */
+  def qSplitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comp = qDedupComponents(spark, dir).select($"doc_id", $"component")
+    val h = substring(md5($"group_id".cast("string")), 1, 2)
+    table(spark, dir, "documents")
+      .select($"doc_id", $"lang")
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce($"component", $"doc_id"))
+      .select($"doc_id", $"lang", $"group_id",
+        when(h < "e6", "train").when(h < "f3", "val").otherwise("test")
+          .as("split"))
+  }
+
   /** Near-dup components via the star alternation — same pair graph, same
     * output contract, and the SAME transitive-closure oracle as
     * [[qDedupComponents]]: the two engines are verified against one
@@ -1224,7 +1255,8 @@ object DedupQueries {
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_components_star" -> qDedupComponentsStar,
     "q_dedup_containment" -> qDedupContainment,
-    "q_dedup_containment_incremental" -> qDedupContainmentIncremental
+    "q_dedup_containment_incremental" -> qDedupContainmentIncremental,
+    "q_split_leakage_safe" -> qSplitLeakageSafe
   )
 
   private val duckShingles =
@@ -1449,6 +1481,14 @@ object DedupQueries {
       outA = "corpus_id", outB = "new_id"),
     "q_dedup_components" -> componentsOracle,
     "q_dedup_components_star" -> componentsOracle,
+    "q_split_leakage_safe" ->
+      s"""$componentsCte
+         |SELECT d.doc_id, d.lang,
+         | coalesce(c.component, d.doc_id) AS group_id,
+         | CASE WHEN substr(md5(coalesce(c.component, d.doc_id)::VARCHAR), 1, 2) < 'e6' THEN 'train'
+         |      WHEN substr(md5(coalesce(c.component, d.doc_id)::VARCHAR), 1, 2) < 'f3' THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH sh AS (SELECT doc_id, $duckContainShingles AS s FROM documents),
          | f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 20)
@@ -1466,11 +1506,11 @@ object DedupQueries {
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9""".stripMargin
   )
 
-  /** Transitive closure over the exact all-pairs j ≥ 0.8 graph — ONE
-    * independent semantics pinning BOTH component engines (the min-label
-    * loop and the star alternation).
+  /** Recursive-CTE transitive closure over the exact all-pairs j ≥ 0.8
+    * graph, ending in `comp(doc_id, component)` — shared by every oracle
+    * that consumes component identity.
     */
-  private def componentsOracle: String =
+  private def componentsCte: String =
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, $duckShingles AS s FROM documents),
          | pairs AS (
@@ -1485,7 +1525,13 @@ object DedupQueries {
          |  UNION
          |  SELECT e.id_a, re.r FROM reach re JOIN edges e ON e.id_b = re.doc),
          | comp AS (
-         |  SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc)
+         |  SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc)""".stripMargin
+
+  /** ONE independent semantics pinning BOTH component engines (the
+    * min-label loop and the star alternation).
+    */
+  private def componentsOracle: String =
+      s"""$componentsCte
          |SELECT doc_id, component,
          | count(*) OVER (PARTITION BY component) AS n_docs,
          | doc_id = component AS is_keeper
