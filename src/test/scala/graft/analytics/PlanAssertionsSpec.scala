@@ -121,7 +121,8 @@ class PlanAssertionsSpec extends SparkSpec {
         "q_dedup_ngram_jaccard", "q_dedup_minhash256",
         "q_dedup_embedding_lsh", "q_dedup_embedding_lsh64",
         "q_dedup_embedding_incremental",
-        "q_dedup_incremental", "q_knn_ivf_kmeans",
+        "q_dedup_incremental", "q_dedup_containment",
+        "q_dedup_containment_incremental", "q_knn_ivf_kmeans",
         "q_knn_ivfpq", "q_knn_ivfpq_res", "q_knn_ivfpq_rerank",
         "q_range_join", "q_fuzzy_join", "q_dedup_semantic").foreach { q =>
       val plan = run(q)
