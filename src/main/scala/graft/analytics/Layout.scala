@@ -81,7 +81,9 @@ object Layout {
       .withColumn("zval", zValue($"l_partkey", $"l_suppkey"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"zval", $"l_orderkey", $"l_linenumber")
-    li.withColumn("bucket", ntile(64).over(w))
+    // long: DuckDB's ntile is BIGINT — keep the driver's type comparator
+    // clean, not just the value hash
+    li.withColumn("bucket", ntile(64).over(w).cast("long"))
       .groupBy($"bucket")
       .agg(
         count(lit(1)).as("n_rows"),
