@@ -76,6 +76,8 @@ object Bench {
       "q_dedup_components" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_dedup_components_star" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_split_leakage_safe" -> "dedup-chain member (reuses prebuilt pair set + components loop)",
+      "q_dedup_containment" -> "containment-index consumer (first of the pair to run pays the shared 16-char df-rank build)",
+      "q_dedup_containment_incremental" -> "containment-index consumer (shares the 16-char df-rank cache)",
       "q_dedup_incremental" -> "dedup-chain member (reuses prebuilt minhash; delta-probes-corpus bands)",
       "q_dedup_simhash" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash agg+bands)",
       "q_dedup_simhash64" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash64 agg+bands)",

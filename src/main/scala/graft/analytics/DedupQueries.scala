@@ -732,13 +732,20 @@ object DedupQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"hx")
     val wn = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    // persisted: the batch and incremental faces build IDENTICAL plans,
+    // so the CacheManager shares one materialization — the second
+    // containment query re-runs its joins, not the df-rank window
+    // (~2.5 s of its row otherwise). At extreme scale these are the
+    // persisted prefix/token index tables the scaladoc describes.
     val ranked = sh.join(dfTable, "hx")
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
       .filter($"n" >= 20)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val per = sh.groupBy($"doc_id")
       .agg(sort_array(collect_set($"hx")).as("hs"))
       .withColumn("sz", size($"hs").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     (ranked, per)
   }
 
