@@ -732,20 +732,24 @@ object DedupQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"hx")
     val wn = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-    // persisted: the batch and incremental faces build IDENTICAL plans,
-    // so the CacheManager shares one materialization — the second
-    // containment query re-runs its joins, not the df-rank window
-    // (~2.5 s of its row otherwise). At extreme scale these are the
-    // persisted prefix/token index tables the scaladoc describes.
+    // deliberately NOT persisted (only the narrow `sh` projection above
+    // is). Both variants were measured at the 10× corpus and the trade
+    // is host-noise-dominated: persisting ranked/per loads the whole
+    // cost onto the first face (containment 44–67 s, incremental 3–5 s;
+    // columnar materialization of the 14 M-row frame pays this host's
+    // page-provisioning tax), while recompute-from-narrow-cache spreads
+    // it (37 s + 22 s — the incremental face consumes ranked four
+    // times). Unpersisted keeps each oracled row self-attributing and
+    // the peak memory flat, so it is the shipped shape; at real scale
+    // neither applies — the standing token/prefix index is a persisted
+    // TABLE written once at ingest, which both faces probe.
     val ranked = sh.join(dfTable, "hx")
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
       .filter($"n" >= 20)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val per = sh.groupBy($"doc_id")
       .agg(sort_array(collect_set($"hx")).as("hs"))
       .withColumn("sz", size($"hs").cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     (ranked, per)
   }
 
