@@ -258,6 +258,73 @@ object CdcQueries {
         get_json_object($"after_json", "$.value").as("value_str"))
   }
 
+  /** The INITIAL-LOAD path oracled end-to-end: seed an empty
+    * [[graft.streaming.CdcServingTable]] with a snapshot of the live
+    * state at the corpus ts-midpoint cut — rows carrying the SOURCE
+    * version of the last change they reflect (the
+    * [[graft.streaming.CdcServingTable.bootstrap]] contract) — then
+    * replay the change stream from a quarter-range BEFORE the cut (a
+    * deliberate at-least-once overlap window) in two batches. Because
+    * snapshot versions are source positions, the overlapping replay is
+    * absorbed by last-writer-wins, and the final snapshot must equal the
+    * pure full-replay state — which is why this query shares
+    * [[cdcServingState]]'s oracle verbatim: one independent SQL
+    * semantics pins BOTH the replay-only and the bootstrap+switchover
+    * paths to the same answer, hash-checked.
+    */
+  def cdcBootstrapSwitchover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.CdcServingTable
+    val envs = changeEnvelopes(table(spark, dir, "events")).persist()
+    try {
+      val b = envs.agg(min($"eventHeader.timestamp"),
+        max($"eventHeader.timestamp")).first()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut = (lo + hi) / 2
+      val replayFrom = cut - (hi - lo) / 4
+      // live state at the cut, re-enveloped as inserts with source versions
+      val pk = coalesce(element_at($"after", "user_id"),
+        element_at($"before", "user_id"))
+      val snapshot = envs
+        .filter($"eventHeader.timestamp" <= cut)
+        .withColumn("pk", pk)
+        .groupBy($"database", $"table", $"pk")
+        // (ts, logPos) is a total order on this stream (logPos = unique
+        // event_id), so max_by needs no map-typed tiebreak — the thing
+        // struct-max cannot order
+        .agg(max_by(
+          struct($"eventHeader.timestamp".as("ts"),
+            $"eventHeader.logPos".as("pos"), $"action".as("action"),
+            $"after".as("after")),
+          struct($"eventHeader.timestamp", $"eventHeader.logPos")).as("v"))
+        .filter($"v.action" =!= "delete")
+        .select($"database", $"table", lit("insert").as("action"),
+          typedlit(Map.empty[String, String]).as("before"),
+          $"v.after".as("after"),
+          typedlit(Seq.empty[Seq[String]]).as("orgRow"),
+          struct($"v.ts".as("timestamp"), $"v.pos".as("logPos"),
+            lit("").as("segment")).as("eventHeader"))
+        .as[graft.model.MQEvent]
+      val serveDir = java.nio.file.Files
+        .createTempDirectory("graft-bootstrap").toString
+      val serving = new CdcServingTable(serveDir,
+        eventTypes.map(t => s"app.$t" -> "user_id").toMap)
+      serving.bootstrap(snapshot)
+      (0 until 2).foreach { k =>
+        serving.merge(envs
+          .filter($"eventHeader.timestamp" > replayFrom &&
+            $"batch_key" % 2 === k)
+          .drop("batch_key").as[graft.model.MQEvent])
+      }
+      serving.prune(keep = 1)
+      serving.snapshot(spark)
+        .select($"tbl", $"pk".cast("long").as("user_id"),
+          get_json_object($"after_json", "$.event_id").cast("long")
+            .as("last_event_id"),
+          get_json_object($"after_json", "$.value").as("value_str"))
+    } finally { envs.unpersist(); () }
+  }
+
   /** The temporal complement of [[cdcServingState]], oracled end-to-end:
     * the same keyed change stream appended to the REAL
     * [[graft.streaming.CdcHistoryTable]] as 3 deterministic batches with
@@ -327,6 +394,7 @@ object CdcQueries {
     "cdc_deep_include" -> cdcDeepInclude,
     "cdc_ddl_evolution" -> cdcDdlEvolution,
     "cdc_serving_state" -> cdcServingState,
+    "cdc_bootstrap_switchover" -> cdcBootstrapSwitchover,
     "cdc_scd2_history" -> cdcScd2History,
     "cdc_time_travel" -> cdcTimeTravel
   )
@@ -378,16 +446,10 @@ object CdcQueries {
     // current state = the LATEST change per (table, user) by the
     // (timestamp, logPos=event_id) version, excluded when that latest
     // change is a delete (event_id % 10 = 1) — the tombstone rule
-    "cdc_serving_state" ->
-      """WITH ch AS (
-        |  SELECT 'app.' || event_type AS tbl, user_id, event_id,
-        |   epoch(ts)::BIGINT AS ts_sec, value,
-        |   row_number() OVER (PARTITION BY event_type, user_id
-        |     ORDER BY epoch(ts) DESC, event_id DESC) AS rk
-        |  FROM events)
-        |SELECT tbl, user_id, event_id AS last_event_id,
-        | printf('%.2f', value) AS value_str
-        |FROM ch WHERE rk = 1 AND event_id % 10 <> 1""".stripMargin,
+    "cdc_serving_state" -> servingStateOracle,
+    // bootstrap+switchover must CONVERGE to the pure-replay answer — the
+    // shared oracle is the point (see cdcBootstrapSwitchover's scaladoc)
+    "cdc_bootstrap_switchover" -> servingStateOracle,
     // SCD2: each change's validity runs until the NEXT change of the same
     // (table, user) key in (ts, event_id=logPos) version order; the head
     // is current unless it is a tombstone. The redelivered batch must
@@ -425,4 +487,20 @@ object CdcQueries {
         | printf('%.2f', value) AS value_str
         |FROM ch WHERE rk = 1 AND event_id % 10 <> 1""".stripMargin
   )
+
+  /** Current state = latest change per (table, user) in (ts, event_id)
+    * version order, excluded when that change is a tombstone. ONE
+    * independent semantics pinning both the replay-only serving path and
+    * the bootstrap+switchover path.
+    */
+  private def servingStateOracle: String =
+    """WITH ch AS (
+      |  SELECT 'app.' || event_type AS tbl, user_id, event_id,
+      |   epoch(ts)::BIGINT AS ts_sec, value,
+      |   row_number() OVER (PARTITION BY event_type, user_id
+      |     ORDER BY epoch(ts) DESC, event_id DESC) AS rk
+      |  FROM events)
+      |SELECT tbl, user_id, event_id AS last_event_id,
+      | printf('%.2f', value) AS value_str
+      |FROM ch WHERE rk = 1 AND event_id % 10 <> 1""".stripMargin
 }

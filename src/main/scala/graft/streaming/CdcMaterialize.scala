@@ -157,6 +157,28 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
     } finally { keyed.unpersist(); () }
   }
 
+  /** Seed an EMPTY store from a consistent initial-load snapshot — the
+    * bootstrap phase every CDC deployment runs before tailing the binlog
+    * (the reference starts mid-stream and can only ever serve keys that
+    * change after task creation; this closes that gap). The CONTRACT is
+    * that snapshot rows arrive as insert envelopes carrying the SOURCE
+    * version of the last change they reflect (ts/segment/logPos of that
+    * change, not load time): versions being source positions makes the
+    * switchover coordination-free — a binlog replay that OVERLAPS the
+    * snapshot window is absorbed by the same last-writer-wins merge
+    * (replayed events at or below a row's snapshot version lose, newer
+    * ones win), so "replay from at or before the snapshot cut" is the
+    * only requirement, and at-least-once overlap is a no-op rather than
+    * a correctness hazard.
+    */
+  def bootstrap(snapshot: Dataset[MQEvent]): Unit = {
+    require(currentVersion.isEmpty,
+      s"bootstrap seeds an EMPTY store ($dir already has version " +
+        s"${currentVersion.get}); use merge() for everything after the " +
+        "initial load")
+    merge(snapshot)
+  }
+
   /** Drop snapshot versions older than the newest `keep` (the pointer's
     * target is always kept) — the compaction-GC a long-running sink needs.
     * Hard-linked carried files survive in newer versions.

@@ -123,6 +123,36 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(t.snapshot(spark).count() === 2)
   }
 
+  test("bootstrap: snapshot with source versions + overlapping replay " +
+      "converges to the pure-replay state; refuses a non-empty store") {
+    import spark.implicits._
+    // full history: key 1 insert(10)→update(12); key 2 insert(11)→
+    // delete(13); key 3 insert(14)
+    val history = Seq(
+      env("insert", 1, "a", 10, 1), env("insert", 2, "b", 11, 2),
+      env("update", 1, "a2", 12, 3), env("delete", 2, "b", 13, 4),
+      env("insert", 3, "c", 14, 5))
+    // reference store: plain full replay
+    val ref = new CdcServingTable(
+      Files.createTempDirectory("cdc-ref").toString, Map("shop.orders" -> "id"))
+    ref.merge(history.toDS())
+    // bootstrapped store: snapshot at cut ts=12 (live keys 1@12, 2@11 —
+    // SOURCE versions), then replay everything from ts >= 11 (overlap:
+    // 11 and 12 are both in the snapshot AND the replay window)
+    val boot = new CdcServingTable(
+      Files.createTempDirectory("cdc-boot").toString, Map("shop.orders" -> "id"))
+    boot.bootstrap(Seq(
+      env("insert", 1, "a2", 12, 3), env("insert", 2, "b", 11, 2)).toDS())
+    boot.merge(history.filter(_.eventHeader.timestamp >= 11).toDS())
+    assert(liveRows(boot) === liveRows(ref),
+      "bootstrap+switchover diverged from pure replay")
+    // a second bootstrap must refuse: the store is no longer empty
+    val ex = intercept[IllegalArgumentException] {
+      boot.bootstrap(Seq(env("insert", 9, "z", 99, 9)).toDS())
+    }
+    assert(ex.getMessage.contains("EMPTY store"))
+  }
+
   test("tables without a configured pk never reach the store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-serve2").toString
