@@ -46,7 +46,14 @@ final case class TaskConfig(
     // task ALSO maintains a queryable current-state serving table
     // (CdcServingTable under <sink_dir>/_serving) alongside the envelope
     // sink — the materialization the reference's ES/Mongo sinks exist for
-    materializePk: Map[String, String] = Map.empty) {
+    materializePk: Map[String, String] = Map.empty,
+    // temporal complement: when non-empty the task ALSO appends every
+    // batch's keyed changes to a CdcHistoryTable changelog under
+    // <sink_dir>/_history (SCD2 + time-travel reads), auto-compacted
+    // every `compactEvery` batches from the SAME foreachBatch loop — the
+    // single-writer seat the compaction transaction requires
+    historyPk: Map[String, String] = Map.empty,
+    compactEvery: Int = 8) {
 
   /** `LegalVerification` analog (`pkg/req_resp.go:19-43`). */
   def validate: Either[String, TaskConfig] =
@@ -55,6 +62,7 @@ final case class TaskConfig(
     else if (sinkDir.trim.isEmpty) Left("sink_dir must be non-empty")
     else if (maxLinesPerTrigger.exists(_ <= 0))
       Left("max_lines_per_trigger must be positive")
+    else if (compactEvery <= 0) Left("compact_every must be positive")
     else Right(this)
 
   def filter: TaskFilter = TaskFilter(databases, tables, excludeTables)
@@ -87,7 +95,10 @@ object TaskConfig {
     "max_lines_per_trigger" ->
       c.maxLinesPerTrigger.map(n => MiniJson.num(n)).getOrElse(MiniJson.JNull),
     "materialize" -> JObj(scala.collection.immutable.ListMap.from(
-      c.materializePk.toSeq.sorted.map { case (k, v) => k -> MiniJson.str(v) }))))
+      c.materializePk.toSeq.sorted.map { case (k, v) => k -> MiniJson.str(v) })),
+    "history" -> JObj(scala.collection.immutable.ListMap.from(
+      c.historyPk.toSeq.sorted.map { case (k, v) => k -> MiniJson.str(v) })),
+    "compact_every" -> MiniJson.num(c.compactEvery.toLong)))
 
   private def schemaJson(s: TableSchema): JValue = JObj.of(
     "database" -> MiniJson.str(s.database),
@@ -132,7 +143,12 @@ object TaskConfig {
       maxLinesPerTrigger = (v \ "max_lines_per_trigger").flatMap(_.asLong),
       materializePk = (v \ "materialize").flatMap(_.asObj)
         .map(_.toSeq.flatMap { case (k, pv) => pv.asString.map(k -> _) }.toMap)
-        .getOrElse(Map.empty)
+        .getOrElse(Map.empty),
+      historyPk = (v \ "history").flatMap(_.asObj)
+        .map(_.toSeq.flatMap { case (k, pv) => pv.asString.map(k -> _) }.toMap)
+        .getOrElse(Map.empty),
+      compactEvery = (v \ "compact_every").flatMap(_.asLong)
+        .map(_.toInt).getOrElse(8)
     ).validate
   }
 
@@ -224,14 +240,30 @@ final class TaskService(spark: SparkSession, store: TaskStore) {
     val serving = Option.when(c.materializePk.nonEmpty)(
       new graft.streaming.CdcServingTable(
         s"${c.sinkDir.stripSuffix("/")}/_serving", c.materializePk))
+    val history = Option.when(c.historyPk.nonEmpty)(
+      new graft.streaming.CdcHistoryTable(
+        s"${c.sinkDir.stripSuffix("/")}/_history", c.historyPk))
+    val batchSeq = new java.util.concurrent.atomic.AtomicLong()
     val query = pipeline.startProjected(events, c.checkpointDir,
       (envs, _) => {
-        // two consumers of one batch: cache so the projection runs once
+        // up to three consumers of one batch: cache so the projection
+        // runs once
         val cached = envs.persist()
         try {
           graft.cdc.Envelope.toKafkaFrame(cached, c.taskId)
             .write.mode("append").parquet(c.sinkDir)
           serving.foreach(_.merge(cached))
+          history.foreach { h =>
+            h.append(cached)
+            // compaction from the sink loop itself — the single-writer
+            // seat CdcHistoryTable.compact's contract requires; prune
+            // keeps two versions so an in-flight reader never loses its
+            // snapshot
+            if (batchSeq.incrementAndGet() % c.compactEvery == 0) {
+              h.compact(cached.sparkSession)
+              h.prune()
+            }
+          }
         } finally { cached.unpersist(); () }
       },
       trigger)

@@ -344,3 +344,11 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
       .select(col("tbl"), col("pk"), col("v.ver_ts"), col("v.ver_pos"),
         col("v.after_json"))
 }
+
+object CdcHistoryTable {
+  /** Current changelog version of a history dir (None before the first
+    * append) — observability for compaction cadence tests/monitoring.
+    */
+  def currentLogVersion(dir: String): Option[Long] =
+    VersionedStore.currentVersion(s"${dir.stripSuffix("/")}/log")
+}

@@ -237,6 +237,56 @@ class TaskServiceSpec extends SparkSpec {
     } finally service.stopAll()
   }
 
+  test("history task option maintains an SCD2 changelog beside the sink, " +
+      "auto-compacted from the sink loop") {
+    val src = Files.createTempDirectory("svc8-src")
+    val sink = Files.createTempDirectory("svc8-sink")
+    val ckpt = Files.createTempDirectory("svc8-ckpt")
+    // five events drained one per micro-batch (max_lines_per_trigger=1):
+    // five appended files > the compactor's maxFiles=4, so the sink-loop
+    // compaction must fire and advance the changelog version
+    seg(src, "b.000001.jsonl", Seq(
+      line(1, "orders", 1), line(2, "orders", 2),
+      line(3, "orders", 3), line(4, "orders", 4),
+      s"""{"file":"b.1","logPos":5,"timestamp":1005,"eventType":"delete_rows","database":"shop","table":"orders","rows":[["2","n2"]],"errorCode":0,"position":0}"""))
+    val store = new TaskStore(Files.createTempDirectory("svc8-store"))
+    val service = new TaskService(spark, store)
+    try {
+      val cfgJson =
+        s"""{
+           |"task_id": "t8", "source_dir": "$src", "sink_dir": "$sink",
+           |"checkpoint_dir": "$ckpt", "database": ["shop"],
+           |"history": {"shop.orders": "id"}, "compact_every": 1,
+           |"max_lines_per_trigger": 1,
+           |"schemas": [{"database": "shop", "table": "orders",
+           |  "columns": [{"name": "id", "type": "bigint"},
+           |              {"name": "name", "type": "varchar(50)"}]}]}""".stripMargin
+      val cfg = TaskConfig.parse(cfgJson).fold(e => fail(e), identity)
+      assert(cfg.historyPk === Map("shop.orders" -> "id"))
+      assert(cfg.compactEvery === 1)
+      assert(TaskConfig.parse(TaskConfig.toJson(cfg)) == Right(cfg))
+      assert(service.postTask(cfg).isRight)
+      assert(await(service.get("t8").exists(!_.query.isActive)))
+      service.get("t8").flatMap(r => Option(r.query.exception.orNull))
+        .foreach(e => fail(s"query failed: ${e.cause}", e))
+      val hist = new graft.streaming.CdcHistoryTable(
+        s"$sink/_history", Map("shop.orders" -> "id"))
+      // all five changes present; key 2's head is a tombstone
+      assert(hist.changelog(spark).count() === 5L)
+      val cur = hist.history(spark).filter("is_current").collect()
+        .map(_.getAs[String]("pk")).toSet
+      assert(cur === Set("1", "3", "4"), s"unexpected current keys $cur")
+      // compact_every=1 ⇒ the sink loop compacted after the batch: the
+      // changelog dir is versioned past v0
+      assert(graft.streaming.CdcHistoryTable
+        .currentLogVersion(s"$sink/_history").exists(_ >= 1L),
+        "compaction did not advance the changelog version")
+      // compact_every must be positive
+      assert(TaskConfig.parse(cfgJson.replace(
+        """"compact_every": 1""", """"compact_every": 0""")).isLeft)
+    } finally service.stopAll()
+  }
+
   test("debug runtime endpoint reports JVM + app state") {
     val storeDir = Files.createTempDirectory("svc4-store")
     val svc = new TaskService(spark, new TaskStore(storeDir))
