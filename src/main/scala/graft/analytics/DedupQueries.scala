@@ -184,7 +184,8 @@ object DedupQueries {
     * signature slots. Shared by the self-join candidate generator and
     * the incremental (delta-probes-corpus) generator.
     */
-  private def bandStructs(bands: Int, rowsPerBand: Int, slots: Int = 128) = {
+  private[analytics] def bandStructs(bands: Int, rowsPerBand: Int,
+      slots: Int = 128) = {
     require(bands * rowsPerBand <= slots,
       s"band shape $bands×$rowsPerBand exceeds the $slots-slot signature")
     (0 until bands).map { b =>
