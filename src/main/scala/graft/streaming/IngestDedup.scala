@@ -44,4 +44,17 @@ object IngestDedup {
           corpusPer, DedupQueries.signaturesOf(batch.toDF())), batchId)
       }
       .start()
+
+  /** [[dedupIngest]] with the corpus side loaded from a persisted
+    * [[graft.analytics.DedupIndex]] artifact — the production wiring:
+    * the stream probes the durable index built at corpus ingest, cached
+    * once for the life of the query so every batch probes memory, not
+    * the lake.
+    */
+  def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
+      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val corpusPer = docs.sparkSession.read
+      .parquet(s"$indexDir/signatures").persist()
+    dedupIngest(docs, corpusPer, checkpointDir)(sink)
+  }
 }

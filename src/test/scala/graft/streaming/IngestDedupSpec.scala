@@ -51,4 +51,38 @@ class IngestDedupSpec extends SparkSpec {
     assert(got.asScala.toSet === batch,
       "streaming pair set diverged from the oracled batch face")
   }
+
+  test("index-backed stream: the firehose probes the DURABLE artifact " +
+      "and reproduces the same pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ingest-idx").toString
+    graft.analytics.DedupIndex.build(
+      spark, docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id)
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Double)]()
+    val input = MemoryStream[IngestDoc]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-idx-ckpt").toString
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx, ckpt) {
+      (pairs, _) =>
+        pairs.collect().foreach(r =>
+          got.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+    }
+    try {
+      input.addData(delta.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.analytics.DedupQueries
+      .qDedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === batch,
+      "index-backed stream diverged from the oracled batch face")
+  }
 }
