@@ -755,7 +755,8 @@ object DedupQueries {
   }
 
   /** Exact merge-scan containment verify of (id_a, id_b) candidates. */
-  private def verifyContainment(per: DataFrame, cand: DataFrame): DataFrame = {
+  private[analytics] def verifyContainment(per: DataFrame,
+      cand: DataFrame): DataFrame = {
     val a = per.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
       col("sz").as("a_sz"))
     val b = per.select(col("doc_id").as("b_id"), col("hs").as("b_hs"))

@@ -1,0 +1,48 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted containment-index contract: probing the durable artifact
+  * with a delta equals the in-session incremental face — despite the
+  * index ranking prefixes by FROZEN corpus df while the in-session query
+  * ranks by live (corpus ∪ delta) df. That equality IS the
+  * order-independence property of the prefix pigeonhole, exercised
+  * end-to-end.
+  */
+class ContainIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("probe(artifact, delta) equals the in-session incremental answer") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-contain-idx")
+      .toString
+    ContainIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx)
+    val fromDisk = ContainIndex
+      .probe(spark, idx, docs.filter($"doc_id" % 5 === 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inSession = DedupQueries.qDedupContainmentIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inSession.nonEmpty,
+      "sf0.001 must contain cross-delta containment pairs")
+    assert(fromDisk === inSession)
+  }
+
+  test("prefix table is ~10% of the token table (the reason old-in-new " +
+      "probes stay delta-sized)") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-contain-idx2")
+      .toString
+    ContainIndex.build(spark, docs, idx)
+    val tokens = spark.read.parquet(s"$idx/tokens").count()
+    val prefix = spark.read.parquet(s"$idx/prefix").count()
+    assert(prefix * 5 < tokens, s"prefix $prefix not < 20% of tokens $tokens")
+    assert(prefix > 0)
+  }
+}
