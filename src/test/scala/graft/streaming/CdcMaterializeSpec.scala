@@ -189,4 +189,50 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(rows.keySet === Set("1"), s"expected only row 1 live, got $rows")
     assert(rows("1").contains("ALPHA"), s"update must win: ${rows("1")}")
   }
+
+  test("end-to-end: mid-stream ALTER TABLE evolves the serving rows — " +
+      "post-DDL changes materialize with the new shape, untouched keys " +
+      "keep the old one") {
+    val src = Files.createTempDirectory("cdc-ddl-src")
+    val ckpt = Files.createTempDirectory("cdc-ddl-ckpt")
+    def line(pos: Long, evType: String, rows: String): String =
+      s"""{"file":"b.1","logPos":$pos,"timestamp":${1000 + pos},"eventType":"$evType","database":"shop","table":"orders","rows":$rows,"errorCode":0,"position":0}"""
+    def ddl(pos: Long, stmt: String): String =
+      s"""{"file":"b.1","logPos":$pos,"timestamp":${1000 + pos},"eventType":"query","database":"shop","table":"","query":"$stmt","rows":[],"errorCode":0,"position":0}"""
+    // batch 1: the 2-column world
+    Files.write(src.resolve("000.jsonl"), Seq(
+      line(1, "write_rows", """[["1","alpha"]]"""),
+      line(2, "write_rows", """[["2","beta"]]""")
+    ).mkString("\n").getBytes)
+    val reg = new SchemaRegistry()
+    reg.put(TableSchema("shop", "orders",
+      Seq(ColumnDef("id", "bigint"), ColumnDef("name", "varchar(50)"))))
+    val serveDir = Files.createTempDirectory("cdc-ddl-serve").toString
+    val serving = new CdcServingTable(serveDir, Map("shop.orders" -> "id"))
+    val p = new CdcPipeline("tddl", reg, TaskFilter(databases = Seq("shop")))
+    def run(): Unit = {
+      val events = graft.sources.BinlogReplay.streamLog(spark, src.toString)
+      p.startProjected(events, ckpt.toString,
+        (envs, _) => serving.merge(envs)).awaitTermination(60000)
+      ()
+    }
+    run()
+    // batch 2: the table grows a column; the post-DDL row image carries 3
+    // positional values that must bind to the evolved schema (DDL is
+    // applied first within its batch — the P7 contract)
+    Files.write(src.resolve("001.jsonl"), Seq(
+      ddl(3, "ALTER TABLE orders ADD COLUMN region varchar(10)"),
+      line(4, "update_rows", """[["1","alpha",null],["1","ALPHA","emea"]]""")
+    ).mkString("\n").getBytes)
+    run()
+    val rows = liveRows(serving)
+    assert(rows.keySet === Set("1", "2"), s"got $rows")
+    // key 1 changed AFTER the ALTER: its serving row carries the new column
+    assert(rows("1").contains("\"region\":\"emea\"") &&
+      rows("1").contains("ALPHA"), s"evolved row wrong: ${rows("1")}")
+    // key 2 last changed BEFORE the ALTER: its row keeps the 2-column shape
+    assert(!rows("2").contains("region"), s"pre-DDL row mutated: ${rows("2")}")
+    assert(reg.get("shop", "orders").exists(_.columns.map(_.name) ===
+      Seq("id", "name", "region")), "registry did not evolve")
+  }
 }
