@@ -356,6 +356,12 @@ object CdcQueries {
       hist.append(cached.filter($"batch_key" % 3 === 1).drop("batch_key")
         .as[graft.model.MQEvent])
     } finally { cached.unpersist(); () }
+    // compact INSIDE the oracled path: four appends left ≥4 files per hot
+    // partition, the rewrite collapses them, and the driver's hash gate
+    // then pins compaction's multiset invariance (duplicates included)
+    // every round — not just the spec
+    hist.compact(spark, maxFiles = 1)
+    hist.prune(keep = 1)
     hist.history(spark)
       .select($"tbl", $"pk".cast("long").as("user_id"),
         $"ver_pos".as("event_id"), $"action",
