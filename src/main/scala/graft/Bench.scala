@@ -76,6 +76,7 @@ object Bench {
       "q_dedup_components" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_dedup_components_star" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_split_leakage_safe" -> "dedup-chain member (reuses prebuilt pair set + components loop)",
+      "q_dedup_keeper_quality" -> "dedup-chain member (reuses prebuilt pair set + components loop)",
       "q_dedup_containment" -> "containment-index consumer (first of the pair to run pays the shared 16-char df-rank build)",
       "q_dedup_containment_incremental" -> "containment-index consumer (shares the 16-char df-rank cache)",
       "q_dedup_incremental" -> "dedup-chain member (reuses prebuilt minhash; delta-probes-corpus bands)",
@@ -93,6 +94,7 @@ object Bench {
     val chainConsumers = Set("q_curation_pipeline", "q_dedup_minhash_lsh",
       "q_dedup_ngram_jaccard", "q_dedup_minhash256", "q_dedup_components",
       "q_dedup_components_star", "q_split_leakage_safe",
+      "q_dedup_keeper_quality",
       "q_dedup_incremental", "q_dedup_simhash", "q_dedup_simhash64",
       "q_neighbor_topk")
     val needChain = selected.exists(e => chainConsumers(e._1))

@@ -648,6 +648,34 @@ object DedupQueries {
           .as("split"))
   }
 
+  /** QUALITY-WEIGHTED keeper selection — what production dedup actually
+    * ships: within each near-dup component keep the HIGHEST-QUALITY
+    * member (the [[TextQueries.qualityScored]] score; ties broken by min
+    * doc_id), not the arbitrary min-id member the plain components
+    * output marks. The distinction matters at corpus scale: template
+    * clusters typically contain one clean original and N degraded
+    * scrapes, and min-id keeps whichever was crawled first.
+    *
+    * Cross-engine determinism: the quality score's arithmetic is
+    * bit-identical in DuckDB (same literal operand order, IEEE-rounded
+    * ops over integer counts — `q_text_quality` hash-pins it), and the
+    * argmax ordering (quality, −doc_id) is total because doc_id is
+    * unique, so the keeper choice never rests on a tie Spark and DuckDB
+    * could break differently. Shape: component map (density-bounded) ⋈
+    * metadata-wide quality frame, one groupBy — no new heavy shuffle.
+    */
+  def qDedupKeeperQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comp = qDedupComponents(spark, dir).select($"doc_id", $"component")
+    val q = TextQueries.qualityScored(spark, dir)
+      .select($"doc_id", $"quality")
+    comp.join(q, "doc_id")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by($"doc_id", struct($"quality", -$"doc_id")).as("keeper_id"),
+        max($"quality").as("keeper_quality"))
+  }
+
   /** Near-dup components via the star alternation — same pair graph, same
     * output contract, and the SAME transitive-closure oracle as
     * [[qDedupComponents]]: the two engines are verified against one
@@ -1269,7 +1297,8 @@ object DedupQueries {
     "q_dedup_components_star" -> qDedupComponentsStar,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_containment_incremental" -> qDedupContainmentIncremental,
-    "q_split_leakage_safe" -> qSplitLeakageSafe
+    "q_split_leakage_safe" -> qSplitLeakageSafe,
+    "q_dedup_keeper_quality" -> qDedupKeeperQuality
   )
 
   private val duckShingles =
@@ -1494,6 +1523,7 @@ object DedupQueries {
       outA = "corpus_id", outB = "new_id"),
     "q_dedup_components" -> componentsOracle,
     "q_dedup_components_star" -> componentsOracle,
+    "q_dedup_keeper_quality" -> keeperQualityOracle,
     "q_split_leakage_safe" ->
       s"""$componentsCte
          |SELECT d.doc_id, d.lang,
@@ -1539,6 +1569,19 @@ object DedupQueries {
          |  SELECT e.id_a, re.r FROM reach re JOIN edges e ON e.id_b = re.doc),
          | comp AS (
          |  SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc)""".stripMargin
+
+  private def keeperQualityOracle: String =
+    s"""$componentsCte,
+       | ${TextQueries.duckQualityCte},
+       | r AS (
+       |  SELECT c.component, c.doc_id, q.quality,
+       |   row_number() OVER (PARTITION BY c.component
+       |     ORDER BY q.quality DESC, c.doc_id ASC) AS rk,
+       |   count(*) OVER (PARTITION BY c.component) AS n_docs
+       |  FROM comp c JOIN q ON c.doc_id = q.doc_id)
+       |SELECT component, n_docs, doc_id AS keeper_id,
+       | quality AS keeper_quality
+       |FROM r WHERE rk = 1""".stripMargin
 
   /** ONE independent semantics pinning BOTH component engines (the
     * min-label loop and the star alternation).

@@ -36,7 +36,14 @@ object TextQueries {
     * composed into one double score, then bucketed + aggregated. The score
     * arithmetic is pure double so the DuckDB oracle reproduces it exactly.
     */
-  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc quality frame (doc_id, lang, …ratios…, quality) — shared by
+    * the bucketed rollup below and the quality-weighted dedup keeper
+    * ([[DedupQueries.qDedupKeeperQuality]]); the score arithmetic is
+    * bit-identical in DuckDB (both oracles hash-pin it), so downstream
+    * argmax decisions on it are cross-engine deterministic.
+    */
+  private[analytics] def qualityScored(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val toks = size(split(trim($"text"), "\\s+")).cast("double")
     val chars = length($"text").cast("double")
@@ -44,7 +51,7 @@ object TextQueries {
       .cast("double")
     val puncts = size(regexp_extract_all($"text", lit("[^\\w\\s]"), lit(0)))
       .cast("double")
-    val scored = table(spark, dir, "documents")
+    table(spark, dir, "documents")
       .select(
         $"doc_id", $"lang",
         (chars / toks).as("avg_tok_len"),
@@ -54,7 +61,28 @@ object TextQueries {
         ($"stop_ratio" * lit(2.0) - $"punct_ratio" * lit(5.0) +
           when($"avg_tok_len" >= 3.0 && $"avg_tok_len" <= 8.0, 1.0)
             .otherwise(0.0)))
-    scored
+  }
+
+  /** The DuckDB face of [[qualityScored]] — a CTE body ending in
+    * `q(doc_id, lang, quality)`, shared by both consuming oracles.
+    */
+  private[analytics] val duckQualityCte: String =
+    """scored AS (
+      |  SELECT doc_id, lang,
+      |    length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')) AS avg_tok_len,
+      |    len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))::DOUBLE
+      |      / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+      |    len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text) AS punct_ratio
+      |  FROM documents),
+      | q AS (
+      |  SELECT doc_id, lang,
+      |    stop_ratio * 2.0 - punct_ratio * 5.0 +
+      |      (CASE WHEN avg_tok_len >= 3.0 AND avg_tok_len <= 8.0 THEN 1.0 ELSE 0.0 END) AS quality
+      |  FROM scored)""".stripMargin
+
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityScored(spark, dir)
       .groupBy($"lang", (floor($"quality" * 4.0)).cast("long").as("q_bucket"))
       .agg(count(lit(1)).as("n"), sum($"quality").as("sum_quality"))
   }
@@ -432,18 +460,7 @@ object TextQueries {
         | len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS distinct_ws_tokens
         |FROM documents""".stripMargin,
     "q_text_quality" ->
-      """WITH scored AS (
-        |  SELECT doc_id, lang,
-        |    length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')) AS avg_tok_len,
-        |    len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))::DOUBLE
-        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
-        |    len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text) AS punct_ratio
-        |  FROM documents),
-        | q AS (
-        |  SELECT lang,
-        |    stop_ratio * 2.0 - punct_ratio * 5.0 +
-        |      (CASE WHEN avg_tok_len >= 3.0 AND avg_tok_len <= 8.0 THEN 1.0 ELSE 0.0 END) AS quality
-        |  FROM scored)
+      s"""WITH $duckQualityCte
         |SELECT lang, floor(quality * 4.0)::BIGINT AS q_bucket,
         | count(*) AS n, sum(quality) AS sum_quality
         |FROM q GROUP BY 1, 2""".stripMargin,

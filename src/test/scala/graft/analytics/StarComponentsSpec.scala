@@ -52,6 +52,28 @@ class StarComponentsSpec extends SparkSpec {
     assert(iters <= 2)
   }
 
+  test("quality keeper is a member of its component with the max score") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val comp = DedupQueries.qDedupComponents(spark, dir)
+      .select($"doc_id", $"component").collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val quality = TextQueries.qualityScored(spark, dir)
+      .select($"doc_id", $"quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keepers = DedupQueries.qDedupKeeperQuality(spark, dir).collect()
+    assert(keepers.nonEmpty)
+    keepers.foreach { r =>
+      val (c, n, keeper, kq) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(comp(c).contains(keeper), s"keeper $keeper not in component $c")
+      assert(n === comp(c).size)
+      val maxQ = comp(c).map(quality).max
+      assert(kq === maxQ, s"component $c keeper quality $kq != max $maxQ")
+      assert(quality(keeper) === maxQ)
+    }
+  }
+
   test("star engine matches the min-label engine on the real pair graph") {
     val a = DedupQueries.qDedupComponents(spark, dir)
       .select("doc_id", "component", "n_docs", "is_keeper")
