@@ -28,20 +28,35 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  /** Build the index from a `(doc_id, text)` corpus frame. */
-  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  private def writeTables(docs: DataFrame, indexDir: String,
+      mode: String): Unit = {
     val per = DedupQueries.signaturesOf(docs)
       .withColumn("sz", size(col("hs")).cast("long"))
       .persist()
     try {
-      per.write.mode("overwrite").parquet(s"$indexDir/signatures")
+      per.write.mode(mode).parquet(s"$indexDir/signatures")
       val bandCols = DedupQueries.bandStructs(bands = 16, rowsPerBand = 4)
       per.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
         .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
           col("doc_id"))
-        .write.mode("overwrite").parquet(s"$indexDir/bands")
+        .write.mode(mode).parquet(s"$indexDir/bands")
     } finally { per.unpersist(); () }
   }
+
+  /** Build the index from a `(doc_id, text)` corpus frame. */
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    writeTables(docs, indexDir, "overwrite")
+
+  /** ADMIT a delta into the standing index: append its band keys and
+    * signature sets to the artifact tables — the probe-then-admit
+    * lifecycle of a daily ingest (probe finds the dups, the keeper
+    * decision happens downstream, and whatever is admitted becomes
+    * corpus for tomorrow's delta). Parquet append — O(|delta|) write,
+    * nothing rewritten; on the bucketed-table layout this is an INSERT
+    * INTO the same buckets.
+    */
+  def append(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    writeTables(docs, indexDir, "append")
 
   /** Probe the index with a `(doc_id, text)` delta frame: verified
     * near-dup pairs (corpus_id, new_id, jaccard ≥ 0.8) between the delta

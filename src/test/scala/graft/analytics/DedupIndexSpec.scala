@@ -29,6 +29,32 @@ class DedupIndexSpec extends SparkSpec {
     assert(fromDisk === inSession)
   }
 
+  test("probe-then-admit: an appended delta becomes corpus for the next " +
+      "delta's probe") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-idx3")
+      .toString
+    // day 0: corpus = %5 ∈ {0,1,2}; day 1 delta = %5 == 3; day 2 = %5 == 4
+    DedupIndex.build(spark, docs.filter($"doc_id" % 5 < 3), idx)
+    val day1 = docs.filter($"doc_id" % 5 === 3)
+    val day2 = docs.filter($"doc_id" % 5 === 4)
+    // day-2 pairs BEFORE admitting day 1: only vs the original corpus
+    val before = DedupIndex.probe(spark, idx, day2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupIndex.append(spark, day1, idx)
+    val after = DedupIndex.probe(spark, idx, day2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.subsetOf(after), "admit lost previously-findable pairs")
+    val viaDay1 = after -- before
+    assert(viaDay1.nonEmpty,
+      "admitting day 1 must expose day2-day1 near-dup pairs")
+    val day1Ids = day1.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaDay1.forall(p => day1Ids.contains(p._1)),
+      s"new pairs must have an admitted day-1 doc as corpus side: $viaDay1")
+  }
+
   test("the artifact IS the corpus side: emptying the band table on disk " +
       "empties the probe result for identical inputs") {
     import spark.implicits._
