@@ -63,6 +63,42 @@ object ContainIndex {
     } finally { sh.unpersist(); () }
   }
 
+  /** ADMIT a delta into the standing index (the probe-then-admit
+    * lifecycle, see [[DedupIndex.append]]): appends the delta's token
+    * postings, prefix postings, and verify sets. The delta's prefixes
+    * are ranked by the FROZEN corpus df (unseen tokens rarest) and the
+    * df table is NOT rewritten — safe by the pigeonhole's
+    * order-independence (stale df can cost posting-list efficiency,
+    * never recall), which is precisely what keeps admission O(|delta|):
+    * a df rewrite would be a corpus-sized job on every ingest.
+    * Re-freshen df with a periodic [[build]] when probe cost drifts.
+    */
+  def append(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val sh = shingled(docs).persist()
+    try {
+      val corpusDf = spark.read.parquet(s"$indexDir/df")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("hx"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      val ranked = sh.join(corpusDf, Seq("hx"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("n") >= 20)
+      ranked.select(col("hx"), col("doc_id"))
+        .write.mode("append").parquet(s"$indexDir/tokens")
+      ranked.filter(col("rn") <= floor(col("n") / 10) + 1)
+        .select(col("hx"), col("doc_id"))
+        .write.mode("append").parquet(s"$indexDir/prefix")
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("hx"))).as("hs"))
+        .withColumn("sz", size(col("hs")).cast("long"))
+        .filter(col("sz") >= 20)
+        .write.mode("append").parquet(s"$indexDir/sets")
+    } finally { sh.unpersist(); () }
+  }
+
   /** Probe with a `(doc_id, text)` delta frame: ordered containment
     * pairs (id_a contained-in id_b, ≥ 0.9) with exactly one side in the
     * delta — both directions found by delta-sized probes of the standing

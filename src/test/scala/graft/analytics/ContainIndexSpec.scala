@@ -32,6 +32,31 @@ class ContainIndexSpec extends SparkSpec {
     assert(fromDisk === inSession)
   }
 
+  test("probe-then-admit: an appended delta becomes corpus for the next " +
+      "delta's probe, under the frozen df") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-contain-idx3")
+      .toString
+    ContainIndex.build(spark, docs.filter($"doc_id" % 5 < 3), idx)
+    val day1 = docs.filter($"doc_id" % 5 === 3)
+    val day2 = docs.filter($"doc_id" % 5 === 4)
+    val before = ContainIndex.probe(spark, idx, day2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ContainIndex.append(spark, day1, idx)
+    val after = ContainIndex.probe(spark, idx, day2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.subsetOf(after), "admit lost previously-findable pairs")
+    val viaDay1 = after -- before
+    assert(viaDay1.nonEmpty,
+      "admitting day 1 must expose day1-day2 containment pairs")
+    val day1Ids = day1.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaDay1.forall(p =>
+      day1Ids.contains(p._1) || day1Ids.contains(p._2)),
+      s"new pairs must involve an admitted day-1 doc: $viaDay1")
+  }
+
   test("prefix table is ~10% of the token table (the reason old-in-new " +
       "probes stay delta-sized)") {
     import spark.implicits._
