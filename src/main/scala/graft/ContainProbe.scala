@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * This probe is how the 5-char degenerate case was caught: on this
   * corpus 5-char shingles have a ~2 k vocabulary over 5 k docs, the
   * "rarest" token still has df ≈ 250, and candidates approach all-pairs
-  * (11.9 M, 77 s verify). The shipped 16-char unit measures ~600 k vocab,
-  * df ≈ 2.3, ~50× fewer candidates.
+  * (11.9 M, 77 s verify). The shipped 16-char unit measures ~600 k
+  * vocabulary (corpus-wide mean df ≈ 2.3 = 1.41 M postings / 603 k
+  * terms; PREFIX df_avg 1.10 — the rarest slice) and 569 candidate
+  * pairs — ~21 000× fewer. Full numbers in SCALE.md's containment rows.
   */
 object ContainProbe {
   def main(args: Array[String]): Unit = {

@@ -107,7 +107,9 @@ object ContainIndex {
   def probe(spark: SparkSession, indexDir: String,
       deltaDocs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val sh = shingled(deltaDocs).persist()
+    // no persist — see DedupIndex.probe: a lazy return plus an
+    // un-released cache entry per daily probe is a session-length leak
+    val sh = shingled(deltaDocs)
     val corpusDf = spark.read.parquet(s"$indexDir/df")
     // delta prefix ranks by FROZEN corpus df; unseen tokens are rarest
     val w = org.apache.spark.sql.expressions.Window

@@ -30,9 +30,8 @@ object DedupIndex {
 
   private def writeTables(docs: DataFrame, indexDir: String,
       mode: String): Unit = {
-    val per = DedupQueries.signaturesOf(docs)
-      .withColumn("sz", size(col("hs")).cast("long"))
-      .persist()
+    // signaturesOf already carries (doc_id, mhsig, hs, sz)
+    val per = DedupQueries.signaturesOf(docs).persist()
     try {
       per.write.mode(mode).parquet(s"$indexDir/signatures")
       val bandCols = DedupQueries.bandStructs(bands = 16, rowsPerBand = 4)
@@ -69,9 +68,11 @@ object DedupIndex {
     val corpusPer = spark.read.parquet(s"$indexDir/signatures")
     val corpusBands = spark.read.parquet(s"$indexDir/bands")
       .withColumnRenamed("doc_id", "id_a")
+    // no persist: the probe returns a LAZY frame, and a persist here with
+    // no unpersist would pin a cache entry per daily probe for the life
+    // of the ingest session; the delta-sized recompute across the frame's
+    // few consumers is cheaper than that leak
     val deltaPer = DedupQueries.signaturesOf(deltaDocs)
-      .withColumn("sz", size(col("hs")).cast("long"))
-      .persist()
     val bandCols = DedupQueries.bandStructs(bands = 16, rowsPerBand = 4)
     val deltaBands = deltaPer
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))

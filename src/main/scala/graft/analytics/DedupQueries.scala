@@ -610,6 +610,14 @@ object DedupQueries {
       nOld = nNew
       iter += 1
     }
+    // the label projection below ASSUMES a star forest; labels read off a
+    // mid-contraction edge set would silently split true components, so a
+    // cap-out must be loud, never wrong (20 alternations covers any
+    // realistic n under the O(log n) bound — hitting the cap means
+    // something is broken, not that the graph is big)
+    require(converged,
+      s"star alternation did not converge within $maxIter rounds " +
+        s"($nOld edges in the last generation) — labels would be wrong")
     val labels = edges
       .select($"s".as("doc_id"), $"d".as("lbl"))
       .union(edges.select($"d".as("doc_id"), $"d".as("lbl")))
@@ -724,8 +732,9 @@ object DedupQueries {
     * corpus has only ~2 k distinct 5-char shingles over 5 k docs (sf0.1)
     * — the "rarest" 5-gram still has df ≈ 250, the filter degenerates,
     * and candidates approach all-pairs (measured: 11.9 M candidate pairs
-    * and a 77 s verify; the same corpus at 16 chars has 600 k distinct
-    * shingles, df ≈ 2.3, and the candidate set collapses ~50×). A
+    * and a 77 s verify; the same corpus at 16 chars has 603 k distinct
+    * shingles — corpus-wide mean df ≈ 2.3, prefix df_avg 1.10 — and the
+    * candidate set collapses to 569 pairs, ~21 000× fewer). A
     * 16-char window (~2–3 words) is also the natural quote-detection
     * unit. General law: pick the prefix-filter token so that corpus
     * vocabulary ≫ corpus size.

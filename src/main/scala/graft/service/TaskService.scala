@@ -243,9 +243,8 @@ final class TaskService(spark: SparkSession, store: TaskStore) {
     val history = Option.when(c.historyPk.nonEmpty)(
       new graft.streaming.CdcHistoryTable(
         s"${c.sinkDir.stripSuffix("/")}/_history", c.historyPk))
-    val batchSeq = new java.util.concurrent.atomic.AtomicLong()
     val query = pipeline.startProjected(events, c.checkpointDir,
-      (envs, _) => {
+      (envs, batchId) => {
         // up to three consumers of one batch: cache so the projection
         // runs once
         val cached = envs.persist()
@@ -256,10 +255,13 @@ final class TaskService(spark: SparkSession, store: TaskStore) {
           history.foreach { h =>
             h.append(cached)
             // compaction from the sink loop itself — the single-writer
-            // seat CdcHistoryTable.compact's contract requires; prune
-            // keeps two versions so an in-flight reader never loses its
-            // snapshot
-            if (batchSeq.incrementAndGet() % c.compactEvery == 0) {
+            // seat CdcHistoryTable.compact's contract requires. Cadence
+            // keys on the CHECKPOINTED batchId, not an in-memory counter:
+            // a counter restarts at 0 with the process, and a deployment
+            // that bounces more often than compactEvery batches would
+            // starve compaction forever. prune keeps two versions so an
+            // in-flight reader never loses its snapshot.
+            if ((batchId + 1) % c.compactEvery == 0) {
               h.compact(cached.sparkSession)
               h.prune()
             }

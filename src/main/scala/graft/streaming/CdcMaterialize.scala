@@ -275,11 +275,17 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
   def compact(spark: SparkSession, maxFiles: Int = 4): Int = currentDir match {
     case None => 0
     case Some(cur) =>
+      // partition dir names carry Spark's path ESCAPING (space, '%', ':'
+      // → %xx); the `tbl` column holds the raw value, so the dir name
+      // must be unescaped before the isin filter or an escaped-name
+      // table would never match — compact would then write an empty
+      // version and leave the fat partition fat, forever
       val fat = Option(cur.listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
         .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
           .count(_.getName.endsWith(".parquet")) > maxFiles)
-        .map(_.getName.stripPrefix("tbl="))
+        .map(d => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(d.getName.stripPrefix("tbl=")))
       if (fat.isEmpty) 0
       else {
         val v = VersionedStore.currentVersion(logRoot).getOrElse(0L) + 1

@@ -49,12 +49,32 @@ object IngestDedup {
     * [[graft.analytics.DedupIndex]] artifact — the production wiring:
     * the stream probes the durable index built at corpus ingest, cached
     * once for the life of the query so every batch probes memory, not
-    * the lake.
+    * the lake. The cache entry lives as long as the query; it is
+    * released when the returned query stops (listener below), so a
+    * service that cycles many ingest streams does not accrete corpus
+    * caches.
     */
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val corpusPer = docs.sparkSession.read
-      .parquet(s"$indexDir/signatures").persist()
-    dedupIngest(docs, corpusPer, checkpointDir)(sink)
+    val spark = docs.sparkSession
+    val corpusPer = spark.read.parquet(s"$indexDir/signatures").persist()
+    val query = dedupIngest(docs, corpusPer, checkpointDir)(sink)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            corpusPer.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    query
   }
 }

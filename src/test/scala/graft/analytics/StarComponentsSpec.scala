@@ -46,6 +46,14 @@ class StarComponentsSpec extends SparkSpec {
     assert(Seq(30L, 31L).forall(got(_) == 30L))
   }
 
+  test("a capped-out run throws instead of returning mid-contraction labels") {
+    val path = edgeDf((0L until 999L).map(i => (i, i + 1)))
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.starComponents(spark, path, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("empty edge set yields empty labeling without iteration blow-up") {
     val (labels, iters) = DedupQueries.starComponents(spark, edgeDf(Seq.empty))
     assert(labels.count() === 0L)

@@ -162,6 +162,27 @@ class CdcHistorySpec extends SparkSpec {
     assert(t.asOf(spark, 14).count() === 5)
   }
 
+  test("compact: a table name that escapes in partition paths still " +
+      "compacts (dir name unescaped before the prune filter)") {
+    import spark.implicits._
+    val tdir = Files.createTempDirectory("cdc-hist").toString
+    val t = new CdcHistoryTable(tdir, Map("shop.a b" -> "id"))
+    def spaced(id: Long, ts: Long, pos: Long): MQEvent = {
+      val img = Map("id" -> id.toString, "name" -> s"n$id")
+      MQEvent("shop", "a b", "insert", Map.empty, img,
+        Seq(img.values.toSeq), EventHeader(ts, pos, ""))
+    }
+    t.append(Seq(spaced(1, 10, 1)).toDS())
+    t.append(Seq(spaced(2, 11, 2)).toDS())
+    val before = t.changelog(spark).collect().map(_.toSeq).toSet
+    assert(t.compact(spark, maxFiles = 1) === 1,
+      "the escaped-name partition must be seen as fat and rewritten")
+    assert(CdcHistoryTable.currentLogVersion(tdir).contains(1L))
+    assert(t.changelog(spark).collect().map(_.toSeq).toSet === before)
+    assert(t.changelog(spark).inputFiles.length === 1,
+      "rewrite must actually collapse the files, not write an empty version")
+  }
+
   test("tables without a configured pk never reach the log") {
     import spark.implicits._
     val t = mkTable()
