@@ -42,25 +42,45 @@ object Layout {
 
   /** Z-value of two non-negative 16-bit coordinates: bits of `a` at odd
     * positions, bits of `b` at even — a 32-bit Morton code carried as
-    * LONG. Wider domains first quantize to 16 bits per dimension
-    * (min/max scale); 16 bits per axis already distinguishes 65 536
-    * range-partition boundaries per dimension, far beyond any practical
-    * file count.
+    * LONG. RAW primitive: inputs past 65535 are masked (key mod 65536),
+    * which aliases distant keys onto one z-value — wider domains must
+    * quantize first, which is exactly what [[zorderWrite]] does (16 bits
+    * per axis already distinguishes 65 536 range-partition boundaries
+    * per dimension, far beyond any practical file count).
     */
   def zValue(a: Column, b: Column): Column =
     shiftleft(spread16(a), 1).bitwiseOR(spread16(b))
 
-  /** The production write path: range-partition on the z-value into `n`
-    * files, each internally z-sorted so parquet row-group min/max stats
-    * inherit the tight boxes too. Range boundaries come from Spark's
-    * reservoir sample — boundary PLACEMENT is sampling-dependent (hence
-    * the oracled face below pins buckets with ntile instead), but the
-    * clustering property every scan relies on (consecutive z-runs per
-    * file) holds for any boundaries.
+  /** Quantize `c` into [0, 65535] over the observed [lo, hi] domain.
+    * Double arithmetic: (c−lo)·65535 in longs would overflow for domains
+    * past 2⁴⁷; a double keeps 52 bits of mantissa, far beyond the 16
+    * bucket bits that survive.
+    */
+  private def quant16(c: Column, lo: Long, hi: Long): Column =
+    if (hi <= lo) lit(0L)
+    else floor((c.cast("double") - lit(lo.toDouble)) /
+      lit((hi - lo).toDouble) * lit(65535.0)).cast("long")
+
+  /** The production write path: quantize both keys to 16 bits over their
+    * OBSERVED min/max (one metadata-cheap agg at write time — plain
+    * [[zValue]] masks to the low 16 bits, i.e. key mod 65536, which
+    * ALIASES any domain past 65535 and silently destroys the clustering
+    * the write exists to buy), then range-partition on the z-value into
+    * `n` files, each internally z-sorted so parquet row-group min/max
+    * stats inherit the tight boxes too. Range boundaries come from
+    * Spark's reservoir sample — boundary PLACEMENT is
+    * sampling-dependent (hence the oracled face below pins buckets with
+    * ntile instead), but the clustering property every scan relies on
+    * (consecutive z-runs per file) holds for any boundaries.
     */
   def zorderWrite(df: DataFrame, colA: String, colB: String, n: Int,
       path: String): Unit = {
-    val z = df.withColumn("zval", zValue(col(colA), col(colB)))
+    val b = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).first()
+    val z = df.withColumn("zval", zValue(
+      quant16(col(colA), b.getLong(0), b.getLong(1)),
+      quant16(col(colB), b.getLong(2), b.getLong(3))))
     z.repartitionByRange(n, col("zval"))
       .sortWithinPartitions(col("zval"))
       .write.mode("overwrite").parquet(path)

@@ -58,6 +58,24 @@ class LayoutSpec extends SparkSpec {
       s"z layout touched $zFiles files vs natural $natFiles")
   }
 
+  test("zorderWrite quantizes wide domains: clustering survives keys far " +
+      "past 65535, where raw masking would alias") {
+    import spark.implicits._
+    // scale partkey 137x (max ~273k > 2^16): the quantized write must
+    // still concentrate a box's rows in few files
+    val li = graft.GraftSession.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_partkey" * 137).as("l_partkey"), $"l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout-w").toString
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", 32, s"$tmp/z")
+    val maxP = li.agg(max($"l_partkey")).first().getLong(0)
+    val zFiles = spark.read.parquet(s"$tmp/z")
+      .filter($"l_partkey" <= maxP / 20 && $"l_suppkey" <= 9)
+      .select(input_file_name()).distinct().count()
+    assert(zFiles <= 8, s"wide-domain z layout scattered the box over " +
+      s"$zFiles/32 files — quantization is not happening")
+  }
+
   test("zValue interleave is exact on known bit patterns") {
     import spark.implicits._
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
