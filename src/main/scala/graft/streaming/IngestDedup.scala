@@ -57,7 +57,8 @@ object IngestDedup {
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
-    val corpusPer = spark.read.parquet(s"$indexDir/signatures").persist()
+    val corpusPer = spark.read.parquet(
+      graft.analytics.DedupIndex.tablePath(indexDir, "signatures")).persist()
     val query = dedupIngest(docs, corpusPer, checkpointDir)(sink)
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {

@@ -20,7 +20,7 @@ import java.nio.charset.StandardCharsets
   * metadata carrier); the merge contract of the stores does not change
   * when that swap happens.
   */
-private[streaming] object VersionedStore {
+private[graft] object VersionedStore {
 
   def pointer(dir: String): File = new File(dir, "_CURRENT")
 
@@ -57,6 +57,29 @@ private[streaming] object VersionedStore {
     }
     carried.length
   }
+
+  /** Hard-link every FILE under `prev` into `next`, preserving directory
+    * structure — the whole-tree cousin of [[linkUntouchedPartitions]],
+    * for versioned artifacts whose merge appends files beside the
+    * carried ones (e.g. the dedup index tables). Returns files linked.
+    */
+  def linkTree(prev: File, next: File): Int = {
+    next.mkdirs()
+    Option(prev.listFiles()).getOrElse(Array.empty).map { f =>
+      if (f.isDirectory) linkTree(f, new File(next, f.getName))
+      else {
+        Files.createLink(new File(next, f.getName).toPath, f.toPath)
+        1
+      }
+    }.sum
+  }
+
+  /** Delete a NEVER-REFERENCED version dir (crash leftovers): a retried
+    * writer must clear the target before rebuilding it, or stale links +
+    * partial files from the crashed attempt would corrupt the rebuild.
+    * Only safe because the pointer never pointed here.
+    */
+  def clearStale(dir: File): Unit = if (dir.exists()) rm(dir)
 
   /** Drop snapshot versions older than the newest `keep` (the pointer's
     * target is always kept). Hard-linked files shared with newer versions

@@ -44,7 +44,7 @@ class ContainIndexSpec extends SparkSpec {
     val day2 = docs.filter($"doc_id" % 5 === 4)
     val before = ContainIndex.probe(spark, idx, day2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    ContainIndex.append(spark, day1, idx)
+    assert(ContainIndex.append(spark, day1, idx, "day1"))
     val after = ContainIndex.probe(spark, idx, day2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(before.subsetOf(after), "admit lost previously-findable pairs")
@@ -55,6 +55,12 @@ class ContainIndexSpec extends SparkSpec {
     assert(viaDay1.forall(p =>
       day1Ids.contains(p._1) || day1Ids.contains(p._2)),
       s"new pairs must involve an admitted day-1 doc: $viaDay1")
+    // at-least-once retry: the same deltaId is a no-op, multiset-stable
+    assert(!ContainIndex.append(spark, day1, idx, "day1"))
+    val retried = ContainIndex.probe(spark, idx, day2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(retried === after.toSeq.sorted,
+      "retried admission changed the probe output")
   }
 
   test("prefix table is ~10% of the token table (the reason old-in-new " +
@@ -65,8 +71,10 @@ class ContainIndexSpec extends SparkSpec {
     val idx = java.nio.file.Files.createTempDirectory("graft-contain-idx2")
       .toString
     ContainIndex.build(spark, docs, idx)
-    val tokens = spark.read.parquet(s"$idx/tokens").count()
-    val prefix = spark.read.parquet(s"$idx/prefix").count()
+    val tokens = spark.read
+      .parquet(ContainIndex.tablePath(idx, "tokens")).count()
+    val prefix = spark.read
+      .parquet(ContainIndex.tablePath(idx, "prefix")).count()
     assert(prefix * 5 < tokens, s"prefix $prefix not < 20% of tokens $tokens")
     assert(prefix > 0)
   }

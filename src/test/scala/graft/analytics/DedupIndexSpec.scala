@@ -43,7 +43,7 @@ class DedupIndexSpec extends SparkSpec {
     // day-2 pairs BEFORE admitting day 1: only vs the original corpus
     val before = DedupIndex.probe(spark, idx, day2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    DedupIndex.append(spark, day1, idx)
+    assert(DedupIndex.append(spark, day1, idx, "day1"))
     val after = DedupIndex.probe(spark, idx, day2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(before.subsetOf(after), "admit lost previously-findable pairs")
@@ -53,6 +53,14 @@ class DedupIndexSpec extends SparkSpec {
     val day1Ids = day1.select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(viaDay1.forall(p => day1Ids.contains(p._1)),
       s"new pairs must have an admitted day-1 doc as corpus side: $viaDay1")
+    // at-least-once retry: the SAME deltaId is a no-op — no duplicated
+    // postings, so the probe's pair MULTISET (not just set) is unchanged
+    assert(!DedupIndex.append(spark, day1, idx, "day1"))
+    val retried = DedupIndex.probe(spark, idx, day2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(retried === after.toSeq.sorted,
+      "retried admission changed the probe output")
+    assert(DedupIndex.appliedDeltas(idx) === Set("day1"))
   }
 
   test("the artifact IS the corpus side: emptying the band table on disk " +
@@ -68,15 +76,16 @@ class DedupIndexSpec extends SparkSpec {
     // hollow out the band table: same API inputs, zero candidates — so
     // candidates demonstrably come from disk, never from recomputing the
     // corpus
-    spark.read.parquet(s"$idx/bands").limit(0)
-      .write.mode("overwrite").parquet(s"$idx/bands_empty")
-    val p = java.nio.file.Paths.get(idx)
+    val bands = DedupIndex.tablePath(idx, "bands")
+    spark.read.parquet(bands).limit(0)
+      .write.mode("overwrite").parquet(s"$bands-empty")
+    val p = java.nio.file.Paths.get(bands)
     def rmTree(d: java.nio.file.Path): Unit = {
       java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { java.nio.file.Files.delete(f); () })
     }
-    rmTree(p.resolve("bands"))
-    java.nio.file.Files.move(p.resolve("bands_empty"), p.resolve("bands"))
+    rmTree(p)
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$bands-empty"), p)
     assert(DedupIndex.probe(spark, idx, delta).count() === 0,
       "probe found pairs with an empty on-disk band table")
   }
