@@ -34,15 +34,8 @@ object ContainProbe {
     println(s"[containprobe] doc-shingle rows: ${sh.count()}")
     val dfT = sh.groupBy($"hx").agg(count(lit(1)).as("df"))
     println(s"[containprobe] vocab: ${dfT.count()}")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"hx")
-    val wn = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-    val ranked = sh.join(dfT, "hx")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
-      .filter($"n" >= 20)
-      .persist()
-    val prefixA = ranked.filter($"rn" <= floor($"n" / 10) + 1)
+    val ranked = graft.analytics.DedupQueries.containRanked(sh, dfT).persist()
+    val prefixA = graft.analytics.DedupQueries.containPrefix(ranked)
       .select($"doc_id".as("id_a"), $"hx")
     val mass = prefixA.join(dfT, "hx")
       .agg(count(lit(1)).as("prefix_rows"), sum($"df").as("df_mass"),

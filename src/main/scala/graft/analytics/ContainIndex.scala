@@ -49,20 +49,10 @@ object ContainIndex {
       .distinct()
       .select(col("doc_id"), xxhash64(col("sh")).as("hx"))
 
-  /** (hx, doc_id, rn, n) ranked by (df ASC, hx ASC) within each doc, the
-    * fragment floor applied — the shared block of build, append, and the
-    * in-session faces.
-    */
-  private def ranked(sh: DataFrame, dfTable: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("hx"))
-    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    sh.join(dfTable, Seq("hx"), "left")
-      .withColumn("df", coalesce(col("df"), lit(0L)))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
-      .filter(col("n") >= 20)
-  }
+  // df-rank + fragment floor live in ONE place (DedupQueries.containRanked)
+  // so the artifact can never drift from the oracled query
+  private def ranked(sh: DataFrame, dfTable: DataFrame): DataFrame =
+    DedupQueries.containRanked(sh, dfTable)
 
   private def versionDir(indexDir: String, v: Long): File =
     new File(indexDir, s"v$v")
@@ -98,7 +88,7 @@ object ContainIndex {
       mode: String): Unit = {
     r.select(col("hx"), col("doc_id"))
       .write.mode(mode).parquet(new File(ver, "tokens").toString)
-    r.filter(col("rn") <= floor(col("n") / 10) + 1)
+    DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
       .write.mode(mode).parquet(new File(ver, "prefix").toString)
     sh.groupBy(col("doc_id"))
@@ -174,7 +164,7 @@ object ContainIndex {
     val sh = shingled(deltaDocs)
     val corpusDf = spark.read.parquet(tablePath(indexDir, "df"))
     val r = ranked(sh, corpusDf)
-    val deltaPrefix = r.filter(col("rn") <= floor(col("n") / 10) + 1)
+    val deltaPrefix = DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
     val deltaTokens = r.select(col("hx"), col("doc_id"))
     val corpusTokens = spark.read.parquet(tablePath(indexDir, "tokens"))

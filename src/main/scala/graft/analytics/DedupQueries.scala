@@ -747,6 +747,33 @@ object DedupQueries {
     "transform(sequence(1, greatest(length(text) - 15, 1))," +
       " i -> substring(text, i, 16))"
 
+  /** (hx, doc_id, rn, n): each doc's shingle hashes ranked by the global
+    * (df ASC, hx ASC) order, fragment floor n ≥ 20 applied — THE shared
+    * block of the containment family (batch/incremental faces, the
+    * persisted [[ContainIndex]], and `ContainProbe`). One definition so
+    * the fragment floor and the ⌊n/10⌋+1 prefix rule can never drift
+    * between the oracled query and the artifact. Left join + coalesce:
+    * tokens absent from `dfTable` (a delta probing a frozen index) rank
+    * rarest at df 0; with live df the join is total and the coalesce is
+    * a no-op.
+    */
+  private[graft] def containRanked(sh: DataFrame,
+      dfTable: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("hx"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    sh.join(dfTable, Seq("hx"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("n") >= 20)
+  }
+
+  /** The prefix slice of [[containRanked]] output: ⌊n/10⌋+1 rarest. */
+  private[graft] def containPrefix(ranked: DataFrame): DataFrame =
+    ranked.filter(col("rn") <= floor(col("n") / 10) + 1)
+
   /** Shared 16-char frames: `ranked` = (doc_id, hx, rn, n) with `rn` the
     * doc-local rank in the global (df ASC, hx ASC) order and `n` the
     * doc's distinct-shingle count (fragment floor applied); `per` =
@@ -767,9 +794,6 @@ object DedupQueries {
       .select($"doc_id", xxhash64($"sh").as("hx"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfTable = sh.groupBy($"hx").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"hx")
-    val wn = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
     // deliberately NOT persisted (only the narrow `sh` projection above
     // is). Both variants were measured at the 10× corpus and the trade
     // is host-noise-dominated: persisting ranked/per loads the whole
@@ -781,10 +805,7 @@ object DedupQueries {
     // the peak memory flat, so it is the shipped shape; at real scale
     // neither applies — the standing token/prefix index is a persisted
     // TABLE written once at ingest, which both faces probe.
-    val ranked = sh.join(dfTable, "hx")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
-      .filter($"n" >= 20)
+    val ranked = containRanked(sh, dfTable)
     val per = sh.groupBy($"doc_id")
       .agg(sort_array(collect_set($"hx")).as("hs"))
       .withColumn("sz", size($"hs").cast("long"))
@@ -809,8 +830,7 @@ object DedupQueries {
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (ranked, per) = containFrames(spark, dir)
-    val prefixA = ranked
-      .filter($"rn" <= floor($"n" / 10) + 1)
+    val prefixA = containPrefix(ranked)
       .select($"doc_id".as("id_a"), $"hx")
     val fullB = ranked.select($"doc_id".as("id_b"), $"hx")
     val cand = prefixA.join(fullB, "hx")
@@ -842,7 +862,7 @@ object DedupQueries {
     import spark.implicits._
     val (ranked, per) = containFrames(spark, dir)
     val isDelta = $"doc_id" % 5 === 4
-    val prefix = ranked.filter($"rn" <= floor($"n" / 10) + 1)
+    val prefix = containPrefix(ranked)
     val newInOld = prefix.filter(isDelta).select($"doc_id".as("id_a"), $"hx")
       .join(ranked.filter(!isDelta).select($"doc_id".as("id_b"), $"hx"), "hx")
     val oldInNew = prefix.filter(!isDelta).select($"doc_id".as("id_a"), $"hx")
