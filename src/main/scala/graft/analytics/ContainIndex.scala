@@ -1,13 +1,11 @@
 package graft.analytics
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.VersionedStore
+import graft.streaming.VersionedArtifact
 
 /** PERSISTED containment index — the artifact
   * [[DedupQueries.qDedupContainmentIncremental]]'s scaladoc names ("the
@@ -32,14 +30,18 @@ import graft.streaming.VersionedStore
   * `ContainIndexSpec` pins probe output equal to the in-session
   * incremental face, which ranks by live df.
   *
-  * Like [[DedupIndex]], the artifact is VERSIONED behind an atomic
-  * `_CURRENT` pointer with deltaId-idempotent [[append]]: an
-  * at-least-once ingest loop can retry an admission without duplicating
-  * postings (duplicate `sets` rows would double every pair the verify
-  * join emits), a crash mid-admission leaves the previous version
-  * intact, and readers never see a torn index.
+  * Versioning + idempotent probe-then-admit come from
+  * [[graft.streaming.VersionedArtifact]], shared with [[DedupIndex]]:
+  * a retried at-least-once admission is a no-op (duplicate `sets` rows
+  * would double every pair the verify join emits), a crash mid-admission
+  * leaves the previous version intact, and probes resolve every table
+  * against one pointer read.
   */
 object ContainIndex {
+
+  private val Tables = Seq("tokens", "prefix", "sets", "df")
+
+  private def artifact(indexDir: String) = new VersionedArtifact(indexDir)
 
   private def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
@@ -49,40 +51,13 @@ object ContainIndex {
       .distinct()
       .select(col("doc_id"), xxhash64(col("sh")).as("hx"))
 
-  // df-rank + fragment floor live in ONE place (DedupQueries.containRanked)
-  // so the artifact can never drift from the oracled query
-  private def ranked(sh: DataFrame, dfTable: DataFrame): DataFrame =
-    DedupQueries.containRanked(sh, dfTable)
-
-  private def versionDir(indexDir: String, v: Long): File =
-    new File(indexDir, s"v$v")
-
-  private def currentDir(indexDir: String): Option[File] =
-    VersionedStore.currentVersion(indexDir).map(versionDir(indexDir, _))
-
-  /** The current version's path for `table`. */
-  def tablePath(indexDir: String, table: String): String = {
-    val cur = currentDir(indexDir).getOrElse(
-      throw new IllegalStateException(s"no index at $indexDir — build first"))
-    new File(cur, table).toString
-  }
+  /** The current version's path for `table` — observability/spec hook. */
+  def tablePath(indexDir: String, table: String): String =
+    artifact(indexDir).tablePath(table)
 
   /** Delta ids already admitted into the current version. */
   def appliedDeltas(indexDir: String): Set[String] =
-    currentDir(indexDir).map(readDeltas).getOrElse(Set.empty)
-
-  private def readDeltas(ver: File): Set[String] = {
-    val f = new File(ver, "_deltas.txt")
-    if (!f.exists()) Set.empty
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).toSet
-  }
-
-  private def writeDeltas(ver: File, ids: Set[String]): Unit = {
-    Files.write(new File(ver, "_deltas.txt").toPath,
-      ids.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    ()
-  }
+    artifact(indexDir).appliedDeltas
 
   private def writePostings(r: DataFrame, sh: DataFrame, ver: File,
       mode: String): Unit = {
@@ -99,76 +74,67 @@ object ContainIndex {
   }
 
   /** Build (or fully REBUILD, re-freshening df) from a `(doc_id, text)`
-    * corpus frame — a fresh version committed by pointer swap.
+    * corpus frame.
     */
-  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
-    val v = VersionedStore.currentVersion(indexDir).getOrElse(-1L) + 1
-    val next = versionDir(indexDir, v)
-    VersionedStore.clearStale(next)
-    val sh = shingled(docs).persist()
-    try {
-      val dfTable = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
-      dfTable.write.mode("overwrite")
-        .parquet(new File(next, "df").toString)
-      writePostings(ranked(sh, dfTable), sh, next, "overwrite")
-      writeDeltas(next, Set.empty)
-      VersionedStore.swapPointer(indexDir, v)
-    } finally { sh.unpersist(); () }
-  }
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    artifact(indexDir).build { next =>
+      val sh = shingled(docs).persist()
+      try {
+        val dfTable = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
+        dfTable.write.mode("overwrite")
+          .parquet(new File(next, "df").toString)
+        writePostings(DedupQueries.containRanked(sh, dfTable), sh, next,
+          "overwrite")
+      } finally { sh.unpersist(); () }
+    }
 
-  /** ADMIT a delta (probe-then-admit lifecycle): returns true if
-    * admitted, false if `deltaId` was already applied. The delta's
-    * prefixes are ranked by the FROZEN corpus df (unseen tokens rarest)
-    * and df is NOT rewritten — safe by the pigeonhole's
-    * order-independence, and precisely what keeps admission O(|delta|):
-    * a df rewrite would be a corpus-sized job on every ingest.
-    * Re-freshen df with a periodic [[build]] when probe cost drifts.
+  /** ADMIT a delta (probe-then-admit lifecycle): true if admitted, false
+    * if `deltaId` was already applied. The delta's prefixes are ranked
+    * by the FROZEN corpus df (unseen tokens rarest) and df is NOT
+    * rewritten — safe by the pigeonhole's order-independence, and
+    * precisely what keeps admission O(|delta|): a df rewrite would be a
+    * corpus-sized job on every ingest. Re-freshen df with a periodic
+    * [[build]] when probe cost drifts.
     */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
       deltaId: String): Boolean = {
-    val curV = VersionedStore.currentVersion(indexDir).getOrElse(
-      throw new IllegalStateException(s"no index at $indexDir — build first"))
-    val cur = versionDir(indexDir, curV)
-    val applied = readDeltas(cur)
-    if (applied.contains(deltaId)) false
-    else {
-      val next = versionDir(indexDir, curV + 1)
-      VersionedStore.clearStale(next)
-      Seq("tokens", "prefix", "sets", "df").foreach(t =>
-        VersionedStore.linkTree(new File(cur, t), new File(next, t)))
+    val corpusDfPath = artifact(indexDir).tablePath("df")
+    artifact(indexDir).admit(deltaId, Tables, { next =>
       val sh = shingled(docs).persist()
       try {
-        val corpusDf = spark.read.parquet(new File(cur, "df").toString)
-        writePostings(ranked(sh, corpusDf), sh, next, "append")
-        writeDeltas(next, applied + deltaId)
-        VersionedStore.swapPointer(indexDir, curV + 1)
+        val corpusDf = spark.read.parquet(corpusDfPath)
+        writePostings(DedupQueries.containRanked(sh, corpusDf), sh, next,
+          "append")
       } finally { sh.unpersist(); () }
-      true
-    }
+    })
   }
 
-  /** Drop index versions older than the newest `keep`. */
+  /** Drop index versions older than the newest `keep` (default 2 — see
+    * [[DedupIndex.prune]]'s reader-grace note).
+    */
   def prune(indexDir: String, keep: Int = 2): Unit =
-    VersionedStore.prune(indexDir, keep)
+    artifact(indexDir).prune(keep)
 
   /** Probe with a `(doc_id, text)` delta frame: ordered containment
     * pairs (id_a contained-in id_b, ≥ 0.9) with exactly one side in the
     * delta — both directions found by delta-sized probes of the standing
-    * tables (delta prefixes × `tokens`, delta tokens × `prefix`).
+    * tables (delta prefixes × `tokens`, delta tokens × `prefix`). All
+    * four artifact tables resolve against ONE pointer read.
     */
   def probe(spark: SparkSession, indexDir: String,
       deltaDocs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    val paths = artifact(indexDir).snapshotPaths(Tables)
     // no persist — see DedupIndex.probe: a lazy return plus an
     // un-released cache entry per daily probe is a session-length leak
     val sh = shingled(deltaDocs)
-    val corpusDf = spark.read.parquet(tablePath(indexDir, "df"))
-    val r = ranked(sh, corpusDf)
+    val corpusDf = spark.read.parquet(paths("df"))
+    val r = DedupQueries.containRanked(sh, corpusDf)
     val deltaPrefix = DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
     val deltaTokens = r.select(col("hx"), col("doc_id"))
-    val corpusTokens = spark.read.parquet(tablePath(indexDir, "tokens"))
-    val corpusPrefix = spark.read.parquet(tablePath(indexDir, "prefix"))
+    val corpusTokens = spark.read.parquet(paths("tokens"))
+    val corpusPrefix = spark.read.parquet(paths("prefix"))
     val newInOld = deltaPrefix.withColumnRenamed("doc_id", "id_a")
       .join(corpusTokens.withColumnRenamed("doc_id", "id_b"), "hx")
     val oldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
@@ -179,8 +145,7 @@ object ContainIndex {
       .agg(sort_array(collect_set(col("hx"))).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
       .filter(col("sz") >= 20)
-    val per = spark.read.parquet(tablePath(indexDir, "sets"))
-      .unionByName(deltaSets)
+    val per = spark.read.parquet(paths("sets")).unionByName(deltaSets)
     DedupQueries.verifyContainment(per, cand)
   }
 }

@@ -54,20 +54,29 @@ object Layout {
   /** Quantize `c` into [0, 65535] over the observed [lo, hi] domain.
     * Double arithmetic: (c−lo)·65535 in longs would overflow for domains
     * past 2⁴⁷; a double keeps 52 bits of mantissa, far beyond the 16
-    * bucket bits that survive.
+    * bucket bits that survive. CLAMPED: a value outside [lo, hi] (the
+    * bounds pass and the write pass read the input separately — a
+    * non-deterministic frame or a live directory can drift between them)
+    * degrades to the nearest edge bucket instead of escaping past 16
+    * bits, where [[zValue]]'s mask would silently re-alias it.
     */
   private def quant16(c: Column, lo: Long, hi: Long): Column =
     if (hi <= lo) lit(0L)
-    else floor((c.cast("double") - lit(lo.toDouble)) /
-      lit((hi - lo).toDouble) * lit(65535.0)).cast("long")
+    else least(lit(65535L), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo.toDouble)) /
+        lit((hi - lo).toDouble) * lit(65535.0)).cast("long")))
 
   /** The production write path: quantize both keys to 16 bits over their
-    * OBSERVED min/max (one metadata-cheap agg at write time — plain
-    * [[zValue]] masks to the low 16 bits, i.e. key mod 65536, which
-    * ALIASES any domain past 65535 and silently destroys the clustering
-    * the write exists to buy), then range-partition on the z-value into
-    * `n` files, each internally z-sorted so parquet row-group min/max
-    * stats inherit the tight boxes too. Range boundaries come from
+    * OBSERVED min/max — plain [[zValue]] masks to the low 16 bits, i.e.
+    * key mod 65536, which ALIASES any domain past 65535 and silently
+    * destroys the clustering the write exists to buy — then
+    * range-partition on the z-value into `n` files, each internally
+    * z-sorted so parquet row-group min/max stats inherit the tight boxes
+    * too. The bounds agg is a SECOND evaluation of `df` (min/max over
+    * data columns does not come from metadata): callers with an
+    * expensive upstream frame should persist it across the two passes;
+    * for the plain scan-and-rewrite ingest job the extra pass is a
+    * column-pruned scan of two columns. Range boundaries come from
     * Spark's reservoir sample — boundary PLACEMENT is
     * sampling-dependent (hence the oracled face below pins buckets with
     * ntile instead), but the clustering property every scan relies on
@@ -78,9 +87,14 @@ object Layout {
     val b = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).first()
-    val z = df.withColumn("zval", zValue(
-      quant16(col(colA), b.getLong(0), b.getLong(1)),
-      quant16(col(colB), b.getLong(2), b.getLong(3))))
+    // empty input: min/max are null — write the empty frame as-is (an
+    // ingest job's zero-row partition/day is a valid input, not an error)
+    val z =
+      if (b.isNullAt(0) || b.isNullAt(2))
+        df.withColumn("zval", lit(0L))
+      else df.withColumn("zval", zValue(
+        quant16(col(colA), b.getLong(0), b.getLong(1)),
+        quant16(col(colB), b.getLong(2), b.getLong(3))))
     z.repartitionByRange(n, col("zval"))
       .sortWithinPartitions(col("zval"))
       .write.mode("overwrite").parquet(path)

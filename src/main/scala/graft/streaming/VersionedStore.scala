@@ -101,3 +101,105 @@ private[graft] object VersionedStore {
     x.delete(); ()
   }
 }
+
+/** The versioned-ARTIFACT lifecycle shared by the durable index stores
+  * ([[graft.analytics.DedupIndex]], [[graft.analytics.ContainIndex]]):
+  * immutable `v{N}/<table>` parquet dirs behind the atomic `_CURRENT`
+  * pointer, plus deltaId-idempotent admission for at-least-once ingest
+  * loops. One definition so the admission protocol cannot drift between
+  * the two indexes.
+  *
+  * SINGLE-WRITER contract (same as every compaction/merge transaction in
+  * this repo): admissions must come from one loop. The pre-swap version
+  * recheck turns a violated contract into a LOUD error instead of a
+  * silently lost delta, but it is a tripwire, not a lock — two writers
+  * racing inside the window can still interleave; don't run two.
+  *
+  * Reader contract: resolve the version ONCE per read via
+  * [[snapshotPaths]] (per-table pointer reads could straddle an
+  * admission and mix versions), and [[prune]] keeps ≥ 2 versions by
+  * default so a reader holding last version's paths survives one
+  * admission; consume lazy frames before pruning deeper.
+  */
+private[graft] final class VersionedArtifact(indexDir: String) {
+
+  private def versionDir(v: Long): File = new File(indexDir, s"v$v")
+
+  def currentVersion: Option[Long] = VersionedStore.currentVersion(indexDir)
+
+  private def currentDir: Option[File] = currentVersion.map(versionDir)
+
+  private def requireDir: File = currentDir.getOrElse(
+    throw new IllegalStateException(s"no artifact at $indexDir — build first"))
+
+  /** All `tables` paths resolved against ONE pointer read. */
+  def snapshotPaths(tables: Seq[String]): Map[String, String] = {
+    val cur = requireDir
+    tables.map(t => t -> new File(cur, t).toString).toMap
+  }
+
+  def tablePath(table: String): String =
+    new File(requireDir, table).toString
+
+  def appliedDeltas: Set[String] =
+    currentDir.map(readDeltas).getOrElse(Set.empty)
+
+  private def readDeltas(ver: File): Set[String] = {
+    val f = new File(ver, "_deltas.txt")
+    if (!f.exists()) Set.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSet
+  }
+
+  private def writeDeltas(ver: File, ids: Set[String]): Unit = {
+    Files.write(new File(ver, "_deltas.txt").toPath,
+      ids.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Fresh version (full build/rebuild): `write` fills the new version
+    * dir, the admitted-delta set resets, pointer swap commits.
+    */
+  def build(write: File => Unit): Unit = {
+    val v = currentVersion.getOrElse(-1L) + 1
+    val next = versionDir(v)
+    VersionedStore.clearStale(next)
+    write(next)
+    writeDeltas(next, Set.empty)
+    VersionedStore.swapPointer(indexDir, v)
+  }
+
+  /** Idempotent admission: carries `tables` forward as hard links, lets
+    * `write` append the delta's files into the new version, records
+    * `deltaId`, and commits — false (no-op) if the id was already
+    * applied. deltaIds are newline-delimited on disk, so embedded
+    * newlines would break the very idempotence this records — rejected.
+    */
+  def admit(deltaId: String, tables: Seq[String],
+      write: File => Unit): Boolean = {
+    require(!deltaId.contains('\n') && deltaId.nonEmpty,
+      s"deltaId must be non-empty and newline-free: ${deltaId.take(40)}")
+    val curV = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no artifact at $indexDir — build first"))
+    val cur = versionDir(curV)
+    val applied = readDeltas(cur)
+    if (applied.contains(deltaId)) false
+    else {
+      val next = versionDir(curV + 1)
+      VersionedStore.clearStale(next)
+      tables.foreach(t =>
+        VersionedStore.linkTree(new File(cur, t), new File(next, t)))
+      write(next)
+      writeDeltas(next, applied + deltaId)
+      // tripwire, not a lock: a concurrent admission moved the pointer —
+      // swapping now would orphan its delta, so fail loudly instead
+      require(currentVersion.contains(curV),
+        s"concurrent admission detected at $indexDir (version moved past " +
+          s"$curV) — the artifact requires a single writer")
+      VersionedStore.swapPointer(indexDir, curV + 1)
+      true
+    }
+  }
+
+  def prune(keep: Int = 2): Unit = VersionedStore.prune(indexDir, keep)
+}

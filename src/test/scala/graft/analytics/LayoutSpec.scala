@@ -61,19 +61,34 @@ class LayoutSpec extends SparkSpec {
   test("zorderWrite quantizes wide domains: clustering survives keys far " +
       "past 65535, where raw masking would alias") {
     import spark.implicits._
-    // scale partkey 137x (max ~273k > 2^16): the quantized write must
-    // still concentrate a box's rows in few files
-    val li = graft.GraftSession.table(spark, dir, "lineitem")
+    // sf0.01 (partkey max 1999, suppkey max 99 — sf0.001's max of 199
+    // would stay under 2^16 even scaled and pin nothing) scaled 137×:
+    // partkey tops out at 273,863, so the raw 16-bit mask would wrap
+    // keys ≥ 65,536 and scatter the box; the quantized write must not
+    val li = graft.GraftSession.table(spark, "/root/testdata/sf0.01",
+        "lineitem")
       .select($"l_orderkey", $"l_linenumber",
         ($"l_partkey" * 137).as("l_partkey"), $"l_suppkey")
+    val maxP = li.agg(max($"l_partkey")).first().getLong(0)
+    assert(maxP > 65535L, s"test premise broken: max partkey $maxP fits " +
+      "16 bits, the masking regression would not be exercised")
     val tmp = java.nio.file.Files.createTempDirectory("graft-layout-w").toString
     Layout.zorderWrite(li, "l_partkey", "l_suppkey", 32, s"$tmp/z")
-    val maxP = li.agg(max($"l_partkey")).first().getLong(0)
     val zFiles = spark.read.parquet(s"$tmp/z")
       .filter($"l_partkey" <= maxP / 20 && $"l_suppkey" <= 9)
       .select(input_file_name()).distinct().count()
     assert(zFiles <= 8, s"wide-domain z layout scattered the box over " +
       s"$zFiles/32 files — quantization is not happening")
+  }
+
+  test("zorderWrite on an empty frame writes an empty dataset, not NPE") {
+    import spark.implicits._
+    val empty = graft.GraftSession.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .filter($"l_partkey" < 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout-e").toString
+    Layout.zorderWrite(empty, "l_partkey", "l_suppkey", 4, s"$tmp/z")
+    assert(spark.read.parquet(s"$tmp/z").count() === 0L)
   }
 
   test("zValue interleave is exact on known bit patterns") {
