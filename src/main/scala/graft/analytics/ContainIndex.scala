@@ -41,6 +41,13 @@ object ContainIndex {
 
   private val Tables = Seq("tokens", "prefix", "sets", "df")
 
+  /** Corpus-build counter — see [[DedupIndex.buildRuns]]. */
+  val buildRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Whether the artifact has a committed current version. */
+  def hasCurrent(indexDir: String): Boolean =
+    artifact(indexDir).currentVersion.isDefined
+
   private def artifact(indexDir: String) = new VersionedArtifact(indexDir)
 
   private def shingled(docs: DataFrame): DataFrame =
@@ -76,7 +83,8 @@ object ContainIndex {
   /** Build (or fully REBUILD, re-freshening df) from a `(doc_id, text)`
     * corpus frame.
     */
-  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    buildRuns.incrementAndGet()
     artifact(indexDir).build { next =>
       val sh = shingled(docs).persist()
       try {
@@ -87,6 +95,7 @@ object ContainIndex {
           "overwrite")
       } finally { sh.unpersist(); () }
     }
+  }
 
   /** ADMIT a delta (probe-then-admit lifecycle): true if admitted, false
     * if `deltaId` was already applied. The delta's prefixes are ranked
@@ -139,13 +148,24 @@ object ContainIndex {
       .join(corpusTokens.withColumnRenamed("doc_id", "id_b"), "hx")
     val oldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
       .join(deltaTokens.withColumnRenamed("doc_id", "id_b"), "hx")
+    // id_a =!= id_b: a RE-probe after admission (the retry path the
+    // deltaId-idempotent admit exists for) would otherwise pair every
+    // delta doc with its own admitted copy at containment 1.0.
     val cand = newInOld.unionByName(oldInNew)
+      .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val deltaSets = sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("hx"))).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
       .filter(col("sz") >= 20)
-    val per = spark.read.parquet(paths("sets")).unionByName(deltaSets)
+    // per must be UNIQUE by doc_id or verifyContainment emits each pair
+    // once per copy: on a re-probe the delta's docs also sit in the
+    // admitted `sets` table, so prefer the delta-side set (identical
+    // content — same doc_id ⇒ same text ⇒ same hash set) and anti-join
+    // the corpus sets against the delta's doc_ids.
+    val corpusSets = spark.read.parquet(paths("sets"))
+      .join(deltaSets.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val per = corpusSets.unionByName(deltaSets)
     DedupQueries.verifyContainment(per, cand)
   }
 }

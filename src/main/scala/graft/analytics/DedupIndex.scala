@@ -43,6 +43,18 @@ object DedupIndex {
 
   private val Tables = Seq("signatures", "bands")
 
+  /** Corpus-build counter — the [[AnnPersistSpec]]-style observability
+    * hook: proves the oracled incremental face builds the artifact at
+    * most once per corpus fingerprint and PROBES thereafter.
+    */
+  val buildRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Whether the artifact has a committed current version (a crashed
+    * build leaves no pointer → reads as absent).
+    */
+  def hasCurrent(indexDir: String): Boolean =
+    artifact(indexDir).currentVersion.isDefined
+
   private def artifact(indexDir: String) = new VersionedArtifact(indexDir)
 
   /** The current version's path for `table` — observability/spec hook;
@@ -72,8 +84,10 @@ object DedupIndex {
   /** Build (or fully REBUILD) the index from a `(doc_id, text)` corpus
     * frame — a fresh version with an empty admitted-delta set.
     */
-  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    buildRuns.incrementAndGet()
     artifact(indexDir).build(writeTables(docs, _, "overwrite"))
+  }
 
   /** ADMIT a delta (probe-then-admit lifecycle): true if admitted, false
     * if `deltaId` was already applied. O(|delta|) write — previous files
@@ -116,7 +130,13 @@ object DedupIndex {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
         col("doc_id").as("id_b"))
+    // id_a =!= id_b: a RE-probe after admission (the at-least-once retry
+    // the deltaId-idempotent admit exists for) would otherwise match every
+    // delta doc against its own admitted copy at jaccard 1.0 and report
+    // the whole retried delta as corpus duplicates — a keeper policy
+    // downstream would then drop it. Batch faces filter the same way.
     val cand = deltaBands.join(corpusBands, Seq("band", "sig"))
+      .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     DedupQueries.verifyJaccardSplit(corpusPer, deltaPer, cand, 0.8)
       .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),

@@ -299,9 +299,37 @@ object DedupQueries {
     * delta×corpus answer.
     */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "dedup")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!DedupIndex.hasCurrent(idx))
+      DedupIndex.build(spark, docs.filter(col("doc_id") % 5 =!= 4), idx)
+    DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
+  /** The artifact-free in-session face of [[qDedupIncremental]] (shared
+    * [[minhashPer]] chain, no disk round-trip) — what `DedupIndexSpec`
+    * compares the persisted index's probe AGAINST; the oracled face
+    * resolves through the artifact, so the independent reference must
+    * stay a separate derivation.
+    */
+  private[graft] def incrementalInSession(spark: SparkSession,
+      dir: String): DataFrame = {
     val per = minhashPer(spark, dir)
     incrementalPairs(per.filter(col("doc_id") % 5 =!= 4),
       per.filter(col("doc_id") % 5 === 4))
+  }
+
+  /** Content-fingerprinted artifact path for `dir`'s documents table —
+    * the [[AnnIndex.sourceFingerprint]] addressing scheme ([[DedupIndex]]
+    * / [[ContainIndex]] live beside the ANN artifacts under the same
+    * root): rewritten source data can never serve a stale index, and the
+    * oracled incremental faces above resolve build-once-probe-thereafter
+    * through it (`DedupArtifactResolveSpec` pins the build counter).
+    */
+  private def artifactDir(spark: SparkSession, dir: String,
+      kind: String): String = {
+    val fp = AnnIndex.sourceFingerprint(spark, s"$dir/documents.parquet")
+    s"${SimilarityQueries.indexRoot}/$kind-$fp"
   }
 
   /** The delta-probes-corpus engine behind [[qDedupIncremental]] and the
@@ -859,6 +887,22 @@ object DedupQueries {
     */
   def qDedupContainmentIncremental(spark: SparkSession,
       dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "contain")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!ContainIndex.hasCurrent(idx))
+      ContainIndex.build(spark, docs.filter(col("doc_id") % 5 =!= 4), idx)
+    ContainIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
+  /** The artifact-free in-session face of
+    * [[qDedupContainmentIncremental]] — ranks prefixes by LIVE
+    * (corpus ∪ delta) df where the artifact path probes under the frozen
+    * corpus df; `ContainIndexSpec` pins the two equal (the pigeonhole's
+    * order-independence), which requires this independent derivation to
+    * keep existing.
+    */
+  private[graft] def containmentIncrementalInSession(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val (ranked, per) = containFrames(spark, dir)
     val isDelta = $"doc_id" % 5 === 4
@@ -1339,6 +1383,47 @@ object DedupQueries {
     "list_distinct([substr(text, i::INT, 16)" +
       " FOR i IN range(1, greatest(length(text) - 15, 1) + 1)])"
 
+  /** Inverted-index exact-jaccard pair CTEs over the 5-char shingle sets,
+    * ending in `pairs(id_a, id_b, jaccard)`. Identical semantics to the
+    * all-pairs `list_intersect/list_distinct(a||b)` form: unnest → shingle
+    * equi-join → group-count gives |A∩B| exactly (shingle lists are
+    * distinct), |A∪B| = |A|+|B|−|A∩B| arithmetically, and pairs sharing no
+    * shingle (the only ones the inverted index skips) have j = 0 < thr.
+    * ~40× cheaper in DuckDB (28 s → 0.7 s per evaluation at sf0.01,
+    * measured): the r11 gate came back empty because five closure oracles
+    * built on the quadratic form cost ~80 s apiece (66% of a 624 s suite).
+    */
+  private def duckJaccardPairs(thr: String,
+                               pred: String = "a.doc_id < b.doc_id"): String =
+    s"""sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS s FROM documents),
+       | shn AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM sh),
+       | tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS t FROM sh),
+       | co AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+       |  FROM tok a JOIN tok b ON a.t = b.t AND $pred
+       |  GROUP BY 1, 2),
+       | pairs AS MATERIALIZED (
+       |  SELECT co.id_a, co.id_b,
+       |   inter::DOUBLE / (na.n + nb.n - inter) AS jaccard
+       |  FROM co JOIN shn na ON co.id_a = na.doc_id
+       |   JOIN shn nb ON co.id_b = nb.doc_id
+       |  WHERE inter::DOUBLE / (na.n + nb.n - inter) >= $thr)""".stripMargin
+
+  /** Inverted-index form of the containment oracle (16-char shingles,
+    * |A∩B| / |A| ≥ 0.9 over docs with ≥ 20 shingles) — same rewrite as
+    * [[duckJaccardPairs]]; 59.5 s → 0.8 s measured at sf0.01. */
+  private def duckContainPairs(pred: String): String =
+    s"""WITH csh AS MATERIALIZED (SELECT doc_id, $duckContainShingles AS s FROM documents),
+       | f AS MATERIALIZED (SELECT doc_id, s, len(s) AS n FROM csh WHERE len(s) >= 20),
+       | ctok AS MATERIALIZED (SELECT doc_id, unnest(s) AS t FROM f),
+       | cco AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+       |  FROM ctok a JOIN ctok b ON a.t = b.t AND $pred
+       |  GROUP BY 1, 2)
+       |SELECT cco.id_a, cco.id_b, inter::DOUBLE / na.n AS containment
+       |FROM cco JOIN f na ON cco.id_a = na.doc_id
+       |WHERE inter::DOUBLE / na.n >= 0.9""".stripMargin
+
   /** Oracle for the banded-SRP engine at a given shape: the same seeded
     * pipeline in SQL — sign bits from explicit left-assoc ±component sums,
     * band packing, a band-bucket join under `joinPred` (self-join for the
@@ -1359,17 +1444,17 @@ object DedupQueries {
       s"WHEN $b THEN $bits"
     }.mkString(" ")
     val bandList = (0 until shape.bands).map(b => s"($b)").mkString(",")
-    s"""WITH v AS (
+    s"""WITH v AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       | sig AS (
+       | sig AS MATERIALIZED (
        |  SELECT vec_id, e,
        |   $sigCols
        |  FROM v),
-       | banded AS (
+       | banded AS MATERIALIZED (
        |  SELECT vec_id, e, bb.band,
        |   (CASE bb.band $bandCase END)::BIGINT AS bits
        |  FROM sig CROSS JOIN (VALUES $bandList) bb(band)),
-       | cand AS (
+       | cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS $outA, b.vec_id AS $outB
        |  FROM banded a JOIN banded b
        |   ON a.band = b.band AND a.bits = b.bits AND $joinPred)
@@ -1417,19 +1502,15 @@ object DedupQueries {
          |   SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
          |   FROM s2)
          |  WHERE doc_id = keeper),
-         | shm AS (SELECT doc_id, $duckShingles AS s FROM documents),
-         | pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM shm a JOIN shm b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
-         | edges AS (
+         | ${duckJaccardPairs("0.8")},
+         | edges AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),
          | reach(doc, r) AS (
          |  SELECT DISTINCT id_a, id_a FROM edges
          |  UNION
          |  SELECT e.id_a, re.r FROM reach re JOIN edges e ON e.id_b = re.doc),
-         | comp AS (SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc),
+         | comp AS MATERIALIZED (SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc),
          | non_keep AS (SELECT doc_id FROM comp WHERE doc_id <> component),
          | s4 AS (
          |  SELECT doc_id FROM s3
@@ -1445,50 +1526,34 @@ object DedupQueries {
         |FROM documents
         |GROUP BY sha256(text), sha256(regexp_replace(lower(text), '\s+', ' ', 'g'))""".stripMargin,
     "q_dedup_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7""".stripMargin,
+      s"""WITH ${duckJaccardPairs("0.7")}
+         |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
     // identical SEMANTICS to q_dedup_ngram_jaccard (j >= 0.7 on the 5-char
     // shingle sets) — the banding is recall machinery, and on this corpus
     // (dup mass at j >= 0.93, where the 32x8 S-curve's miss probability is
     // ~4e-12) the banded output equals the exact all-pairs answer, exactly
     // as it provably does for the other banded minhash rows
     "q_dedup_minhash256" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7""".stripMargin,
+      s"""WITH ${duckJaccardPairs("0.7")}
+         |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
     "q_neighbor_topk" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-         | p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |   len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+      s"""WITH ${duckJaccardPairs("0.7")},
          | e AS (
-         |  SELECT id_a AS doc_id, id_b AS nbr_id, jaccard FROM p
+         |  SELECT id_a AS doc_id, id_b AS nbr_id, jaccard FROM pairs
          |  UNION ALL
-         |  SELECT id_b AS doc_id, id_a AS nbr_id, jaccard FROM p),
+         |  SELECT id_b AS doc_id, id_a AS nbr_id, jaccard FROM pairs),
          | r AS (
          |  SELECT doc_id, nbr_id, jaccard, row_number() OVER (
          |    PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS rk
          |  FROM e)
          |SELECT doc_id, jaccard, nbr_id FROM r WHERE rk = 1""".stripMargin,
     "q_dedup_minhash_lsh" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
+      s"""WITH ${duckJaccardPairs("0.8")}
+         |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin,
     "q_dedup_incremental" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
-         |SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
-         | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
-         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin,
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
@@ -1561,21 +1626,9 @@ object DedupQueries {
          |      WHEN substr(md5(coalesce(c.component, d.doc_id)::VARCHAR), 1, 2) < 'f3' THEN 'val'
          |      ELSE 'test' END AS split
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
-    "q_dedup_containment" ->
-      s"""WITH sh AS (SELECT doc_id, $duckContainShingles AS s FROM documents),
-         | f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 20)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
-         |FROM f a JOIN f b ON a.doc_id <> b.doc_id
-         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9""".stripMargin,
-    "q_dedup_containment_incremental" ->
-      s"""WITH sh AS (SELECT doc_id, $duckContainShingles AS s FROM documents),
-         | f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 20)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
-         |FROM f a JOIN f b ON a.doc_id <> b.doc_id
-         | AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
-         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9""".stripMargin
+    "q_dedup_containment" -> duckContainPairs("a.doc_id <> b.doc_id"),
+    "q_dedup_containment_incremental" -> duckContainPairs(
+      "a.doc_id <> b.doc_id AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))")
   )
 
   /** Recursive-CTE transitive closure over the exact all-pairs j ≥ 0.8
@@ -1583,20 +1636,15 @@ object DedupQueries {
     * that consumes component identity.
     */
   private def componentsCte: String =
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, $duckShingles AS s FROM documents),
-         | pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
-         | edges AS (
+      s"""WITH RECURSIVE ${duckJaccardPairs("0.8")},
+         | edges AS MATERIALIZED (
          |  SELECT id_a, id_b FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),
          | reach(doc, r) AS (
          |  SELECT DISTINCT id_a, id_a FROM edges
          |  UNION
          |  SELECT e.id_a, re.r FROM reach re JOIN edges e ON e.id_b = re.doc),
-         | comp AS (
+         | comp AS MATERIALIZED (
          |  SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc)""".stripMargin
 
   private def keeperQualityOracle: String =

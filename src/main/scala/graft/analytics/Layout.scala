@@ -100,24 +100,32 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Oracled face: z-order lineitem on (l_partkey, l_suppkey), cut the
-    * z-sorted order into 64 equal buckets (ntile over the deterministic
-    * (zval, l_orderkey, l_linenumber) total order — the pinned stand-in
-    * for sampled range boundaries), and report each bucket's 2-D
-    * bounding box. The boxes ARE the layout's value: their min/max spans
-    * are what a scan planner prunes against, and the spec asserts their
-    * total area is a fraction of what a single-column sort leaves.
+  /** Oracled face: z-order lineitem on (l_partkey, l_suppkey) — quantize
+    * both keys to 16 bits over their observed min/max (the exact
+    * [[zorderWrite]] arithmetic), interleave, and bucket by the z-value's
+    * TOP SIX BITS (`zval >> 26` over the 2³² quantized domain → 64
+    * z-range cells; 1-based label). Each bucket's 2-D bounding box is the
+    * layout's value: the min/max spans are what a scan planner prunes
+    * against. Bucketing is PLAN-TIME-CONSTANT arithmetic — a map-side
+    * expression feeding a hash aggregate, no global window: the previous
+    * `ntile(64)` face funneled the whole fact table through ONE task's
+    * sort (the scale-killer the r11 verdict flagged), where this plan is
+    * a full-parallel scan + two-column bounds agg. `PlanAssertionsSpec`
+    * pins the no-window shape.
     */
   def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = table(spark, dir, "lineitem")
-      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
-      .withColumn("zval", zValue($"l_partkey", $"l_suppkey"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"zval", $"l_orderkey", $"l_linenumber")
-    // long: DuckDB's ntile is BIGINT — keep the driver's type comparator
-    // clean, not just the value hash
-    li.withColumn("bucket", ntile(64).over(w).cast("long"))
+      .select($"l_partkey", $"l_suppkey")
+    // driver-side scalar bounds: metadata-sized, the same two-pass shape
+    // as zorderWrite (min/max over two pruned columns)
+    val b = li.agg(
+      min($"l_partkey".cast("long")), max($"l_partkey".cast("long")),
+      min($"l_suppkey".cast("long")), max($"l_suppkey".cast("long"))).first()
+    li.withColumn("zval", zValue(
+        quant16($"l_partkey", b.getLong(0), b.getLong(1)),
+        quant16($"l_suppkey", b.getLong(2), b.getLong(3))))
+      .withColumn("bucket", (shiftright($"zval", 26) + lit(1)).cast("long"))
       .groupBy($"bucket")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -129,16 +137,28 @@ object Layout {
     "q_zorder_layout" -> qZorderLayout
   )
 
-  /** The identical spread/interleave arithmetic in DuckDB (layered CTEs —
-    * 0x00FF00FF=16711935, 0x0F0F0F0F=252645135, 0x33333333=858993459,
-    * 0x55555555=1431655765).
+  /** The identical quantize/spread/interleave arithmetic in DuckDB
+    * (layered CTEs — 0x00FF00FF=16711935, 0x0F0F0F0F=252645135,
+    * 0x33333333=858993459, 0x55555555=1431655765). The quantization
+    * mirrors [[quant16]]'s exact double-arithmetic order
+    * ((c−lo)/(hi−lo)·65535, floor, clamp) so both engines compute the
+    * same IEEE result bit-for-bit.
     */
   def oracles: Map[String, String] = Map(
     "q_zorder_layout" ->
-      """WITH s0 AS (
-        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |         (l_partkey & 65535) AS a, (l_suppkey & 65535) AS b
+      """WITH bounds AS (
+        |  SELECT min(l_partkey)::BIGINT AS plo, max(l_partkey)::BIGINT AS phi,
+        |         min(l_suppkey)::BIGINT AS slo, max(l_suppkey)::BIGINT AS shi
         |  FROM lineitem),
+        | s0 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |   CASE WHEN phi <= plo THEN 0 ELSE least(65535, greatest(0,
+        |    floor((l_partkey::DOUBLE - plo::DOUBLE) / (phi - plo)::DOUBLE
+        |      * 65535.0)::BIGINT)) END AS a,
+        |   CASE WHEN shi <= slo THEN 0 ELSE least(65535, greatest(0,
+        |    floor((l_suppkey::DOUBLE - slo::DOUBLE) / (shi - slo)::DOUBLE
+        |      * 65535.0)::BIGINT)) END AS b
+        |  FROM lineitem CROSS JOIN bounds),
         | s1 AS (SELECT * REPLACE (((a | (a << 8)) & 16711935) AS a,
         |         ((b | (b << 8)) & 16711935) AS b) FROM s0),
         | s2 AS (SELECT * REPLACE (((a | (a << 4)) & 252645135) AS a,
@@ -147,13 +167,10 @@ object Layout {
         |         ((b | (b << 2)) & 858993459) AS b) FROM s2),
         | s4 AS (SELECT * REPLACE (((a | (a << 1)) & 1431655765) AS a,
         |         ((b | (b << 1)) & 1431655765) AS b) FROM s3),
-        | z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |         ((a << 1) | b) AS zval FROM s4),
-        | t AS (SELECT *, ntile(64) OVER
-        |         (ORDER BY zval, l_orderkey, l_linenumber) AS bucket FROM z)
-        |SELECT bucket, count(*) AS n_rows,
+        | z AS (SELECT l_partkey, l_suppkey, ((a << 1) | b) AS zval FROM s4)
+        |SELECT (zval >> 26) + 1 AS bucket, count(*) AS n_rows,
         |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
         |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
-        |FROM t GROUP BY bucket""".stripMargin
+        |FROM z GROUP BY 1""".stripMargin
   )
 }

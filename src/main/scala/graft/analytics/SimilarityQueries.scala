@@ -561,17 +561,17 @@ object SimilarityQueries {
       */
     private def kmeansIter(i: Int): String = {
       val p = i - 1
-      s""" a$i AS (
+      s""" a$i AS MATERIALIZED (
          |  SELECT vec_id, v, c FROM (
          |   SELECT vv.vec_id, vv.v, c$p.c,
          |    row_number() OVER (PARTITION BY vv.vec_id
          |      ORDER BY ${dist("v")}, c$p.c) AS rk
          |   FROM vv CROSS JOIN c$p) t WHERE rk = 1),
-         | m$i AS (
+         | m$i AS MATERIALIZED (
          |  SELECT c, pos, sum(x) / count(*) AS mx FROM (
          |   SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS pos
          |   FROM a$i) t GROUP BY 1, 2),
-         | c$i AS (
+         | c$i AS MATERIALIZED (
          |  SELECT c$p.c, coalesce(m.cv, c$p.cv) AS cv
          |  FROM c$p LEFT JOIN (
          |   SELECT c, list(mx ORDER BY pos) AS cv FROM m$i GROUP BY c) m
@@ -584,23 +584,23 @@ object SimilarityQueries {
       * query's nprobe=2 nearest centroid ids).
       */
     private def coarseCtes: String =
-      s"""vv AS (
+      s"""vv AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS v
          |  FROM embeddings),
-         | c0 AS (
+         | c0 AS MATERIALIZED (
          |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS c, v AS cv
          |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 8)),
          |${kmeansIter(1)}
          |${kmeansIter(2)}
          |${kmeansIter(3)}
-         | af AS (
+         | af AS MATERIALIZED (
          |  SELECT vec_id, v, c FROM (
          |   SELECT vv.vec_id, vv.v, c3.c,
          |    row_number() OVER (PARTITION BY vv.vec_id
          |      ORDER BY ${dist("v")}, c3.c) AS rk
          |   FROM vv CROSS JOIN c3) t WHERE rk = 1),
-         | q AS (SELECT vec_id AS query_id, v AS qv FROM vv WHERE vec_id % 50 = 0),
-         | probes AS (
+         | q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM vv WHERE vec_id % 50 = 0),
+         | probes AS MATERIALIZED (
          |  SELECT query_id, c AS cluster FROM (
          |   SELECT q.query_id, c3.c,
          |    row_number() OVER (PARTITION BY q.query_id
@@ -631,17 +631,17 @@ object SimilarityQueries {
       */
     private def pqIter(i: Int): String = {
       val p = i - 1
-      s""" p$i AS (
+      s""" p$i AS MATERIALIZED (
          |  SELECT vec_id, j, sv, c FROM (
          |   SELECT s.vec_id, s.j, s.sv, b.c,
          |    row_number() OVER (PARTITION BY s.vec_id, s.j
          |      ORDER BY ${dist("sv")}, b.c) AS rk
          |   FROM sub s JOIN b$p b ON b.j = s.j) t WHERE rk = 1),
-         | n$i AS (
+         | n$i AS MATERIALIZED (
          |  SELECT j, c, pos, sum(x) / count(*) AS mx FROM (
          |   SELECT j, c, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
          |   FROM p$i) t GROUP BY 1, 2, 3),
-         | b$i AS (
+         | b$i AS MATERIALIZED (
          |  SELECT b.j, b.c, coalesce(m.cv, b.cv) AS cv
          |  FROM b$p b LEFT JOIN (
          |   SELECT j, c, list(mx ORDER BY pos) AS cv FROM n$i GROUP BY j, c) m
@@ -656,10 +656,10 @@ object SimilarityQueries {
       * table entries, raw-vector flavor).
       */
     private def pqCtes(src: String): String =
-      s""" sub AS (
+      s""" sub AS MATERIALIZED (
          |  SELECT vec_id, j, [v[j * 8 + i] FOR i IN range(1, 9)] AS sv
          |  FROM $src CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
-         | b0 AS (
+         | b0 AS MATERIALIZED (
          |  SELECT s.j,
          |   (row_number() OVER (PARTITION BY s.j ORDER BY s.vec_id) - 1)::INT AS c,
          |   s.sv AS cv
@@ -668,13 +668,13 @@ object SimilarityQueries {
          |${pqIter(1)}
          |${pqIter(2)}
          |${pqIter(3)}
-         | pf AS (
+         | pf AS MATERIALIZED (
          |  SELECT vec_id, j, c FROM (
          |   SELECT s.vec_id, s.j, b.c,
          |    row_number() OVER (PARTITION BY s.vec_id, s.j
          |      ORDER BY ${dist("sv")}, b.c) AS rk
          |   FROM sub s JOIN b3 b ON b.j = s.j) t WHERE rk = 1),
-         | lutv AS (
+         | lutv AS MATERIALIZED (
          |  SELECT qs.vec_id AS query_id, b.j, b.c, ${dist("qs.sv")} AS d
          |  FROM sub qs JOIN b3 b ON b.j = qs.j
          |  WHERE qs.vec_id % 50 = 0),""".stripMargin
@@ -722,7 +722,7 @@ object SimilarityQueries {
 
     /** [[qKnnPq]]: brute ADC scan over the codes. */
     def knnPq: String =
-      s"""WITH vv AS (
+      s"""WITH vv AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS v
          |  FROM embeddings),
          |${pqCtes("vv")}
@@ -776,23 +776,23 @@ object SimilarityQueries {
       */
     def knnIvfPqRes: String =
       s"""WITH $coarseCtes
-         | rr AS (
+         | rr AS MATERIALIZED (
          |  SELECT a.vec_id,
          |   [a.v[i] - cv[i] FOR i IN range(1, len(cv) + 1)] AS v,
          |   a.c AS cluster
          |  FROM af a JOIN c3 ON c3.c = a.c),
          |${pqCtes("rr")}
-         | qres AS (
+         | qres AS MATERIALIZED (
          |  SELECT p.query_id, p.cluster,
          |   [q.qv[i] - cv[i] FOR i IN range(1, len(cv) + 1)] AS qr
          |  FROM probes p
          |  JOIN q ON q.query_id = p.query_id
          |  JOIN c3 ON c3.c = p.cluster),
-         | qsub AS (
+         | qsub AS MATERIALIZED (
          |  SELECT query_id, cluster, j,
          |   [qr[j * 8 + i] FOR i IN range(1, 9)] AS sv
          |  FROM qres CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
-         | lutr AS (
+         | lutr AS MATERIALIZED (
          |  SELECT qs.query_id, qs.cluster, b.j, b.c, ${dist("qs.sv")} AS d
          |  FROM qsub qs JOIN b3 b ON b.j = qs.j),
          | ad AS (

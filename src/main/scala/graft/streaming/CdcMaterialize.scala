@@ -39,17 +39,23 @@ import graft.model.MQEvent
   *     consumers recover typed views via `from_json` + the registry
   *     snapshot, the same contract as the wire envelope.
   *
-  * Scale shape: the snapshot is PARTITIONED BY `tbl` and a merge is
-  * partition-pruned copy-on-write — one shuffle on (table, pk) over
-  * |touched-table store rows| + |batch| rows (the `tbl IN touched` filter
-  * prunes untouched partition directories at the scan), with every
-  * untouched table's files carried into the new version as hard links
-  * ([[VersionedStore.linkUntouchedPartitions]] — zero data copied). A
-  * quiet table costs nothing per merge no matter how large the store
-  * grows; a table format's partition-pruned MERGE replaces the link step
-  * as a configuration change. The only driver-side materialization is the
-  * touched TABLE NAME list — bounded by the task's table count, never by
-  * row count.
+  * Scale shape: the snapshot is PARTITIONED BY `(tbl, pkb)` — table, then
+  * pk-hash bucket — and a merge is partition-pruned copy-on-write: one
+  * shuffle on (table, pk) over |touched-BUCKET store rows| + |batch| rows
+  * (a DNF of `(tbl = t AND pkb IN bs)` prunes untouched tables AND
+  * untouched buckets of touched tables at the scan), with every untouched
+  * directory subtree carried into the new version as hard links
+  * ([[VersionedStore.linkUntouchedTree]] — zero data copied). The bucket
+  * level is what keeps a HOT table affordable: the r11 layout pruned by
+  * table only, so a trickle of changes to a 10 TB table rewrote the whole
+  * table every micro-batch; with `buckets` sub-partitions the rewrite is
+  * the touched k/buckets fraction (same granularity argument as
+  * [[EventStreams.ParquetUpsertStore]]). A quiet table costs nothing per
+  * merge no matter how large the store grows; a table format's
+  * partition-pruned MERGE replaces the link step as a configuration
+  * change. The only driver-side materialization is the touched
+  * (table, bucket) list — bounded by |tables| × buckets, never by row
+  * count.
   */
 /** Shared CDC-envelope keying: reduce a batch of [[MQEvent]]s to one keyed
   * change row per event — `(tbl, pk, version triple, action, after_json)` —
@@ -97,7 +103,9 @@ private[streaming] object CdcKeyed {
   }
 }
 
-final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
+final class CdcServingTable(dir: String, pkOf: Map[String, String],
+    buckets: Int = 16) {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
 
   private def currentVersion: Option[Long] = VersionedStore.currentVersion(dir)
 
@@ -107,9 +115,38 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
     */
   private val storeSchema = CdcKeyed.schema
 
-  /** Full store content incl. tombstones (for merge + forensics). */
+  /** [[storeSchema]] plus the pk-hash bucket partition column. */
+  private val bucketedSchema =
+    storeSchema.add("pkb", org.apache.spark.sql.types.LongType)
+
+  /** Deterministic pk-hash bucket — the sub-table rewrite granularity:
+    * a micro-batch touching k of a hot table's buckets rewrites k/buckets
+    * of THAT table, not the whole table (the r11 layout pruned by table
+    * only, so one hot 10 TB table meant an O(table) rewrite per batch).
+    */
+  private def bucketCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("pk")), lit(buckets.toLong))
+
+  /** Whether `ver` still holds the r11 layout (parquet files directly
+    * under `tbl=` dirs, no `pkb=` level). Mixed depth cannot occur: the
+    * first merge over a legacy version migrates the WHOLE store (below),
+    * so every version is entirely one layout or the other.
+    */
+  private def isLegacy(ver: java.io.File): Boolean =
+    Option(ver.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+      .exists(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+
+  /** Full store content incl. tombstones (for merge + forensics),
+    * logical columns only — both layouts read identically.
+    */
   def raw(spark: SparkSession): DataFrame = currentVersion match {
-    case Some(v) => spark.read.schema(storeSchema).parquet(s"$dir/v$v")
+    case Some(v) =>
+      val ver = new java.io.File(dir, s"v$v")
+      val sch = if (isLegacy(ver)) storeSchema else bucketedSchema
+      spark.read.schema(sch).parquet(ver.toString)
+        .select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
     case None =>
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
@@ -127,16 +164,39 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
   def merge(envelopes: Dataset[MQEvent]): Unit = {
     val spark = envelopes.sparkSession
     val keyed = CdcKeyed.changes(envelopes, pkOf)
-      // two consumers (touched-table list + the merge union) — one compute
+      .withColumn("pkb", bucketCol)
+      // two consumers (touched-bucket list + the merge union) — one compute
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val touched = keyed.select(col("tbl")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      // driver-side touched (tbl, bucket) list — bounded by
+      // |tables| × buckets, never by row count
+      val touched = keyed.select(col("tbl"), col("pkb")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
       if (touched.nonEmpty) {
-        // partition pruning: `tbl IN touched` on the tbl-partitioned read
-        // means untouched tables' directories are never scanned
-        val next = raw(spark).filter(col("tbl").isin(touched: _*))
-          .unionByName(keyed)
+        val prev = currentVersion
+        val legacy = prev.exists(pv =>
+          isLegacy(new java.io.File(dir, s"v$pv")))
+        // partition pruning: a DNF of (tbl = t AND pkb IN bs) over the
+        // (tbl, pkb)-partitioned read — untouched tables' directories and
+        // untouched BUCKETS of touched tables are never scanned. A store
+        // still in the r11 tbl-only layout is migrated in ONE full
+        // rewrite (no per-table mixing — mixed partition depth in one
+        // read is a Spark error, and partial migration would strand
+        // untouched rows in files the bucket-level link step skips).
+        val base = prev match {
+          case None => raw(spark) // empty frame, storeSchema
+          case Some(_) if legacy => raw(spark) // full migration read
+          case Some(pv) =>
+            val pred = touched.toSeq.map { case (t, bs) =>
+              col("tbl") === t && col("pkb").isin(bs: _*)
+            }.reduce(_ || _)
+            spark.read.schema(bucketedSchema)
+              .parquet(s"$dir/v$pv").filter(pred)
+              .select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
+        }
+        val next = base
+          .unionByName(keyed.drop("pkb"))
           // struct max = last-writer-wins on (ver_ts, ver_seg, ver_pos) —
           // the rotation-safe emission order; action and the JSON image
           // ride as deterministic tiebreaks (maps are not orderable, their
@@ -147,10 +207,11 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String]) {
             col("action"), col("after_json"))).as("v"))
           .select(col("tbl"), col("pk"), col("v.ver_ts"), col("v.ver_seg"),
             col("v.ver_pos"), col("v.action"), col("v.after_json"))
-        val prev = currentVersion
+          .withColumn("pkb", bucketCol)
         val v = prev.getOrElse(-1L) + 1L
-        next.write.mode("overwrite").partitionBy("tbl").parquet(s"$dir/v$v")
-        prev.foreach(pv => VersionedStore.linkUntouchedPartitions(
+        next.write.mode("overwrite").partitionBy("tbl", "pkb")
+          .parquet(s"$dir/v$v")
+        if (!legacy) prev.foreach(pv => VersionedStore.linkUntouchedTree(
           new java.io.File(dir, s"v$pv"), new java.io.File(dir, s"v$v")))
         VersionedStore.swapPointer(dir, v)
       }
@@ -228,6 +289,33 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
   private def currentDir: Option[java.io.File] =
     VersionedStore.currentVersion(logRoot)
       .map(v => new java.io.File(logRoot, s"v$v"))
+      .orElse(adoptFlatLayout())
+
+  /** MIGRATION: a changelog written by the pre-versioned revision lives
+    * flat at `<dir>/log/tbl=*` with no `_CURRENT` pointer. Reading
+    * "no pointer" as "empty log" would silently vanish existing audit
+    * history (and the next append would start a fresh v0 beside the
+    * stranded files) — so on first access, adopt the flat partition dirs
+    * as v0: move them under `log/v0` and swap the pointer. Idempotent
+    * (after adoption the pointer resolves) and same-filesystem rename,
+    * so no data is copied.
+    */
+  private def adoptFlatLayout(): Option[java.io.File] = {
+    val flat = Option(new java.io.File(logRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+    if (flat.isEmpty) None
+    else {
+      val v0 = new java.io.File(logRoot, "v0")
+      v0.mkdirs()
+      flat.foreach { d =>
+        java.nio.file.Files.move(d.toPath,
+          new java.io.File(v0, d.getName).toPath)
+      }
+      VersionedStore.swapPointer(logRoot, 0L)
+      Some(v0)
+    }
+  }
 
   /** Append one batch of envelopes to the changelog. A sink ACTION (the
     * `foreachBatch` body); safe to re-run on replay — see class doc.

@@ -59,7 +59,11 @@ object IngestDedup {
     val spark = docs.sparkSession
     val corpusPer = spark.read.parquet(
       graft.analytics.DedupIndex.tablePath(indexDir, "signatures")).persist()
-    val query = dedupIngest(docs, corpusPer, checkpointDir)(sink)
+    // if start() throws, the termination listener below is never attached
+    // and the corpus-sized cache entry would leak for the session's life
+    val query =
+      try dedupIngest(docs, corpusPer, checkpointDir)(sink)
+      catch { case e: Throwable => corpusPer.unpersist(); throw e }
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(

@@ -58,6 +58,21 @@ private[graft] object VersionedStore {
     carried.length
   }
 
+  /** Recursive cousin of [[linkUntouchedPartitions]] for MULTI-LEVEL
+    * partition layouts (e.g. `tbl=…/pkb=…`): a `key=value` directory
+    * absent in `nextDir` is carried whole ([[linkTree]]); one PRESENT in
+    * `nextDir` recurses, so untouched sub-partitions (buckets) of a
+    * touched parent (table) still carry as hard links. Returns the number
+    * of directory subtrees carried.
+    */
+  def linkUntouchedTree(prevDir: File, nextDir: File): Int =
+    Option(prevDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("=")).map { d =>
+        val tgt = new File(nextDir, d.getName)
+        if (!tgt.exists()) { linkTree(d, tgt); 1 }
+        else linkUntouchedTree(d, tgt)
+      }.sum
+
   /** Hard-link every FILE under `prev` into `next`, preserving directory
     * structure — the whole-tree cousin of [[linkUntouchedPartitions]],
     * for versioned artifacts whose merge appends files beside the

@@ -25,7 +25,7 @@ class ContainIndexSpec extends SparkSpec {
     val fromDisk = ContainIndex
       .probe(spark, idx, docs.filter($"doc_id" % 5 === 4))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val inSession = DedupQueries.qDedupContainmentIncremental(spark, dir)
+    val inSession = DedupQueries.containmentIncrementalInSession(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inSession.nonEmpty,
       "sf0.001 must contain cross-delta containment pairs")
@@ -61,6 +61,32 @@ class ContainIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(retried === after.toSeq.sorted,
       "retried admission changed the probe output")
+  }
+
+  test("re-probe after admission: no self-pairs, no per-copy duplicate " +
+      "rows, cross-corpus answer kept") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-contain-idx4")
+      .toString
+    ContainIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    val before = ContainIndex.probe(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ContainIndex.append(spark, delta, idx, "day1"))
+    // after admission the delta's sets exist BOTH in the artifact and in
+    // the probe's batch-local frame: without the doc_id dedupe each pair
+    // would verify once per copy, and without the self filter every delta
+    // doc would contain its own admitted copy at 1.0
+    val again = ContainIndex.probe(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.forall(p => p._1 != p._2),
+      "re-probe emitted self-pairs for already-admitted docs")
+    assert(again.length === again.toSet.size,
+      "re-probe emitted duplicate pair rows (per-copy verify)")
+    assert(before.subsetOf(again.toSet),
+      "re-probe lost genuine cross-corpus pairs")
   }
 
   test("prefix table is ~10% of the token table (the reason old-in-new " +

@@ -23,7 +23,7 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.build(spark, corpus, idx)
     val fromDisk = DedupIndex.probe(spark, idx, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val inSession = DedupQueries.qDedupIncremental(spark, dir)
+    val inSession = DedupQueries.incrementalInSession(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inSession.nonEmpty, "sf0.001 must contain delta-corpus pairs")
     assert(fromDisk === inSession)
@@ -61,6 +61,30 @@ class DedupIndexSpec extends SparkSpec {
     assert(retried === after.toSeq.sorted,
       "retried admission changed the probe output")
     assert(DedupIndex.appliedDeltas(idx) === Set("day1"))
+  }
+
+  test("re-probe after admission reports no self-pairs and keeps the " +
+      "cross-corpus answer") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-idx4")
+      .toString
+    DedupIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    val before = DedupIndex.probe(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(DedupIndex.append(spark, delta, idx, "day1"))
+    // the at-least-once retry path: the delta now ALSO sits in the corpus,
+    // so an unfiltered probe would match every delta doc to its own
+    // admitted copy at jaccard 1.0 and report the whole retried delta as
+    // duplicates — a downstream keeper policy would then drop it
+    val again = DedupIndex.probe(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.forall(p => p._1 != p._2),
+      "re-probe emitted self-pairs for already-admitted docs")
+    assert(before.subsetOf(again.toSet),
+      "re-probe lost genuine cross-corpus pairs")
   }
 
   test("the artifact IS the corpus side: emptying the band table on disk " +

@@ -43,6 +43,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("z-order layout face is windowless: bucket is map-side arithmetic " +
+      "into a partial hash aggregate, no single-task sort") {
+    val plan = run("q_zorder_layout")
+    // the r11 face used ntile(64) OVER (ORDER BY zval …): a GLOBAL window
+    // — every row through ONE task's sort, the plan that dies at 100 TB
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("global top-k avoids a global sort (q_sort_limit)") {
     val plan = run("q_sort_limit")
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -183,6 +183,37 @@ class CdcHistorySpec extends SparkSpec {
       "rewrite must actually collapse the files, not write an empty version")
   }
 
+  test("flat pre-versioned changelog layout is adopted as v0, not read " +
+      "as empty") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-hist-flat").toString
+    // write a changelog with the versioned table, then SIMULATE the old
+    // flat layout by hoisting v0's tbl=* dirs up to log/ and deleting the
+    // pointer — the shape a previous revision left on disk
+    val t0 = new CdcHistoryTable(dir, Map("shop.orders" -> "id"))
+    t0.append(Seq(env("insert", 1, "a", 10, 1)).toDS())
+    val log = new java.io.File(s"$dir/log")
+    val v0 = new java.io.File(log, "v0")
+    v0.listFiles().filter(_.getName.startsWith("tbl=")).foreach { d =>
+      java.nio.file.Files.move(d.toPath,
+        new java.io.File(log, d.getName).toPath)
+    }
+    java.nio.file.Files.walk(v0.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { java.nio.file.Files.delete(f); () })
+    log.listFiles().filter(_.getName.startsWith("_CURRENT"))
+      .foreach(f => { java.nio.file.Files.delete(f.toPath); () })
+    // a fresh handle over the flat layout must adopt, not vanish history
+    val t1 = new CdcHistoryTable(dir, Map("shop.orders" -> "id"))
+    assert(t1.changelog(spark).count() === 1,
+      "flat-layout changelog read back empty after migration")
+    // and the next append lands in the adopted version, not a fresh v0
+    t1.append(Seq(env("update", 1, "a2", 12, 2)).toDS())
+    assert(t1.changelog(spark).count() === 2)
+    val h = t1.history(spark).collect()
+    assert(h.length === 2, "adopted history rows lost after append")
+  }
+
   test("tables without a configured pk never reach the log") {
     import spark.implicits._
     val t = mkTable()

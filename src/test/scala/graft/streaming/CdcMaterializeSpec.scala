@@ -29,6 +29,13 @@ class CdcMaterializeSpec extends SparkSpec {
     t.snapshot(spark).collect()
       .map(r => r.getAs[String]("pk") -> r.getAs[String]("after_json")).toMap
 
+  private def parquetFilesUnder(d: java.io.File): Seq[java.io.File] = {
+    val (dirs, files) = Option(d.listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq.partition(_.isDirectory)
+    files.filter(_.getName.endsWith(".parquet")) ++
+      dirs.flatMap(parquetFilesUnder)
+  }
+
   test("merge: last-writer-wins, delete tombstones, stale replay, resurrection") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-serve").toString
@@ -94,8 +101,7 @@ class CdcMaterializeSpec extends SparkSpec {
     val v0 = new java.io.File(dir, "v0")
     val auditDir0 = new java.io.File(v0, "tbl=shop.audit")
     assert(auditDir0.isDirectory, "snapshot must be partitioned by tbl")
-    val auditFiles0 = auditDir0.listFiles().filter(_.isFile)
-      .filter(_.getName.endsWith(".parquet"))
+    val auditFiles0 = parquetFilesUnder(auditDir0)
     assert(auditFiles0.nonEmpty)
     // batch 2 touches ONLY shop.orders
     t.merge(Seq(env("update", 1, "a2", 11, 3)).toDS())
@@ -104,7 +110,8 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(auditDir1.isDirectory,
       "untouched partition must be carried into the new version")
     auditFiles0.foreach { f0 =>
-      val f1 = new java.io.File(auditDir1, f0.getName)
+      val f1 = new java.io.File(auditDir1,
+        auditDir0.toPath.relativize(f0.toPath).toString)
       assert(f1.isFile, s"carried file missing: ${f0.getName}")
       assert(Files.isSameFile(f0.toPath, f1.toPath),
         s"untouched partition was REWRITTEN, not linked: ${f0.getName}")
@@ -121,6 +128,76 @@ class CdcMaterializeSpec extends SparkSpec {
     t.prune(keep = 1)
     assert(!v0.exists())
     assert(t.snapshot(spark).count() === 2)
+  }
+
+  test("bucket-pruned merge: untouched BUCKETS of a touched table carry " +
+      "as hard links — a hot table's rewrite is k/buckets, not O(table)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-serve-bkt").toString
+    val t = new CdcServingTable(dir, Map("shop.orders" -> "id"))
+    // batch 1: 16 keys spread across the pk-hash buckets
+    t.merge((1L to 16L).map(i => env("insert", i, s"n$i", 10, i)).toDS())
+    val ordersDir0 = new java.io.File(dir, "v0/tbl=shop.orders")
+    val bkts0 = ordersDir0.listFiles().filter(d =>
+      d.isDirectory && d.getName.startsWith("pkb="))
+    assert(bkts0.length > 2,
+      s"16 keys must spread over several pk buckets, got ${bkts0.length}")
+    // batch 2: update ONE key — exactly one bucket of the table is touched
+    t.merge(Seq(env("update", 1, "n1b", 11, 99)).toDS())
+    val ordersDir1 = new java.io.File(dir, "v1/tbl=shop.orders")
+    var rewritten = 0
+    bkts0.foreach { b0 =>
+      val b1 = new java.io.File(ordersDir1, b0.getName)
+      assert(b1.isDirectory, s"bucket ${b0.getName} missing from v1")
+      val linked = parquetFilesUnder(b0).forall { f0 =>
+        val f1 = new java.io.File(b1, f0.getName)
+        f1.isFile && Files.isSameFile(f0.toPath, f1.toPath)
+      }
+      if (!linked) rewritten += 1
+    }
+    assert(rewritten === 1,
+      s"single-key batch must rewrite exactly 1 bucket, rewrote $rewritten")
+    // semantics unchanged
+    val rows = liveRows(t)
+    assert(rows.keySet === (1L to 16L).map(_.toString).toSet)
+    assert(rows("1").contains("n1b"))
+  }
+
+  test("r11 tbl-only layout is migrated (one full rewrite), not lost or " +
+      "mixed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-serve-legacy").toString
+    val t = new CdcServingTable(dir, Map("shop.orders" -> "id"))
+    t.merge(Seq(env("insert", 1, "a", 10, 1), env("insert", 2, "b", 11, 2)).toDS())
+    // SIMULATE the r11 layout: hoist each bucket's files up to the tbl=
+    // dir and drop the pkb= level (partition columns are not in the data
+    // files, so the flattened files ARE the legacy layout byte-for-byte)
+    val tblDir = new java.io.File(dir, "v0/tbl=shop.orders")
+    tblDir.listFiles().filter(_.getName.startsWith("pkb=")).foreach { b =>
+      b.listFiles().filter(_.isFile).foreach { f =>
+        if (f.getName.endsWith(".parquet"))
+          Files.move(f.toPath, new java.io.File(tblDir,
+            s"b${b.getName.stripPrefix("pkb=")}-${f.getName}").toPath)
+        else assert(f.delete()) // crc sidecars: renaming breaks their
+        // hidden-dot prefix and Spark would read them as data files
+      }
+      assert(b.delete(), s"could not drop legacy-sim dir $b")
+    }
+    // the tbl dir's own crc sidecars from the bucketed write are stale now
+    Option(tblDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".crc"))
+      .foreach(f => { f.delete(); () })
+    // reads over the legacy layout still serve
+    assert(liveRows(t).keySet === Set("1", "2"))
+    // the next merge migrates the WHOLE store to the bucketed layout
+    t.merge(Seq(env("update", 1, "a2", 12, 3)).toDS())
+    val rows = liveRows(t)
+    assert(rows.keySet === Set("1", "2"), "migration lost a quiet key")
+    assert(rows("1").contains("a2"))
+    val v1tbl = new java.io.File(dir, "v1/tbl=shop.orders")
+    assert(v1tbl.listFiles().forall(f =>
+      f.isDirectory && f.getName.startsWith("pkb=")),
+      "migrated version must be fully bucketed (no mixed depth)")
   }
 
   test("bootstrap: snapshot with source versions + overlapping replay " +
