@@ -124,6 +124,22 @@ object ContainIndex {
   def prune(indexDir: String, keep: Int = 2): Unit =
     artifact(indexDir).prune(keep)
 
+  /** Compact tables past `maxFiles` part files — see
+    * [[DedupIndex.compact]] (same versioned-swap transaction, same
+    * multiset invariance, spec-pinned in `ContainIndexSpec`). Postings
+    * re-cluster on the token hash (the probes' equi-join key), sets on
+    * doc_id.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+      maxFiles: Int = 64): Int =
+    artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
+      val df = spark.read.parquet(src)
+      val out =
+        if (tgt.getName == "sets") df.repartition(col("doc_id"))
+        else df.repartition(col("hx"))
+      out.write.mode("overwrite").parquet(tgt.toString)
+    }
+
   /** Probe with a `(doc_id, text)` delta frame: ordered containment
     * pairs (id_a contained-in id_b, ≥ 0.9) with exactly one side in the
     * delta — both directions found by delta-sized probes of the standing

@@ -105,6 +105,24 @@ object DedupIndex {
   def prune(indexDir: String, keep: Int = 2): Unit =
     artifact(indexDir).prune(keep)
 
+  /** Compact tables that accreted more than `maxFiles` part files across
+    * admissions (measured in `IndexProbe`: 64 files PER admitted delta,
+    * forever) — out-of-band, behind the same atomic version swap as
+    * admission, delta-idempotence carried. Bands re-cluster on `band` so
+    * the probe's equi-join reads co-located buckets; probe output is
+    * multiset-invariant across a compact (`DedupIndexSpec`). Run from the
+    * admission loop (single-writer contract).
+    */
+  def compact(spark: SparkSession, indexDir: String,
+      maxFiles: Int = 64): Int =
+    artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
+      val df = spark.read.parquet(src)
+      val out =
+        if (tgt.getName == "bands") df.repartition(col("band"))
+        else df.repartition(col("doc_id"))
+      out.write.mode("overwrite").parquet(tgt.toString)
+    }
+
   /** Probe the index with a `(doc_id, text)` delta frame: verified
     * near-dup pairs (corpus_id, new_id, jaccard ≥ 0.8) between the delta
     * and the indexed corpus. Cost is O(|delta| + matches) — nothing

@@ -50,6 +50,40 @@ object EventsQueries {
         $"n")
   }
 
+  /** Tumbling 1-hour window count-min sketch — the BATCH FACE of
+    * [[graft.streaming.EventStreams.windowedCms]] (whose cross-batch
+    * accumulation ≡ one batch pass is already spec-pinned in
+    * `EventStreamsSpec`): per window, build the SAME 256×4 sketch the
+    * stream keeps in its state store, then PROBE it for each event type
+    * present — the serving read of a sketch dashboard. Every output value
+    * COMES FROM the sketch ([[graft.functions.CmsMin]]), and the DuckDB
+    * oracle is the plain exact GROUP BY count: at 256×4 over the events
+    * table's single-digit type cardinality, an estimate differing from
+    * the exact count would need one xxhash64 collision in EVERY depth row
+    * — the exact-regime argument of the KMV (`q_approx_distinct`) and GK
+    * (`q_events_window_percentile`) precedents, here made load-bearing
+    * for the driver's hash compare. At production cardinalities the same
+    * sketch over-counts by ≤ εN with ε = 2/256 at δ = e⁻⁴ — the accuracy
+    * knob is (width, depth), the plan shape does not change.
+    */
+  def qEventsWindowCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CmsFunctions.register(spark)
+    val ev = table(spark, dir, "events")
+    val sketches = ev
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(expr("graft_cms_agg(xxhash64(event_type), 256, 4)").as("cms"),
+        count(lit(1)).as("n"))
+    // the probe side: each (window, type) present — metadata-sized, and
+    // the join key is the window struct, so each sketch is read once per
+    // resident type, never per event
+    val types = ev
+      .select(window($"ts", "1 hour").as("w"), $"event_type").distinct()
+    types.join(sketches, "w")
+      .select($"w.start".as("window_start"), $"event_type",
+        expr("graft_cms_min(cms, xxhash64(event_type), 4)").as("est_n"))
+  }
+
   /** Sliding 1-hour window every 15 minutes — the batch face of
     * `EventStreams.slidingCounts`. Each event lands in exactly 4
     * overlapping windows (window/slide = 4); Spark's `window()` does the
@@ -340,6 +374,7 @@ object EventsQueries {
     "q_window_lag_ntile" -> qWindowLagNtile,
     "q_events_tumbling" -> qEventsTumbling,
     "q_events_window_percentile" -> qEventsWindowPercentile,
+    "q_events_window_cms" -> qEventsWindowCms,
     "q_events_sliding" -> qEventsSliding,
     "q_resample_interpolate" -> qResampleInterpolate,
     "q_events_sessionize" -> qEventsSessionize,
@@ -399,6 +434,13 @@ object EventsQueries {
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
         | count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // exact because the 256x4 sketch's min-row estimate equals the true
+    // count unless a hash collision lands in all 4 depth rows — the
+    // est_n values come from CmsMin probes, the oracle from plain counts
+    "q_events_window_cms" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS est_n
         |FROM events GROUP BY 1, 2""".stripMargin,
     // exact because GK at accuracy > N has integer rank error 0 (the
     // q_approx_percentile recipe applied to the streaming dashboard's

@@ -216,5 +216,44 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     }
   }
 
+  /** Compact the artifact's small files: every [[admit]] appends a part
+    * file per write task into each table — a daily-delta loop accretes a
+    * file set that grows with admission COUNT, whose per-file open/footer
+    * cost (and listing tax at cluster scale) comes to dominate the probe.
+    * Rewrites ONLY tables holding more than `maxFiles` parquet files
+    * (`rewrite(srcTablePath, targetTableDir)` is the caller's
+    * read-coalesce-write), hard-links every other table, CARRIES the
+    * admitted-delta set (compaction must not reset idempotence — a
+    * retried delta after compact is still a no-op), and commits with the
+    * atomic pointer swap. Same single-writer contract as [[admit]]; same
+    * multiset guarantee as `CdcHistoryTable.compact` — content is
+    * preserved row-for-row, only the file layout changes. Returns the
+    * number of tables rewritten.
+    */
+  def compact(tables: Seq[String], maxFiles: Int)(
+      rewrite: (String, File) => Unit): Int = {
+    val curV = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no artifact at $indexDir — build first"))
+    val cur = versionDir(curV)
+    def parquetCount(t: String): Int =
+      Option(new File(cur, t).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val fat = tables.filter(parquetCount(_) > maxFiles)
+    if (fat.isEmpty) 0
+    else {
+      val next = versionDir(curV + 1)
+      VersionedStore.clearStale(next)
+      tables.filterNot(fat.contains).foreach(t =>
+        VersionedStore.linkTree(new File(cur, t), new File(next, t)))
+      fat.foreach(t => rewrite(new File(cur, t).toString, new File(next, t)))
+      writeDeltas(next, readDeltas(cur))
+      require(currentVersion.contains(curV),
+        s"concurrent admission detected at $indexDir (version moved past " +
+          s"$curV) — the artifact requires a single writer")
+      VersionedStore.swapPointer(indexDir, curV + 1)
+      fat.length
+    }
+  }
+
   def prune(keep: Int = 2): Unit = VersionedStore.prune(indexDir, keep)
 }

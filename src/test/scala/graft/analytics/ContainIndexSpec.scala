@@ -89,6 +89,34 @@ class ContainIndexSpec extends SparkSpec {
       "re-probe lost genuine cross-corpus pairs")
   }
 
+  test("compact: file count drops, probe multiset and applied deltas " +
+      "unchanged") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-contain-idx5")
+      .toString
+    ContainIndex.build(spark, docs.filter($"doc_id" % 5 < 3), idx)
+    assert(ContainIndex.append(spark, docs.filter($"doc_id" % 5 === 3), idx,
+      "day1"))
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    val before = ContainIndex.probe(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    def files(t: String): Int =
+      new java.io.File(ContainIndex.tablePath(idx, t)).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val filesBefore = files("tokens")
+    assert(ContainIndex.compact(spark, idx, maxFiles = 1) > 0)
+    assert(files("tokens") < filesBefore,
+      s"compact did not shrink tokens: $filesBefore -> ${files("tokens")}")
+    val after = ContainIndex.probe(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(after === before, "compaction changed the probe multiset")
+    assert(ContainIndex.appliedDeltas(idx) === Set("day1"))
+  }
+
   test("prefix table is ~10% of the token table (the reason old-in-new " +
       "probes stay delta-sized)") {
     import spark.implicits._

@@ -87,6 +87,39 @@ class DedupIndexSpec extends SparkSpec {
       "re-probe lost genuine cross-corpus pairs")
   }
 
+  test("compact: file count drops, probe multiset and applied deltas " +
+      "unchanged, retried delta still a no-op") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-idx5")
+      .toString
+    DedupIndex.build(spark, docs.filter($"doc_id" % 5 < 3), idx)
+    assert(DedupIndex.append(spark, docs.filter($"doc_id" % 5 === 3), idx,
+      "day1"))
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    val before = DedupIndex.probe(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    def files(t: String): Int =
+      new java.io.File(DedupIndex.tablePath(idx, t)).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val filesBefore = files("bands")
+    // low threshold so the spec-sized index qualifies as fat
+    assert(DedupIndex.compact(spark, idx, maxFiles = 1) > 0,
+      "build+admit must leave at least one table past 1 file")
+    assert(files("bands") < filesBefore,
+      s"compact did not shrink bands: $filesBefore -> ${files("bands")}")
+    val after = DedupIndex.probe(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(after === before, "compaction changed the probe multiset")
+    // idempotence carried: the compacted version still remembers day1
+    assert(DedupIndex.appliedDeltas(idx) === Set("day1"))
+    assert(!DedupIndex.append(spark, docs.filter($"doc_id" % 5 === 3), idx,
+      "day1"), "compaction must not reset delta idempotence")
+  }
+
   test("the artifact IS the corpus side: emptying the band table on disk " +
       "empties the probe result for identical inputs") {
     import spark.implicits._
