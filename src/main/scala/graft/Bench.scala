@@ -78,8 +78,8 @@ object Bench {
       "q_split_leakage_safe" -> "dedup-chain member (reuses prebuilt pair set + components loop)",
       "q_dedup_keeper_quality" -> "dedup-chain member (reuses prebuilt pair set + components loop)",
       "q_dedup_containment" -> "containment-index consumer (first of the pair to run pays the shared 16-char df-rank build)",
-      "q_dedup_containment_incremental" -> "containment-index consumer (shares the 16-char df-rank cache)",
-      "q_dedup_incremental" -> "dedup-chain member (reuses prebuilt minhash; delta-probes-corpus bands)",
+      "q_dedup_containment_incremental" -> "durable-index consumer (builds the ContainIndex artifact only if absent for the corpus fingerprint; probes it thereafter)",
+      "q_dedup_incremental" -> "durable-index consumer (builds the DedupIndex artifact only if absent for the corpus fingerprint; probes it thereafter)",
       "q_dedup_simhash" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash agg+bands)",
       "q_dedup_simhash64" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash64 agg+bands)",
       "q_neighbor_topk" -> "dedup-chain member (reuses prebuilt pair set)",
@@ -95,7 +95,7 @@ object Bench {
       "q_dedup_ngram_jaccard", "q_dedup_minhash256", "q_dedup_components",
       "q_dedup_components_star", "q_split_leakage_safe",
       "q_dedup_keeper_quality",
-      "q_dedup_incremental", "q_dedup_simhash", "q_dedup_simhash64",
+      "q_dedup_simhash", "q_dedup_simhash64",
       "q_neighbor_topk")
     val needChain = selected.exists(e => chainConsumers(e._1))
     val best = scala.collection.mutable.Map.empty[String, Double]

@@ -236,8 +236,12 @@ object CdcQueries {
     val envs = changeEnvelopes(table(spark, dir, "events"))
     val serveDir = java.nio.file.Files
       .createTempDirectory("graft-serving-state").toString
+    // buckets = 4: the rewrite-granularity knob sized to this corpus
+    // (~10k rows/table => ~2.5k rows/bucket); a 10 TB table would take the
+    // class default 16+. Bucket-level pruning/carry semantics are
+    // spec-pinned independently of the count (CdcMaterializeSpec).
     val serving = new CdcServingTable(serveDir,
-      eventTypes.map(t => s"app.$t" -> "user_id").toMap)
+      eventTypes.map(t => s"app.$t" -> "user_id").toMap, buckets = 4)
     // four merge ACTIONS consume the same adapter output — cache it so
     // the events scan + envelope build runs once, not once per batch
     val cached = envs.persist()
@@ -308,7 +312,7 @@ object CdcQueries {
       val serveDir = java.nio.file.Files
         .createTempDirectory("graft-bootstrap").toString
       val serving = new CdcServingTable(serveDir,
-        eventTypes.map(t => s"app.$t" -> "user_id").toMap)
+        eventTypes.map(t => s"app.$t" -> "user_id").toMap, buckets = 4)
       serving.bootstrap(snapshot)
       (0 until 2).foreach { k =>
         serving.merge(envs

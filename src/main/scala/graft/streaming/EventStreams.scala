@@ -410,7 +410,11 @@ object EventStreams {
             .withColumn("bkt", bucketCol)
           val prev = currentVersion
           val v = prev.getOrElse(-1L) + 1L
-          next.write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/v$v")
+          // cluster on the bucket before the write — see CdcServingTable
+          // .merge: without it every shuffle partition writes a file into
+          // every bucket dir it holds rows for
+          next.repartition($"bkt")
+            .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/v$v")
           prev.foreach(pv => VersionedStore.linkUntouchedPartitions(
             new java.io.File(dir, s"v$pv"), new java.io.File(dir, s"v$v")))
           VersionedStore.swapPointer(dir, v)
