@@ -176,19 +176,37 @@ object StoreProbe {
     val t1 = System.nanoTime()
     store.merge(envelopes(trickle))
     val trickleSec = (System.nanoTime() - t1) / 1e9
-    // rewritten = files in v1 that are NOT hard links of v0's (linked
-    // carries share an inode; Files.isSameFile detects them)
-    val v1 = new java.io.File(dir, "v1")
-    val parts = Option(v1.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
-    val (rewritten, carried) = parts.partition { d =>
-      val twin = new java.io.File(new java.io.File(dir, "v0"), d.getName)
-      !twin.exists() || d.listFiles().exists(f =>
-        !new java.io.File(twin, f.getName).exists() ||
-          !java.nio.file.Files.isSameFile(f.toPath,
-            new java.io.File(twin, f.getName).toPath))
-    }
-    println(f"""{"copies":$copies,"tables":${types.length * copies},"store_rows":$storeRows,"seed_sec":$seedSec%.3f,"trickle_sec":$trickleSec%.3f,"partitions_rewritten":${rewritten.length},"partitions_carried":${carried.length}}""")
+    // second trickle: ONE key — the bucket-granularity case (a 100-key
+    // batch hashes into ~every bucket of its table; a single key shows
+    // untouched BUCKETS of the touched table carrying as links)
+    val oneRow = trickle.limit(1)
+      .withColumn("event_id", $"event_id" + 1000000000L)
+    val t2 = System.nanoTime()
+    store.merge(envelopes(oneRow))
+    val oneSec = (System.nanoTime() - t2) / 1e9
+    // rewritten = (tbl, pkb) leaf partitions in vN whose files are NOT
+    // hard links of vN-1's (linked carries share an inode)
+    def leafDirs(v: java.io.File): Seq[java.io.File] =
+      Option(v.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+        .flatMap(t => Option(t.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith("pkb=")))
+        .toSeq
+    def rewrittenVs(cur: java.io.File, prev: java.io.File) =
+      leafDirs(cur).partition { d =>
+        val twin = prev.toPath.resolve(cur.toPath.relativize(d.toPath))
+          .toFile
+        !twin.exists() ||
+          d.listFiles().filter(_.isFile).exists(f =>
+            !new java.io.File(twin, f.getName).exists() ||
+              !java.nio.file.Files.isSameFile(f.toPath,
+                new java.io.File(twin, f.getName).toPath))
+      }
+    val (rw1, ca1) = rewrittenVs(new java.io.File(dir, "v1"),
+      new java.io.File(dir, "v0"))
+    val (rw2, ca2) = rewrittenVs(new java.io.File(dir, "v2"),
+      new java.io.File(dir, "v1"))
+    println(f"""{"copies":$copies,"tables":${types.length * copies},"store_rows":$storeRows,"seed_sec":$seedSec%.3f,"trickle_sec":$trickleSec%.3f,"buckets_rewritten":${rw1.length},"buckets_carried":${ca1.length},"one_key_sec":$oneSec%.3f,"one_key_buckets_rewritten":${rw2.length},"one_key_buckets_carried":${ca2.length}}""")
     spark.stop()
   }
 }

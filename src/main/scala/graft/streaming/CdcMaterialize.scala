@@ -42,8 +42,11 @@ import graft.model.MQEvent
   * Scale shape: the snapshot is PARTITIONED BY `(tbl, pkb)` — table, then
   * pk-hash bucket — and a merge is partition-pruned copy-on-write: one
   * shuffle on (table, pk) over |touched-BUCKET store rows| + |batch| rows
-  * (a DNF of `(tbl = t AND pkb IN bs)` prunes untouched tables AND
-  * untouched buckets of touched tables at the scan), with every untouched
+  * (a conjunctive `(tbl IN ts) AND (pkb IN bs)` filter prunes untouched
+  * tables AND untouched buckets of touched tables at the scan — the
+  * exact per-table DNF was measured slower to PLAN per micro-batch than
+  * its pruning saved, and cross-product slack only turns a hard link
+  * into a rewrite, never a duplicate), with every untouched
   * directory subtree carried into the new version as hard links
   * ([[VersionedStore.linkUntouchedTree]] — zero data copied). The bucket
   * level is what keeps a HOT table affordable: the r11 layout pruned by
