@@ -54,6 +54,34 @@ object IndexProbe {
     val (carried, fresh) = parts(v1).partition(f => v0Parts(f.getName))
     println(s"[indexprobe] v1 files: carried=${carried.size} " +
       s"(hard links) new=${fresh.size} (delta writes)")
+    // ---- compaction economics: accrete small files with 6 more slice
+    // admissions (the daily-ingest year-of-deltas shape), time the SAME
+    // probe against the fat index, compact, re-time — the claim that
+    // per-admission file accrual comes to dominate the probe, measured.
+    val day2 = docs.filter($"doc_id" % 5 === 4)
+    timed("admit day2 in 6 slices") {
+      (0 until 6).foreach { k =>
+        graft.analytics.DedupIndex.append(spark,
+          day2.filter($"doc_id" % 6 === k), idx, s"day2-$k")
+      }
+    }
+    def bandFiles: Int = Option(new java.io.File(
+        graft.analytics.DedupIndex.tablePath(idx, "bands")).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    val fatFiles = bandFiles
+    val fatPairs = timed(s"probe day1 vs FAT index ($fatFiles band files)") {
+      graft.analytics.DedupIndex.probe(spark, idx, day1).count()
+    }
+    timed("compact") {
+      graft.analytics.DedupIndex.compact(spark, idx, maxFiles = 8)
+    }
+    val slimFiles = bandFiles
+    val slimPairs = timed(
+        s"probe day1 vs COMPACTED index ($slimFiles band files)") {
+      graft.analytics.DedupIndex.probe(spark, idx, day1).count()
+    }
+    println(s"[indexprobe] compact: band files $fatFiles -> $slimFiles, " +
+      s"probe pairs $fatPairs -> $slimPairs (must be equal)")
     spark.stop()
   }
 }
