@@ -32,12 +32,13 @@ import graft.streaming.VersionedArtifact
   * distinct, signature duplicates are not) — and a crash mid-admission
   * leaves the pointer on the intact previous version.
   *
-  * At cluster scale the two parquet writes become `saveAsTable` with
-  * `bucketBy(n, "band", "sig")` / `bucketBy(n, "doc_id")` (see
-  * [[Bucketing]]) so the probe's equi-joins elide the corpus-side shuffle
-  * entirely; the layout and probe plan do not change. Staleness is the
-  * caller's contract, same as [[AnnIndex]]: [[build]] rebuilds from
-  * scratch into a fresh version.
+  * At cluster scale the band write becomes `saveAsTable` with
+  * `bucketBy(n, "band", "sig")` — SHIPPED as [[buildBucketedBands]] /
+  * [[probeBucketed]], with `DedupIndexBucketedSpec` pinning pair parity
+  * and the single-Exchange plan (corpus side read in place, only the
+  * delta moves); the signature table takes `bucketBy(n, "doc_id")` the
+  * same way. Staleness is the caller's contract, same as [[AnnIndex]]:
+  * [[build]] rebuilds from scratch into a fresh version.
   */
 object DedupIndex {
 
@@ -122,6 +123,63 @@ object DedupIndex {
         else df.repartition(col("doc_id"))
       out.write.mode("overwrite").parquet(tgt.toString)
     }
+
+  /** CLUSTER-SCALE band layout — the `bucketBy` upgrade the class doc
+    * names, shipped: write the corpus band table as a managed parquet
+    * table bucketed (and sorted) on the probe's join key `(band, sig)`,
+    * so every later probe's candidate equi-join reads corpus buckets IN
+    * PLACE — the corpus side reports its bucket `HashPartitioning` to the
+    * planner and only the delta side exchanges
+    * (`DedupIndexBucketedSpec` pins the single-Exchange plan and pair
+    * parity with the directory artifact's probe). At 100 TB this is the
+    * difference between shuffling the standing index per probe and
+    * shuffling the delta only; bucket count targets ~128–512 MB per
+    * bucket file, the [[Bucketing]] sizing rule.
+    */
+  def buildBucketedBands(spark: SparkSession, docs: DataFrame,
+      table: String, buckets: Int = 8): Unit = {
+    val per = DedupQueries.signaturesOf(docs)
+    val bandCols = DedupQueries.bandStructs(bands = 16, rowsPerBand = 4)
+    per.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .saveAsTable(table)
+  }
+
+  /** The raw candidate join against a [[buildBucketedBands]] table,
+    * BEFORE the dedup distinct — exposed so the plan-shape spec can
+    * assert the corpus side joins with no Exchange (the distinct above it
+    * necessarily adds one for its own aggregation).
+    */
+  private[graft] def bucketedCandidates(spark: SparkSession, table: String,
+      deltaPer: DataFrame): DataFrame = {
+    val bandCols = DedupQueries.bandStructs(bands = 16, rowsPerBand = 4)
+    val deltaBands = deltaPer
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id").as("id_b"))
+    spark.table(table).withColumnRenamed("doc_id", "id_a")
+      .join(deltaBands, Seq("band", "sig"))
+      .where(col("id_a") =!= col("id_b"))
+  }
+
+  /** [[probe]] against the bucketed band table: same verified pairs, the
+    * corpus-side exchange elided by layout. `corpusPer` is the signature
+    * frame the exact verify reads (from the directory artifact or a
+    * doc_id-bucketed table of its own).
+    */
+  def probeBucketed(spark: SparkSession, table: String, corpusPer: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val deltaPer = DedupQueries.signaturesOf(deltaDocs)
+    val cand = bucketedCandidates(spark, table, deltaPer)
+      .select(col("id_a"), col("id_b")).distinct()
+    DedupQueries.verifyJaccardSplit(corpusPer, deltaPer, cand, 0.8)
+      .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
+        col("jaccard"))
+  }
 
   /** Probe the index with a `(doc_id, text)` delta frame: verified
     * near-dup pairs (corpus_id, new_id, jaccard ≥ 0.8) between the delta

@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The cluster-scale band layout ([[DedupIndex.buildBucketedBands]]):
+  * the corpus band table bucketed on the probe's join key must (1) serve
+  * the SAME verified pairs as the directory artifact's probe, and
+  * (2) plan the candidate join with NO corpus-side exchange — the
+  * write-once bucket shuffle replaces the per-probe one, which at 100 TB
+  * is the difference between moving the standing index per probe and
+  * moving the delta only.
+  */
+class DedupIndexBucketedSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed band probe: pair parity with the artifact probe, and " +
+      "the corpus side joins without an Exchange") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = graft.GraftSession.table(spark, dir, "documents")
+        .select($"doc_id", $"text")
+      val corpus = docs.filter($"doc_id" % 5 =!= 4)
+      val delta = docs.filter($"doc_id" % 5 === 4)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-dedup-bidx").toString
+      DedupIndex.build(spark, corpus, idx)
+      DedupIndex.buildBucketedBands(spark, corpus, "b_dedup_bands", 8)
+
+      val corpusPer = spark.read.parquet(
+        DedupIndex.tablePath(idx, "signatures"))
+      val bucketed = DedupIndex
+        .probeBucketed(spark, "b_dedup_bands", corpusPer, delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = DedupIndex.probe(spark, idx, delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(plain.nonEmpty, "fixture must contain cross-split pairs")
+      assert(bucketed === plain,
+        "bucketed band probe diverged from the artifact probe")
+
+      // plan shape of the raw candidate join (pre-distinct): exactly ONE
+      // exchange — the delta side shuffling to the corpus's bucketing;
+      // a corpus-side Exchange would mean the layout bought nothing
+      val cand = DedupIndex.bucketedCandidates(spark, "b_dedup_bands",
+        DedupQueries.signaturesOf(delta))
+      cand.count()
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the delta signature derivation legitimately exchanges on doc_id
+      // internally; the claim is about the JOIN key — exactly one
+      // (band, sig) exchange in the whole plan = the delta side moving to
+      // the corpus's bucketing, corpus side read in place
+      val bandExchanges = "Exchange hashpartitioning\\(band".r
+        .findAllMatchIn(plan).length
+      assert(bandExchanges === 1,
+        s"expected exactly 1 (band, sig) exchange (delta side), got " +
+          s"$bandExchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"corpus band scan must report its bucketing:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_dedup_bands")
+      ()
+    }
+  }
+}
