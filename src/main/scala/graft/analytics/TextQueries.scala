@@ -132,6 +132,80 @@ object TextQueries {
       .agg(count(lit(1)).as("n"), sum($"s_en").as("sum_s_en"))
   }
 
+  /** CONTENT-DEFINED chunking (Rabin/FastCDC shape): chunk boundaries
+    * fall where the Karp–Rabin hash of the trailing 16-char window meets
+    * `h % 64 = 0` — boundaries are a function of CONTENT, not position,
+    * so an insertion early in a document shifts at most the chunk it
+    * lands in and every later chunk re-aligns (fixed-size chunking —
+    * [[MultimodalQueries.qMmChunks]] — mis-aligns every subsequent chunk
+    * instead; this is why backup/dedup systems and shift-robust corpus
+    * dedup chunk by content). Per doc: boundary positions from a
+    * codegen'd HOF over the char positions (the [[graft.functions
+    * .PolyHash]] kernel per window — no UDF), chunks as
+    * (start, boundary] spans, each fingerprinted with the 62-bit
+    * two-stream polynomial (collision-negligible at corpus scale, and
+    * both streams replay exactly in DuckDB). Scale shape: pure per-row
+    * projection + explode — no shuffle at all; the downstream consumer
+    * ([[qTextCdcChunkDup]]) shuffles on chunk fingerprint, cardinality
+    * = chunk count, never pairs.
+    */
+  private val CdcWindow = 16
+
+  private def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(spark, table(spark, dir, "documents"))
+
+  /** [[cdcChunks]] over an arbitrary `(doc_id, text)` frame — the seam
+    * `TextCdcSpec` uses to pin the shift-robustness property on
+    * constructed shifted copies.
+    */
+  private[analytics] def cdcChunksOf(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val w = CdcWindow
+    docs
+      .withColumn("bpos", expr(
+        s"""filter(
+           |  transform(sequence($w, greatest(length(text), $w)),
+           |    i -> if(i <= length(text) and
+           |            graft_poly_hash(substring(text, i - ${w - 1}, $w))
+           |              % 64 = 0, i, -1)),
+           |  p -> p > 0)""".stripMargin))
+      .withColumn("starts",
+        expr("concat(array(1), transform(bpos, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bpos, array(length(text)))"))
+      .select($"doc_id", $"text", posexplode(expr(
+        "zip_with(starts, ends, (s, e) -> struct(s as cs, e as ce))")))
+      .where($"col.ce" >= $"col.cs")
+      .select($"doc_id", ($"pos" + 1).cast("long").as("chunk_no"),
+        $"col.cs".cast("long").as("chunk_start"),
+        ($"col.ce" - $"col.cs" + 1).cast("long").as("chunk_len"),
+        (expr("graft_poly_hash(substring(text, col.cs, col.ce - col.cs + 1))")
+          * lit(2147483629L) +
+          expr("graft_poly_hash2(substring(text, col.cs, col.ce - col.cs + 1))"))
+          .as("chunk_fp"))
+  }
+
+  def qTextCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(spark, dir)
+
+  /** Cross-doc duplicated content at CHUNK granularity over the
+    * content-defined chunks — catches shared boilerplate/quotes that
+    * shift position between documents (where [[MultimodalQueries
+    * .qMmChunkDup]]'s fixed grid only catches aligned copies). One
+    * shuffle on chunk fingerprint.
+    */
+  def qTextCdcChunkDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cdcChunks(spark, dir)
+      .groupBy($"chunk_fp")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min($"doc_id").as("first_doc"),
+        max($"chunk_len").as("chunk_len"))
+      .where($"n_docs" >= 2)
+  }
+
   /** Document fingerprinting: polynomial rolling hash over the raw chars
     * (Karp–Rabin shape, mod 2^31-1 so both engines stay in exact integer
     * range), plus a length-bucketed fingerprint-collision rollup. The fold
@@ -406,6 +480,8 @@ object TextQueries {
     "q_text_quality" -> qTextQuality,
     "q_text_lang_id" -> qTextLangId,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_cdc_chunks" -> qTextCdcChunks,
+    "q_text_cdc_chunk_dup" -> qTextCdcChunkDup,
     "q_text_scrub" -> qTextScrub,
     "q_text_packing" -> qTextPacking,
     "q_text_tfidf" -> qTextTfidf,
@@ -495,6 +571,78 @@ object TextQueries {
         |    (length(text) // 100)::BIGINT AS len_bucket
         |  FROM documents)
         |SELECT doc_id, fp, len_bucket, fp % 997 AS fp_mod FROM fp""".stripMargin,
+    "q_text_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents),
+        | b AS MATERIALIZED (
+        |  SELECT doc_id, text, len,
+        |   [i FOR i IN range(16::BIGINT, greatest(len, 16::BIGINT) + 1)
+        |    IF i <= len AND list_reduce(list_prepend(7::BIGINT,
+        |        [ascii(c)::BIGINT FOR c IN
+        |         string_split(substr(text, (i - 15)::INT, 16), '')]),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) % 64 = 0] AS bpos
+        |  FROM d),
+        | c AS (
+        |  SELECT doc_id, text,
+        |   list_prepend(1::BIGINT, [p + 1 FOR p IN bpos]) AS starts,
+        |   list_append(bpos, len) AS ends
+        |  FROM b),
+        | e AS (
+        |  SELECT doc_id, text, starts, ends,
+        |   unnest(range(1, len(starts) + 1)) AS i
+        |  FROM c),
+        | ch AS MATERIALIZED (
+        |  SELECT doc_id, i::BIGINT AS chunk_no, starts[i]::BIGINT AS chunk_start,
+        |   (ends[i] - starts[i] + 1)::BIGINT AS chunk_len,
+        |   substr(text, starts[i]::INT, (ends[i] - starts[i] + 1)::INT) AS chunk
+        |  FROM e WHERE ends[i] >= starts[i]),
+        | fp AS (
+        |  SELECT doc_id, chunk_no, chunk_start, chunk_len,
+        |   list_reduce(list_prepend(7::BIGINT,
+        |       [ascii(c)::BIGINT FOR c IN string_split(chunk, '')]),
+        |     (acc, c) -> (acc * 31 + c) % 2147483647) * 2147483629
+        |   + list_reduce(list_prepend(11::BIGINT,
+        |       [ascii(c)::BIGINT FOR c IN string_split(chunk, '')]),
+        |     (acc, c) -> (acc * 31 + c) % 2147483629) AS chunk_fp
+        |  FROM ch)
+        |SELECT doc_id, chunk_no, chunk_start, chunk_len, chunk_fp
+        |FROM fp""".stripMargin,
+    "q_text_cdc_chunk_dup" ->
+      """WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents),
+        | b AS MATERIALIZED (
+        |  SELECT doc_id, text, len,
+        |   [i FOR i IN range(16::BIGINT, greatest(len, 16::BIGINT) + 1)
+        |    IF i <= len AND list_reduce(list_prepend(7::BIGINT,
+        |        [ascii(c)::BIGINT FOR c IN
+        |         string_split(substr(text, (i - 15)::INT, 16), '')]),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) % 64 = 0] AS bpos
+        |  FROM d),
+        | c AS (
+        |  SELECT doc_id, text,
+        |   list_prepend(1::BIGINT, [p + 1 FOR p IN bpos]) AS starts,
+        |   list_append(bpos, len) AS ends
+        |  FROM b),
+        | e AS (
+        |  SELECT doc_id, text, starts, ends,
+        |   unnest(range(1, len(starts) + 1)) AS i
+        |  FROM c),
+        | ch AS MATERIALIZED (
+        |  SELECT doc_id, i::BIGINT AS chunk_no, starts[i]::BIGINT AS chunk_start,
+        |   (ends[i] - starts[i] + 1)::BIGINT AS chunk_len,
+        |   substr(text, starts[i]::INT, (ends[i] - starts[i] + 1)::INT) AS chunk
+        |  FROM e WHERE ends[i] >= starts[i]),
+        | fp AS (
+        |  SELECT doc_id, chunk_no, chunk_start, chunk_len,
+        |   list_reduce(list_prepend(7::BIGINT,
+        |       [ascii(c)::BIGINT FOR c IN string_split(chunk, '')]),
+        |     (acc, c) -> (acc * 31 + c) % 2147483647) * 2147483629
+        |   + list_reduce(list_prepend(11::BIGINT,
+        |       [ascii(c)::BIGINT FOR c IN string_split(chunk, '')]),
+        |     (acc, c) -> (acc * 31 + c) % 2147483629) AS chunk_fp
+        |  FROM ch)
+        |SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS n_occ, min(doc_id) AS first_doc,
+        | max(chunk_len) AS chunk_len
+        |FROM fp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "q_text_scrub" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '\b(customer|value|key)\b'))::BIGINT AS n_hits,
