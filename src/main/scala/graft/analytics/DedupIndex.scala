@@ -36,8 +36,10 @@ import graft.streaming.VersionedArtifact
   * `bucketBy(n, "band", "sig")` — SHIPPED as [[buildBucketedBands]] /
   * [[probeBucketed]], with `DedupIndexBucketedSpec` pinning pair parity
   * and the single-Exchange plan (corpus side read in place, only the
-  * delta moves); the signature table takes `bucketBy(n, "doc_id")` the
-  * same way. Staleness is the caller's contract, same as [[AnnIndex]]:
+  * delta moves); the signature table would take `bucketBy(n, "doc_id")`
+  * identically (left as the directory artifact here: the verify join is
+  * candidate-bounded, so its corpus-side exchange carries only matched
+  * rows, not the index). Staleness is the caller's contract, same as [[AnnIndex]]:
   * [[build]] rebuilds from scratch into a fresh version.
   */
 object DedupIndex {

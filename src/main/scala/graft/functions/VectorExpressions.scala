@@ -330,6 +330,75 @@ case class PolyHash(child: Expression, stream: Int = 1)
     copy(child = newChild)
 }
 
+/** Shared runtime helper for [[CdcBounds]] — the ROLLING form of
+  * [[PolyHashImpl.hash]] over a sliding `w`-code-point window: one pass
+  * per document (remove the leading code point's `c·31^{w−1}` term and the
+  * seed's `7·31^w`, shift by 31, re-add seed and trailing code point — all
+  * mod 2³¹−1), versus the O(len·w) per-window re-fold the HOF spelling
+  * pays plus a substring allocation per position (measured 4.6 s → the
+  * kernel's sub-second at sf0.1). Emits every 1-based position `i ≥ w`
+  * where the window hash of code points `[i−w+1, i]` satisfies
+  * `h % div == 0` — value-identical to
+  * `graft_poly_hash(substring(text, i−w+1, w)) % div = 0`, which is what
+  * the DuckDB oracle replays.
+  */
+object CdcBoundsImpl {
+  private val P = 2147483647L
+
+  def bounds(s: UTF8String, w: Int, div: Long): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (n >= w) {
+      var pw1 = 1L // 31^(w-1) mod p
+      var k = 0
+      while (k < w - 1) { pw1 = pw1 * 31 % P; k += 1 }
+      val seedPow = 7L * (pw1 * 31 % P) % P // 7·31^w mod p
+      var h = 7L
+      var j = 0
+      while (j < w) { h = (h * 31 + cps(j)) % P; j += 1 }
+      if (h % div == 0) out += w.toLong
+      var i = w
+      while (i < n) {
+        var t = (h - seedPow + P) % P
+        t = (t - cps(i - w) * pw1 % P + P) % P
+        h = (t * 31 + seedPow + cps(i)) % P
+        i += 1
+        if (h % div == 0) out += i.toLong
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+}
+
+/** `graft_cdc_bounds(s)`: content-defined chunk boundary positions — see
+  * [[CdcBoundsImpl.bounds]] (window 16, divisor 64, the
+  * `TextQueries.qTextCdcChunks` parameters).
+  */
+case class CdcBounds(child: Expression, w: Int = 16, div: Long = 64L)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_cdc_bounds"
+
+  override protected def nullSafeEval(a: Any): Any =
+    CdcBoundsImpl.bounds(a.asInstanceOf[UTF8String], w, div)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.CdcBoundsImpl.bounds($a, $w, ${div}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBounds =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Idempotently register `graft_dot` in the session's function registry
@@ -363,6 +432,13 @@ object VectorFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_poly_hash takes exactly 1 argument")
         PolyHash(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_bounds",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_cdc_bounds takes exactly 1 argument")
+        CdcBounds(exprs.head)
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -65,6 +65,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.filter($"kernel" =!= $"hof").count() === 0)
   }
 
+  test("graft_cdc_bounds rolling hash matches the per-window re-fold") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    // varied strings incl. shorter-than-window, exactly-window, long
+    val rnd = new scala.util.Random(7)
+    val strs = Seq("", "short", "x" * 16) ++
+      (0 until 50).map(_ => (0 until (20 + rnd.nextInt(400)))
+        .map(i => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val df = strs.toDF("s").select(
+      expr("graft_cdc_bounds(s)").as("kernel"),
+      expr("""filter(
+        |  transform(sequence(16, greatest(length(s), 16)),
+        |    i -> if(i <= length(s) and
+        |            graft_poly_hash(substring(s, i - 15, 16)) % 64 = 0,
+        |            cast(i as bigint), -1L)),
+        |  p -> p > 0)""".stripMargin).as("hof"))
+    assert(df.filter(not($"kernel" <=> $"hof")).count() === 0,
+      df.filter(not($"kernel" <=> $"hof")).collect().mkString("\n"))
+  }
+
   test("probe kernel survives an all-NaN vector (deterministic fallback, no crash)") {
     // a NaN element poisons every centroid dot, leaving no distance
     // < Double.MaxValue; the kernel must fall back to the lowest untaken
