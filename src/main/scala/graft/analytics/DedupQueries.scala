@@ -1150,14 +1150,48 @@ object DedupQueries {
     */
   /** (vec_id, v, nrm, band, bits) — one row per vector per band, persisted
     * (both sides of the candidate self-join scan it). */
+  /** (vec_id, v, nrm) from a `(vec_id, embedding)` frame — the vector
+    * face both the in-session banded frames and the durable [[SrpIndex]]
+    * artifact build from.
+    */
+  private[analytics] def srpVectorsOf(spark: SparkSession,
+      vecs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    vecs.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
+
+  /** `shape`'s (vec_id, band, bits) band keys for a [[srpVectorsOf]]
+    * frame — the posting rows the durable index persists.
+    */
+  private[analytics] def srpBandsOf(spark: SparkSession, vectors: DataFrame,
+      shape: SrpShape): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val sigCols = (0 until shape.words).map { w =>
+      val signsLit = typedlit((w * 64 until math.min((w + 1) * 64,
+        shape.planes)).map(p =>
+        (0 until Srp.Dims).map(d => Srp.sign(p, d).toDouble)))
+      call_function("graft_srp_sig", $"v", signsLit).as(s"sig$w")
+    }
+    vectors.select($"vec_id" +: sigCols: _*)
+      .select($"vec_id",
+        explode(array((0 until shape.bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col(s"sig${shape.wordOf(b)}"), shape.shiftOf(b))
+              .bitwiseAND(lit((1L << shape.rowsPerBand) - 1)).as("bits"))): _*))
+          .as("bb"))
+      .select($"vec_id", $"bb.band".as("band"), $"bb.bits".as("bits"))
+  }
+
   private def srpBanded(spark: SparkSession, dir: String,
       shape: SrpShape): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    val e = table(spark, dir, "embeddings")
-      .select($"vec_id",
-        transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val e = srpVectorsOf(spark,
+      table(spark, dir, "embeddings").select($"vec_id", $"embedding"))
     val sigCols = (0 until shape.words).map { w =>
       val signsLit = typedlit((w * 64 until math.min((w + 1) * 64,
         shape.planes)).map(p =>
@@ -1204,6 +1238,25 @@ object DedupQueries {
     * is hash-exact at the shape's honest recall.
     */
   def qDedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // resolves through the persisted SRP artifact, completing the
+    // durable-index family (DedupIndex / ContainIndex / SrpIndex) for
+    // every oracled incremental face — fingerprint-keyed,
+    // build-once-probe-thereafter (`DedupArtifactResolveSpec`)
+    val fp = AnnIndex.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val idx = s"${SimilarityQueries.indexRoot}/srp-$fp"
+    val vecs = table(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    if (!SrpIndex.hasCurrent(idx))
+      SrpIndex.build(spark, vecs.filter($"vec_id" % 5 =!= 4), idx)
+    SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
+  }
+
+  /** The artifact-free in-session face of [[qDedupEmbeddingIncremental]]
+    * (shared [[srpBanded]] cache, no disk round-trip) — `SrpIndexSpec`'s
+    * independent reference, same reasoning as [[incrementalInSession]].
+    */
+  private[graft] def embeddingIncrementalInSession(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val banded = srpBanded(spark, dir, Srp.Narrow)
     val corpus = banded.filter($"vec_id" % 5 =!= 4)

@@ -42,6 +42,23 @@ class DedupArtifactResolveSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_embedding_incremental builds the SrpIndex artifact once, " +
+      "then probes it") {
+    withFreshRoot("srp") {
+      val runs0 = SrpIndex.buildRuns.get()
+      val first = DedupQueries.qDedupEmbeddingIncremental(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(SrpIndex.buildRuns.get() === runs0 + 1,
+        "first call must build the artifact")
+      assert(first.nonEmpty, "fixture must contain cross-split pairs")
+      val second = DedupQueries.qDedupEmbeddingIncremental(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(SrpIndex.buildRuns.get() === runs0 + 1,
+        "second call must resolve through the persisted artifact, not rebuild")
+      assert(second === first, "artifact-served answer drifted")
+    }
+  }
+
   test("q_dedup_containment_incremental builds the ContainIndex artifact " +
       "once, then probes it") {
     withFreshRoot("contain") {
