@@ -8,6 +8,9 @@ import graft.analytics.DedupQueries
 /** One raw document arriving on the ingest stream. */
 final case class IngestDoc(doc_id: Long, text: String)
 
+/** One embedding vector arriving on the ingest stream. */
+final case class IngestVec(vec_id: Long, embedding: Seq[Float])
+
 /** Streaming ingest dedup — "dedup the firehose against the lake": each
   * micro-batch of arriving documents computes its MinHash signatures
   * batch-locally, probes the STANDING corpus's LSH band index by
@@ -42,6 +45,27 @@ object IngestDedup {
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
         sink(DedupQueries.incrementalPairs(
           corpusPer, DedupQueries.signaturesOf(batch.toDF())), batchId)
+      }
+      .start()
+
+  /** The EMBEDDING counterpart of [[dedupIngestFromIndex]]: each
+    * micro-batch of arriving vectors probes the persisted
+    * [[graft.analytics.SrpIndex]] band artifact — the streaming face of
+    * the oracled `q_dedup_embedding_incremental`, same per-batch
+    * O(|batch| + matches) shape and the same at-least-once/foreachBatch
+    * delivery contract as the text face. The index tables are read lazily
+    * per batch (vector state is corpus-sized; callers wanting the
+    * probe-from-memory variant persist the loaded frames exactly as
+    * [[dedupIngestFromIndex]] does for signatures).
+    */
+  def dedupIngestEmbeddings(vecs: Dataset[IngestVec], indexDir: String,
+      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[IngestVec], batchId: Long) =>
+        sink(graft.analytics.SrpIndex.probe(
+          batch.sparkSession, indexDir, batch.toDF()), batchId)
       }
       .start()
 

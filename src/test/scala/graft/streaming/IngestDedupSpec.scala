@@ -85,4 +85,42 @@ class IngestDedupSpec extends SparkSpec {
     assert(got.asScala.toSet === batch,
       "index-backed stream diverged from the oracled batch face")
   }
+
+  test("embedding firehose probes the durable SrpIndex and reproduces " +
+      "the oracled incremental face") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.GraftSession.table(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ingest-srp").toString
+    graft.analytics.SrpIndex.build(
+      spark, vecs.filter($"vec_id" % 5 =!= 4), idx)
+    val delta = vecs.filter($"vec_id" % 5 === 4)
+      .as[IngestVec].collect().sortBy(_.vec_id)
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long)]()
+    val input = MemoryStream[IngestVec]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-srp-ckpt").toString
+    val q = IngestDedup.dedupIngestEmbeddings(input.toDS(), idx, ckpt) {
+      (pairs, _) =>
+        pairs.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+    }
+    try {
+      // two micro-batches + an at-least-once replay of the first
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.analytics.DedupQueries
+      .embeddingIncrementalInSession(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain cross-split pairs")
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === batch,
+      "embedding stream diverged from the oracled incremental face")
+  }
 }
