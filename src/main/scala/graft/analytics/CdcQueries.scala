@@ -236,12 +236,14 @@ object CdcQueries {
     val envs = changeEnvelopes(table(spark, dir, "events"))
     val serveDir = java.nio.file.Files
       .createTempDirectory("graft-serving-state").toString
-    // buckets = 4: the rewrite-granularity knob sized to this corpus
-    // (~10k rows/table => ~2.5k rows/bucket); a 10 TB table would take the
-    // class default 16+. Bucket-level pruning/carry semantics are
-    // spec-pinned independently of the count (CdcMaterializeSpec).
+    // default AUTO-SIZED buckets (the production path, r12's hand-tuned
+    // buckets=4 retired): per-table counts come from observed bytes at
+    // ~256 MB/bucket, so this corpus's ~10k-row tables run at 1 bucket
+    // (no per-dir commit tax) while a 10 TB table would land at
+    // thousands. Bucket-level pruning/carry semantics are spec-pinned
+    // independently of the count (CdcMaterializeSpec).
     val serving = new CdcServingTable(serveDir,
-      eventTypes.map(t => s"app.$t" -> "user_id").toMap, buckets = 4)
+      eventTypes.map(t => s"app.$t" -> "user_id").toMap)
     // four merge ACTIONS consume the same adapter output — cache it so
     // the events scan + envelope build runs once, not once per batch
     val cached = envs.persist()
@@ -311,8 +313,9 @@ object CdcQueries {
         .as[graft.model.MQEvent]
       val serveDir = java.nio.file.Files
         .createTempDirectory("graft-bootstrap").toString
+      // default auto-sized buckets — see cdcServingState's sizing note
       val serving = new CdcServingTable(serveDir,
-        eventTypes.map(t => s"app.$t" -> "user_id").toMap, buckets = 4)
+        eventTypes.map(t => s"app.$t" -> "user_id").toMap)
       serving.bootstrap(snapshot)
       (0 until 2).foreach { k =>
         serving.merge(envs

@@ -122,6 +122,14 @@ object Layout {
     val b = li.agg(
       min($"l_partkey".cast("long")), max($"l_partkey".cast("long")),
       min($"l_suppkey".cast("long")), max($"l_suppkey".cast("long"))).first()
+    // empty table: the bounds row is all-null (same contract as
+    // zorderWrite's empty-input branch) — return the empty layout frame
+    // instead of NPEing on getLong
+    if (b.isNullAt(0) || b.isNullAt(2))
+      return li.limit(0)
+        .select(lit(0L).as("bucket"), lit(0L).as("n_rows"),
+          $"l_partkey".as("min_part"), $"l_partkey".as("max_part"),
+          $"l_suppkey".as("min_supp"), $"l_suppkey".as("max_supp"))
     li.withColumn("zval", zValue(
         quant16($"l_partkey", b.getLong(0), b.getLong(1)),
         quant16($"l_suppkey", b.getLong(2), b.getLong(3))))

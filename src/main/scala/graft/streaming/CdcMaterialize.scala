@@ -106,8 +106,22 @@ private[streaming] object CdcKeyed {
   }
 }
 
+/** @param buckets      bucket count for tables NOT yet recorded in the
+  *                     store's per-version `_BUCKETS` sidecar (i.e. new
+  *                     tables; with [[autoSizeTargetBytes]] unset this is
+  *                     every table's count, as before)
+  * @param autoSizeTargetBytes when > 0, per-table bucket counts are SIZED
+  *                     from the table's observed on-disk bytes (the
+  *                     [[graft.analytics.Bucketing]] ~128–512 MB/bucket
+  *                     rule): a touched table whose power-of-two target
+  *                     count moved ≥ 2× from its recorded count is
+  *                     re-bucketed in that merge (one full rewrite of that
+  *                     table — O(log growth) such rewrites over a table's
+  *                     lifetime). 0 disables sizing (hand-tuned count).
+  */
 final class CdcServingTable(dir: String, pkOf: Map[String, String],
-    buckets: Int = 16) {
+    buckets: Int = 16,
+    autoSizeTargetBytes: Long = CdcServingTable.DefaultTargetBucketBytes) {
   require(buckets > 0, s"buckets must be positive, got $buckets")
 
   private def currentVersion: Option[Long] = VersionedStore.currentVersion(dir)
@@ -122,13 +136,78 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
   private val bucketedSchema =
     storeSchema.add("pkb", org.apache.spark.sql.types.LongType)
 
+  /** Per-table bucket counts of a committed version, from its `_BUCKETS`
+    * sidecar (`tbl<TAB>count` lines, written INSIDE the version dir so it
+    * commits atomically with the pointer swap — a store-level sidecar
+    * could go stale across a crash window and mis-prune the next merge's
+    * base read, silently resurrecting the duplicate-row bug the sidecar
+    * exists to prevent). None = pre-sidecar store (r12): the writer
+    * cannot know what modulus its files were hashed with, so the next
+    * merge re-buckets the whole store once (same treatment as the r11
+    * tbl-only legacy layout).
+    */
+  private def storedBuckets(ver: java.io.File): Option[Map[String, Int]] = {
+    val f = new java.io.File(ver, "_BUCKETS")
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1).toInt
+      }.toMap)
+  }
+
+  private def writeBuckets(ver: java.io.File,
+      counts: Map[String, Int]): Unit = {
+    java.nio.file.Files.write(new java.io.File(ver, "_BUCKETS").toPath,
+      counts.toSeq.sorted.map { case (t, n) => s"$t\t$n" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Recursive parquet byte total of one table's partition subtree —
+    * driver-side metadata listing, bounded by file count.
+    */
+  private def tableBytes(ver: java.io.File, tblDirName: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+      else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+    walk(new java.io.File(ver, tblDirName))
+  }
+
+  /** The sizing rule: smallest power of two covering `bytes` at
+    * [[autoSizeTargetBytes]] per bucket. Power-of-two targets make the
+    * ≥ 2× resize hysteresis natural (growth crosses a boundary once per
+    * doubling, so a table pays O(log growth) rewrites, not a rewrite per
+    * size wobble).
+    */
+  private def sizedBuckets(bytes: Long): Int = {
+    val raw = math.max(1L,
+      (bytes + autoSizeTargetBytes - 1) / autoSizeTargetBytes)
+    var n = 1
+    while (n < raw && n < (1 << 20)) n <<= 1
+    n
+  }
+
   /** Deterministic pk-hash bucket — the sub-table rewrite granularity:
     * a micro-batch touching k of a hot table's buckets rewrites k/buckets
     * of THAT table, not the whole table (the r11 layout pruned by table
     * only, so one hot 10 TB table meant an O(table) rewrite per batch).
+    * The modulus is PER TABLE (the version's recorded count, constructor
+    * default for tables not in the map) — a reopened store always hashes
+    * with the counts its files were written with, never the constructor's.
     */
-  private def bucketCol: org.apache.spark.sql.Column =
-    pmod(xxhash64(col("pk")), lit(buckets.toLong))
+  private def bucketColFor(
+      counts: Map[String, Int]): org.apache.spark.sql.Column = {
+    val base =
+      if (counts.isEmpty || counts.values.forall(_ == buckets))
+        lit(buckets.toLong)
+      else coalesce(
+        element_at(typedlit(counts.map { case (t, n) => t -> n.toLong }),
+          col("tbl")),
+        lit(buckets.toLong))
+    pmod(xxhash64(col("pk")), base)
+  }
 
   /** Whether `ver` still holds the r11 layout (parquet files directly
     * under `tbl=` dirs, no `pkb=` level). Mixed depth cannot occur: the
@@ -166,30 +245,87 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
     */
   def merge(envelopes: Dataset[MQEvent]): Unit = {
     val spark = envelopes.sparkSession
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val keyed = CdcKeyed.changes(envelopes, pkOf)
-      .withColumn("pkb", bucketCol)
-      // two consumers (touched-bucket list + the merge union) — one compute
+      // three consumers (touched-table list, touched-bucket list, the
+      // merge union) — one compute
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // driver-side touched (tbl, bucket) list — bounded by
-      // |tables| × buckets, never by row count
-      val touched = keyed.select(col("tbl"), col("pkb")).distinct()
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-      if (touched.nonEmpty) {
+      // driver-side touched-TABLE list first: bucket ids depend on the
+      // per-table counts, and (re)sizing decisions must be settled before
+      // any pkb is computed. Bounded by |tables|.
+      val touchedTbls = keyed.select(col("tbl")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touchedTbls.nonEmpty) {
         val prev = currentVersion
-        val legacy = prev.exists(pv =>
-          isLegacy(new java.io.File(dir, s"v$pv")))
+        val prevDir = prev.map(pv => new java.io.File(dir, s"v$pv"))
+        val legacy = prevDir.exists(isLegacy)
+        val stored = prevDir.flatMap(storedBuckets)
+        // a bucketed store with NO recorded counts was written by a
+        // revision that hashed with an unknowable constructor constant —
+        // re-bucket everything once, like the legacy-layout migration
+        val rebucketAll = legacy || (prev.isDefined && stored.isEmpty)
+        val prevCounts = stored.getOrElse(Map.empty[String, Int])
+        // auto-sizing: touched tables whose power-of-two target count
+        // moved ≥ 2× from the recorded count are fully re-bucketed in
+        // this merge (quiet tables never resize — no unprompted rewrites)
+        val resized: Map[String, Int] =
+          if (autoSizeTargetBytes <= 0 || rebucketAll || prevDir.isEmpty)
+            Map.empty
+          else touchedTbls.flatMap { t =>
+            prevCounts.get(t).flatMap { cur =>
+              val want = sizedBuckets(tableBytes(prevDir.get,
+                "tbl=" + ExternalCatalogUtils.escapePathName(t)))
+              if (want >= cur * 2 || want * 2 <= cur) Some(t -> want)
+              else None
+            }
+          }.toMap
+        // tables with NO recorded count start SIZED when sizing is on: a
+        // brand-new table at 1 bucket (it doubles as it grows), and —
+        // on the one-time no-sidecar/legacy migration rewrite — every
+        // existing table at the count its observed bytes ask for, so a
+        // migrated 10 TB table lands bucketed for its size, not at the
+        // constructor constant
+        val seeded: Map[String, Int] =
+          if (autoSizeTargetBytes <= 0) Map.empty
+          else {
+            val prevTbls =
+              if (rebucketAll && prevDir.isDefined)
+                Option(prevDir.get.listFiles())
+                  .getOrElse(Array.empty[java.io.File])
+                  .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+                  .map(d => ExternalCatalogUtils
+                    .unescapePathName(d.getName.stripPrefix("tbl=")))
+                  .toSeq
+              else Seq.empty
+            (prevTbls ++ touchedTbls).distinct
+              .filterNot(prevCounts.contains)
+              .map { t =>
+                t -> prevDir.map(pd => sizedBuckets(tableBytes(pd,
+                  "tbl=" + ExternalCatalogUtils.escapePathName(t))))
+                  .getOrElse(1)
+              }.toMap
+          }
+        val counts = prevCounts ++ seeded ++ resized
+        val pkbCol = bucketColFor(counts)
+        // touched (tbl, bucket) list under the settled counts — bounded
+        // by |tables| × buckets, never by row count
+        val touched = keyed.withColumn("pkb", pkbCol)
+          .select(col("tbl"), col("pkb")).distinct()
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
         // partition pruning: a DNF of (tbl = t AND pkb IN bs) over the
         // (tbl, pkb)-partitioned read — untouched tables' directories and
         // untouched BUCKETS of touched tables are never scanned. A store
-        // still in the r11 tbl-only layout is migrated in ONE full
-        // rewrite (no per-table mixing — mixed partition depth in one
-        // read is a Spark error, and partial migration would strand
-        // untouched rows in files the bucket-level link step skips).
+        // still in the r11 tbl-only layout (or without recorded counts)
+        // is migrated in ONE full rewrite (no per-table mixing — mixed
+        // partition depth in one read is a Spark error, and partial
+        // migration would strand untouched rows in files the bucket-level
+        // link step skips). A RESIZED table reads whole: its old pkb
+        // values were hashed with the old modulus.
         val base = prev match {
           case None => raw(spark) // empty frame, storeSchema
-          case Some(_) if legacy => raw(spark) // full migration read
+          case Some(_) if rebucketAll => raw(spark) // full migration read
           case Some(pv) =>
             // conjunctive (tbl IN ts) AND (pkb IN bs) rather than the
             // exact per-table DNF: planning a tables×buckets-term
@@ -198,14 +334,17 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
             // over-read bucket is rewritten into the new version instead
             // of hard-linked, never duplicated (the link step only
             // carries dirs ABSENT from the rewrite).
-            val pred = col("tbl").isin(touched.keys.toSeq: _*) &&
-              col("pkb").isin(touched.values.flatten.toSeq.distinct: _*)
+            val plain = touched.keys.toSeq.filterNot(resized.contains)
+            val pruned = (col("tbl").isin(plain: _*) &&
+              col("pkb").isin(
+                plain.flatMap(touched).distinct: _*)) ||
+              col("tbl").isin(resized.keys.toSeq: _*)
             spark.read.schema(bucketedSchema)
-              .parquet(s"$dir/v$pv").filter(pred)
+              .parquet(s"$dir/v$pv").filter(pruned)
               .select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
         }
         val next = base
-          .unionByName(keyed.drop("pkb"))
+          .unionByName(keyed)
           // struct max = last-writer-wins on (ver_ts, ver_seg, ver_pos) —
           // the rotation-safe emission order; action and the JSON image
           // ride as deterministic tiebreaks (maps are not orderable, their
@@ -216,8 +355,9 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
             col("action"), col("after_json"))).as("v"))
           .select(col("tbl"), col("pk"), col("v.ver_ts"), col("v.ver_seg"),
             col("v.ver_pos"), col("v.action"), col("v.after_json"))
-          .withColumn("pkb", bucketCol)
+          .withColumn("pkb", pkbCol)
         val v = prev.getOrElse(-1L) + 1L
+        val nextDir = new java.io.File(dir, s"v$v")
         // cluster on the partition keys before the write: without this,
         // every one of the agg's shuffle partitions writes its own file
         // into every bucket dir it holds rows for — tasks × buckets tiny
@@ -225,9 +365,25 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         // (tbl, pkb) → exactly one file per touched bucket.
         next.repartition(col("tbl"), col("pkb"))
           .write.mode("overwrite").partitionBy("tbl", "pkb")
-          .parquet(s"$dir/v$v")
-        if (!legacy) prev.foreach(pv => VersionedStore.linkUntouchedTree(
-          new java.io.File(dir, s"v$pv"), new java.io.File(dir, s"v$v")))
+          .parquet(nextDir.toString)
+        if (!rebucketAll) prevDir.foreach(pd =>
+          VersionedStore.linkUntouchedTree(pd, nextDir,
+            // a resized table is fully rewritten under its NEW modulus —
+            // linking its leftover old-modulus bucket dirs in would
+            // resurrect exactly the stale-duplicate bug the recorded
+            // counts exist to prevent
+            skipTop = resized.keySet.map(t =>
+              "tbl=" + ExternalCatalogUtils.escapePathName(t))))
+        // counts for EVERY table present in the new version (carried
+        // tables keep their recorded count; anything else — new tables,
+        // and the whole store on a migration rewrite — was hashed with
+        // the settled `counts` map or its constructor-default fallback)
+        val allTbls = Option(nextDir.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+          .map(d => ExternalCatalogUtils
+            .unescapePathName(d.getName.stripPrefix("tbl=")))
+        writeBuckets(nextDir,
+          allTbls.map(t => t -> counts.getOrElse(t, buckets)).toMap)
         VersionedStore.swapPointer(dir, v)
       }
     } finally { keyed.unpersist(); () }
@@ -260,6 +416,15 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
     * Hard-linked carried files survive in newer versions.
     */
   def prune(keep: Int = 2): Unit = VersionedStore.prune(dir, keep)
+}
+
+object CdcServingTable {
+  /** Default per-bucket byte target for auto-sizing — the
+    * [[graft.analytics.Bucketing]] ~128–512 MB rule's midpoint. Pass
+    * `autoSizeTargetBytes = 0` to pin counts by hand (specs that assert
+    * fixed-modulus mechanics; a deployment with its own layout policy).
+    */
+  val DefaultTargetBucketBytes: Long = 256L * 1024 * 1024
 }
 
 /** CDC → queryable FULL-HISTORY table — the temporal complement of
@@ -304,21 +469,38 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
   private def currentDir: Option[java.io.File] =
     VersionedStore.currentVersion(logRoot)
       .map(v => new java.io.File(logRoot, s"v$v"))
-      .orElse(adoptFlatLayout())
 
-  /** MIGRATION: a changelog written by the pre-versioned revision lives
-    * flat at `<dir>/log/tbl=*` with no `_CURRENT` pointer. Reading
-    * "no pointer" as "empty log" would silently vanish existing audit
-    * history (and the next append would start a fresh v0 beside the
-    * stranded files) — so on first access, adopt the flat partition dirs
-    * as v0: move them under `log/v0` and swap the pointer. Idempotent
-    * (after adoption the pointer resolves) and same-filesystem rename,
-    * so no data is copied.
-    */
-  private def adoptFlatLayout(): Option[java.io.File] = {
-    val flat = Option(new java.io.File(logRoot).listFiles())
+  /** The flat pre-versioned `tbl=*` partition dirs, if any. */
+  private def flatDirs: Array[java.io.File] =
+    Option(new java.io.File(logRoot).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+
+  /** READ-ONLY resolution: the pointer's version dir, else — for a
+    * changelog still in the pre-versioned flat layout — the log root
+    * itself, whose `tbl=*` dirs read in place as a partitioned parquet
+    * root. Never mutates: a forensic/read-only consumer (or a reader
+    * racing the writer's first append) must not trigger the destructive
+    * moves of [[adoptFlatLayout]] — adoption is a WRITE-path action.
+    */
+  private def readDir: Option[java.io.File] =
+    currentDir.orElse(
+      if (flatDirs.nonEmpty) Some(new java.io.File(logRoot)) else None)
+
+  /** MIGRATION (WRITE PATH ONLY): a changelog written by the
+    * pre-versioned revision lives flat at `<dir>/log/tbl=*` with no
+    * `_CURRENT` pointer. Reading "no pointer" as "empty log" would
+    * silently vanish existing audit history (and the next append would
+    * start a fresh v0 beside the stranded files) — so the first WRITE
+    * ([[append]]/[[compact]], both on the single-writer loop) adopts the
+    * flat partition dirs as v0: move them under `log/v0` and swap the
+    * pointer. Idempotent (after adoption the pointer resolves; a crashed
+    * adoption's already-moved dirs are absent from the flat list on
+    * retry) and same-filesystem rename, so no data is copied. Read paths
+    * never call this — see [[readDir]].
+    */
+  private def adoptFlatLayout(): Option[java.io.File] = {
+    val flat = flatDirs
     if (flat.isEmpty) None
     else {
       val v0 = new java.io.File(logRoot, "v0")
@@ -337,7 +519,7 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
     */
   def append(envelopes: Dataset[MQEvent]): Unit = {
     val keyed = CdcKeyed.changes(envelopes, pkOf)
-    val tgt = currentDir.getOrElse {
+    val tgt = currentDir.orElse(adoptFlatLayout()).getOrElse {
       val v0 = new java.io.File(logRoot, "v0")
       v0.mkdirs()
       VersionedStore.swapPointer(logRoot, 0L)
@@ -347,7 +529,7 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
   }
 
   /** The raw changelog as appended (redelivered duplicates included). */
-  def changelog(spark: SparkSession): DataFrame = currentDir match {
+  def changelog(spark: SparkSession): DataFrame = readDir match {
     case Some(d) => spark.read.schema(CdcKeyed.schema).parquet(d.toString)
     case None =>
       spark.createDataFrame(
@@ -375,7 +557,8 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
     * racing the rewrite could land in the version being replaced.
     * Returns the number of partitions rewritten.
     */
-  def compact(spark: SparkSession, maxFiles: Int = 4): Int = currentDir match {
+  def compact(spark: SparkSession, maxFiles: Int = 4): Int =
+      currentDir.orElse(adoptFlatLayout()) match {
     case None => 0
     case Some(cur) =>
       // partition dir names carry Spark's path ESCAPING (space, '%', ':'

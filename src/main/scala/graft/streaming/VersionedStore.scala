@@ -62,12 +62,17 @@ private[graft] object VersionedStore {
     * partition layouts (e.g. `tbl=…/pkb=…`): a `key=value` directory
     * absent in `nextDir` is carried whole ([[linkTree]]); one PRESENT in
     * `nextDir` recurses, so untouched sub-partitions (buckets) of a
-    * touched parent (table) still carry as hard links. Returns the number
-    * of directory subtrees carried.
+    * touched parent (table) still carry as hard links. `skipTop` names
+    * top-level partition dirs to carry NOTHING for — a fully-rewritten
+    * subtree whose new layout has fewer children than the old (a bucket
+    * RESIZE) must not have the stale extra children linked in. Returns
+    * the number of directory subtrees carried.
     */
-  def linkUntouchedTree(prevDir: File, nextDir: File): Int =
+  def linkUntouchedTree(prevDir: File, nextDir: File,
+      skipTop: Set[String] = Set.empty): Int =
     Option(prevDir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.contains("=")).map { d =>
+      .filter(d => d.isDirectory && d.getName.contains("=") &&
+        !skipTop.contains(d.getName)).map { d =>
         val tgt = new File(nextDir, d.getName)
         if (!tgt.exists()) { linkTree(d, tgt); 1 }
         else linkUntouchedTree(d, tgt)

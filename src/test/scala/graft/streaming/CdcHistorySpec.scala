@@ -203,12 +203,24 @@ class CdcHistorySpec extends SparkSpec {
       .forEach(f => { java.nio.file.Files.delete(f); () })
     log.listFiles().filter(_.getName.startsWith("_CURRENT"))
       .foreach(f => { java.nio.file.Files.delete(f.toPath); () })
-    // a fresh handle over the flat layout must adopt, not vanish history
+    // a fresh handle over the flat layout must see the history…
     val t1 = new CdcHistoryTable(dir, Map("shop.orders" -> "id"))
     assert(t1.changelog(spark).count() === 1,
       "flat-layout changelog read back empty after migration")
-    // and the next append lands in the adopted version, not a fresh v0
+    // …but a pure READ must not have mutated the layout: adoption moves
+    // files, and a read-only/forensic consumer (or a reader racing the
+    // writer) must never perform destructive moves
+    assert(!new java.io.File(log, "_CURRENT").exists(),
+      "read path performed the flat-layout adoption (moved files)")
+    assert(log.listFiles().exists(_.getName.startsWith("tbl=")),
+      "read path moved the flat partition dirs")
+    // the next APPEND (write path) adopts, and lands in the adopted
+    // version, not a fresh v0 beside stranded files
     t1.append(Seq(env("update", 1, "a2", 12, 2)).toDS())
+    assert(new java.io.File(log, "_CURRENT").exists(),
+      "write path did not adopt the flat layout")
+    assert(!log.listFiles().exists(_.getName.startsWith("tbl=")),
+      "write path left stranded flat partition dirs beside the version")
     assert(t1.changelog(spark).count() === 2)
     val h = t1.history(spark).collect()
     assert(h.length === 2, "adopted history rows lost after append")

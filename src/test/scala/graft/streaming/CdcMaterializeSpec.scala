@@ -134,7 +134,10 @@ class CdcMaterializeSpec extends SparkSpec {
       "as hard links — a hot table's rewrite is k/buckets, not O(table)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-serve-bkt").toString
-    val t = new CdcServingTable(dir, Map("shop.orders" -> "id"))
+    // fixed 16-bucket modulus: this test pins bucket-LEVEL carry, which
+    // needs several buckets (auto-sizing would seed this tiny table at 1)
+    val t = new CdcServingTable(dir, Map("shop.orders" -> "id"),
+      autoSizeTargetBytes = 0L)
     // batch 1: 16 keys spread across the pk-hash buckets
     t.merge((1L to 16L).map(i => env("insert", i, s"n$i", 10, i)).toDS())
     val ordersDir0 = new java.io.File(dir, "v0/tbl=shop.orders")
@@ -311,5 +314,112 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(!rows("2").contains("region"), s"pre-DDL row mutated: ${rows("2")}")
     assert(reg.get("shop", "orders").exists(_.columns.map(_.name) ===
       Seq("id", "name", "region")), "registry did not evolve")
+  }
+
+  private def pkbDirs(verTbl: java.io.File): Seq[String] =
+    Option(verTbl.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("pkb="))
+      .map(_.getName).sorted.toSeq
+
+  private def rawRowsFor(t: CdcServingTable, pk: String): Long =
+    t.raw(spark).filter(org.apache.spark.sql.functions.col("pk") === pk)
+      .count()
+
+  test("reopening a store with a DIFFERENT constructor bucket count merges " +
+      "with the RECORDED counts — no stale duplicate rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-serve-reopen").toString
+    val t4 = new CdcServingTable(dir, Map("shop.orders" -> "id"),
+      buckets = 4, autoSizeTargetBytes = 0L)
+    t4.merge((1L to 16L).map(i => env("insert", i, s"n$i", 10, i)).toDS())
+    // reopen with a different constructor constant (the CdcQueries-vs-
+    // default split the r12 advisory flagged): the recorded per-version
+    // counts must rule — before the sidecar, key rows living in a pkb the
+    // new modulus never pruned into the merge read were carried forward
+    // beside their update (silent last-writer-wins violation)
+    val t16 = new CdcServingTable(dir, Map("shop.orders" -> "id"),
+      buckets = 16, autoSizeTargetBytes = 0L)
+    (1L to 16L).foreach { i =>
+      t16.merge(Seq(env("update", i, s"u$i", 20, 100 + i)).toDS())
+    }
+    val rows = liveRows(t16)
+    assert(rows.keySet === (1L to 16L).map(_.toString).toSet)
+    (1L to 16L).foreach { i =>
+      assert(rows(i.toString).contains(s"u$i"),
+        s"key $i served stale pre-update value: ${rows(i.toString)}")
+      assert(rawRowsFor(t16, i.toString) === 1L,
+        s"key $i has duplicate store rows after mismatched reopen")
+    }
+  }
+
+  test("a bucketed store WITHOUT recorded counts (pre-sidecar revision) " +
+      "is re-bucketed whole on the next merge, then carries counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-serve-nosidecar").toString
+    val t4 = new CdcServingTable(dir, Map("shop.orders" -> "id"),
+      buckets = 4, autoSizeTargetBytes = 0L)
+    t4.merge((1L to 16L).map(i => env("insert", i, s"n$i", 10, i)).toDS())
+    // simulate an r12 store: bucketed layout, no _BUCKETS sidecar
+    assert(new java.io.File(dir, "v0/_BUCKETS").delete())
+    val t16 = new CdcServingTable(dir, Map("shop.orders" -> "id"),
+      buckets = 16, autoSizeTargetBytes = 0L)
+    t16.merge(Seq(env("update", 1, "u1", 20, 99)).toDS())
+    // the migration rewrite hashed EVERY row with the new modulus and
+    // recorded it — no mod-4 dirs can survive into the mod-16 layout
+    // unrewritten, and the update must win cleanly
+    assert(new java.io.File(dir, "v1/_BUCKETS").isFile,
+      "migrated version must record its bucket counts")
+    val rows = liveRows(t16)
+    assert(rows.keySet === (1L to 16L).map(_.toString).toSet)
+    assert(rows("1").contains("u1"))
+    (1L to 16L).foreach(i => assert(rawRowsFor(t16, i.toString) === 1L,
+      s"key $i duplicated by the no-sidecar migration"))
+  }
+
+  test("auto-sizing: a touched table re-buckets to its byte-sized " +
+      "power-of-two count, and a DOWNSIZE links no stale bucket dirs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-serve-autosize").toString
+    // seed wide (16 buckets), then reopen with a huge per-bucket target:
+    // the sized count collapses to 1 and the touched merge re-buckets
+    val t16 = new CdcServingTable(dir, Map("shop.orders" -> "id"),
+      buckets = 16, autoSizeTargetBytes = 0L)
+    t16.merge((1L to 32L).map(i => env("insert", i, s"n$i", 10, i)).toDS())
+    assert(pkbDirs(new java.io.File(dir, "v0/tbl=shop.orders")).size > 4)
+    val auto = new CdcServingTable(dir, Map("shop.orders" -> "id"),
+      buckets = 16, autoSizeTargetBytes = 1L << 30)
+    auto.merge(Seq(env("update", 1, "u1", 20, 99)).toDS())
+    // the downsized table must hold ONLY mod-1 dirs: linking the old
+    // modulus's leftover pkb dirs in would serve every key twice
+    assert(pkbDirs(new java.io.File(dir, "v1/tbl=shop.orders")) ===
+      Seq("pkb=0"),
+      "downsize carried stale old-modulus bucket dirs into the new version")
+    val rows = liveRows(auto)
+    assert(rows.keySet === (1L to 32L).map(_.toString).toSet)
+    assert(rows("1").contains("u1"))
+    (1L to 32L).foreach(i => assert(rawRowsFor(auto, i.toString) === 1L,
+      s"key $i duplicated by the downsize"))
+    // growth crosses the sizing boundary → UPSIZE on the next touched
+    // merge (tiny target: every byte of the table demands more buckets)
+    val auto2 = new CdcServingTable(dir, Map("shop.orders" -> "id"),
+      buckets = 16, autoSizeTargetBytes = 512L)
+    auto2.merge(Seq(env("update", 2, "u2", 30, 200)).toDS())
+    assert(pkbDirs(new java.io.File(dir, "v2/tbl=shop.orders")).size > 1,
+      "upsize did not re-bucket the grown table")
+    val rows2 = liveRows(auto2)
+    assert(rows2.keySet === (1L to 32L).map(_.toString).toSet)
+    assert(rows2("2").contains("u2"))
+    (1L to 32L).foreach(i => assert(rawRowsFor(auto2, i.toString) === 1L,
+      s"key $i duplicated by the upsize"))
+    // a QUIET table never resizes: merge a second table, orders untouched
+    val auto3 = new CdcServingTable(dir,
+      Map("shop.orders" -> "id", "shop.audit" -> "id"),
+      buckets = 16, autoSizeTargetBytes = 1L << 30)
+    auto3.merge(Seq(env("insert", 7, "log", 40, 300).copy(table = "audit"))
+      .toDS())
+    val ordersV3 = new java.io.File(dir, "v3/tbl=shop.orders")
+    assert(pkbDirs(ordersV3) ===
+      pkbDirs(new java.io.File(dir, "v2/tbl=shop.orders")),
+      "quiet table's layout changed without being touched")
   }
 }
