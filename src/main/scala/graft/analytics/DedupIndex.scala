@@ -13,7 +13,9 @@ import graft.streaming.VersionedArtifact
   * probes it from disk without recomputing a single corpus signature.
   *
   * Two parquet tables inside each version:
-  *   - `bands`       (band, sig, doc_id) — the 16×4 banded bucket keys;
+  *   - `bands`       (band, sig, doc_id) — the banded bucket keys at the
+  *                   build-time [[DedupIndex.Shape]] (recorded in the
+  *                   artifact; corpus-scale 32×8/256 by default);
   *   - `signatures`  (doc_id, mhsig, hs, sz) — the per-doc sorted hash
   *                   sets the exact merge-scan verify reads.
   * Probing = the [[DedupQueries.qDedupIncremental]] plan with the corpus
@@ -44,7 +46,56 @@ import graft.streaming.VersionedArtifact
   */
 object DedupIndex {
 
+  /** A banded MinHash-LSH layout: `bands × rowsPerBand` over a
+    * `slots`-wide signature (the registered kernels are 128- and
+    * 256-slot; both draw from the SAME permutation stream, so a wider
+    * signature extends a narrower one rather than reseeding it).
+    *
+    * The shape is the corpus-scale knob (SCALE.md "band-shape law"):
+    * r=4 band values collide on background similarity as j₀⁴, r=8 as
+    * j₀⁸ — measured ~400× fewer candidates at 50 k docs with identical
+    * verified output. [[build]] RECORDS the shape in the artifact and
+    * every probe/admit replays it; probing with a different shape than
+    * the build would join band values from different slot ranges and
+    * emit noise.
+    */
+  final case class Shape(bands: Int, rowsPerBand: Int, slots: Int) {
+    require(bands * rowsPerBand <= slots,
+      s"band shape $bands×$rowsPerBand exceeds the $slots-slot signature")
+    require(slots == 128 || slots == 256,
+      s"registered minhash kernels are 128/256-slot, got $slots")
+  }
+
+  object Shape {
+    /** The oracle-matched 16×4/128 shape: recall-complete at j ≥ 0.8
+      * (miss ≈ 4e-8 at the threshold), so the probe equals the EXACT
+      * delta×corpus answer the DuckDB oracle computes. Candidate volume
+      * grows as j₀⁴ — right at oracle scale, the quadratic direction at
+      * corpus scale.
+      */
+    val Oracle: Shape = Shape(bands = 16, rowsPerBand = 4, slots = 128)
+
+    /** The corpus-scale 32×8/256 default: 64-bit r=8 band values keep
+      * noise collisions falling as j₀⁸ (measured ~400× fewer candidates
+      * than r=4 at 50 k docs, identical verified output on this corpus —
+      * `q_dedup_minhash256`'s calibration).
+      */
+    val Corpus: Shape = Shape(bands = 32, rowsPerBand = 8, slots = 256)
+  }
+
   private val Tables = Seq("signatures", "bands")
+
+  /** The shape the artifact was BUILT with — what every probe/admit must
+    * replay. Pre-metadata artifacts (r12) read back as [[Shape.Oracle]],
+    * the only shape that revision ever wrote.
+    */
+  def shapeOf(indexDir: String): Shape = {
+    val m = artifact(indexDir).meta
+    (m.get("bands"), m.get("rowsPerBand"), m.get("slots")) match {
+      case (Some(b), Some(r), Some(s)) => Shape(b.toInt, r.toInt, s.toInt)
+      case _ => Shape.Oracle
+    }
+  }
 
   /** Corpus-build counter — the [[AnnPersistSpec]]-style observability
     * hook: proves the oracled incremental face builds the artifact at
@@ -71,12 +122,14 @@ object DedupIndex {
   def appliedDeltas(indexDir: String): Set[String] =
     artifact(indexDir).appliedDeltas
 
-  private def writeTables(docs: DataFrame, ver: File, mode: String): Unit = {
+  private def writeTables(docs: DataFrame, ver: File, mode: String,
+      shape: Shape): Unit = {
     // signaturesOf already carries (doc_id, mhsig, hs, sz)
-    val per = DedupQueries.signaturesOf(docs).persist()
+    val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
     try {
       per.write.mode(mode).parquet(new File(ver, "signatures").toString)
-      val bandCols = DedupQueries.bandStructs(bands = 16, rowsPerBand = 4)
+      val bandCols = DedupQueries.bandStructs(shape.bands,
+        shape.rowsPerBand, shape.slots)
       per.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
         .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
           col("doc_id"))
@@ -85,20 +138,30 @@ object DedupIndex {
   }
 
   /** Build (or fully REBUILD) the index from a `(doc_id, text)` corpus
-    * frame — a fresh version with an empty admitted-delta set.
+    * frame — a fresh version with an empty admitted-delta set. `shape`
+    * is recorded in the artifact and rules every later probe/admit; the
+    * default is the corpus-scale [[Shape.Corpus]] banding (the oracled
+    * face passes [[Shape.Oracle]] explicitly — recall-complete at its
+    * oracle's exact j ≥ 0.8 answer).
     */
-  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String,
+      shape: Shape = Shape.Corpus): Unit = {
     buildRuns.incrementAndGet()
-    artifact(indexDir).build(writeTables(docs, _, "overwrite"))
+    artifact(indexDir).build(writeTables(docs, _, "overwrite", shape),
+      buildMeta = Map("bands" -> shape.bands.toString,
+        "rowsPerBand" -> shape.rowsPerBand.toString,
+        "slots" -> shape.slots.toString))
   }
 
   /** ADMIT a delta (probe-then-admit lifecycle): true if admitted, false
     * if `deltaId` was already applied. O(|delta|) write — previous files
-    * carry as hard links, only the delta's part files are new.
+    * carry as hard links, only the delta's part files are new. Signatures
+    * and bands at the shape the artifact records — never a caller choice.
     */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
       deltaId: String): Boolean =
-    artifact(indexDir).admit(deltaId, Tables, writeTables(docs, _, "append"))
+    artifact(indexDir).admit(deltaId, Tables,
+      writeTables(docs, _, "append", shapeOf(indexDir)))
 
   /** Drop index versions older than the newest `keep` (default 2: a
     * reader holding the previous version's paths — a lazy probe frame,
@@ -139,9 +202,11 @@ object DedupIndex {
     * bucket file, the [[Bucketing]] sizing rule.
     */
   def buildBucketedBands(spark: SparkSession, docs: DataFrame,
-      table: String, buckets: Int = 8): Unit = {
-    val per = DedupQueries.signaturesOf(docs)
-    val bandCols = DedupQueries.bandStructs(bands = 16, rowsPerBand = 4)
+      table: String, buckets: Int = 8,
+      shape: Shape = Shape.Corpus): Unit = {
+    val per = DedupQueries.signaturesOf(docs, shape.slots)
+    val bandCols = DedupQueries.bandStructs(shape.bands,
+      shape.rowsPerBand, shape.slots)
     per.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
         col("doc_id"))
@@ -156,8 +221,9 @@ object DedupIndex {
     * necessarily adds one for its own aggregation).
     */
   private[graft] def bucketedCandidates(spark: SparkSession, table: String,
-      deltaPer: DataFrame): DataFrame = {
-    val bandCols = DedupQueries.bandStructs(bands = 16, rowsPerBand = 4)
+      deltaPer: DataFrame, shape: Shape = Shape.Corpus): DataFrame = {
+    val bandCols = DedupQueries.bandStructs(shape.bands,
+      shape.rowsPerBand, shape.slots)
     val deltaBands = deltaPer
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
@@ -170,13 +236,15 @@ object DedupIndex {
   /** [[probe]] against the bucketed band table: same verified pairs, the
     * corpus-side exchange elided by layout. `corpusPer` is the signature
     * frame the exact verify reads (from the directory artifact or a
-    * doc_id-bucketed table of its own).
+    * doc_id-bucketed table of its own). `shape` must be the one the
+    * band table was built with (a managed table has no artifact metadata
+    * to record it in — pair it with the build call's).
     */
   def probeBucketed(spark: SparkSession, table: String, corpusPer: DataFrame,
-      deltaDocs: DataFrame): DataFrame = {
+      deltaDocs: DataFrame, shape: Shape = Shape.Corpus): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val deltaPer = DedupQueries.signaturesOf(deltaDocs)
-    val cand = bucketedCandidates(spark, table, deltaPer)
+    val deltaPer = DedupQueries.signaturesOf(deltaDocs, shape.slots)
+    val cand = bucketedCandidates(spark, table, deltaPer, shape)
       .select(col("id_a"), col("id_b")).distinct()
     DedupQueries.verifyJaccardSplit(corpusPer, deltaPer, cand, 0.8)
       .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
@@ -194,6 +262,9 @@ object DedupIndex {
   def probe(spark: SparkSession, indexDir: String,
       deltaDocs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    // shape resolved from the artifact BEFORE the path snapshot: both
+    // come from the same current version under the single-writer contract
+    val shape = shapeOf(indexDir)
     val paths = artifact(indexDir).snapshotPaths(Tables)
     val corpusPer = spark.read.parquet(paths("signatures"))
     val corpusBands = spark.read.parquet(paths("bands"))
@@ -202,8 +273,9 @@ object DedupIndex {
     // no unpersist would pin a cache entry per daily probe for the life
     // of the ingest session; the delta-sized recompute across the frame's
     // few consumers is cheaper than that leak
-    val deltaPer = DedupQueries.signaturesOf(deltaDocs)
-    val bandCols = DedupQueries.bandStructs(bands = 16, rowsPerBand = 4)
+    val deltaPer = DedupQueries.signaturesOf(deltaDocs, shape.slots)
+    val bandCols = DedupQueries.bandStructs(shape.bands,
+      shape.rowsPerBand, shape.slots)
     val deltaBands = deltaPer
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"),

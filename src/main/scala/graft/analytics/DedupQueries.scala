@@ -301,8 +301,15 @@ object DedupQueries {
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val idx = artifactDir(spark, dir, "dedup")
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // Shape.Oracle EXPLICITLY (not the build default): the DuckDB oracle
+    // computes the EXACT delta×corpus j ≥ 0.8 answer, and 16×4 is the
+    // shape whose banding miss at the threshold (≈4e-8) makes the probe
+    // equal it. Production builds default to the corpus-scale 32×8/256 —
+    // recorded in the artifact, replayed by every probe (DedupIndexSpec
+    // pins Corpus-artifact pair parity).
     if (!DedupIndex.hasCurrent(idx))
-      DedupIndex.build(spark, docs.filter(col("doc_id") % 5 =!= 4), idx)
+      DedupIndex.build(spark, docs.filter(col("doc_id") % 5 =!= 4), idx,
+        DedupIndex.Shape.Oracle)
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
@@ -313,10 +320,13 @@ object DedupQueries {
     * stay a separate derivation.
     */
   private[graft] def incrementalInSession(spark: SparkSession,
-      dir: String): DataFrame = {
-    val per = minhashPer(spark, dir)
+      dir: String,
+      shape: DedupIndex.Shape = DedupIndex.Shape.Oracle): DataFrame = {
+    val per =
+      if (shape.slots <= 128) minhashPer(spark, dir)
+      else minhash256Per(spark, dir)
     incrementalPairs(per.filter(col("doc_id") % 5 =!= 4),
-      per.filter(col("doc_id") % 5 === 4))
+      per.filter(col("doc_id") % 5 === 4), shape)
   }
 
   /** Content-fingerprinted artifact path for `dir`'s documents table —
@@ -338,8 +348,9 @@ object DedupQueries {
     * merge-scan verify with the corpus as the a-side.
     */
   private[graft] def incrementalPairs(corpusPer: DataFrame,
-      deltaPer: DataFrame): DataFrame = {
-    val bandCols = bandStructs(bands = 16, rowsPerBand = 4)
+      deltaPer: DataFrame,
+      shape: DedupIndex.Shape = DedupIndex.Shape.Oracle): DataFrame = {
+    val bandCols = bandStructs(shape.bands, shape.rowsPerBand, shape.slots)
     def bandsOf(df: DataFrame) = df
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
@@ -358,14 +369,19 @@ object DedupQueries {
     * (same expressions, no session persist): what a streaming ingest
     * computes for each arriving delta before probing the standing index.
     */
-  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+  private[graft] def signaturesOf(docs: DataFrame,
+      slots: Int = 128): DataFrame = {
+    require(slots == 128 || slots == 256,
+      s"registered minhash kernels are 128/256-slot, got $slots")
     graft.functions.VectorFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), explode(expr(shingleExpr)).as("sh"))
       .distinct()
       .select(col("doc_id"), xxhash64(col("sh")).as("hx"))
       .groupBy(col("doc_id"))
-      .agg(expr("graft_minhash128(hx)").as("mhsig"),
+      // both kernels draw from the same permutation stream (slots 1–128
+      // of the 256 ARE the 128's), so widening extends, never reseeds
+      .agg(expr(s"graft_minhash$slots(hx)").as("mhsig"),
         sort_array(collect_set(col("hx"))).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
   }
@@ -1246,8 +1262,14 @@ object DedupQueries {
     val fp = AnnIndex.sourceFingerprint(spark, s"$dir/embeddings.parquet")
     val idx = s"${SimilarityQueries.indexRoot}/srp-$fp"
     val vecs = table(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    // Narrow EXPLICITLY (not the build default): the DuckDB oracle
+    // replays the seeded 8×4 pipeline, so this face must band-match it.
+    // Production builds take the default corpus-scale Wide shape —
+    // recorded in the artifact, replayed by every probe (SrpIndexSpec
+    // pins Wide-artifact pair parity).
     if (!SrpIndex.hasCurrent(idx))
-      SrpIndex.build(spark, vecs.filter($"vec_id" % 5 =!= 4), idx)
+      SrpIndex.build(spark, vecs.filter($"vec_id" % 5 =!= 4), idx,
+        Srp.Narrow)
     SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
   }
 
@@ -1256,9 +1278,9 @@ object DedupQueries {
     * independent reference, same reasoning as [[incrementalInSession]].
     */
   private[graft] def embeddingIncrementalInSession(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, shape: SrpShape = Srp.Narrow): DataFrame = {
     import spark.implicits._
-    val banded = srpBanded(spark, dir, Srp.Narrow)
+    val banded = srpBanded(spark, dir, shape)
     val corpus = banded.filter($"vec_id" % 5 =!= 4)
     val delta = banded.filter($"vec_id" % 5 === 4)
     corpus.as("a").join(delta.as("b"),
@@ -1301,7 +1323,7 @@ object DedupQueries {
     * `p` means the same hyperplane in every shape), so widening a shape
     * extends the signature rather than reseeding it.
     */
-  private[analytics] final case class SrpShape(planes: Int, bands: Int,
+  private[graft] final case class SrpShape(planes: Int, bands: Int,
       rowsPerBand: Int) {
     require(planes == bands * rowsPerBand,
       s"SrpShape: $bands bands x $rowsPerBand rows != $planes planes")
@@ -1312,7 +1334,7 @@ object DedupQueries {
     def shiftOf(b: Int): Int = b * rowsPerBand % 64
   }
 
-  private[analytics] object Srp {
+  private[graft] object Srp {
     /** [[qDedupEmbeddingLsh]]: recall-leaning at the noise-floor
       * threshold (modeled ≈ 0.80 at cos ≥ 0.46). */
     val Narrow: SrpShape = SrpShape(planes = 32, bands = 8, rowsPerBand = 4)

@@ -14,12 +14,27 @@ import graft.streaming.VersionedArtifact
   * probes the standing band table from disk with O(|delta| + matches)
   * compute and no corpus re-banding.
   *
-  * Two parquet tables inside each version ([[DedupQueries.Srp.Narrow]]
-  * shape — the oracled face's 8×4 banding):
+  * Two parquet tables inside each version:
   *   - `bands`   (band, bits, vec_id) — the banded sign-bit bucket keys;
   *   - `vectors` (vec_id, v, nrm) — double vectors + norms for the exact
   *               cosine verify (the SRP collision is recall machinery;
   *               every emitted pair passes cos ≥ 0.46 exactly).
+  *
+  * The BAND SHAPE is a [[build]] parameter RECORDED IN THE ARTIFACT
+  * (`_meta.txt`, carried through admit/compact): a probe must band its
+  * delta with the exact shape the corpus was banded with — a mismatched
+  * probe would equi-join band values from different hyperplane layouts
+  * and emit noise — so [[probe]]/[[append]] read the shape from the
+  * artifact, never from a caller argument. The default is the
+  * CORPUS-SCALE [[DedupQueries.Srp.Wide]] (8 bands × 16 sign bits, 2¹⁶
+  * values/band): bucket occupancy on near-orthogonal vectors stays
+  * density-bound deep into corpus growth, where the 8×4 `Narrow` shape's
+  * 2⁴ values/band degenerate to 16 giant buckets and quadratic candidate
+  * volume (measured ×20.9 vs ×1.7 wall at 10× data — SCALE.md). The
+  * oracled face builds with `Narrow` explicitly because its DuckDB
+  * oracle replays that seeded pipeline; artifacts written before the
+  * shape was recorded read back as `Narrow` (the only shape that
+  * revision ever built).
   *
   * Versioning + deltaId-idempotent probe-then-admit + compaction ride the
   * same [[graft.streaming.VersionedArtifact]] lifecycle as the other two
@@ -48,30 +63,51 @@ object SrpIndex {
   def appliedDeltas(indexDir: String): Set[String] =
     artifact(indexDir).appliedDeltas
 
+  /** The band shape the artifact was BUILT with — what every probe/admit
+    * must replay. Pre-metadata artifacts (r12) read back as `Narrow`,
+    * the only shape that revision ever wrote.
+    */
+  private[analytics] def shapeOf(indexDir: String): DedupQueries.SrpShape = {
+    val m = artifact(indexDir).meta
+    (m.get("bands"), m.get("rowsPerBand")) match {
+      case (Some(b), Some(r)) =>
+        DedupQueries.SrpShape(b.toInt * r.toInt, b.toInt, r.toInt)
+      case _ => DedupQueries.Srp.Narrow
+    }
+  }
+
   private def writeTables(spark: SparkSession, vecs: DataFrame, ver: File,
-      mode: String): Unit = {
+      mode: String, shape: DedupQueries.SrpShape): Unit = {
     val v = DedupQueries.srpVectorsOf(spark, vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       v.write.mode(mode).parquet(new File(ver, "vectors").toString)
-      DedupQueries.srpBandsOf(spark, v, DedupQueries.Srp.Narrow)
+      DedupQueries.srpBandsOf(spark, v, shape)
         .write.mode(mode).parquet(new File(ver, "bands").toString)
     } finally { v.unpersist(); () }
   }
 
-  /** Build (or fully REBUILD) from a `(vec_id, embedding)` corpus frame. */
-  def build(spark: SparkSession, vecs: DataFrame, indexDir: String): Unit = {
+  /** Build (or fully REBUILD) from a `(vec_id, embedding)` corpus frame.
+    * `shape` is recorded in the artifact and rules every later
+    * probe/admit; the default is the corpus-scale `Wide` banding (see
+    * class doc for why `Narrow` cannot reach 100 TB).
+    */
+  def build(spark: SparkSession, vecs: DataFrame, indexDir: String,
+      shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide): Unit = {
     buildRuns.incrementAndGet()
-    artifact(indexDir).build(writeTables(spark, vecs, _, "overwrite"))
+    artifact(indexDir).build(writeTables(spark, vecs, _, "overwrite", shape),
+      buildMeta = Map("bands" -> shape.bands.toString,
+        "rowsPerBand" -> shape.rowsPerBand.toString))
   }
 
   /** ADMIT a delta (probe-then-admit): true if admitted, false if
     * `deltaId` was already applied. O(|delta|) write, hard-link carry.
+    * Bands with the shape the artifact records — never a caller choice.
     */
   def append(spark: SparkSession, vecs: DataFrame, indexDir: String,
       deltaId: String): Boolean =
     artifact(indexDir).admit(deltaId, Tables,
-      writeTables(spark, vecs, _, "append"))
+      writeTables(spark, vecs, _, "append", shapeOf(indexDir)))
 
   /** Drop versions older than the newest `keep` — see
     * [[DedupIndex.prune]]'s reader-grace note. */
@@ -99,15 +135,43 @@ object SrpIndex {
     * table. All tables resolve against ONE pointer read.
     */
   def probe(spark: SparkSession, indexDir: String,
-      deltaVecs: DataFrame): DataFrame = {
+      deltaVecs: DataFrame): DataFrame =
+    probeLoaded(load(spark, indexDir), deltaVecs)
+
+  /** The artifact's tables + shape resolved against ONE pointer read —
+    * what a LONG-LIVED prober (the streaming embedding-ingest face)
+    * loads once and persists, so every micro-batch probes memory instead
+    * of re-reading the artifact from the lake.
+    */
+  final case class Loaded(vectors: DataFrame, bands: DataFrame,
+      private[graft] val shape: DedupQueries.SrpShape)
+
+  /** Artifact-load counter — the [[buildRuns]]-style observability hook:
+    * lets `IngestDedupSpec` prove a multi-batch ingest stream resolved
+    * the artifact ONCE, not per batch.
+    */
+  val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def load(spark: SparkSession, indexDir: String): Loaded = {
+    loadRuns.incrementAndGet()
+    // shape resolved from the artifact BEFORE the path snapshot: both
+    // come from the same current version under the single-writer
+    // contract, and every delta MUST band with the corpus's build shape
+    val shape = shapeOf(indexDir)
     val paths = artifact(indexDir).snapshotPaths(Tables)
-    val corpusVectors = spark.read.parquet(paths("vectors"))
-    val corpusBands = spark.read.parquet(paths("bands"))
-      .withColumnRenamed("vec_id", "id_a")
+    Loaded(spark.read.parquet(paths("vectors")),
+      spark.read.parquet(paths("bands")), shape)
+  }
+
+  /** [[probe]] against pre-loaded (possibly persisted) artifact frames. */
+  def probeLoaded(loaded: Loaded, deltaVecs: DataFrame): DataFrame = {
+    val spark = deltaVecs.sparkSession
+    val corpusVectors = loaded.vectors
+    val corpusBands = loaded.bands.withColumnRenamed("vec_id", "id_a")
     // no persist — lazy return; see DedupIndex.probe's leak note
     val deltaV = DedupQueries.srpVectorsOf(spark, deltaVecs)
     val deltaBands = DedupQueries
-      .srpBandsOf(spark, deltaV, DedupQueries.Srp.Narrow)
+      .srpBandsOf(spark, deltaV, loaded.shape)
       .withColumnRenamed("vec_id", "id_b")
     // id_a =!= id_b: re-probe of an admitted delta must not self-match
     val cand = deltaBands.join(corpusBands, Seq("band", "bits"))

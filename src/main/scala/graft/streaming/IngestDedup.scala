@@ -38,13 +38,17 @@ object IngestDedup {
     * batch probes memory, not the lake.
     */
   def dedupIngest(docs: Dataset[IngestDoc], corpusPer: DataFrame,
-      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+      checkpointDir: String,
+      shape: graft.analytics.DedupIndex.Shape =
+        graft.analytics.DedupIndex.Shape.Oracle)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
-        sink(DedupQueries.incrementalPairs(
-          corpusPer, DedupQueries.signaturesOf(batch.toDF())), batchId)
+        sink(DedupQueries.incrementalPairs(corpusPer,
+          DedupQueries.signaturesOf(batch.toDF(), shape.slots), shape),
+          batchId)
       }
       .start()
 
@@ -53,25 +57,33 @@ object IngestDedup {
     * [[graft.analytics.SrpIndex]] band artifact — the streaming face of
     * the oracled `q_dedup_embedding_incremental`, same per-batch
     * O(|batch| + matches) shape and the same at-least-once/foreachBatch
-    * delivery contract as the text face. The index tables are read lazily
-    * per batch (vector state is corpus-sized; callers wanting the
-    * probe-from-memory variant persist the loaded frames exactly as
-    * [[dedupIngestFromIndex]] does for signatures).
+    * delivery contract as the text face. The index tables (and the band
+    * shape the artifact records) are resolved ONCE at stream start and
+    * persisted for the query's life — every batch probes memory, not the
+    * lake — with the same listener-released cache lifecycle as the text
+    * face (`IngestDedupSpec` pins the single artifact load).
     */
   def dedupIngestEmbeddings(vecs: Dataset[IngestVec], indexDir: String,
-      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
-    vecs.writeStream
+      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = vecs.sparkSession
+    val loaded = graft.analytics.SrpIndex.load(spark, indexDir)
+    loaded.vectors.persist(); loaded.bands.persist()
+    val start = () => vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestVec], batchId: Long) =>
-        sink(graft.analytics.SrpIndex.probe(
-          batch.sparkSession, indexDir, batch.toDF()), batchId)
+        sink(graft.analytics.SrpIndex.probeLoaded(loaded, batch.toDF()),
+          batchId)
       }
       .start()
+    withCacheLifecycle(spark, start,
+      Seq(loaded.vectors, loaded.bands))
+  }
 
   /** [[dedupIngest]] with the corpus side loaded from a persisted
     * [[graft.analytics.DedupIndex]] artifact — the production wiring:
-    * the stream probes the durable index built at corpus ingest, cached
+    * the stream probes the durable index built at corpus ingest, banded
+    * at the shape the ARTIFACT records (never a caller guess), cached
     * once for the life of the query so every batch probes memory, not
     * the lake. The cache entry lives as long as the query; it is
     * released when the returned query stops (listener below), so a
@@ -81,13 +93,26 @@ object IngestDedup {
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
+    val shape = graft.analytics.DedupIndex.shapeOf(indexDir)
     val corpusPer = spark.read.parquet(
       graft.analytics.DedupIndex.tablePath(indexDir, "signatures")).persist()
-    // if start() throws, the termination listener below is never attached
-    // and the corpus-sized cache entry would leak for the session's life
+    withCacheLifecycle(spark,
+      () => dedupIngest(docs, corpusPer, checkpointDir, shape)(sink),
+      Seq(corpusPer))
+  }
+
+  /** Start a query whose batches probe `cached` persisted frames, and tie
+    * the cache entries' lifetime to the query's: released on termination
+    * (listener), and on a failed start — if start() throws, the listener
+    * is never attached and the corpus-sized entries would leak for the
+    * session's life.
+    */
+  private def withCacheLifecycle(spark: org.apache.spark.sql.SparkSession,
+      start: () => StreamingQuery,
+      cached: Seq[DataFrame]): StreamingQuery = {
     val query =
-      try dedupIngest(docs, corpusPer, checkpointDir)(sink)
-      catch { case e: Throwable => corpusPer.unpersist(); throw e }
+      try start()
+      catch { case e: Throwable => cached.foreach(_.unpersist()); throw e }
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
@@ -100,7 +125,7 @@ object IngestDedup {
             e: org.apache.spark.sql.streaming.StreamingQueryListener
               .QueryTerminatedEvent): Unit =
           if (e.id == query.id) {
-            corpusPer.unpersist()
+            cached.foreach(_.unpersist())
             spark.streams.removeListener(this)
           }
       })

@@ -177,15 +177,52 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     ()
   }
 
-  /** Fresh version (full build/rebuild): `write` fills the new version
-    * dir, the admitted-delta set resets, pointer swap commits.
+  /** Build-time artifact properties (`_meta.txt`, `k=v` lines inside each
+    * version dir — atomic with the pointer swap, carried verbatim through
+    * [[admit]]/[[compact]]): the parameters a PROBE must replay exactly
+    * as the BUILD chose them (an LSH index's band shape, a quantizer's
+    * codebook config). Probing with different parameters than the
+    * artifact was built with silently degrades to garbage candidates, so
+    * the artifact itself is the source of truth. Empty for artifacts
+    * written before metadata existed — readers supply their legacy
+    * default.
     */
-  def build(write: File => Unit): Unit = {
+  def meta: Map[String, String] =
+    currentDir.map(readMeta).getOrElse(Map.empty)
+
+  private def readMeta(ver: File): Map[String, String] = {
+    val f = new File(ver, "_meta.txt")
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").filter(_.contains('=')).map { line =>
+        val i = line.indexOf('=')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+  }
+
+  private def writeMeta(ver: File, m: Map[String, String]): Unit =
+    if (m.nonEmpty) {
+      require(m.forall { case (k, v) =>
+        !k.contains('=') && !k.contains('\n') && !v.contains('\n') },
+        s"artifact meta keys/values must be '='/newline-free: $m")
+      Files.write(new File(ver, "_meta.txt").toPath,
+        m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+
+  /** Fresh version (full build/rebuild): `write` fills the new version
+    * dir, the admitted-delta set resets, `meta` records the build
+    * parameters, pointer swap commits.
+    */
+  def build(write: File => Unit,
+      buildMeta: Map[String, String] = Map.empty): Unit = {
     val v = currentVersion.getOrElse(-1L) + 1
     val next = versionDir(v)
     VersionedStore.clearStale(next)
     write(next)
     writeDeltas(next, Set.empty)
+    writeMeta(next, buildMeta)
     VersionedStore.swapPointer(indexDir, v)
   }
 
@@ -211,6 +248,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
         VersionedStore.linkTree(new File(cur, t), new File(next, t)))
       write(next)
       writeDeltas(next, applied + deltaId)
+      writeMeta(next, readMeta(cur))
       // tripwire, not a lock: a concurrent admission moved the pointer —
       // swapping now would orphan its delta, so fail loudly instead
       require(currentVersion.contains(curV),
@@ -252,6 +290,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
         VersionedStore.linkTree(new File(cur, t), new File(next, t)))
       fat.foreach(t => rewrite(new File(cur, t).toString, new File(next, t)))
       writeDeltas(next, readDeltas(cur))
+      writeMeta(next, readMeta(cur))
       require(currentVersion.contains(curV),
         s"concurrent admission detected at $indexDir (version moved past " +
           s"$curV) — the artifact requires a single writer")

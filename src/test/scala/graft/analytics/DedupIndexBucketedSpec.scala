@@ -45,7 +45,8 @@ class DedupIndexBucketedSpec extends SparkSpec {
       // exchange — the delta side shuffling to the corpus's bucketing;
       // a corpus-side Exchange would mean the layout bought nothing
       val cand = DedupIndex.bucketedCandidates(spark, "b_dedup_bands",
-        DedupQueries.signaturesOf(delta))
+        DedupQueries.signaturesOf(delta,
+          DedupIndex.Shape.Corpus.slots))
       cand.count()
       val plan = cand.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan)

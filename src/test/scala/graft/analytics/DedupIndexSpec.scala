@@ -20,13 +20,57 @@ class DedupIndexSpec extends SparkSpec {
     val delta = docs.filter($"doc_id" % 5 === 4)
     val idx = java.nio.file.Files.createTempDirectory("graft-dedup-idx")
       .toString
-    DedupIndex.build(spark, corpus, idx)
+    DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
     val fromDisk = DedupIndex.probe(spark, idx, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val inSession = DedupQueries.incrementalInSession(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inSession.nonEmpty, "sf0.001 must contain delta-corpus pairs")
     assert(fromDisk === inSession)
+  }
+
+  test("default build is the corpus-scale 32×8/256 shape, RECORDED in " +
+      "the artifact and replayed by probe at pair parity; shape survives " +
+      "admit and compact; a pre-metadata artifact reads back 16×4/128") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 5 =!= 4)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-corpus")
+      .toString
+    DedupIndex.build(spark, corpus, idx)
+    assert(DedupIndex.shapeOf(idx) === DedupIndex.Shape.Corpus,
+      "production default must be the corpus-scale shape")
+    // pair parity with the in-session face AT THE SAME SHAPE: the probe
+    // must band its delta with the shape the artifact records — a 16×4
+    // probe against 32×8 corpus bands would join band values hashed from
+    // different slot ranges and emit noise
+    val fromDisk = DedupIndex.probe(spark, idx, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inSession = DedupQueries
+      .incrementalInSession(spark, dir, DedupIndex.Shape.Corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inSession.nonEmpty,
+      "sf0.001 must contain delta-corpus pairs at the corpus shape")
+    assert(fromDisk === inSession,
+      "Corpus-built artifact probe diverged from the in-session face")
+    // shape survives the lifecycle
+    assert(DedupIndex.append(spark, delta, idx, "day1"))
+    assert(DedupIndex.shapeOf(idx) === DedupIndex.Shape.Corpus,
+      "admit dropped the recorded band shape")
+    DedupIndex.compact(spark, idx, maxFiles = 1)
+    assert(DedupIndex.shapeOf(idx) === DedupIndex.Shape.Corpus,
+      "compact dropped the recorded band shape")
+    // legacy: an artifact without metadata (r12) reads back the 16×4/128
+    // shape — the only one that revision ever wrote
+    val metaFiles = new java.io.File(idx).listFiles()
+      .filter(_.isDirectory).map(v => new java.io.File(v, "_meta.txt"))
+      .filter(_.exists())
+    assert(metaFiles.nonEmpty)
+    metaFiles.foreach(f => assert(f.delete()))
+    assert(DedupIndex.shapeOf(idx) === DedupIndex.Shape.Oracle,
+      "pre-metadata artifact must read back as the legacy oracle shape")
   }
 
   test("probe-then-admit: an appended delta becomes corpus for the next " +

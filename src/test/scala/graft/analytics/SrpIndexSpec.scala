@@ -19,11 +19,13 @@ class SrpIndexSpec extends SparkSpec {
       .select($"vec_id", $"embedding")
   }
 
-  test("probe(artifact, delta) equals the in-session incremental answer") {
+  test("probe(artifact, delta) equals the in-session incremental answer " +
+      "(oracle-matched Narrow shape)") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-srp-idx")
       .toString
-    SrpIndex.build(spark, vecs.filter($"vec_id" % 5 =!= 4), idx)
+    SrpIndex.build(spark, vecs.filter($"vec_id" % 5 =!= 4), idx,
+      DedupQueries.Srp.Narrow)
     val fromDisk = SrpIndex
       .probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -31,6 +33,46 @@ class SrpIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inSession.nonEmpty, "sf0.001 must contain cross-split pairs")
     assert(fromDisk === inSession)
+  }
+
+  test("default build is the corpus-scale Wide shape, RECORDED in the " +
+      "artifact and replayed by probe at pair parity; shape survives " +
+      "admit and compact; a pre-metadata artifact reads back Narrow") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-srp-wide")
+      .toString
+    SrpIndex.build(spark, vecs.filter($"vec_id" % 5 =!= 4), idx)
+    assert(SrpIndex.shapeOf(idx) === DedupQueries.Srp.Wide,
+      "production default must be the corpus-scale shape")
+    // pair parity with the in-session Wide face: the probe must band its
+    // delta with the shape the artifact RECORDS (a Narrow-banded probe
+    // against Wide-banded corpus bands would join values from different
+    // plane layouts and emit noise)
+    val fromDisk = SrpIndex
+      .probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inSession = DedupQueries
+      .embeddingIncrementalInSession(spark, dir, DedupQueries.Srp.Wide)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk === inSession,
+      "Wide-built artifact probe diverged from the in-session Wide face")
+    // shape survives the lifecycle: admit + compact carry _meta.txt
+    assert(SrpIndex.append(spark, vecs.filter($"vec_id" % 5 === 4), idx,
+      "day1"))
+    assert(SrpIndex.shapeOf(idx) === DedupQueries.Srp.Wide,
+      "admit dropped the recorded band shape")
+    SrpIndex.compact(spark, idx, maxFiles = 1)
+    assert(SrpIndex.shapeOf(idx) === DedupQueries.Srp.Wide,
+      "compact dropped the recorded band shape")
+    // legacy: an artifact without metadata (r12) reads back Narrow — the
+    // only shape that revision ever wrote
+    val metaFiles = new java.io.File(idx).listFiles()
+      .filter(_.isDirectory).map(v => new java.io.File(v, "_meta.txt"))
+      .filter(_.exists())
+    assert(metaFiles.nonEmpty)
+    metaFiles.foreach(f => assert(f.delete()))
+    assert(SrpIndex.shapeOf(idx) === DedupQueries.Srp.Narrow,
+      "pre-metadata artifact must read back as the legacy Narrow shape")
   }
 
   test("probe-then-admit: an admitted delta becomes corpus; re-probe has " +

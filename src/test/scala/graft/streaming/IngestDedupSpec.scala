@@ -61,8 +61,12 @@ class IngestDedupSpec extends SparkSpec {
       .select($"doc_id", $"text")
     val idx = java.nio.file.Files
       .createTempDirectory("graft-ingest-idx").toString
+    // Oracle shape explicitly: this test pins the stream to the oracled
+    // batch face, whose artifact is oracle-shaped (the default-Corpus
+    // lifecycle is pinned in DedupIndexSpec)
     graft.analytics.DedupIndex.build(
-      spark, docs.filter($"doc_id" % 5 =!= 4), idx)
+      spark, docs.filter($"doc_id" % 5 =!= 4), idx,
+      graft.analytics.DedupIndex.Shape.Oracle)
     val delta = docs.filter($"doc_id" % 5 === 4)
       .as[IngestDoc].collect().sortBy(_.doc_id)
     val got = java.util.concurrent.ConcurrentHashMap
@@ -95,8 +99,12 @@ class IngestDedupSpec extends SparkSpec {
       .select($"vec_id", $"embedding")
     val idx = java.nio.file.Files
       .createTempDirectory("graft-ingest-srp").toString
+    // oracle-matched Narrow (the oracled face's artifact shape) — the
+    // default-Wide lifecycle is pinned in SrpIndexSpec; here the claim
+    // is parity with the oracled in-session face
     graft.analytics.SrpIndex.build(
-      spark, vecs.filter($"vec_id" % 5 =!= 4), idx)
+      spark, vecs.filter($"vec_id" % 5 =!= 4), idx,
+      graft.analytics.DedupQueries.Srp.Narrow)
     val delta = vecs.filter($"vec_id" % 5 === 4)
       .as[IngestVec].collect().sortBy(_.vec_id)
     val got = java.util.concurrent.ConcurrentHashMap
@@ -104,6 +112,7 @@ class IngestDedupSpec extends SparkSpec {
     val input = MemoryStream[IngestVec]
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-ingest-srp-ckpt").toString
+    val loadsBefore = graft.analytics.SrpIndex.loadRuns.get()
     val q = IngestDedup.dedupIngestEmbeddings(input.toDS(), idx, ckpt) {
       (pairs, _) =>
         pairs.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
@@ -115,6 +124,11 @@ class IngestDedupSpec extends SparkSpec {
       input.addData(b2.toSeq); q.processAllAvailable()
       input.addData(b1.toSeq); q.processAllAvailable()
     } finally q.stop()
+    // three micro-batches, ONE artifact resolution: the stream loads the
+    // band/vector tables at start and probes the persisted frames
+    assert(graft.analytics.SrpIndex.loadRuns.get() === loadsBefore + 1,
+      "embedding ingest re-read the artifact per batch instead of " +
+        "loading it once for the query's life")
     val batch = graft.analytics.DedupQueries
       .embeddingIncrementalInSession(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -122,5 +136,19 @@ class IngestDedupSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(got.asScala.toSet === batch,
       "embedding stream diverged from the oracled incremental face")
+    // the listener released the query-lifetime cache entries on stop:
+    // an equivalent load's frames resolve to the same logical plans, so
+    // their storage level reads NONE once the entries are gone
+    // (termination listeners fire async — hence eventually)
+    val reloaded = graft.analytics.SrpIndex.load(spark, idx)
+    org.scalatest.concurrent.Eventually.eventually(
+      org.scalatest.concurrent.Eventually.timeout(
+        org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+      assert(reloaded.vectors.storageLevel ===
+        org.apache.spark.storage.StorageLevel.NONE &&
+        reloaded.bands.storageLevel ===
+          org.apache.spark.storage.StorageLevel.NONE,
+        "SrpIndex frames still cached after the ingest query stopped")
+    }
   }
 }
