@@ -140,6 +140,86 @@ object ContainIndex {
       out.write.mode("overwrite").parquet(tgt.toString)
     }
 
+  /** CLUSTER-SCALE layout — the [[DedupIndex.buildBucketedBands]]
+    * treatment for the containment family: all four corpus tables as
+    * managed parquet tables bucketed (and sorted) on their probe-side
+    * join keys — `tokens`/`prefix`/`df` on the token hash `hx` (the
+    * candidate equi-joins and the delta's rarest-first ranking join),
+    * `sets` on `doc_id` (the exact verify lookup) — so a probe reads
+    * every corpus table IN PLACE and only the delta's frames (and the
+    * candidate rows) exchange (`ContainIndexBucketedSpec` pins the
+    * plans and pair parity with the directory artifact's probe).
+    */
+  def buildBucketedTables(spark: SparkSession, docs: DataFrame,
+      tablePrefix: String, buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val sh = shingled(docs).persist()
+    try {
+      sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(buckets, "hx").sortBy("hx")
+        .saveAsTable(s"${tablePrefix}_df")
+      val r = DedupQueries.containRanked(sh,
+        spark.table(s"${tablePrefix}_df"))
+      r.select(col("hx"), col("doc_id"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(buckets, "hx").sortBy("hx")
+        .saveAsTable(s"${tablePrefix}_tokens")
+      DedupQueries.containPrefix(r).select(col("hx"), col("doc_id"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(buckets, "hx").sortBy("hx")
+        .saveAsTable(s"${tablePrefix}_prefix")
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("hx"))).as("hs"))
+        .withColumn("sz", size(col("hs")).cast("long"))
+        .filter(col("sz") >= 20)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${tablePrefix}_sets")
+    } finally { sh.unpersist(); () }
+  }
+
+  /** [[probe]] against [[buildBucketedTables]] output — same verified
+    * pairs, every corpus-side exchange elided by layout. The verify runs
+    * SPLIT per direction ([[DedupQueries.verifyContainmentSplit]]): each
+    * side of each verify join is unique by construction (delta sets vs
+    * corpus sets — a delta doc re-probed after admission reads its set
+    * from the delta side, identical content), so the directory probe's
+    * union + anti-join never materialize and the bucketed corpus `sets`
+    * table joins in place. The final distinct collapses the one overlap
+    * a RE-probe can produce (a pair whose both docs sit in delta AND
+    * admitted corpus arrives from both directions).
+    */
+  def probeBucketed(spark: SparkSession, tablePrefix: String,
+      deltaDocs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val sh = shingled(deltaDocs)
+    val r = DedupQueries.containRanked(sh, spark.table(s"${tablePrefix}_df"))
+    val deltaPrefix = DedupQueries.containPrefix(r)
+      .select(col("hx"), col("doc_id"))
+    val deltaTokens = r.select(col("hx"), col("doc_id"))
+    val corpusTokens = spark.table(s"${tablePrefix}_tokens")
+    val corpusPrefix = spark.table(s"${tablePrefix}_prefix")
+    val candNewInOld = deltaPrefix.withColumnRenamed("doc_id", "id_a")
+      .join(corpusTokens.withColumnRenamed("doc_id", "id_b"), "hx")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val candOldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
+      .join(deltaTokens.withColumnRenamed("doc_id", "id_b"), "hx")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val deltaSets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("hx"))).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .filter(col("sz") >= 20)
+    val corpusSets = spark.table(s"${tablePrefix}_sets")
+    DedupQueries.verifyContainmentSplit(deltaSets, corpusSets, candNewInOld)
+      .unionByName(
+        DedupQueries.verifyContainmentSplit(corpusSets, deltaSets,
+          candOldInNew))
+      .distinct()
+  }
+
   /** Probe with a `(doc_id, text)` delta frame: ordered containment
     * pairs (id_a contained-in id_b, ≥ 0.9) with exactly one side in the
     * delta — both directions found by delta-sized probes of the standing

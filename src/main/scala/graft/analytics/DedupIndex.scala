@@ -215,6 +215,25 @@ object DedupIndex {
       .saveAsTable(table)
   }
 
+  /** The signature-table counterpart of [[buildBucketedBands]] — the
+    * VERIFY side's corpus state as a `bucketBy(doc_id)` managed table, so
+    * the exact-Jaccard verify's corpus-sets join reads buckets in place:
+    * [[DedupQueries.verifyJaccardSplit]]'s first join attaches A-side
+    * sets to the narrow candidate rows, and with this layout the corpus
+    * side reports its bucket partitioning while only the candidates
+    * exchange (`DedupIndexBucketedSpec` pins the plan). Completes the
+    * cluster-scale layout: bands AND signatures both read in place, so a
+    * probe moves the delta and the matched candidates — nothing
+    * corpus-sized.
+    */
+  def buildBucketedSignatures(spark: SparkSession, docs: DataFrame,
+      table: String, buckets: Int = 8,
+      shape: Shape = Shape.Corpus): Unit =
+    DedupQueries.signaturesOf(docs, shape.slots)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
+
   /** The raw candidate join against a [[buildBucketedBands]] table,
     * BEFORE the dedup distinct — exposed so the plan-shape spec can
     * assert the corpus side joins with no Exchange (the distinct above it

@@ -858,10 +858,22 @@ object DedupQueries {
 
   /** Exact merge-scan containment verify of (id_a, id_b) candidates. */
   private[analytics] def verifyContainment(per: DataFrame,
-      cand: DataFrame): DataFrame = {
-    val a = per.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
+      cand: DataFrame): DataFrame =
+    verifyContainmentSplit(per, per, cand)
+
+  /** [[verifyContainment]] with separate id_a / id_b set frames — the
+    * split shape that lets an incremental probe keep each side UNIQUE by
+    * construction (delta sets on one side, corpus sets on the other —
+    * no union, no anti-join, and a bucketed corpus `sets` table joins in
+    * place). Join shapes as [[verifyJaccardSplit]]: narrow candidates
+    * build the hash side against the a-sets, the wide b-side streams
+    * sort-merge.
+    */
+  private[analytics] def verifyContainmentSplit(perA: DataFrame,
+      perB: DataFrame, cand: DataFrame): DataFrame = {
+    val a = perA.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
       col("sz").as("a_sz"))
-    val b = per.select(col("doc_id").as("b_id"), col("hs").as("b_hs"))
+    val b = perB.select(col("doc_id").as("b_id"), col("hs").as("b_hs"))
     val withA = a.join(cand.hint("shuffle_hash"), col("a_id") === col("id_a"))
       .select(col("id_a"), col("id_b"), col("a_hs"), col("a_sz"))
     b.join(withA.hint("merge"), col("id_b") === col("b_id"))

@@ -138,6 +138,42 @@ object SrpIndex {
       deltaVecs: DataFrame): DataFrame =
     probeLoaded(load(spark, indexDir), deltaVecs)
 
+  /** CLUSTER-SCALE layout — the [[DedupIndex.buildBucketedBands]]
+    * treatment for the SRP family: both corpus tables as managed parquet
+    * tables bucketed (and sorted) on their probe-side join keys — bands
+    * on `(band, bits)` (the candidate equi-join), vectors on `vec_id`
+    * (the exact-cosine verify lookup) — so every probe reads corpus
+    * buckets IN PLACE and only the delta (and the candidate rows) ever
+    * exchange (`SrpIndexBucketedSpec` pins the single-band-Exchange plan
+    * and pair parity with the directory artifact). Bucket count targets
+    * ~128–512 MB per bucket file ([[Bucketing]] sizing rule).
+    */
+  def buildBucketedTables(spark: SparkSession, vecs: DataFrame,
+      tablePrefix: String, buckets: Int = 8,
+      shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide): Unit = {
+    val v = DedupQueries.srpVectorsOf(spark, vecs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      v.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .bucketBy(buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(s"${tablePrefix}_vectors")
+      DedupQueries.srpBandsOf(spark, v, shape)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .bucketBy(buckets, "band", "bits").sortBy("band", "bits")
+        .saveAsTable(s"${tablePrefix}_bands")
+    } finally { v.unpersist(); () }
+  }
+
+  /** [[probe]] against [[buildBucketedTables]] output. `shape` must be
+    * the one the tables were built with (a managed table has no artifact
+    * metadata to record it in — pair it with the build call's).
+    */
+  def probeBucketed(spark: SparkSession, tablePrefix: String,
+      deltaVecs: DataFrame,
+      shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide): DataFrame =
+    probeLoaded(Loaded(spark.table(s"${tablePrefix}_vectors"),
+      spark.table(s"${tablePrefix}_bands"), shape), deltaVecs)
+
   /** The artifact's tables + shape resolved against ONE pointer read —
     * what a LONG-LIVED prober (the streaming embedding-ingest face)
     * loads once and persists, so every micro-batch probes memory instead

@@ -67,4 +67,53 @@ class DedupIndexBucketedSpec extends SparkSpec {
       ()
     }
   }
+
+  test("bucketed SIGNATURE table: verify-side pair parity, and the " +
+      "corpus sets join the candidates without an Exchange") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = graft.GraftSession.table(spark, dir, "documents")
+        .select($"doc_id", $"text")
+      val corpus = docs.filter($"doc_id" % 5 =!= 4)
+      val delta = docs.filter($"doc_id" % 5 === 4)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-dedup-bsig").toString
+      DedupIndex.build(spark, corpus, idx)
+      DedupIndex.buildBucketedBands(spark, corpus, "b_dedup_bands2", 8)
+      DedupIndex.buildBucketedSignatures(spark, corpus, "b_dedup_sigs", 8)
+
+      // parity: the fully-bucketed probe (bands AND signatures from
+      // managed tables) equals the directory artifact's probe
+      val bucketed = DedupIndex.probeBucketed(spark, "b_dedup_bands2",
+        spark.table("b_dedup_sigs"), delta)
+      val got = bucketed.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = DedupIndex.probe(spark, idx, delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(plain.nonEmpty, "fixture must contain cross-split pairs")
+      assert(got === plain,
+        "bucketed-signature probe diverged from the artifact probe")
+
+      // plan shape: the verify's corpus-sets join must read the bucketed
+      // signature table IN PLACE — the a-side (corpus, a_id = doc_id)
+      // reports its bucket partitioning, so the only single-key exchange
+      // on that join is the NARROW candidate side (id_a). A corpus-side
+      // exchange would surface as `Exchange hashpartitioning(a_id…)`.
+      // final adaptive plan only (the appended initial plan would
+      // double-count)
+      val plan = bucketed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!"Exchange hashpartitioning\\(a_id".r
+        .findAllMatchIn(plan).hasNext,
+        s"corpus signature side exchanged — bucketing bought nothing:\n$plan")
+      assert("Bucketed: true".r.findAllMatchIn(plan).length >= 2,
+        s"both corpus scans (bands + signatures) must report bucketing:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_dedup_bands2")
+      spark.sql("DROP TABLE IF EXISTS b_dedup_sigs")
+      ()
+    }
+  }
 }
