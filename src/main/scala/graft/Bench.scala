@@ -77,7 +77,7 @@ object Bench {
       "q_dedup_components_star" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_split_leakage_safe" -> "dedup-chain member (reuses prebuilt pair set + components loop)",
       "q_dedup_keeper_quality" -> "dedup-chain member (reuses prebuilt pair set + components loop)",
-      "q_dedup_containment" -> "containment-index consumer (first of the pair to run pays the shared 16-char df-rank build)",
+      "q_dedup_containment" -> "containment consumer (shared 16-char shingle cache charged to contain_build; this line is df-rank + SSJoin + verify)",
       "q_dedup_containment_incremental" -> "durable-index consumer (builds the ContainIndex artifact only if absent for the corpus fingerprint; probes it thereafter)",
       "q_dedup_incremental" -> "durable-index consumer (builds the DedupIndex artifact only if absent for the corpus fingerprint; probes it thereafter)",
       "q_dedup_simhash" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash agg+bands)",
@@ -98,6 +98,11 @@ object Bench {
       "q_dedup_simhash", "q_dedup_simhash64",
       "q_neighbor_topk")
     val needChain = selected.exists(e => chainConsumers(e._1))
+    // same treatment for the containment family's shared shingle cache:
+    // with the incremental face artifact-resolved, q_dedup_containment
+    // became the SOLE payer of the shared build and its line jumped
+    // 1.78 → 3.14 s with an unchanged plan (r12 verdict) — name the cost
+    val needContain = selected.exists(_._1 == "q_dedup_containment")
     val best = scala.collection.mutable.Map.empty[String, Double]
     // a query that THROWS must not look like a fast success: record it as
     // -1 (never a plausible duration), print the failure to stderr, and
@@ -123,6 +128,20 @@ object Bench {
           best("chain_build") = t
         System.err.println(f"[bench] pass $p ${"chain_build"}%-28s $t%8.3f s  [shared dedup-chain build]")
       }
+      if (needContain) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.analytics.DedupQueries.buildContainChain(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] FAIL contain_build: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            failed += "contain_build"
+            false
+          }
+        val t = (System.nanoTime() - t0) / 1e9
+        if (ok && t < best.getOrElse("contain_build", Double.MaxValue))
+          best("contain_build") = t
+        System.err.println(f"[bench] pass $p ${"contain_build"}%-28s $t%8.3f s  [shared 16-char shingle cache build]")
+      }
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -145,6 +164,9 @@ object Bench {
     // the total (a partial-failure query keeps its best successful time)
     val results =
       (if (needChain) Seq("chain_build" -> best.getOrElse("chain_build", -1.0))
+       else Seq.empty) ++
+      (if (needContain)
+        Seq("contain_build" -> best.getOrElse("contain_build", -1.0))
        else Seq.empty) ++
       selected.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     // the driver records only the trailing ~2000 chars of output, so the

@@ -826,17 +826,39 @@ object DedupQueries {
     * narrow-projection discipline: strings die in-stage, only
     * (doc_id, hash) reaches the cache.
     */
-  private def containFrames(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+  /** The persisted narrow 16-char shingle frame (doc_id, hx) the whole
+    * containment family shares — extracted so [[buildContainChain]] can
+    * force exactly the cache entry and nothing else.
+    */
+  private def containSh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    val sh = table(spark, dir, "documents")
+    table(spark, dir, "documents")
       .select($"doc_id", $"text")
       .repartition($"doc_id")
       .select($"doc_id", explode(expr(containShingleExpr)).as("sh"))
       .distinct()
       .select($"doc_id", xxhash64($"sh").as("hx"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Force [[containSh]]'s cache — the Bench's `contain_build` labeled
+    * row (the `chain_build` precedent applied to the containment family):
+    * without it, whichever containment face ran first charged the shared
+    * shingle build to its own line, making that row swing round-over-round
+    * while its plan was unchanged. Only the PERSISTED frame is forced —
+    * the df groupBy and rank window are deliberately unpersisted (see
+    * [[containFrames]]) and stay on their consumers' lines.
+    */
+  def buildContainChain(spark: SparkSession, dir: String): Unit = {
+    containSh(spark, dir).count()
+    ()
+  }
+
+  private def containFrames(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val sh = containSh(spark, dir)
     val dfTable = sh.groupBy($"hx").agg(count(lit(1)).as("df"))
     // deliberately NOT persisted (only the narrow `sh` projection above
     // is). Both variants were measured at the 10× corpus and the trade
