@@ -313,6 +313,27 @@ object DedupQueries {
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
+  /** [[qDedupIncremental]] at the DEFAULT corpus-scale artifact shape
+    * (32×8/256, [[DedupIndex.Shape.Corpus]]) — the face that drives the
+    * production build path through the driver's hash gate rather than
+    * only through specs. Own artifact dir (`dedup256-` prefix): the
+    * shape is recorded per artifact, so the two oracled faces must not
+    * share one. Oracle = the same EXACT delta×corpus j ≥ 0.8 answer as
+    * [[qDedupIncremental]]: r=8 bands prune noise collisions, never
+    * true near-dups on this corpus family (`ShapeProbe` measured
+    * verified 67 = 67 at sf0.1, 4 = 4 at sf0.01; same argument as the
+    * long-green `q_dedup_minhash256` row at the lower j ≥ 0.7 bar —
+    * this corpus's dup mass sits at j ≥ 0.93, where the 32×8 miss
+    * probability is ~4e-12).
+    */
+  def qDedupIncremental256(spark: SparkSession, dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "dedup256")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!DedupIndex.hasCurrent(idx))
+      DedupIndex.build(spark, docs.filter(col("doc_id") % 5 =!= 4), idx)
+    DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
   /** The artifact-free in-session face of [[qDedupIncremental]] (shared
     * [[minhashPer]] chain, no disk round-trip) — what `DedupIndexSpec`
     * compares the persisted index's probe AGAINST; the oracled face
@@ -1307,6 +1328,26 @@ object DedupQueries {
     SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
   }
 
+  /** [[qDedupEmbeddingIncremental]] at the DEFAULT corpus-scale Wide
+    * shape (8×16-bit, the [[SrpIndex.build]] default) — drives the
+    * production SRP artifact path through the driver's hash gate. Own
+    * artifact dir (`srpw-` prefix; the shape is recorded per artifact).
+    * The oracle replays the identical seeded 128-plane banding in
+    * DuckDB, so the row is hash-exact at ANY recall — Wide's honest
+    * near-zero recall at this corpus's noise-floor threshold is itself
+    * part of what the row pins (see [[qDedupEmbeddingLsh64]]).
+    */
+  def qDedupEmbeddingIncrementalWide(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = AnnIndex.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val idx = s"${SimilarityQueries.indexRoot}/srpw-$fp"
+    val vecs = table(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    if (!SrpIndex.hasCurrent(idx))
+      SrpIndex.build(spark, vecs.filter($"vec_id" % 5 =!= 4), idx)
+    SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
+  }
+
   /** The artifact-free in-session face of [[qDedupEmbeddingIncremental]]
     * (shared [[srpBanded]] cache, no disk round-trip) — `SrpIndexSpec`'s
     * independent reference, same reasoning as [[incrementalInSession]].
@@ -1469,12 +1510,14 @@ object DedupQueries {
     "q_neighbor_topk" -> qNeighborTopk,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_dedup_incremental256" -> qDedupIncremental256,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "q_dedup_embedding_lsh64" -> qDedupEmbeddingLsh64,
     "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
+    "q_dedup_embedding_incremental_wide" -> qDedupEmbeddingIncrementalWide,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_components_star" -> qDedupComponentsStar,
     "q_dedup_containment" -> qDedupContainment,
@@ -1663,6 +1706,10 @@ object DedupQueries {
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    "q_dedup_incremental256" ->
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
@@ -1722,6 +1769,9 @@ object DedupQueries {
     "q_dedup_embedding_lsh" -> embeddingLshOracle(Srp.Narrow),
     "q_dedup_embedding_lsh64" -> embeddingLshOracle(Srp.Wide),
     "q_dedup_embedding_incremental" -> embeddingLshOracle(Srp.Narrow,
+      joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
+      outA = "corpus_id", outB = "new_id"),
+    "q_dedup_embedding_incremental_wide" -> embeddingLshOracle(Srp.Wide,
       joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
       outA = "corpus_id", outB = "new_id"),
     "q_dedup_components" -> componentsOracle,

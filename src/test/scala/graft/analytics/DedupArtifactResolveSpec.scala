@@ -59,6 +59,29 @@ class DedupArtifactResolveSpec extends SparkSpec {
     }
   }
 
+  test("the corpus-shape faces build their OWN artifacts (shape is " +
+      "recorded per artifact — the two oracled shapes must not share one)") {
+    withFreshRoot("shapes") {
+      val d0 = DedupIndex.buildRuns.get()
+      DedupQueries.qDedupIncremental(spark, dir).collect()
+      DedupQueries.qDedupIncremental256(spark, dir).collect()
+      assert(DedupIndex.buildRuns.get() === d0 + 2,
+        "oracle- and corpus-shape faces must build separate artifacts")
+      // second calls: both resolve, neither rebuilds
+      DedupQueries.qDedupIncremental(spark, dir).collect()
+      DedupQueries.qDedupIncremental256(spark, dir).collect()
+      assert(DedupIndex.buildRuns.get() === d0 + 2)
+      val s0 = SrpIndex.buildRuns.get()
+      DedupQueries.qDedupEmbeddingIncremental(spark, dir).collect()
+      DedupQueries.qDedupEmbeddingIncrementalWide(spark, dir).collect()
+      assert(SrpIndex.buildRuns.get() === s0 + 2,
+        "Narrow and Wide faces must build separate SRP artifacts")
+      DedupQueries.qDedupEmbeddingIncremental(spark, dir).collect()
+      DedupQueries.qDedupEmbeddingIncrementalWide(spark, dir).collect()
+      assert(SrpIndex.buildRuns.get() === s0 + 2)
+    }
+  }
+
   test("q_dedup_containment_incremental builds the ContainIndex artifact " +
       "once, then probes it") {
     withFreshRoot("contain") {

@@ -91,6 +91,22 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/z").count() === 0L)
   }
 
+  test("qZorderLayout on an empty table returns an empty layout frame, " +
+      "not NPE on the null bounds row") {
+    import spark.implicits._
+    // an empty lineitem parquet under a temp sfDir — the zero-row
+    // partition/day an ingest job legitimately produces
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout-e2")
+      .toString
+    graft.GraftSession.table(spark, dir, "lineitem").limit(0)
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val out = Layout.qZorderLayout(spark, tmp)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("bucket", "n_rows", "min_part",
+      "max_part", "min_supp", "max_supp"),
+      "empty-input schema must match the populated face's")
+  }
+
   test("zValue interleave is exact on known bit patterns") {
     import spark.implicits._
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
