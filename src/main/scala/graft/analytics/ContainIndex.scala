@@ -225,43 +225,73 @@ object ContainIndex {
     * delta — both directions found by delta-sized probes of the standing
     * tables (delta prefixes × `tokens`, delta tokens × `prefix`). All
     * four artifact tables resolve against ONE pointer read.
+    *
+    * The verify runs SPLIT per direction
+    * ([[DedupQueries.verifyContainmentSplit]] — the [[probeBucketed]]
+    * engine): each verify side is unique by construction (a delta doc
+    * re-probed after admission reads its set from the delta side,
+    * identical content), so no union or anti-join sits between the
+    * corpus `sets` table and its join — the shape that lets a bucketed
+    * or doc_id-partitioned corpus join in place. The final distinct
+    * collapses the one overlap a RE-probe can produce (a pair whose
+    * both docs sit in delta AND admitted corpus arrives from both
+    * directions); `id_a =!= id_b` keeps the re-probe free of
+    * containment-1.0 self-pairs, same as every incremental face.
     */
   def probe(spark: SparkSession, indexDir: String,
-      deltaDocs: DataFrame): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
+      deltaDocs: DataFrame): DataFrame =
+    probeLoaded(load(spark, indexDir), deltaDocs)
+
+  /** The artifact's four tables resolved against ONE pointer read — what
+    * a LONG-LIVED prober (the streaming containment-ingest face) loads
+    * once and persists, so every micro-batch probes memory instead of
+    * re-reading corpus-sized postings from the lake.
+    */
+  final case class Loaded(tokens: DataFrame, prefix: DataFrame,
+      sets: DataFrame, df: DataFrame)
+
+  /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
+  val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def load(spark: SparkSession, indexDir: String): Loaded = {
+    loadRuns.incrementAndGet()
     val paths = artifact(indexDir).snapshotPaths(Tables)
+    Loaded(spark.read.parquet(paths("tokens")),
+      spark.read.parquet(paths("prefix")),
+      spark.read.parquet(paths("sets")),
+      spark.read.parquet(paths("df")))
+  }
+
+  /** [[probe]] against pre-loaded (possibly persisted) artifact frames. */
+  def probeLoaded(loaded: Loaded, deltaDocs: DataFrame): DataFrame = {
+    val spark = deltaDocs.sparkSession
+    graft.functions.VectorFunctions.register(spark)
     // no persist — see DedupIndex.probe: a lazy return plus an
     // un-released cache entry per daily probe is a session-length leak
     val sh = shingled(deltaDocs)
-    val corpusDf = spark.read.parquet(paths("df"))
-    val r = DedupQueries.containRanked(sh, corpusDf)
+    val r = DedupQueries.containRanked(sh, loaded.df)
     val deltaPrefix = DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
     val deltaTokens = r.select(col("hx"), col("doc_id"))
-    val corpusTokens = spark.read.parquet(paths("tokens"))
-    val corpusPrefix = spark.read.parquet(paths("prefix"))
-    val newInOld = deltaPrefix.withColumnRenamed("doc_id", "id_a")
+    val corpusTokens = loaded.tokens
+    val corpusPrefix = loaded.prefix
+    val candNewInOld = deltaPrefix.withColumnRenamed("doc_id", "id_a")
       .join(corpusTokens.withColumnRenamed("doc_id", "id_b"), "hx")
-    val oldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val candOldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
       .join(deltaTokens.withColumnRenamed("doc_id", "id_b"), "hx")
-    // id_a =!= id_b: a RE-probe after admission (the retry path the
-    // deltaId-idempotent admit exists for) would otherwise pair every
-    // delta doc with its own admitted copy at containment 1.0.
-    val cand = newInOld.unionByName(oldInNew)
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val deltaSets = sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("hx"))).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
       .filter(col("sz") >= 20)
-    // per must be UNIQUE by doc_id or verifyContainment emits each pair
-    // once per copy: on a re-probe the delta's docs also sit in the
-    // admitted `sets` table, so prefer the delta-side set (identical
-    // content — same doc_id ⇒ same text ⇒ same hash set) and anti-join
-    // the corpus sets against the delta's doc_ids.
-    val corpusSets = spark.read.parquet(paths("sets"))
-      .join(deltaSets.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val per = corpusSets.unionByName(deltaSets)
-    DedupQueries.verifyContainment(per, cand)
+    val corpusSets = loaded.sets
+    DedupQueries.verifyContainmentSplit(deltaSets, corpusSets, candNewInOld)
+      .unionByName(
+        DedupQueries.verifyContainmentSplit(corpusSets, deltaSets,
+          candOldInNew))
+      .distinct()
   }
 }

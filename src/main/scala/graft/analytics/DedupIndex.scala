@@ -279,15 +279,36 @@ object DedupIndex {
     * candidate join.
     */
   def probe(spark: SparkSession, indexDir: String,
-      deltaDocs: DataFrame): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
+      deltaDocs: DataFrame): DataFrame =
+    probeLoaded(load(spark, indexDir), deltaDocs)
+
+  /** The artifact's tables + shape resolved against ONE pointer read —
+    * what a LONG-LIVED prober (the streaming text-ingest face) loads
+    * once and persists, so every micro-batch probes memory instead of
+    * re-reading (or worse, re-deriving) corpus-sized state.
+    */
+  final case class Loaded(signatures: DataFrame, bands: DataFrame,
+      shape: Shape)
+
+  /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
+  val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def load(spark: SparkSession, indexDir: String): Loaded = {
+    loadRuns.incrementAndGet()
     // shape resolved from the artifact BEFORE the path snapshot: both
     // come from the same current version under the single-writer contract
     val shape = shapeOf(indexDir)
     val paths = artifact(indexDir).snapshotPaths(Tables)
-    val corpusPer = spark.read.parquet(paths("signatures"))
-    val corpusBands = spark.read.parquet(paths("bands"))
-      .withColumnRenamed("doc_id", "id_a")
+    Loaded(spark.read.parquet(paths("signatures")),
+      spark.read.parquet(paths("bands")), shape)
+  }
+
+  /** [[probe]] against pre-loaded (possibly persisted) artifact frames. */
+  def probeLoaded(loaded: Loaded, deltaDocs: DataFrame): DataFrame = {
+    val spark = deltaDocs.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val shape = loaded.shape
+    val corpusBands = loaded.bands.withColumnRenamed("doc_id", "id_a")
     // no persist: the probe returns a LAZY frame, and a persist here with
     // no unpersist would pin a cache entry per daily probe for the life
     // of the ingest session; the delta-sized recompute across the frame's
@@ -307,7 +328,7 @@ object DedupIndex {
     val cand = deltaBands.join(corpusBands, Seq("band", "sig"))
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    DedupQueries.verifyJaccardSplit(corpusPer, deltaPer, cand, 0.8)
+    DedupQueries.verifyJaccardSplit(loaded.signatures, deltaPer, cand, 0.8)
       .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
         col("jaccard"))
   }

@@ -80,25 +80,63 @@ object IngestDedup {
       Seq(loaded.vectors, loaded.bands))
   }
 
-  /** [[dedupIngest]] with the corpus side loaded from a persisted
-    * [[graft.analytics.DedupIndex]] artifact — the production wiring:
-    * the stream probes the durable index built at corpus ingest, banded
-    * at the shape the ARTIFACT records (never a caller guess), cached
-    * once for the life of the query so every batch probes memory, not
-    * the lake. The cache entry lives as long as the query; it is
-    * released when the returned query stops (listener below), so a
-    * service that cycles many ingest streams does not accrete corpus
-    * caches.
+  /** [[dedupIngest]]'s production wiring: the stream probes the durable
+    * [[graft.analytics.DedupIndex]] artifact built at corpus ingest —
+    * BOTH tables (the persisted band index AND the signature sets),
+    * banded at the shape the artifact records (never a caller guess),
+    * loaded ONCE at stream start and persisted for the query's life.
+    * Probing the artifact's band table matters beyond the cache: the
+    * corpusPer-only wiring re-derived corpus band keys per micro-batch
+    * and re-shuffled the whole corpus into every candidate join —
+    * O(|corpus|) per batch where the index probe is O(|delta|). Cache
+    * entries release when the query stops (same lifecycle as the
+    * embedding face); `IngestDedupSpec` pins the single artifact load.
     */
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
-    val shape = graft.analytics.DedupIndex.shapeOf(indexDir)
-    val corpusPer = spark.read.parquet(
-      graft.analytics.DedupIndex.tablePath(indexDir, "signatures")).persist()
-    withCacheLifecycle(spark,
-      () => dedupIngest(docs, corpusPer, checkpointDir, shape)(sink),
-      Seq(corpusPer))
+    val loaded = graft.analytics.DedupIndex.load(spark, indexDir)
+    loaded.signatures.persist(); loaded.bands.persist()
+    val start = () => docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
+        sink(graft.analytics.DedupIndex.probeLoaded(loaded, batch.toDF()),
+          batchId)
+      }
+      .start()
+    withCacheLifecycle(spark, start, Seq(loaded.signatures, loaded.bands))
+  }
+
+  /** The CONTAINMENT face, completing the streaming trio (near-dup text,
+    * near-dup embeddings, containment): each micro-batch of arriving
+    * documents probes the persisted [[graft.analytics.ContainIndex]]
+    * artifact — the streaming face of the oracled
+    * `q_dedup_containment_incremental`, finding both directions
+    * (batch-doc contained in a corpus doc, corpus doc contained in a
+    * batch doc) with delta-sized probes of the standing postings. Sink
+    * rows are ordered (id_a contained-in id_b, containment ≥ 0.9) pairs
+    * with exactly one side in the batch. All four artifact tables load
+    * ONCE at stream start and persist for the query's life — the
+    * postings (`tokens`) are the corpus-sized table a per-batch re-read
+    * would pay for — with the same listener-released cache lifecycle as
+    * the other faces (`IngestDedupSpec` pins the single artifact load).
+    */
+  def dedupIngestContainment(docs: Dataset[IngestDoc], indexDir: String,
+      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = docs.sparkSession
+    val loaded = graft.analytics.ContainIndex.load(spark, indexDir)
+    val cached = Seq(loaded.tokens, loaded.prefix, loaded.sets, loaded.df)
+    cached.foreach(_.persist())
+    val start = () => docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
+        sink(graft.analytics.ContainIndex.probeLoaded(loaded, batch.toDF()),
+          batchId)
+      }
+      .start()
+    withCacheLifecycle(spark, start, cached)
   }
 
   /** Start a query whose batches probe `cached` persisted frames, and tie

@@ -74,20 +74,76 @@ class IngestDedupSpec extends SparkSpec {
     val input = MemoryStream[IngestDoc]
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-ingest-idx-ckpt").toString
+    val loadsBefore = graft.analytics.DedupIndex.loadRuns.get()
     val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx, ckpt) {
       (pairs, _) =>
         pairs.collect().foreach(r =>
           got.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
     }
     try {
-      input.addData(delta.toSeq); q.processAllAvailable()
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
     } finally q.stop()
+    // two micro-batches, ONE artifact resolution (bands + signatures
+    // loaded at start, probed from the persisted frames per batch — the
+    // previous wiring re-banded and re-shuffled the corpus per batch)
+    assert(graft.analytics.DedupIndex.loadRuns.get() === loadsBefore + 1,
+      "text ingest re-read the artifact per batch instead of loading it " +
+        "once for the query's life")
     val batch = graft.analytics.DedupQueries
       .qDedupIncremental(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     import scala.jdk.CollectionConverters._
     assert(got.asScala.toSet === batch,
       "index-backed stream diverged from the oracled batch face")
+  }
+
+  test("containment firehose probes the durable ContainIndex and " +
+      "reproduces the oracled incremental face") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ingest-contain").toString
+    graft.analytics.ContainIndex.build(
+      spark, docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id)
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Double)]()
+    val input = MemoryStream[IngestDoc]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-contain-ckpt").toString
+    val loadsBefore = graft.analytics.ContainIndex.loadRuns.get()
+    val q = IngestDedup.dedupIngestContainment(input.toDS(), idx, ckpt) {
+      (pairs, _) =>
+        pairs.collect().foreach(r =>
+          got.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+    }
+    try {
+      // two micro-batches + an at-least-once replay of the first
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // three micro-batches, ONE artifact resolution: tokens/prefix/sets/df
+    // load at start and every batch probes the persisted frames
+    assert(graft.analytics.ContainIndex.loadRuns.get() === loadsBefore + 1,
+      "containment ingest re-read the artifact per batch instead of " +
+        "loading it once for the query's life")
+    // batch face builds its own artifact under dir; probe output must
+    // match the stream's union over batches exactly
+    val batch = graft.analytics.DedupQueries
+      .qDedupContainmentIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain cross-split containment")
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === batch,
+      "containment stream diverged from the oracled incremental face")
   }
 
   test("embedding firehose probes the durable SrpIndex and reproduces " +
