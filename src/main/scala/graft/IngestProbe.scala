@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{IngestDedup, IngestDoc, IngestVec}
+
+/** Measurement probe for the STREAMING ingest-dedup trio
+  * ([[graft.streaming.IngestDedup]]; SCALE.md streaming-ingest rows):
+  * per-micro-batch wall for the text (DedupIndex), containment
+  * (ContainIndex), and embedding (SrpIndex) faces, with the SAME delta
+  * batches probed against a 1× and a [[ScaleStress]]-synthesized 10×
+  * corpus index — the claim under test is that steady-state per-batch
+  * ingest cost is O(|batch| + matches), i.e. near-FLAT as the standing
+  * corpus grows 10×, because every batch equi-joins the loaded artifact
+  * instead of re-deriving corpus state.
+  *
+  * Batch 1 is reported separately: it pays the one-time artifact load +
+  * cache materialization (which IS corpus-sized by design — the price is
+  * paid once per stream, not per batch); batches 2+ are the steady
+  * state. Indexes are built at the production default shapes.
+  *
+  *   sbt "runMain graft.IngestProbe /root/testdata/sf0.1"
+  */
+object IngestProbe {
+
+  private val Batches = 5
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-ingestprobe")
+    import spark.implicits._
+
+    val tenxDir = java.nio.file.Files
+      .createTempDirectory("graft-ingestprobe-10x").toString
+    ScaleStress.generate(spark, dir, tenxDir, 10)
+
+    // the SAME delta at both scales: the original dir's % 5 == 4 slice
+    // (ScaleStress keeps copy 0 verbatim, so these ids exist in both)
+    val docs1 = GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val docs10 = spark.read.parquet(s"$tenxDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val vecs1 = GraftSession.table(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val vecs10 = spark.read.parquet(s"$tenxDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val isDocDelta = $"doc_id" < 1000000000L && $"doc_id" % 5 === 4
+    val isVecDelta = $"vec_id" < 1000000000L && $"vec_id" % 5 === 4
+    val deltaDocs = docs1.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id)
+    val deltaVecs = vecs1.filter($"vec_id" % 5 === 4)
+      .as[IngestVec].collect().sortBy(_.vec_id)
+
+    def slices[A](all: Array[A]): Seq[Seq[A]] =
+      (0 until Batches).map(k => all.iterator.zipWithIndex
+        .filter(_._2 % Batches == k).map(_._1).toSeq)
+
+    /** Drive `startQ`'s stream with `Batches` equal slices, timing each
+      * processAllAvailable; returns (per-batch seconds, total matches).
+      */
+    def drive[A: org.apache.spark.sql.Encoder](all: Array[A],
+        startQ: MemoryStream[A] => org.apache.spark.sql.streaming
+          .StreamingQuery): Seq[Double] = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[A]
+      val q = startQ(input)
+      val times = try {
+        slices(all).map { b =>
+          val t0 = System.nanoTime()
+          input.addData(b); q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+      times
+    }
+
+    def report(face: String, scale: String, times: Seq[Double],
+        matches: Long): Unit =
+      println(f"[ingestprobe] $face%-12s $scale%3s: batch1=${times.head}%.2f s " +
+        f"steady=${times.tail.map(t => f"$t%.2f").mkString("/")} s " +
+        f"(median ${median(times.tail)}%.2f) matches=$matches")
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+
+    def ckpt(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-ingestprobe-$tag").toString
+
+    def runText(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-ingestprobe-idx-$tag").toString
+      val t0 = System.nanoTime()
+      graft.analytics.DedupIndex.build(spark, corpus, idx)
+      println(f"[ingestprobe] text         $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val times = drive[IngestDoc](deltaDocs,
+        in => IngestDedup.dedupIngestFromIndex(in.toDS(), idx, ckpt(tag)) {
+          (pairs, _) => n.addAndGet(pairs.count()); ()
+        })
+      report("text", tag, times, n.get())
+    }
+
+    def runContain(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-ingestprobe-cidx-$tag").toString
+      val t0 = System.nanoTime()
+      graft.analytics.ContainIndex.build(spark, corpus, idx)
+      println(f"[ingestprobe] containment  $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val times = drive[IngestDoc](deltaDocs,
+        in => IngestDedup.dedupIngestContainment(in.toDS(), idx,
+          ckpt(s"c$tag")) { (pairs, _) => n.addAndGet(pairs.count()); () })
+      report("containment", tag, times, n.get())
+    }
+
+    def runEmb(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-ingestprobe-sidx-$tag").toString
+      val t0 = System.nanoTime()
+      graft.analytics.SrpIndex.build(spark, corpus, idx)
+      println(f"[ingestprobe] embedding    $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val times = drive[IngestVec](deltaVecs,
+        in => IngestDedup.dedupIngestEmbeddings(in.toDS(), idx,
+          ckpt(s"s$tag")) { (pairs, _) => n.addAndGet(pairs.count()); () })
+      report("embedding", tag, times, n.get())
+    }
+
+    runText("1x", docs1.filter($"doc_id" % 5 =!= 4))
+    runText("10x", docs10.filter(!isDocDelta))
+    runContain("1x", docs1.filter($"doc_id" % 5 =!= 4))
+    runContain("10x", docs10.filter(!isDocDelta))
+    runEmb("1x", vecs1.filter($"vec_id" % 5 =!= 4))
+    runEmb("10x", vecs10.filter(!isVecDelta))
+    spark.stop()
+  }
+}
