@@ -262,25 +262,48 @@ object ContainIndex {
       spark.read.parquet(paths("df")))
   }
 
-  /** [[probe]] against pre-loaded (possibly persisted) artifact frames. */
-  def probeLoaded(loaded: Loaded, deltaDocs: DataFrame): DataFrame = {
+  /** [[probe]] against pre-loaded (possibly persisted) artifact frames.
+    *
+    * `micro = true` declares `deltaDocs` a MICRO-BATCH (the streaming
+    * ingest face, where admission control bounds the delta per trigger):
+    * delta-derived sides broadcast into every corpus join, so the cached
+    * corpus tables STREAM — no per-batch exchange or sort of
+    * corpus-sized postings (the dominant per-batch term at 10× corpus,
+    * measured in `IngestProbe`). Batch probes keep the default: a daily
+    * delta is not broadcast-bounded.
+    */
+  def probeLoaded(loaded: Loaded, deltaDocs: DataFrame,
+      micro: Boolean = false): DataFrame = {
     val spark = deltaDocs.sparkSession
     graft.functions.VectorFunctions.register(spark)
     // no persist — see DedupIndex.probe: a lazy return plus an
     // un-released cache entry per daily probe is a session-length leak
     val sh = shingled(deltaDocs)
-    val r = DedupQueries.containRanked(sh, loaded.df)
+    // micro: containRanked's left join would exchange+sort the corpus df
+    // table per batch (left-outer can't broadcast its preserved side);
+    // shrink df to the delta's tokens first — corpus df STREAMS against
+    // the broadcast token set, and the left join downstream is
+    // delta×delta (unseen tokens still coalesce to df 0 = rarest)
+    val dfForRank =
+      if (micro)
+        // outer broadcast: containRanked's LEFT join can then take this
+        // delta-bounded frame as its broadcast build side too
+        broadcast(
+          loaded.df.join(broadcast(sh.select(col("hx")).distinct()), "hx"))
+      else loaded.df
+    val r = DedupQueries.containRanked(sh, dfForRank)
+    def side(d: DataFrame): DataFrame = if (micro) broadcast(d) else d
     val deltaPrefix = DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
     val deltaTokens = r.select(col("hx"), col("doc_id"))
     val corpusTokens = loaded.tokens
     val corpusPrefix = loaded.prefix
-    val candNewInOld = deltaPrefix.withColumnRenamed("doc_id", "id_a")
+    val candNewInOld = side(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
       .join(corpusTokens.withColumnRenamed("doc_id", "id_b"), "hx")
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val candOldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
-      .join(deltaTokens.withColumnRenamed("doc_id", "id_b"), "hx")
+      .join(side(deltaTokens.withColumnRenamed("doc_id", "id_b")), "hx")
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val deltaSets = sh.groupBy(col("doc_id"))
@@ -288,10 +311,11 @@ object ContainIndex {
       .withColumn("sz", size(col("hs")).cast("long"))
       .filter(col("sz") >= 20)
     val corpusSets = loaded.sets
-    DedupQueries.verifyContainmentSplit(deltaSets, corpusSets, candNewInOld)
+    DedupQueries.verifyContainmentSplit(deltaSets, corpusSets, candNewInOld,
+        micro)
       .unionByName(
         DedupQueries.verifyContainmentSplit(corpusSets, deltaSets,
-          candOldInNew))
+          candOldInNew, micro))
       .distinct()
   }
 }

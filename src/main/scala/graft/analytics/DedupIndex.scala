@@ -303,8 +303,15 @@ object DedupIndex {
       spark.read.parquet(paths("bands")), shape)
   }
 
-  /** [[probe]] against pre-loaded (possibly persisted) artifact frames. */
-  def probeLoaded(loaded: Loaded, deltaDocs: DataFrame): DataFrame = {
+  /** [[probe]] against pre-loaded (possibly persisted) artifact frames.
+    *
+    * `micro = true` declares `deltaDocs` a MICRO-BATCH (the streaming
+    * ingest face): delta bands and candidates broadcast into the corpus
+    * joins, so the cached band/signature tables STREAM with zero
+    * per-batch exchange — see [[ContainIndex.probeLoaded]].
+    */
+  def probeLoaded(loaded: Loaded, deltaDocs: DataFrame,
+      micro: Boolean = false): DataFrame = {
     val spark = deltaDocs.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val shape = loaded.shape
@@ -325,10 +332,12 @@ object DedupIndex {
     // delta doc against its own admitted copy at jaccard 1.0 and report
     // the whole retried delta as corpus duplicates — a keeper policy
     // downstream would then drop it. Batch faces filter the same way.
-    val cand = deltaBands.join(corpusBands, Seq("band", "sig"))
+    val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
+    val cand = deltaSide.join(corpusBands, Seq("band", "sig"))
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    DedupQueries.verifyJaccardSplit(loaded.signatures, deltaPer, cand, 0.8)
+    DedupQueries.verifyJaccardSplit(loaded.signatures, deltaPer, cand, 0.8,
+        micro)
       .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
         col("jaccard"))
   }

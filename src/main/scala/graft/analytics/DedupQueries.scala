@@ -237,16 +237,31 @@ object DedupQueries {
   /** [[verifyJaccard]] with separate id_a / id_b signature frames — the
     * incremental shape, where the a-side is the standing corpus and the
     * b-side a delta whose signatures were computed batch-locally.
+    *
+    * `micro = true` declares the b-side a MICRO-BATCH delta (bounded per
+    * trigger by the stream's admission control, never a day-sized batch):
+    * the candidate set and the candidate-bounded a-side rows broadcast,
+    * so the corpus-sized a table STREAMS from its cache scan with zero
+    * per-batch exchange or sort — the join tax the streaming probe would
+    * otherwise pay on every trigger (measured: the containment face's
+    * per-batch exchange of 10× postings was its whole corpus-size term).
+    * The batch faces keep `micro = false`: a daily delta is NOT
+    * broadcast-bounded, and the shuffle_hash/merge shape is the one
+    * sized for it.
     */
   private[graft] def verifyJaccardSplit(perA: DataFrame, perB: DataFrame,
-      cand: DataFrame, threshold: Double): DataFrame = {
+      cand: DataFrame, threshold: Double,
+      micro: Boolean = false): DataFrame = {
     val a = perA.select(col("doc_id").as("a_id"),
       col("hs").as("a_hs"), col("sz").as("a_sz"))
     val b = perB.select(col("doc_id").as("b_id"),
       col("hs").as("b_hs"), col("sz").as("b_sz"))
-    val withA = a.join(cand.hint("shuffle_hash"), col("a_id") === col("id_a"))
+    val withA =
+      (if (micro) a.join(broadcast(cand), col("a_id") === col("id_a"))
+       else a.join(cand.hint("shuffle_hash"), col("a_id") === col("id_a")))
       .select(col("id_a"), col("id_b"), col("a_hs"), col("a_sz"))
-    b.join(withA.hint("merge"), col("id_b") === col("b_id"))
+    (if (micro) b.join(broadcast(withA), col("id_b") === col("b_id"))
+     else b.join(withA.hint("merge"), col("id_b") === col("b_id")))
       .withColumn("inter", expr("graft_sorted_and_count(a_hs, b_hs)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")))
@@ -913,13 +928,18 @@ object DedupQueries {
     * sort-merge.
     */
   private[analytics] def verifyContainmentSplit(perA: DataFrame,
-      perB: DataFrame, cand: DataFrame): DataFrame = {
+      perB: DataFrame, cand: DataFrame, micro: Boolean = false): DataFrame = {
     val a = perA.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
       col("sz").as("a_sz"))
     val b = perB.select(col("doc_id").as("b_id"), col("hs").as("b_hs"))
-    val withA = a.join(cand.hint("shuffle_hash"), col("a_id") === col("id_a"))
+    // micro: see verifyJaccardSplit — candidate/delta sides broadcast so
+    // a corpus-sized side streams from cache with no per-batch exchange
+    val withA =
+      (if (micro) a.join(broadcast(cand), col("a_id") === col("id_a"))
+       else a.join(cand.hint("shuffle_hash"), col("a_id") === col("id_a")))
       .select(col("id_a"), col("id_b"), col("a_hs"), col("a_sz"))
-    b.join(withA.hint("merge"), col("id_b") === col("b_id"))
+    (if (micro) b.join(broadcast(withA), col("id_b") === col("b_id"))
+     else b.join(withA.hint("merge"), col("id_b") === col("b_id")))
       .withColumn("inter", expr("graft_sorted_and_count(a_hs, b_hs)"))
       .withColumn("containment", col("inter").cast("double") / col("a_sz"))
       .filter(col("containment") >= 0.9)

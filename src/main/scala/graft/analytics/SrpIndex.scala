@@ -199,8 +199,15 @@ object SrpIndex {
       spark.read.parquet(paths("bands")), shape)
   }
 
-  /** [[probe]] against pre-loaded (possibly persisted) artifact frames. */
-  def probeLoaded(loaded: Loaded, deltaVecs: DataFrame): DataFrame = {
+  /** [[probe]] against pre-loaded (possibly persisted) artifact frames.
+    *
+    * `micro = true` declares `deltaVecs` a MICRO-BATCH (the streaming
+    * ingest face): delta bands and candidates broadcast into the corpus
+    * joins, so the cached band/vector tables STREAM with zero per-batch
+    * exchange — see [[ContainIndex.probeLoaded]].
+    */
+  def probeLoaded(loaded: Loaded, deltaVecs: DataFrame,
+      micro: Boolean = false): DataFrame = {
     val spark = deltaVecs.sparkSession
     val corpusVectors = loaded.vectors
     val corpusBands = loaded.bands.withColumnRenamed("vec_id", "id_a")
@@ -210,12 +217,14 @@ object SrpIndex {
       .srpBandsOf(spark, deltaV, loaded.shape)
       .withColumnRenamed("vec_id", "id_b")
     // id_a =!= id_b: re-probe of an admitted delta must not self-match
-    val cand = deltaBands.join(corpusBands, Seq("band", "bits"))
+    val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
+    val cand = deltaSide.join(corpusBands, Seq("band", "bits"))
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+    val withCorpus = (if (micro) broadcast(cand) else cand)
       .join(corpusVectors.select(col("vec_id").as("id_a"),
         col("v").as("av"), col("nrm").as("an")), Seq("id_a"))
+    (if (micro) broadcast(withCorpus) else withCorpus)
       .join(deltaV.select(col("vec_id").as("id_b"),
         col("v").as("bv"), col("nrm").as("bn")), Seq("id_b"))
       .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),

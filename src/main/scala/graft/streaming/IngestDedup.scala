@@ -72,8 +72,8 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestVec], batchId: Long) =>
-        sink(graft.analytics.SrpIndex.probeLoaded(loaded, batch.toDF()),
-          batchId)
+        sink(graft.analytics.SrpIndex.probeLoaded(loaded, batch.toDF(),
+          micro = true), batchId)
       }
       .start()
     withCacheLifecycle(spark, start,
@@ -101,8 +101,8 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
-        sink(graft.analytics.DedupIndex.probeLoaded(loaded, batch.toDF()),
-          batchId)
+        sink(graft.analytics.DedupIndex.probeLoaded(loaded, batch.toDF(),
+          micro = true), batchId)
       }
       .start()
     withCacheLifecycle(spark, start, Seq(loaded.signatures, loaded.bands))
@@ -132,8 +132,8 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
-        sink(graft.analytics.ContainIndex.probeLoaded(loaded, batch.toDF()),
-          batchId)
+        sink(graft.analytics.ContainIndex.probeLoaded(loaded, batch.toDF(),
+          micro = true), batchId)
       }
       .start()
     withCacheLifecycle(spark, start, cached)
