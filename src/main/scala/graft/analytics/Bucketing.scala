@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
+  /** ~256 MB per bucket — the serving store's default, reused by the
+    * durable-index bucketed builders.
+    */
+  val DefaultTargetBucketBytes: Long = 256L << 20
+
+  /** Smallest power-of-two bucket count covering `estimatedBytes` at
+    * `targetBytes` per bucket, min 1 — the `CdcServingTable` sizing rule
+    * applied at index-build time. Builders estimate bytes as
+    * rows × nominal row width (uncompressed — conservative: compression
+    * only makes buckets smaller than target, never bigger); an index
+    * build is a full rewrite, so a drifted estimate self-corrects at the
+    * next build and no resize hysteresis is needed.
+    */
+  def sizedBuckets(estimatedBytes: Long,
+      targetBytes: Long = DefaultTargetBucketBytes): Int = {
+    val raw = math.max(1L, (estimatedBytes + targetBytes - 1) / targetBytes)
+    var n = 1
+    while (n < raw && n < (1 << 20)) n <<= 1
+    n
+  }
+
   /** Write `df` as a managed parquet table bucketed (and sorted) by `key`. */
   def writeBucketed(
       df: DataFrame,

@@ -151,30 +151,41 @@ object ContainIndex {
     * plans and pair parity with the directory artifact's probe).
     */
   def buildBucketedTables(spark: SparkSession, docs: DataFrame,
-      tablePrefix: String, buckets: Int = 8): Unit = {
+      tablePrefix: String, buckets: Int = 0): Unit = {
     import org.apache.spark.sql.SaveMode
     val sh = shingled(docs).persist()
     try {
+      // buckets = 0: per-table sizing from bytes (Bucketing rule),
+      // counted once on the persisted shingle frame. tokens = the full
+      // posting list at ~16 B/row; prefix ≈ 1/10 of it; df = one row per
+      // distinct token (bounded by token rows); sets pack the same hashes
+      // as tokens at ~8 B plus per-doc framing
+      val shRows = if (buckets > 0) 0L else sh.count()
+      def n(bytes: Long): Int =
+        if (buckets > 0) buckets else Bucketing.sizedBuckets(bytes)
+      val tokenN = n(shRows * 16L)
+      val prefixN = n(shRows * 16L / 10)
+      val setsN = n(shRows * 9L)
       sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
         .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(buckets, "hx").sortBy("hx")
+        .bucketBy(tokenN, "hx").sortBy("hx")
         .saveAsTable(s"${tablePrefix}_df")
       val r = DedupQueries.containRanked(sh,
         spark.table(s"${tablePrefix}_df"))
       r.select(col("hx"), col("doc_id"))
         .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(buckets, "hx").sortBy("hx")
+        .bucketBy(tokenN, "hx").sortBy("hx")
         .saveAsTable(s"${tablePrefix}_tokens")
       DedupQueries.containPrefix(r).select(col("hx"), col("doc_id"))
         .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(buckets, "hx").sortBy("hx")
+        .bucketBy(prefixN, "hx").sortBy("hx")
         .saveAsTable(s"${tablePrefix}_prefix")
       sh.groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("hx"))).as("hs"))
         .withColumn("sz", size(col("hs")).cast("long"))
         .filter(col("sz") >= 20)
         .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .bucketBy(setsN, "doc_id").sortBy("doc_id")
         .saveAsTable(s"${tablePrefix}_sets")
     } finally { sh.unpersist(); () }
   }

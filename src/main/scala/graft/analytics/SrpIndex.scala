@@ -149,17 +149,28 @@ object SrpIndex {
     * ~128–512 MB per bucket file ([[Bucketing]] sizing rule).
     */
   def buildBucketedTables(spark: SparkSession, vecs: DataFrame,
-      tablePrefix: String, buckets: Int = 8,
+      tablePrefix: String, buckets: Int = 0,
       shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide): Unit = {
     val v = DedupQueries.srpVectorsOf(spark, vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // buckets = 0: per-table sizing from bytes (Bucketing rule) — the
+      // count rides the persisted frame, so it costs one cached scan.
+      // Vector rows carry the float array (dims × 4 B + norm); band rows
+      // are bands/vector at ~24 B (band, bits, vec_id)
+      val rows = if (buckets > 0) 0L else v.count()
+      val dims = if (buckets > 0) 0
+        else v.select(size(col("v"))).first().getInt(0)
+      val vN = if (buckets > 0) buckets
+        else Bucketing.sizedBuckets(rows * (dims * 4L + 16L))
+      val bN = if (buckets > 0) buckets
+        else Bucketing.sizedBuckets(rows * shape.bands * 24L)
       v.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-        .bucketBy(buckets, "vec_id").sortBy("vec_id")
+        .bucketBy(vN, "vec_id").sortBy("vec_id")
         .saveAsTable(s"${tablePrefix}_vectors")
       DedupQueries.srpBandsOf(spark, v, shape)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-        .bucketBy(buckets, "band", "bits").sortBy("band", "bits")
+        .bucketBy(bN, "band", "bits").sortBy("band", "bits")
         .saveAsTable(s"${tablePrefix}_bands")
     } finally { v.unpersist(); () }
   }
