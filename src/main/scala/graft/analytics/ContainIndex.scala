@@ -237,17 +237,9 @@ object ContainIndex {
     * tables (delta prefixes × `tokens`, delta tokens × `prefix`). All
     * four artifact tables resolve against ONE pointer read.
     *
-    * The verify runs SPLIT per direction
-    * ([[DedupQueries.verifyContainmentSplit]] — the [[probeBucketed]]
-    * engine): each verify side is unique by construction (a delta doc
-    * re-probed after admission reads its set from the delta side,
-    * identical content), so no union or anti-join sits between the
-    * corpus `sets` table and its join — the shape that lets a bucketed
-    * or doc_id-partitioned corpus join in place. The final distinct
-    * collapses the one overlap a RE-probe can produce (a pair whose
-    * both docs sit in delta AND admitted corpus arrives from both
-    * directions); `id_a =!= id_b` keeps the re-probe free of
-    * containment-1.0 self-pairs, same as every incremental face.
+    * `id_a =!= id_b` keeps a RE-probe (the at-least-once retry path)
+    * free of containment-1.0 self-pairs, same as every incremental
+    * face. Verify shape is mode-dependent — see [[probeLoaded]].
     */
   def probe(spark: SparkSession, indexDir: String,
       deltaDocs: DataFrame): DataFrame =
@@ -309,24 +301,45 @@ object ContainIndex {
     val deltaTokens = r.select(col("hx"), col("doc_id"))
     val corpusTokens = loaded.tokens
     val corpusPrefix = loaded.prefix
-    val candNewInOld = side(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
+    val rawNewInOld = side(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
       .join(corpusTokens.withColumnRenamed("doc_id", "id_b"), "hx")
       .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val candOldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
+      .select(col("id_a"), col("id_b"))
+    val rawOldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
       .join(side(deltaTokens.withColumnRenamed("doc_id", "id_b")), "hx")
       .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
     val deltaSets = sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("hx"))).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
       .filter(col("sz") >= 20)
     val corpusSets = loaded.sets
-    DedupQueries.verifyContainmentSplit(deltaSets, corpusSets, candNewInOld,
-        micro)
-      .unionByName(
-        DedupQueries.verifyContainmentSplit(corpusSets, deltaSets,
-          candOldInNew, micro))
-      .distinct()
+    if (micro)
+      // split per direction, distinct per direction: each verify side is
+      // unique by construction, so with the delta broadcast the corpus
+      // sets STREAM twice from cache — cheap for a micro-batch, and the
+      // only shape that keeps the whole plan exchange-free
+      // (IngestMicroPlanSpec); the final distinct collapses the one
+      // overlap a RE-probe can produce
+      DedupQueries.verifyContainmentSplit(deltaSets, corpusSets,
+          rawNewInOld.distinct(), micro = true)
+        .unionByName(DedupQueries.verifyContainmentSplit(corpusSets,
+          deltaSets, rawOldInNew.distinct(), micro = true))
+        .distinct()
+    else {
+      // batch shape: ONE candidate distinct and ONE verify pass over a
+      // per-doc-unique union — a daily delta pays the corpus-side
+      // exchanges once, not once per direction (the per-direction shape
+      // measured ×1.8–2.2 on this face's bench line). On a RE-probe the
+      // delta's docs also sit in the admitted `sets` table, so prefer
+      // the delta-side set (identical content — same doc_id ⇒ same text
+      // ⇒ same hash set) and anti-join the corpus sets against the
+      // delta's doc_ids.
+      val cand = rawNewInOld.unionByName(rawOldInNew).distinct()
+      val per = corpusSets
+        .join(deltaSets.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(deltaSets)
+      DedupQueries.verifyContainment(per, cand)
+    }
   }
 }
