@@ -159,7 +159,9 @@ object SrpIndex {
       // Vector rows carry the float array (dims × 4 B + norm); band rows
       // are bands/vector at ~24 B (band, bits, vec_id)
       val rows = if (buckets > 0) 0L else v.count()
-      val dims = if (buckets > 0) 0
+      // rows == 0 guard: first() on an empty frame throws — an empty
+      // corpus builds 1-bucket empty tables instead (sizedBuckets(0) = 1)
+      val dims = if (buckets > 0 || rows == 0) 0
         else v.select(size(col("v"))).first().getInt(0)
       val vN = if (buckets > 0) buckets
         else Bucketing.sizedBuckets(rows * (dims * 4L + 16L))

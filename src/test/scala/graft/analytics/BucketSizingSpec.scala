@@ -1,5 +1,7 @@
 package graft.analytics
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 
 /** The durable-index bucketed builders size their bucket counts from
@@ -44,9 +46,17 @@ class BucketSizingSpec extends SparkSpec {
       // explicit count still wins
       DedupIndex.buildBucketedBands(spark, docs, "sz_bands8", 8)
       assert(numBuckets("sz_bands8") === "8")
+      // empty corpus: the SRP auto-sizer reads dims from a first() —
+      // zero rows must size to 1 bucket, not throw
+      val noVecs = graft.GraftSession
+        .table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select($"vec_id", $"embedding").filter(lit(false))
+      SrpIndex.buildBucketedTables(spark, noVecs, "sz_srp_empty")
+      assert(numBuckets("sz_srp_empty_vectors") === "1")
     } finally {
       for (t <- Seq("sz_bands", "sz_sigs", "sz_bands8", "sz_contain_tokens",
-          "sz_contain_prefix", "sz_contain_sets", "sz_contain_df"))
+          "sz_contain_prefix", "sz_contain_sets", "sz_contain_df",
+          "sz_srp_empty_vectors", "sz_srp_empty_bands"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
       ()
     }
