@@ -21,20 +21,33 @@ object Bucketing {
   val DefaultTargetBucketBytes: Long = 256L << 20
 
   /** Smallest power-of-two bucket count covering `estimatedBytes` at
-    * `targetBytes` per bucket, min 1 — the `CdcServingTable` sizing rule
-    * applied at index-build time. Builders estimate bytes as
-    * rows × nominal row width (uncompressed — conservative: compression
-    * only makes buckets smaller than target, never bigger); an index
-    * build is a full rewrite, so a drifted estimate self-corrects at the
-    * next build and no resize hysteresis is needed.
+    * `targetBytes` per bucket, min 1 — ONE definition shared by the
+    * serving store (`CdcServingTable`, which passes its own cap: its
+    * buckets are directory partitions, not `bucketBy` tables) and the
+    * index builders. Builders estimate bytes as rows × nominal row width
+    * (uncompressed — conservative: compression only makes buckets
+    * smaller than target, never bigger); an index build is a full
+    * rewrite, so a drifted estimate self-corrects at the next build and
+    * no resize hysteresis is needed.
+    *
+    * `maxBuckets` clamps the result (largest power of two ≤ the cap):
+    * `bucketBy` tables must respect the session's
+    * `spark.sql.sources.bucketing.maxBuckets` (default 100 000) or
+    * `saveAsTable` throws AFTER the expensive build compute — callers
+    * writing managed tables pass [[sessionMaxBuckets]].
     */
   def sizedBuckets(estimatedBytes: Long,
-      targetBytes: Long = DefaultTargetBucketBytes): Int = {
+      targetBytes: Long = DefaultTargetBucketBytes,
+      maxBuckets: Int = 1 << 20): Int = {
     val raw = math.max(1L, (estimatedBytes + targetBytes - 1) / targetBytes)
     var n = 1
-    while (n < raw && n < (1 << 20)) n <<= 1
+    while (n < raw && (n << 1) <= maxBuckets) n <<= 1
     n
   }
+
+  /** The session's `bucketBy` bucket-count ceiling. */
+  def sessionMaxBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.sources.bucketing.maxBuckets", "100000").toInt
 
   /** Write `df` as a managed parquet table bucketed (and sorted) by `key`. */
   def writeBucketed(

@@ -156,19 +156,24 @@ object ContainIndex {
     val sh = shingled(docs).persist()
     try {
       // buckets = 0: per-table sizing from bytes (Bucketing rule),
-      // counted once on the persisted shingle frame. tokens = the full
-      // posting list at ~16 B/row; prefix ≈ 1/10 of it; df = one row per
-      // distinct token (bounded by token rows); sets pack the same hashes
-      // as tokens at ~8 B plus per-doc framing
+      // counted on the persisted shingle frame. tokens = the full
+      // posting list at ~16 B/row; prefix ≈ 1/10 of it; df = one row
+      // per DISTINCT token (its own count — sizing df by posting rows
+      // would over-bucket by the corpus's average token frequency);
+      // sets pack the same hashes as tokens at ~8 B plus per-doc framing
       val shRows = if (buckets > 0) 0L else sh.count()
+      val dfRows =
+        if (buckets > 0) 0L else sh.select(col("hx")).distinct().count()
+      val cap = Bucketing.sessionMaxBuckets(spark)
       def n(bytes: Long): Int =
-        if (buckets > 0) buckets else Bucketing.sizedBuckets(bytes)
+        if (buckets > 0) buckets
+        else Bucketing.sizedBuckets(bytes, maxBuckets = cap)
       val tokenN = n(shRows * 16L)
       val prefixN = n(shRows * 16L / 10)
       val setsN = n(shRows * 9L)
       sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
         .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(tokenN, "hx").sortBy("hx")
+        .bucketBy(n(dfRows * 16L), "hx").sortBy("hx")
         .saveAsTable(s"${tablePrefix}_df")
       val r = DedupQueries.containRanked(sh,
         spark.table(s"${tablePrefix}_df"))

@@ -204,21 +204,27 @@ object DedupIndex {
   def buildBucketedBands(spark: SparkSession, docs: DataFrame,
       table: String, buckets: Int = 0,
       shape: Shape = Shape.Corpus): Unit = {
-    val per = DedupQueries.signaturesOf(docs, shape.slots)
-    val bandCols = DedupQueries.bandStructs(shape.bands,
-      shape.rowsPerBand, shape.slots)
-    // buckets = 0: size from bytes (Bucketing rule) — band rows are
-    // docs × bands at ~24 B (band, sig, doc_id); a toy-corpus build gets
-    // 1 bucket, a 100 TB one the count its bytes ask for, and an
-    // explicit count stays available for layout-pinning specs
-    val n = if (buckets > 0) buckets
-      else Bucketing.sizedBuckets(docs.count() * shape.bands * 24L)
-    per.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
-        col("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-      .bucketBy(n, "band", "sig").sortBy("band", "sig")
-      .saveAsTable(table)
+    val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
+    try {
+      val bandCols = DedupQueries.bandStructs(shape.bands,
+        shape.rowsPerBand, shape.slots)
+      // buckets = 0: size from bytes (Bucketing rule) — band rows are
+      // docs × bands at ~24 B (band, sig, doc_id); the count rides the
+      // persisted signature frame the write reuses (never a second scan
+      // of the source). A toy-corpus build gets 1 bucket, a 100 TB one
+      // the count its bytes ask for (capped at the session's bucketBy
+      // ceiling), and an explicit count stays available for
+      // layout-pinning specs
+      val n = if (buckets > 0) buckets
+        else Bucketing.sizedBuckets(per.count() * shape.bands * 24L,
+          maxBuckets = Bucketing.sessionMaxBuckets(spark))
+      per.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+          col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .bucketBy(n, "band", "sig").sortBy("band", "sig")
+        .saveAsTable(table)
+    } finally { per.unpersist(); () }
   }
 
   /** The signature-table counterpart of [[buildBucketedBands]] — the
@@ -235,15 +241,19 @@ object DedupIndex {
   def buildBucketedSignatures(spark: SparkSession, docs: DataFrame,
       table: String, buckets: Int = 0,
       shape: Shape = Shape.Corpus): Unit = {
-    // buckets = 0: per-doc row ≈ slots × 8 (signature) + the distinct
-    // 5-char shingle hash set (~200 tokens × 8 B on the measured
-    // corpus) — nominal 2 kB + signature width
-    val n = if (buckets > 0) buckets
-      else Bucketing.sizedBuckets(docs.count() * (shape.slots * 8L + 2048L))
-    DedupQueries.signaturesOf(docs, shape.slots)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-      .bucketBy(n, "doc_id").sortBy("doc_id")
-      .saveAsTable(table)
+    val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
+    try {
+      // buckets = 0: per-doc row ≈ slots × 8 (signature) + the distinct
+      // 5-char shingle hash set (~200 tokens × 8 B on the measured
+      // corpus) — nominal 2 kB + signature width; counted on the
+      // persisted frame the write reuses
+      val n = if (buckets > 0) buckets
+        else Bucketing.sizedBuckets(per.count() * (shape.slots * 8L + 2048L),
+          maxBuckets = Bucketing.sessionMaxBuckets(spark))
+      per.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .bucketBy(n, "doc_id").sortBy("doc_id")
+        .saveAsTable(table)
+    } finally { per.unpersist(); () }
   }
 
   /** The raw candidate join against a [[buildBucketedBands]] table,

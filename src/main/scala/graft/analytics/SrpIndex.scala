@@ -163,10 +163,11 @@ object SrpIndex {
       // corpus builds 1-bucket empty tables instead (sizedBuckets(0) = 1)
       val dims = if (buckets > 0 || rows == 0) 0
         else v.select(size(col("v"))).first().getInt(0)
+      val cap = Bucketing.sessionMaxBuckets(spark)
       val vN = if (buckets > 0) buckets
-        else Bucketing.sizedBuckets(rows * (dims * 4L + 16L))
+        else Bucketing.sizedBuckets(rows * (dims * 4L + 16L), maxBuckets = cap)
       val bN = if (buckets > 0) buckets
-        else Bucketing.sizedBuckets(rows * shape.bands * 24L)
+        else Bucketing.sizedBuckets(rows * shape.bands * 24L, maxBuckets = cap)
       v.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
         .bucketBy(vN, "vec_id").sortBy("vec_id")
         .saveAsTable(s"${tablePrefix}_vectors")

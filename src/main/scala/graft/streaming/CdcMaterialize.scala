@@ -175,19 +175,17 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
     walk(new java.io.File(ver, tblDirName))
   }
 
-  /** The sizing rule: smallest power of two covering `bytes` at
-    * [[autoSizeTargetBytes]] per bucket. Power-of-two targets make the
-    * ≥ 2× resize hysteresis natural (growth crosses a boundary once per
-    * doubling, so a table pays O(log growth) rewrites, not a rewrite per
-    * size wobble).
+  /** The sizing rule (one shared definition —
+    * [[graft.analytics.Bucketing.sizedBuckets]]): smallest power of two
+    * covering `bytes` at [[autoSizeTargetBytes]] per bucket. Power-of-two
+    * targets make the ≥ 2× resize hysteresis natural (growth crosses a
+    * boundary once per doubling, so a table pays O(log growth) rewrites,
+    * not a rewrite per size wobble). The store's buckets are directory
+    * partitions, not `bucketBy` tables, so no session `maxBuckets` cap
+    * applies here.
     */
-  private def sizedBuckets(bytes: Long): Int = {
-    val raw = math.max(1L,
-      (bytes + autoSizeTargetBytes - 1) / autoSizeTargetBytes)
-    var n = 1
-    while (n < raw && n < (1 << 20)) n <<= 1
-    n
-  }
+  private def sizedBuckets(bytes: Long): Int =
+    graft.analytics.Bucketing.sizedBuckets(bytes, autoSizeTargetBytes)
 
   /** Deterministic pk-hash bucket — the sub-table rewrite granularity:
     * a micro-batch touching k of a hot table's buckets rewrites k/buckets
@@ -424,7 +422,8 @@ object CdcServingTable {
     * `autoSizeTargetBytes = 0` to pin counts by hand (specs that assert
     * fixed-modulus mechanics; a deployment with its own layout policy).
     */
-  val DefaultTargetBucketBytes: Long = 256L * 1024 * 1024
+  val DefaultTargetBucketBytes: Long =
+    graft.analytics.Bucketing.DefaultTargetBucketBytes
 }
 
 /** CDC → queryable FULL-HISTORY table — the temporal complement of

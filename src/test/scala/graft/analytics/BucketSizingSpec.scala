@@ -24,6 +24,13 @@ class BucketSizingSpec extends SparkSpec {
     assert(Bucketing.sizedBuckets(1L << 40) === 4096)
     // explicit target (the serving store passes its own)
     assert(Bucketing.sizedBuckets(1000L, targetBytes = 100L) === 16)
+    // maxBuckets clamp: a 100 TB estimate wants 524 288 buckets, but a
+    // bucketBy table must stay under the session's bucketing.maxBuckets
+    // (default 100 000) or saveAsTable throws AFTER the build compute —
+    // the clamp keeps the largest power of two under the cap
+    assert(Bucketing.sizedBuckets(100L << 40, maxBuckets = 100000) === 65536)
+    assert(Bucketing.sizedBuckets(100L << 40) === 524288)
+    assert(Bucketing.sessionMaxBuckets(spark) === 100000)
   }
 
   test("auto-sized builds put a toy corpus at 1 bucket per table") {
