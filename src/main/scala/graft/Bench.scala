@@ -114,36 +114,32 @@ object Bench {
     // result row count per query (stable across passes — recorded so the
     // self-emitted report carries a cardinality next to every wall time)
     val outRows = scala.collection.mutable.Map.empty[String, Long]
+    // one accounting for every labeled shared-cache build row (the
+    // chain_build/contain_build pattern): same failure handling, min
+    // tracking, and stderr format as a query row, so the next shared
+    // family is a one-line call, not a third copied block
+    def timedBuild(p: Int, label: String, note: String)(
+        build: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { build; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] FAIL $label: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed += label
+          false
+        }
+      val t = (System.nanoTime() - t0) / 1e9
+      if (ok && t < best.getOrElse(label, Double.MaxValue)) best(label) = t
+      System.err.println(f"[bench] pass $p $label%-28s $t%8.3f s  [$note]")
+    }
     for (p <- 1 to passes) {
       if (p > 1) spark.sharedState.cacheManager.clearCache()
-      if (needChain) {
-        val t0 = System.nanoTime()
-        val ok =
-          try { graft.analytics.DedupQueries.buildChain(spark, sfDir); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] FAIL chain_build: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            failed += "chain_build"
-            false
-          }
-        val t = (System.nanoTime() - t0) / 1e9
-        if (ok && t < best.getOrElse("chain_build", Double.MaxValue))
-          best("chain_build") = t
-        System.err.println(f"[bench] pass $p ${"chain_build"}%-28s $t%8.3f s  [shared dedup-chain build]")
-      }
-      if (needContain) {
-        val t0 = System.nanoTime()
-        val ok =
-          try { graft.analytics.DedupQueries.buildContainChain(spark, sfDir); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] FAIL contain_build: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            failed += "contain_build"
-            false
-          }
-        val t = (System.nanoTime() - t0) / 1e9
-        if (ok && t < best.getOrElse("contain_build", Double.MaxValue))
-          best("contain_build") = t
-        System.err.println(f"[bench] pass $p ${"contain_build"}%-28s $t%8.3f s  [shared 16-char shingle cache build]")
-      }
+      if (needChain)
+        timedBuild(p, "chain_build", "shared dedup-chain build")(
+          graft.analytics.DedupQueries.buildChain(spark, sfDir))
+      if (needContain)
+        timedBuild(p, "contain_build", "shared 16-char shingle cache build")(
+          graft.analytics.DedupQueries.buildContainChain(spark, sfDir))
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =

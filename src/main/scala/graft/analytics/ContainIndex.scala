@@ -50,6 +50,13 @@ object ContainIndex {
 
   private def artifact(indexDir: String) = new VersionedArtifact(indexDir)
 
+  /** The committed version id behind the _CURRENT pointer — one file
+    * read; what a long-lived prober polls per micro-batch to bound its
+    * cache's staleness to one batch (see `IngestDedup`).
+    */
+  def currentVersion(indexDir: String): Option[Long] =
+    artifact(indexDir).currentVersion
+
   private def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
@@ -57,6 +64,18 @@ object ContainIndex {
         explode(expr(DedupQueries.containShingleExpr)).as("sh"))
       .distinct()
       .select(col("doc_id"), xxhash64(col("sh")).as("hx"))
+
+  /** The (doc_id, sorted hash set, sz) frame of a shingle projection,
+    * fragment floor n >= 20 applied — ONE definition (the containRanked
+    * precedent) so the floor and the set encoding can never drift
+    * between the artifact build, the probes, and the bucketed layout,
+    * whose pair parity is spec-pinned against each other.
+    */
+  private def setsOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("hx"))).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .filter(col("sz") >= 20)
 
   /** The current version's path for `table` — observability/spec hook. */
   def tablePath(indexDir: String, table: String): String =
@@ -73,10 +92,7 @@ object ContainIndex {
     DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
       .write.mode(mode).parquet(new File(ver, "prefix").toString)
-    sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("hx"))).as("hs"))
-      .withColumn("sz", size(col("hs")).cast("long"))
-      .filter(col("sz") >= 20)
+    setsOf(sh)
       .write.mode(mode).parquet(new File(ver, "sets").toString)
   }
 
@@ -185,10 +201,7 @@ object ContainIndex {
         .write.mode(SaveMode.Overwrite).format("parquet")
         .bucketBy(prefixN, "hx").sortBy("hx")
         .saveAsTable(s"${tablePrefix}_prefix")
-      sh.groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("hx"))).as("hs"))
-        .withColumn("sz", size(col("hs")).cast("long"))
-        .filter(col("sz") >= 20)
+      setsOf(sh)
         .write.mode(SaveMode.Overwrite).format("parquet")
         .bucketBy(setsN, "doc_id").sortBy("doc_id")
         .saveAsTable(s"${tablePrefix}_sets")
@@ -224,10 +237,7 @@ object ContainIndex {
       .join(deltaTokens.withColumnRenamed("doc_id", "id_b"), "hx")
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val deltaSets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("hx"))).as("hs"))
-      .withColumn("sz", size(col("hs")).cast("long"))
-      .filter(col("sz") >= 20)
+    val deltaSets = setsOf(sh)
     val corpusSets = spark.table(s"${tablePrefix}_sets")
     DedupQueries.verifyContainmentSplit(deltaSets, corpusSets, candNewInOld)
       .unionByName(
@@ -314,10 +324,7 @@ object ContainIndex {
       .join(side(deltaTokens.withColumnRenamed("doc_id", "id_b")), "hx")
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val deltaSets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("hx"))).as("hs"))
-      .withColumn("sz", size(col("hs")).cast("long"))
-      .filter(col("sz") >= 20)
+    val deltaSets = setsOf(sh)
     val corpusSets = loaded.sets
     if (micro)
       // split per direction, distinct per direction: each verify side is

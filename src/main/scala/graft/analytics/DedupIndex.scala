@@ -111,6 +111,13 @@ object DedupIndex {
 
   private def artifact(indexDir: String) = new VersionedArtifact(indexDir)
 
+  /** The committed version id behind the _CURRENT pointer — one file
+    * read; what a long-lived prober polls per micro-batch to bound its
+    * cache's staleness to one batch (see `IngestDedup`).
+    */
+  def currentVersion(indexDir: String): Option[Long] =
+    artifact(indexDir).currentVersion
+
   /** The current version's path for `table` — observability/spec hook;
     * multi-table READS should go through one [[VersionedArtifact
     * .snapshotPaths]] resolution, as [[probe]] does.
@@ -224,7 +231,37 @@ object DedupIndex {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
         .bucketBy(n, "band", "sig").sortBy("band", "sig")
         .saveAsTable(table)
+      recordShape(spark, table, shape)
     } finally { per.unpersist(); () }
+  }
+
+  /** The managed-table twin of the directory artifact's `_meta.txt`: the
+    * band shape rides the table's TBLPROPERTIES, so a probe can never
+    * band its delta differently than the table was built (the silent
+    * near-empty join a caller-guess default invites — same contract as
+    * [[shapeOf]]).
+    */
+  private def recordShape(spark: SparkSession, table: String,
+      shape: Shape): Unit = {
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.bands' = '${shape.bands}', " +
+      s"'graft.rowsPerBand' = '${shape.rowsPerBand}', " +
+      s"'graft.slots' = '${shape.slots}')")
+    ()
+  }
+
+  /** Shape recorded by [[buildBucketedBands]]; pre-metadata tables read
+    * back as the 16×4/128 their revision hard-wired (the [[shapeOf]]
+    * legacy rule applied to the managed-table path).
+    */
+  def bucketedShapeOf(spark: SparkSession, table: String): Shape = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (props.get("graft.bands"), props.get("graft.rowsPerBand"),
+        props.get("graft.slots")) match {
+      case (Some(b), Some(r), Some(s)) => Shape(b.toInt, r.toInt, s.toInt)
+      case _ => Shape.Oracle
+    }
   }
 
   /** The signature-table counterpart of [[buildBucketedBands]] — the
@@ -277,13 +314,14 @@ object DedupIndex {
   /** [[probe]] against the bucketed band table: same verified pairs, the
     * corpus-side exchange elided by layout. `corpusPer` is the signature
     * frame the exact verify reads (from the directory artifact or a
-    * doc_id-bucketed table of its own). `shape` must be the one the
-    * band table was built with (a managed table has no artifact metadata
-    * to record it in — pair it with the build call's).
+    * doc_id-bucketed table of its own). The band shape is resolved from
+    * the TABLE's recorded properties ([[bucketedShapeOf]]) — never a
+    * caller guess.
     */
   def probeBucketed(spark: SparkSession, table: String, corpusPer: DataFrame,
-      deltaDocs: DataFrame, shape: Shape = Shape.Corpus): DataFrame = {
+      deltaDocs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    val shape = bucketedShapeOf(spark, table)
     val deltaPer = DedupQueries.signaturesOf(deltaDocs, shape.slots)
     val cand = bucketedCandidates(spark, table, deltaPer, shape)
       .select(col("id_a"), col("id_b")).distinct()

@@ -55,6 +55,13 @@ object SrpIndex {
 
   private def artifact(indexDir: String) = new VersionedArtifact(indexDir)
 
+  /** The committed version id behind the _CURRENT pointer — one file
+    * read; what a long-lived prober polls per micro-batch to bound its
+    * cache's staleness to one batch (see `IngestDedup`).
+    */
+  def currentVersion(indexDir: String): Option[Long] =
+    artifact(indexDir).currentVersion
+
   /** The current version's path for `table` — observability/spec hook. */
   def tablePath(indexDir: String, table: String): String =
     artifact(indexDir).tablePath(table)
@@ -175,18 +182,38 @@ object SrpIndex {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
         .bucketBy(bN, "band", "bits").sortBy("band", "bits")
         .saveAsTable(s"${tablePrefix}_bands")
+      // shape rides the band table's TBLPROPERTIES — the managed-table
+      // twin of the directory artifact's _meta.txt (DedupIndex precedent)
+      spark.sql(s"ALTER TABLE ${tablePrefix}_bands SET TBLPROPERTIES (" +
+        s"'graft.bands' = '${shape.bands}', " +
+        s"'graft.rowsPerBand' = '${shape.rowsPerBand}')")
+      ()
     } finally { v.unpersist(); () }
   }
 
-  /** [[probe]] against [[buildBucketedTables]] output. `shape` must be
-    * the one the tables were built with (a managed table has no artifact
-    * metadata to record it in — pair it with the build call's).
+  /** Shape recorded by [[buildBucketedTables]]; pre-metadata tables read
+    * back as the Wide shape their (round-13) revision defaulted.
+    */
+  def bucketedShapeOf(spark: SparkSession,
+      tablePrefix: String): DedupQueries.SrpShape = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${tablePrefix}_bands")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (props.get("graft.bands"), props.get("graft.rowsPerBand")) match {
+      case (Some(b), Some(r)) =>
+        DedupQueries.SrpShape(b.toInt * r.toInt, b.toInt, r.toInt)
+      case _ => DedupQueries.Srp.Wide
+    }
+  }
+
+  /** [[probe]] against [[buildBucketedTables]] output. The band shape is
+    * resolved from the tables' recorded properties ([[bucketedShapeOf]])
+    * — never a caller guess.
     */
   def probeBucketed(spark: SparkSession, tablePrefix: String,
-      deltaVecs: DataFrame,
-      shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide): DataFrame =
+      deltaVecs: DataFrame): DataFrame =
     probeLoaded(Loaded(spark.table(s"${tablePrefix}_vectors"),
-      spark.table(s"${tablePrefix}_bands"), shape), deltaVecs)
+      spark.table(s"${tablePrefix}_bands"),
+      bucketedShapeOf(spark, tablePrefix)), deltaVecs)
 
   /** The artifact's tables + shape resolved against ONE pointer read —
     * what a LONG-LIVED prober (the streaming embedding-ingest face)

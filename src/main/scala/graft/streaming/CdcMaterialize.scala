@@ -251,9 +251,21 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
     try {
       // driver-side touched-TABLE list first: bucket ids depend on the
       // per-table counts, and (re)sizing decisions must be settled before
-      // any pkb is computed. Bounded by |tables|.
-      val touchedTbls = keyed.select(col("tbl")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      // any pkb is computed. Bounded by |tables|. The same pass carries
+      // per-table BATCH byte estimates (rows + json payload), so a
+      // brand-new table seeds at the count its FIRST batch asks for — a
+      // bootstrap()-sized initial load must not funnel a whole table
+      // through one bucket and then pay a second full rewrite when the
+      // next merge notices (the incoming batch was never consulted
+      // before).
+      val tblStats: Map[String, Long] = keyed.groupBy(col("tbl"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("after_json"))).as("jb"))
+        .collect().map { r =>
+          val json = if (r.isNullAt(2)) 0L else r.getLong(2)
+          r.getString(0) -> (json + r.getLong(1) * 64L)
+        }.toMap
+      val touchedTbls = tblStats.keys.toSeq
       if (touchedTbls.nonEmpty) {
         val prev = currentVersion
         val prevDir = prev.map(pv => new java.io.File(dir, s"v$pv"))
@@ -278,12 +290,13 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
               else None
             }
           }.toMap
-        // tables with NO recorded count start SIZED when sizing is on: a
-        // brand-new table at 1 bucket (it doubles as it grows), and —
-        // on the one-time no-sidecar/legacy migration rewrite — every
-        // existing table at the count its observed bytes ask for, so a
-        // migrated 10 TB table lands bucketed for its size, not at the
-        // constructor constant
+        // tables with NO recorded count start SIZED when sizing is on:
+        // from max(previous on-disk bytes, THIS batch's estimated bytes)
+        // — a brand-new trickle table lands at 1 bucket (doubling as it
+        // grows), a bootstrap-sized initial load lands at the count its
+        // snapshot asks for, and on the one-time no-sidecar/legacy
+        // migration rewrite every existing table gets the count its
+        // observed bytes ask for, not the constructor constant
         val seeded: Map[String, Int] =
           if (autoSizeTargetBytes <= 0) Map.empty
           else {
@@ -299,9 +312,11 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
             (prevTbls ++ touchedTbls).distinct
               .filterNot(prevCounts.contains)
               .map { t =>
-                t -> prevDir.map(pd => sizedBuckets(tableBytes(pd,
-                  "tbl=" + ExternalCatalogUtils.escapePathName(t))))
-                  .getOrElse(1)
+                val prevBytes = prevDir.map(pd => tableBytes(pd,
+                  "tbl=" + ExternalCatalogUtils.escapePathName(t)))
+                  .getOrElse(0L)
+                t -> sizedBuckets(
+                  math.max(prevBytes, tblStats.getOrElse(t, 0L)))
               }.toMap
           }
         val counts = prevCounts ++ seeded ++ resized
@@ -475,16 +490,40 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
       .getOrElse(Array.empty[java.io.File])
       .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
 
-  /** READ-ONLY resolution: the pointer's version dir, else — for a
-    * changelog still in the pre-versioned flat layout — the log root
-    * itself, whose `tbl=*` dirs read in place as a partitioned parquet
-    * root. Never mutates: a forensic/read-only consumer (or a reader
-    * racing the writer's first append) must not trigger the destructive
-    * moves of [[adoptFlatLayout]] — adoption is a WRITE-path action.
+  /** READ-ONLY resolution: every directory that can hold committed log
+    * rows, TORN STATES INCLUDED. Never mutates: a forensic/read-only
+    * consumer (or a reader racing the writer's first append) must not
+    * trigger the destructive moves of [[adoptFlatLayout]] — adoption is
+    * a WRITE-path action — but it must still see the data an
+    * interrupted adoption left behind:
+    *   - pointer present → that version dir (plus any flat `tbl=*` dirs
+    *     a crash stranded outside it);
+    *   - no pointer but `v0` exists → a crash landed BETWEEN the moves
+    *     and the pointer swap: read v0 AND the not-yet-moved flat dirs
+    *     (reading "no pointer" as "empty" would silently vanish the
+    *     moved history until the next write heals the pointer);
+    *   - neither → the flat pre-versioned dirs alone.
+    * The flat dirs are read with `basePath = logRoot` so their `tbl=`
+    * path segments still parse as the partition column.
     */
-  private def readDir: Option[java.io.File] =
-    currentDir.orElse(
-      if (flatDirs.nonEmpty) Some(new java.io.File(logRoot)) else None)
+  private def readFrames(
+      spark: SparkSession): Seq[DataFrame] = {
+    val unpointedV0 = {
+      val v0 = new java.io.File(logRoot, "v0")
+      if (currentDir.isEmpty && v0.isDirectory) Some(v0) else None
+    }
+    val ver = currentDir.orElse(unpointedV0)
+    val flats = flatDirs
+    Seq(
+      ver.map(d =>
+        spark.read.schema(CdcKeyed.schema).parquet(d.toString)),
+      if (flats.nonEmpty)
+        Some(spark.read.option("basePath", logRoot)
+          .schema(CdcKeyed.schema)
+          .parquet(flats.map(_.toString).toIndexedSeq: _*))
+      else None
+    ).flatten
+  }
 
   /** MIGRATION (WRITE PATH ONLY): a changelog written by the
     * pre-versioned revision lives flat at `<dir>/log/tbl=*` with no
@@ -496,7 +535,7 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
     * pointer. Idempotent (after adoption the pointer resolves; a crashed
     * adoption's already-moved dirs are absent from the flat list on
     * retry) and same-filesystem rename, so no data is copied. Read paths
-    * never call this — see [[readDir]].
+    * never call this — see [[readFrames]].
     */
   private def adoptFlatLayout(): Option[java.io.File] = {
     val flat = flatDirs
@@ -528,11 +567,11 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
   }
 
   /** The raw changelog as appended (redelivered duplicates included). */
-  def changelog(spark: SparkSession): DataFrame = readDir match {
-    case Some(d) => spark.read.schema(CdcKeyed.schema).parquet(d.toString)
-    case None =>
+  def changelog(spark: SparkSession): DataFrame = readFrames(spark) match {
+    case Seq() =>
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CdcKeyed.schema)
+    case frames => frames.reduce(_ unionByName _)
   }
 
   /** Compact the changelog's small files. Each micro-batch append leaves

@@ -58,54 +58,59 @@ object IngestDedup {
     * the oracled `q_dedup_embedding_incremental`, same per-batch
     * O(|batch| + matches) shape and the same at-least-once/foreachBatch
     * delivery contract as the text face. The index tables (and the band
-    * shape the artifact records) are resolved ONCE at stream start and
-    * persisted for the query's life — every batch probes memory, not the
-    * lake — with the same listener-released cache lifecycle as the text
-    * face (`IngestDedupSpec` pins the single artifact load).
+    * shape the artifact records) ride a [[VersionedCache]]: persisted
+    * for as long as the artifact version stands (every batch probes
+    * memory, not the lake), reloaded within one batch of an admission
+    * moving the pointer, released when the query stops.
     */
   def dedupIngestEmbeddings(vecs: Dataset[IngestVec], indexDir: String,
       checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = vecs.sparkSession
-    val loaded = graft.analytics.SrpIndex.load(spark, indexDir)
-    loaded.vectors.persist(); loaded.bands.persist()
+    val cache = new VersionedCache(
+      () => graft.analytics.SrpIndex.currentVersion(indexDir),
+      () => graft.analytics.SrpIndex.load(spark, indexDir),
+      (l: graft.analytics.SrpIndex.Loaded) => Seq(l.vectors, l.bands))
     val start = () => vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestVec], batchId: Long) =>
-        sink(graft.analytics.SrpIndex.probeLoaded(loaded, batch.toDF(),
-          micro = true), batchId)
+        sink(graft.analytics.SrpIndex.probeLoaded(cache.get(),
+          batch.toDF(), micro = true), batchId)
       }
       .start()
-    withCacheLifecycle(spark, start,
-      Seq(loaded.vectors, loaded.bands))
+    withCacheLifecycle(spark, start, cache)
   }
 
   /** [[dedupIngest]]'s production wiring: the stream probes the durable
     * [[graft.analytics.DedupIndex]] artifact built at corpus ingest —
     * BOTH tables (the persisted band index AND the signature sets),
     * banded at the shape the artifact records (never a caller guess),
-    * loaded ONCE at stream start and persisted for the query's life.
-    * Probing the artifact's band table matters beyond the cache: the
-    * corpusPer-only wiring re-derived corpus band keys per micro-batch
-    * and re-shuffled the whole corpus into every candidate join —
-    * O(|corpus|) per batch where the index probe is O(|delta|). Cache
-    * entries release when the query stops (same lifecycle as the
-    * embedding face); `IngestDedupSpec` pins the single artifact load.
+    * persisted through a [[VersionedCache]] — loaded once per artifact
+    * VERSION, not per batch, and refreshed within one batch of a
+    * mid-stream admission. Probing the artifact's band table matters
+    * beyond the cache: the corpusPer-only wiring re-derived corpus band
+    * keys per micro-batch and re-shuffled the whole corpus into every
+    * candidate join — O(|corpus|) per batch where the index probe is
+    * O(|delta|). Cache entries release when the query stops;
+    * `IngestDedupSpec` pins the load-per-version count and the
+    * post-admission freshness.
     */
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
-    val loaded = graft.analytics.DedupIndex.load(spark, indexDir)
-    loaded.signatures.persist(); loaded.bands.persist()
+    val cache = new VersionedCache(
+      () => graft.analytics.DedupIndex.currentVersion(indexDir),
+      () => graft.analytics.DedupIndex.load(spark, indexDir),
+      (l: graft.analytics.DedupIndex.Loaded) => Seq(l.signatures, l.bands))
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
-        sink(graft.analytics.DedupIndex.probeLoaded(loaded, batch.toDF(),
-          micro = true), batchId)
+        sink(graft.analytics.DedupIndex.probeLoaded(cache.get(),
+          batch.toDF(), micro = true), batchId)
       }
       .start()
-    withCacheLifecycle(spark, start, Seq(loaded.signatures, loaded.bands))
+    withCacheLifecycle(spark, start, cache)
   }
 
   /** The CONTAINMENT face, completing the streaming trio (near-dup text,
@@ -116,41 +121,79 @@ object IngestDedup {
     * (batch-doc contained in a corpus doc, corpus doc contained in a
     * batch doc) with delta-sized probes of the standing postings. Sink
     * rows are ordered (id_a contained-in id_b, containment ≥ 0.9) pairs
-    * with exactly one side in the batch. All four artifact tables load
-    * ONCE at stream start and persist for the query's life — the
-    * postings (`tokens`) are the corpus-sized table a per-batch re-read
-    * would pay for — with the same listener-released cache lifecycle as
-    * the other faces (`IngestDedupSpec` pins the single artifact load).
+    * with exactly one side in the batch. All four artifact tables ride
+    * the same [[VersionedCache]] as the other faces — persisted per
+    * artifact version (the postings are the corpus-sized table a
+    * per-batch re-read would pay for), refreshed within one batch of an
+    * admission, released when the query stops.
     */
   def dedupIngestContainment(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
-    val loaded = graft.analytics.ContainIndex.load(spark, indexDir)
-    val cached = Seq(loaded.tokens, loaded.prefix, loaded.sets, loaded.df)
-    cached.foreach(_.persist())
+    val cache = new VersionedCache(
+      () => graft.analytics.ContainIndex.currentVersion(indexDir),
+      () => graft.analytics.ContainIndex.load(spark, indexDir),
+      (l: graft.analytics.ContainIndex.Loaded) =>
+        Seq(l.tokens, l.prefix, l.sets, l.df))
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
-        sink(graft.analytics.ContainIndex.probeLoaded(loaded, batch.toDF(),
-          micro = true), batchId)
+        sink(graft.analytics.ContainIndex.probeLoaded(cache.get(),
+          batch.toDF(), micro = true), batchId)
       }
       .start()
-    withCacheLifecycle(spark, start, cached)
+    withCacheLifecycle(spark, start, cache)
   }
 
-  /** Start a query whose batches probe `cached` persisted frames, and tie
-    * the cache entries' lifetime to the query's: released on termination
-    * (listener), and on a failed start — if start() throws, the listener
-    * is never attached and the corpus-sized entries would leak for the
-    * session's life.
+  /** Version-pinned artifact cache for a long-lived prober: `get()`
+    * resolves the artifact's CURRENT version once per call (one pointer
+    * file read — the cheap check), serves the persisted frames while the
+    * version is unchanged, and reloads + re-persists only when an
+    * admission moved the pointer. This bounds the stream's staleness to
+    * ONE micro-batch — a delta admitted at batch N is probed against
+    * from batch N+1 — while the steady state keeps the load-once cache
+    * hit (a pure pin-at-start cache would never see mid-stream
+    * admissions; re-loading per batch is the O(|corpus|) re-read the
+    * cache exists to avoid). `IngestDedupSpec` pins both halves: one
+    * load across same-version batches, and a post-admission batch
+    * matching against the admitted doc.
+    */
+  private final class VersionedCache[L](
+      currentVersion: () => Option[Long],
+      load: () => L,
+      frames: L => Seq[DataFrame]) {
+    private var state: Option[(Option[Long], L)] = None
+    def get(): L = synchronized {
+      val v = currentVersion()
+      state match {
+        case Some((sv, l)) if sv == v => l
+        case prev =>
+          prev.foreach { case (_, l) => frames(l).foreach(_.unpersist()) }
+          val l = load()
+          frames(l).foreach(_.persist())
+          state = Some((v, l))
+          l
+      }
+    }
+    def release(): Unit = synchronized {
+      state.foreach { case (_, l) => frames(l).foreach(_.unpersist()) }
+      state = None
+    }
+  }
+
+  /** Start a query whose batches probe a [[VersionedCache]]'s persisted
+    * frames, and tie the cache's lifetime to the query's: released on
+    * termination (listener), and on a failed start — if start() throws,
+    * the listener is never attached and the corpus-sized entries would
+    * leak for the session's life.
     */
   private def withCacheLifecycle(spark: org.apache.spark.sql.SparkSession,
       start: () => StreamingQuery,
-      cached: Seq[DataFrame]): StreamingQuery = {
+      cache: VersionedCache[_]): StreamingQuery = {
     val query =
       try start()
-      catch { case e: Throwable => cached.foreach(_.unpersist()); throw e }
+      catch { case e: Throwable => cache.release(); throw e }
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
@@ -163,7 +206,7 @@ object IngestDedup {
             e: org.apache.spark.sql.streaming.StreamingQueryListener
               .QueryTerminatedEvent): Unit =
           if (e.id == query.id) {
-            cached.foreach(_.unpersist())
+            cache.release()
             spark.streams.removeListener(this)
           }
       })

@@ -116,4 +116,39 @@ class DedupIndexBucketedSpec extends SparkSpec {
       ()
     }
   }
+
+  test("band shape rides the TABLE's properties: a probe replays the " +
+      "build shape, never a caller guess") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 5 =!= 4)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    try {
+      // build at the NON-default Oracle shape; the probe takes no shape
+      // argument, so parity with an Oracle-shaped artifact proves it
+      // resolved the recorded shape (a Corpus-banded delta against
+      // Oracle-banded corpus sigs matches only on 64-bit collisions)
+      DedupIndex.buildBucketedBands(spark, corpus, "b_shape_bands", 4,
+        DedupIndex.Shape.Oracle)
+      assert(DedupIndex.bucketedShapeOf(spark, "b_shape_bands") ===
+        DedupIndex.Shape.Oracle)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-dedup-shape").toString
+      DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
+      val corpusPer = spark.read.parquet(
+        DedupIndex.tablePath(idx, "signatures"))
+      val bucketed = DedupIndex
+        .probeBucketed(spark, "b_shape_bands", corpusPer, delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = DedupIndex.probe(spark, idx, delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(plain.nonEmpty, "fixture must contain cross-split pairs")
+      assert(bucketed === plain,
+        "probe did not replay the table's recorded Oracle shape")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_shape_bands")
+      ()
+    }
+  }
 }

@@ -32,8 +32,12 @@ class SrpIndexBucketedSpec extends SparkSpec {
       SrpIndex.buildBucketedTables(spark, corpus, "b_srp", 8,
         DedupQueries.Srp.Narrow)
 
-      val bucketed = SrpIndex.probeBucketed(spark, "b_srp", delta,
+      // the probe takes no shape: it resolves the table-recorded Narrow
+      // (parity with the Narrow-built artifact proves the resolution —
+      // Wide-banded deltas would match only on 64-bit collisions)
+      assert(SrpIndex.bucketedShapeOf(spark, "b_srp") ===
         DedupQueries.Srp.Narrow)
+      val bucketed = SrpIndex.probeBucketed(spark, "b_srp", delta)
       val got = bucketed.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val plain = SrpIndex.probe(spark, idx, delta)

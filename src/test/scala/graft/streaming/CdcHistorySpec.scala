@@ -226,6 +226,60 @@ class CdcHistorySpec extends SparkSpec {
     assert(h.length === 2, "adopted history rows lost after append")
   }
 
+  test("torn flat-layout adoption: reads see the moved AND unmoved rows " +
+      "in every crash state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-hist-torn").toString
+    // two tables in the flat pre-versioned layout
+    val t0 = new CdcHistoryTable(dir,
+      Map("shop.orders" -> "id", "shop.users" -> "id"))
+    t0.append(Seq(env("insert", 1, "a", 10, 1),
+      env("insert", 2, "b", 11, 2).copy(table = "users")).toDS())
+    val log = new java.io.File(s"$dir/log")
+    val v0 = new java.io.File(log, "v0")
+    val flats = v0.listFiles().filter(_.getName.startsWith("tbl="))
+    assert(flats.length === 2, "fixture needs two partition dirs")
+    flats.foreach { d =>
+      java.nio.file.Files.move(d.toPath,
+        new java.io.File(log, d.getName).toPath)
+    }
+    java.nio.file.Files.walk(v0.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { java.nio.file.Files.delete(f); () })
+    log.listFiles().filter(_.getName.startsWith("_CURRENT"))
+      .foreach(f => { java.nio.file.Files.delete(f.toPath); () })
+
+    // CRASH STATE 1 — mid-move: one dir already inside an unpointed v0,
+    // the other still flat. The old readDir handed spark.read the log
+    // root (v0 + tbl=* siblings → conflicting partition structure).
+    val midV0 = new java.io.File(log, "v0"); midV0.mkdirs()
+    val moved = log.listFiles()
+      .filter(_.getName.startsWith("tbl=")).head
+    java.nio.file.Files.move(moved.toPath,
+      new java.io.File(midV0, moved.getName).toPath)
+    val t1 = new CdcHistoryTable(dir,
+      Map("shop.orders" -> "id", "shop.users" -> "id"))
+    assert(t1.changelog(spark).count() === 2,
+      "mid-move crash state lost rows on read")
+
+    // CRASH STATE 2 — all dirs moved, pointer swap never happened: the
+    // old readDir resolved None and served an EMPTY changelog
+    log.listFiles().filter(_.getName.startsWith("tbl=")).foreach { d =>
+      java.nio.file.Files.move(d.toPath,
+        new java.io.File(midV0, d.getName).toPath)
+    }
+    assert(new CdcHistoryTable(dir,
+      Map("shop.orders" -> "id", "shop.users" -> "id"))
+      .changelog(spark).count() === 2,
+      "unpointed-v0 crash state read back empty")
+
+    // the next WRITE heals: pointer lands, rows intact
+    t1.append(Seq(env("update", 1, "a2", 12, 3)).toDS())
+    assert(new java.io.File(log, "_CURRENT").exists(),
+      "write path did not heal the torn adoption")
+    assert(t1.changelog(spark).count() === 3)
+  }
+
   test("tables without a configured pk never reach the log") {
     import spark.implicits._
     val t = mkTable()

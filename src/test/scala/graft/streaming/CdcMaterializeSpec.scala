@@ -422,4 +422,34 @@ class CdcMaterializeSpec extends SparkSpec {
       pkbDirs(new java.io.File(dir, "v2/tbl=shop.orders")),
       "quiet table's layout changed without being touched")
   }
+
+  test("auto-sizing seeds a NEW table from its first batch's bytes: a " +
+      "bootstrap-sized load lands multi-bucket, not at 1 + resize") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-serve-seed").toString
+    // tiny per-bucket target so a 64-row initial load's estimated bytes
+    // (json payload + per-row overhead) demand several buckets
+    val t = new CdcServingTable(dir, Map("shop.orders" -> "id"),
+      autoSizeTargetBytes = 1024L)
+    t.bootstrap((1L to 64L)
+      .map(i => env("insert", i, s"name-$i-padding-padding", 10, i)).toDS())
+    val seededDirs = pkbDirs(new java.io.File(dir, "v0/tbl=shop.orders"))
+    assert(seededDirs.size > 1,
+      s"initial load seeded at ${seededDirs.size} bucket(s) — the batch's " +
+        "own bytes were not consulted")
+    // the next touched merge must keep a multi-bucket layout (at REAL
+    // targets the estimate and the on-disk bytes agree and no resize
+    // fires; at this toy 1 KB target parquet's ~4 KB per-file overhead
+    // legitimately nudges the measured count, so the pinned claim is
+    // the defect itself: never back to the 1-bucket funnel) and serve
+    // every key exactly once
+    t.merge(Seq(env("update", 1, "u1", 20, 99)).toDS())
+    assert(pkbDirs(new java.io.File(dir, "v1/tbl=shop.orders")).size > 1,
+      "post-seed merge collapsed the table to 1 bucket")
+    val rows = liveRows(t)
+    assert(rows.keySet === (1L to 64L).map(_.toString).toSet)
+    assert(rows("1").contains("u1"))
+    (1L to 64L).foreach(i => assert(rawRowsFor(t, i.toString) === 1L,
+      s"key $i duplicated across the seed/resize path"))
+  }
 }

@@ -80,23 +80,42 @@ class IngestDedupSpec extends SparkSpec {
         pairs.collect().foreach(r =>
           got.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
     }
+    import scala.jdk.CollectionConverters._
     try {
       val (b1, b2) = delta.splitAt(delta.length / 2)
       input.addData(b1.toSeq); q.processAllAvailable()
       input.addData(b2.toSeq); q.processAllAvailable()
+      // two micro-batches at ONE artifact version = ONE resolution
+      // (bands + signatures persisted, probed from memory per batch —
+      // the previous wiring re-banded the corpus per batch)
+      assert(graft.analytics.DedupIndex.loadRuns.get() === loadsBefore + 1,
+        "text ingest re-read the artifact per batch instead of loading " +
+          "it once per version")
+      val batch = graft.analytics.DedupQueries
+        .qDedupIncremental(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.asScala.toSet === batch,
+        "index-backed stream diverged from the oracled batch face")
+      // MID-STREAM ADMISSION: a near-dup of a b1 doc enters the corpus
+      // while the query runs; the version poll must refresh the cache
+      // within one batch, so replaying b1 now matches the admitted doc —
+      // a pin-at-start cache would miss it for the stream's life
+      val donor = b1.maxBy(_.text.length)
+      val synth = Seq((999999L, donor.text + " x"))
+        .toDF("doc_id", "text")
+      assert(graft.analytics.DedupIndex.append(spark, synth, idx,
+        "mid-stream"))
+      // counter snapshot here: the parity call above probes (and loads)
+      // the artifact itself
+      val loadsBeforeAdmit = graft.analytics.DedupIndex.loadRuns.get()
+      input.addData(b1.toSeq); q.processAllAvailable()
+      assert(graft.analytics.DedupIndex.loadRuns.get() ===
+        loadsBeforeAdmit + 1,
+        "cache did not refresh after a mid-stream admission")
+      assert(got.asScala.exists(p =>
+          p._1 === 999999L && p._2 === donor.doc_id && p._3 >= 0.8),
+        "post-admission batch missed the freshly admitted near-dup")
     } finally q.stop()
-    // two micro-batches, ONE artifact resolution (bands + signatures
-    // loaded at start, probed from the persisted frames per batch — the
-    // previous wiring re-banded and re-shuffled the corpus per batch)
-    assert(graft.analytics.DedupIndex.loadRuns.get() === loadsBefore + 1,
-      "text ingest re-read the artifact per batch instead of loading it " +
-        "once for the query's life")
-    val batch = graft.analytics.DedupQueries
-      .qDedupIncremental(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    import scala.jdk.CollectionConverters._
-    assert(got.asScala.toSet === batch,
-      "index-backed stream diverged from the oracled batch face")
   }
 
   test("containment firehose probes the durable ContainIndex and " +
