@@ -41,13 +41,34 @@ object Bucketing {
       maxBuckets: Int = 1 << 20): Int = {
     val raw = math.max(1L, (estimatedBytes + targetBytes - 1) / targetBytes)
     var n = 1
-    while (n < raw && (n << 1) <= maxBuckets) n <<= 1
+    // the unconditional 1<<20 bound is load-bearing beyond sanity: it
+    // keeps (n << 1) far from Int overflow for ANY caller-passed cap (a
+    // session cap > 2^30 would otherwise shift n to negative/zero and
+    // never terminate)
+    while (n < raw && n < (1 << 20) && (n << 1) <= maxBuckets) n <<= 1
     n
   }
 
   /** The session's `bucketBy` bucket-count ceiling. */
   def sessionMaxBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.sql.sources.bucketing.maxBuckets", "100000").toInt
+
+  /** Record `props` on a managed table — the managed-table twin of the
+    * directory artifacts' `_meta.txt`, ONE definition for every index
+    * family that rides configuration on TBLPROPERTIES.
+    */
+  def setTableProps(spark: SparkSession, table: String,
+      props: Map[String, String]): Unit = {
+    val kv = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+    ()
+  }
+
+  /** Read a managed table's TBLPROPERTIES as a map. */
+  def tableProps(spark: SparkSession, table: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** Write `df` as a managed parquet table bucketed (and sorted) by `key`. */
   def writeBucketed(

@@ -174,12 +174,15 @@ object ContainIndex {
       // buckets = 0: per-table sizing from bytes (Bucketing rule),
       // counted on the persisted shingle frame. tokens = the full
       // posting list at ~16 B/row; prefix ≈ 1/10 of it; df = one row
-      // per DISTINCT token (its own count — sizing df by posting rows
-      // would over-bucket by the corpus's average token frequency);
-      // sets pack the same hashes as tokens at ~8 B plus per-doc framing
+      // per DISTINCT token (counted on the df frame the write reuses —
+      // sizing df by posting rows would over-bucket by the corpus's
+      // average token frequency, and a separate distinct() would pay the
+      // same aggregation twice); sets pack the same hashes as tokens at
+      // ~8 B plus per-doc framing
       val shRows = if (buckets > 0) 0L else sh.count()
-      val dfRows =
-        if (buckets > 0) 0L else sh.select(col("hx")).distinct().count()
+      val dfFrame = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
+        .persist()
+      val dfRows = if (buckets > 0) 0L else dfFrame.count()
       val cap = Bucketing.sessionMaxBuckets(spark)
       def n(bytes: Long): Int =
         if (buckets > 0) buckets
@@ -187,10 +190,11 @@ object ContainIndex {
       val tokenN = n(shRows * 16L)
       val prefixN = n(shRows * 16L / 10)
       val setsN = n(shRows * 9L)
-      sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
+      dfFrame
         .write.mode(SaveMode.Overwrite).format("parquet")
         .bucketBy(n(dfRows * 16L), "hx").sortBy("hx")
         .saveAsTable(s"${tablePrefix}_df")
+      dfFrame.unpersist()
       val r = DedupQueries.containRanked(sh,
         spark.table(s"${tablePrefix}_df"))
       r.select(col("hx"), col("doc_id"))

@@ -242,25 +242,31 @@ object DedupIndex {
     * [[shapeOf]]).
     */
   private def recordShape(spark: SparkSession, table: String,
-      shape: Shape): Unit = {
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      s"'graft.bands' = '${shape.bands}', " +
-      s"'graft.rowsPerBand' = '${shape.rowsPerBand}', " +
-      s"'graft.slots' = '${shape.slots}')")
-    ()
-  }
+      shape: Shape): Unit =
+    Bucketing.setTableProps(spark, table, Map(
+      "graft.bands" -> shape.bands.toString,
+      "graft.rowsPerBand" -> shape.rowsPerBand.toString,
+      "graft.slots" -> shape.slots.toString))
 
-  /** Shape recorded by [[buildBucketedBands]]; pre-metadata tables read
-    * back as the 16×4/128 their revision hard-wired (the [[shapeOf]]
-    * legacy rule applied to the managed-table path).
+  /** Shape recorded by [[buildBucketedBands]]. A table WITHOUT recorded
+    * properties is a LOUD error, not a guessed default: it is either a
+    * pre-metadata build (whose default changed across revisions — any
+    * guess silently near-empties the probe for half of them) or a build
+    * that crashed between `saveAsTable` and the property write; both
+    * want a rebuild (or a deliberate one-time `ALTER TABLE … SET
+    * TBLPROPERTIES`), not silent garbage.
     */
   def bucketedShapeOf(spark: SparkSession, table: String): Shape = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = Bucketing.tableProps(spark, table)
     (props.get("graft.bands"), props.get("graft.rowsPerBand"),
         props.get("graft.slots")) match {
       case (Some(b), Some(r), Some(s)) => Shape(b.toInt, r.toInt, s.toInt)
-      case _ => Shape.Oracle
+      case _ => throw new IllegalStateException(
+        s"band table $table has no recorded shape (pre-metadata build, " +
+          "or a build interrupted before its property write): rebuild " +
+          "with buildBucketedBands, or record the build shape once via " +
+          "ALTER TABLE ... SET TBLPROPERTIES " +
+          "('graft.bands', 'graft.rowsPerBand', 'graft.slots')")
     }
   }
 

@@ -184,24 +184,28 @@ object SrpIndex {
         .saveAsTable(s"${tablePrefix}_bands")
       // shape rides the band table's TBLPROPERTIES — the managed-table
       // twin of the directory artifact's _meta.txt (DedupIndex precedent)
-      spark.sql(s"ALTER TABLE ${tablePrefix}_bands SET TBLPROPERTIES (" +
-        s"'graft.bands' = '${shape.bands}', " +
-        s"'graft.rowsPerBand' = '${shape.rowsPerBand}')")
-      ()
+      Bucketing.setTableProps(spark, s"${tablePrefix}_bands", Map(
+        "graft.bands" -> shape.bands.toString,
+        "graft.rowsPerBand" -> shape.rowsPerBand.toString))
     } finally { v.unpersist(); () }
   }
 
-  /** Shape recorded by [[buildBucketedTables]]; pre-metadata tables read
-    * back as the Wide shape their (round-13) revision defaulted.
+  /** Shape recorded by [[buildBucketedTables]]. Missing properties are a
+    * LOUD error — see [[DedupIndex.bucketedShapeOf]]: a guessed default
+    * silently near-empties the probe for any table built at the other
+    * shape (or by a build that crashed before its property write).
     */
   def bucketedShapeOf(spark: SparkSession,
       tablePrefix: String): DedupQueries.SrpShape = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${tablePrefix}_bands")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = Bucketing.tableProps(spark, s"${tablePrefix}_bands")
     (props.get("graft.bands"), props.get("graft.rowsPerBand")) match {
       case (Some(b), Some(r)) =>
         DedupQueries.SrpShape(b.toInt * r.toInt, b.toInt, r.toInt)
-      case _ => DedupQueries.Srp.Wide
+      case _ => throw new IllegalStateException(
+        s"SRP band table ${tablePrefix}_bands has no recorded shape: " +
+          "rebuild with buildBucketedTables, or record the build shape " +
+          "once via ALTER TABLE ... SET TBLPROPERTIES " +
+          "('graft.bands', 'graft.rowsPerBand')")
     }
   }
 

@@ -284,8 +284,14 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
             Map.empty
           else touchedTbls.flatMap { t =>
             prevCounts.get(t).flatMap { cur =>
-              val want = sizedBuckets(tableBytes(prevDir.get,
-                "tbl=" + ExternalCatalogUtils.escapePathName(t)))
+              // max with THIS batch's estimate: a bootstrap-scale
+              // backfill into a 1-bucket trickle table must re-bucket in
+              // the merge that carries it, not funnel through one bucket
+              // and resize a merge late
+              val want = sizedBuckets(math.max(
+                tableBytes(prevDir.get,
+                  "tbl=" + ExternalCatalogUtils.escapePathName(t)),
+                tblStats.getOrElse(t, 0L)))
               if (want >= cur * 2 || want * 2 <= cur) Some(t -> want)
               else None
             }

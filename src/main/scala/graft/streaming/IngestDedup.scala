@@ -70,6 +70,11 @@ object IngestDedup {
       () => graft.analytics.SrpIndex.currentVersion(indexDir),
       () => graft.analytics.SrpIndex.load(spark, indexDir),
       (l: graft.analytics.SrpIndex.Loaded) => Seq(l.vectors, l.bands))
+    // eager first load: a missing/corrupt index must throw HERE,
+    // synchronously, not as an async batch-0 failure the caller's error
+    // handling never sees (and a failed start() then has real cache
+    // entries to release)
+    cache.get()
     val start = () => vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
@@ -102,6 +107,7 @@ object IngestDedup {
       () => graft.analytics.DedupIndex.currentVersion(indexDir),
       () => graft.analytics.DedupIndex.load(spark, indexDir),
       (l: graft.analytics.DedupIndex.Loaded) => Seq(l.signatures, l.bands))
+    cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
@@ -135,6 +141,7 @@ object IngestDedup {
       () => graft.analytics.ContainIndex.load(spark, indexDir),
       (l: graft.analytics.ContainIndex.Loaded) =>
         Seq(l.tokens, l.prefix, l.sets, l.df))
+    cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")

@@ -146,6 +146,16 @@ class DedupIndexBucketedSpec extends SparkSpec {
       assert(plain.nonEmpty, "fixture must contain cross-split pairs")
       assert(bucketed === plain,
         "probe did not replay the table's recorded Oracle shape")
+      // a table WITHOUT recorded properties (pre-metadata build, or a
+      // build that crashed between saveAsTable and the property write)
+      // must fail LOUDLY — any guessed default silently near-empties
+      // the probe for tables built at the other shape
+      spark.sql("ALTER TABLE b_shape_bands UNSET TBLPROPERTIES " +
+        "('graft.bands', 'graft.rowsPerBand', 'graft.slots')")
+      val e = intercept[IllegalStateException] {
+        DedupIndex.bucketedShapeOf(spark, "b_shape_bands")
+      }
+      assert(e.getMessage.contains("no recorded shape"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS b_shape_bands")
       ()
