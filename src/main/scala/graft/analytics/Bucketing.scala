@@ -58,12 +58,18 @@ object Bucketing {
     * family that rides configuration on TBLPROPERTIES.
     */
   def setTableProps(spark: SparkSession, table: String,
-      props: Map[String, String]): Unit = {
-    val kv = props.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
-    ()
-  }
+      props: Map[String, String]): Unit =
+    if (props.nonEmpty) {
+      // escape for Spark SQL string literals: current callers pass only
+      // integers, but a shared helper must not break (or truncate) on
+      // the first quote-carrying value a future family records
+      def q(s: String): String =
+        s.replace("\\", "\\\\").replace("'", "\\'")
+      val kv = props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'${q(k)}' = '${q(v)}'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+      ()
+    }
 
   /** Read a managed table's TBLPROPERTIES as a map. */
   def tableProps(spark: SparkSession, table: String): Map[String, String] =

@@ -170,6 +170,7 @@ object ContainIndex {
       tablePrefix: String, buckets: Int = 0): Unit = {
     import org.apache.spark.sql.SaveMode
     val sh = shingled(docs).persist()
+    val dfFrame = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
     try {
       // buckets = 0: per-table sizing from bytes (Bucketing rule),
       // counted on the persisted shingle frame. tokens = the full
@@ -180,8 +181,11 @@ object ContainIndex {
       // same aggregation twice); sets pack the same hashes as tokens at
       // ~8 B plus per-doc framing
       val shRows = if (buckets > 0) 0L else sh.count()
-      val dfFrame = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
-        .persist()
+      // persist only when the sizing count adds a second consumer; with
+      // explicit buckets the write is the frame's single action. The
+      // release rides the outer finally (a failed write must not leak a
+      // corpus-sized cache entry for the session's life).
+      if (buckets == 0) { dfFrame.persist(); () }
       val dfRows = if (buckets > 0) 0L else dfFrame.count()
       val cap = Bucketing.sessionMaxBuckets(spark)
       def n(bytes: Long): Int =
@@ -194,7 +198,6 @@ object ContainIndex {
         .write.mode(SaveMode.Overwrite).format("parquet")
         .bucketBy(n(dfRows * 16L), "hx").sortBy("hx")
         .saveAsTable(s"${tablePrefix}_df")
-      dfFrame.unpersist()
       val r = DedupQueries.containRanked(sh,
         spark.table(s"${tablePrefix}_df"))
       r.select(col("hx"), col("doc_id"))
@@ -209,7 +212,7 @@ object ContainIndex {
         .write.mode(SaveMode.Overwrite).format("parquet")
         .bucketBy(setsN, "doc_id").sortBy("doc_id")
         .saveAsTable(s"${tablePrefix}_sets")
-    } finally { sh.unpersist(); () }
+    } finally { sh.unpersist(); dfFrame.unpersist(); () }
   }
 
   /** [[probe]] against [[buildBucketedTables]] output — same verified

@@ -265,8 +265,8 @@ object DedupIndex {
         s"band table $table has no recorded shape (pre-metadata build, " +
           "or a build interrupted before its property write): rebuild " +
           "with buildBucketedBands, or record the build shape once via " +
-          "ALTER TABLE ... SET TBLPROPERTIES " +
-          "('graft.bands', 'graft.rowsPerBand', 'graft.slots')")
+          "ALTER TABLE ... SET TBLPROPERTIES ('graft.bands' = '<bands>', " +
+          "'graft.rowsPerBand' = '<rows>', 'graft.slots' = '<slots>')")
     }
   }
 

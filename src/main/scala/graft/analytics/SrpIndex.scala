@@ -205,7 +205,7 @@ object SrpIndex {
         s"SRP band table ${tablePrefix}_bands has no recorded shape: " +
           "rebuild with buildBucketedTables, or record the build shape " +
           "once via ALTER TABLE ... SET TBLPROPERTIES " +
-          "('graft.bands', 'graft.rowsPerBand')")
+          "('graft.bands' = '<bands>', 'graft.rowsPerBand' = '<rows>')")
     }
   }
 

@@ -258,12 +258,19 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
       // through one bucket and then pay a second full rewrite when the
       // next merge notices (the incoming batch was never consulted
       // before).
+      // the estimate approximates ON-DISK bytes: raw json + per-row
+      // overhead, divided by a nominal parquet+snappy factor of 3 —
+      // sizing from raw bytes would over-bucket ~2-4x and the next
+      // merge's on-disk measurement would then fire a full DOWNSIZE
+      // rewrite of the table it just wrote (estimate and measurement
+      // must live on the same scale for the 2x hysteresis to absorb
+      // their disagreement)
       val tblStats: Map[String, Long] = keyed.groupBy(col("tbl"))
         .agg(count(lit(1)).as("n"),
           sum(length(col("after_json"))).as("jb"))
         .collect().map { r =>
           val json = if (r.isNullAt(2)) 0L else r.getLong(2)
-          r.getString(0) -> (json + r.getLong(1) * 64L)
+          r.getString(0) -> ((json + r.getLong(1) * 64L) / 3L)
         }.toMap
       val touchedTbls = tblStats.keys.toSeq
       if (touchedTbls.nonEmpty) {

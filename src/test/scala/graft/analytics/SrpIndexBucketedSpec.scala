@@ -37,6 +37,16 @@ class SrpIndexBucketedSpec extends SparkSpec {
       // Wide-banded deltas would match only on 64-bit collisions)
       assert(SrpIndex.bucketedShapeOf(spark, "b_srp") ===
         DedupQueries.Srp.Narrow)
+      // stripped properties must fail LOUDLY, not fall back to a guess
+      // (verified on a copy of the property state, then restored)
+      spark.sql("ALTER TABLE b_srp_bands UNSET TBLPROPERTIES " +
+        "('graft.bands', 'graft.rowsPerBand')")
+      val e = intercept[IllegalStateException] {
+        SrpIndex.bucketedShapeOf(spark, "b_srp")
+      }
+      assert(e.getMessage.contains("no recorded shape"))
+      spark.sql("ALTER TABLE b_srp_bands SET TBLPROPERTIES " +
+        "('graft.bands' = '8', 'graft.rowsPerBand' = '4')")
       val bucketed = SrpIndex.probeBucketed(spark, "b_srp", delta)
       val got = bucketed.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
