@@ -62,7 +62,11 @@ object Bucketing {
     if (props.nonEmpty) {
       // escape for Spark SQL string literals: current callers pass only
       // integers, but a shared helper must not break (or truncate) on
-      // the first quote-carrying value a future family records
+      // the first quote-carrying value a future family records. Known
+      // limit: under legacy spark.sql.parser.escapedStringLiterals=true
+      // the parser keeps literals un-unescaped, so quote/backslash
+      // values would round-trip altered — record such values through a
+      // catalog API, not this SQL path
       def q(s: String): String =
         s.replace("\\", "\\\\").replace("'", "\\'")
       val kv = props.toSeq.sortBy(_._1)

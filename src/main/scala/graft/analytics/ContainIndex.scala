@@ -198,6 +198,11 @@ object ContainIndex {
         .write.mode(SaveMode.Overwrite).format("parquet")
         .bucketBy(n(dfRows * 16L), "hx").sortBy("hx")
         .saveAsTable(s"${tablePrefix}_df")
+      // early release on success (the heavy tokens/prefix/sets writes
+      // below never read dfFrame — containRanked reads the WRITTEN
+      // table); the finally's second unpersist is an idempotent no-op
+      // and covers the failed-write path
+      dfFrame.unpersist()
       val r = DedupQueries.containRanked(sh,
         spark.table(s"${tablePrefix}_df"))
       r.select(col("hx"), col("doc_id"))

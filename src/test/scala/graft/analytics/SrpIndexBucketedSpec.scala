@@ -37,16 +37,21 @@ class SrpIndexBucketedSpec extends SparkSpec {
       // Wide-banded deltas would match only on 64-bit collisions)
       assert(SrpIndex.bucketedShapeOf(spark, "b_srp") ===
         DedupQueries.Srp.Narrow)
-      // stripped properties must fail LOUDLY, not fall back to a guess
-      // (verified on a copy of the property state, then restored)
+      // stripped properties must fail LOUDLY, not fall back to a guess;
+      // the CAPTURED property state is restored afterwards (hardcoding
+      // the restore would silently re-record the wrong shape if the
+      // test's build shape ever changes)
+      val recorded = Bucketing.tableProps(spark, "b_srp_bands")
+        .filter { case (k, _) => k.startsWith("graft.") }
       spark.sql("ALTER TABLE b_srp_bands UNSET TBLPROPERTIES " +
         "('graft.bands', 'graft.rowsPerBand')")
       val e = intercept[IllegalStateException] {
         SrpIndex.bucketedShapeOf(spark, "b_srp")
       }
       assert(e.getMessage.contains("no recorded shape"))
-      spark.sql("ALTER TABLE b_srp_bands SET TBLPROPERTIES " +
-        "('graft.bands' = '8', 'graft.rowsPerBand' = '4')")
+      Bucketing.setTableProps(spark, "b_srp_bands", recorded)
+      assert(SrpIndex.bucketedShapeOf(spark, "b_srp") ===
+        DedupQueries.Srp.Narrow)
       val bucketed = SrpIndex.probeBucketed(spark, "b_srp", delta)
       val got = bucketed.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
