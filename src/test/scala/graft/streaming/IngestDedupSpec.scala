@@ -165,6 +165,26 @@ class IngestDedupSpec extends SparkSpec {
       "containment stream diverged from the oracled incremental face")
   }
 
+  test("a missing index fails the stream CONSTRUCTION synchronously, " +
+      "not as an async batch-0 error") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[IngestDoc]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-missing-ckpt").toString
+    val missing = java.nio.file.Files
+      .createTempDirectory("graft-ingest-missing-idx").toString + "/nope"
+    // the caller's try/catch is the contract: the load error must throw
+    // HERE (the eager first cache fill), never surface later through
+    // query.exception after start() already succeeded
+    intercept[Exception] {
+      IngestDedup.dedupIngestFromIndex(input.toDS(), missing, ckpt) {
+        (_, _) => ()
+      }
+    }
+    ()
+  }
+
   test("embedding firehose probes the durable SrpIndex and reproduces " +
       "the oracled incremental face") {
     implicit val sqlCtx = spark.sqlContext
