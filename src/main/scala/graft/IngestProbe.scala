@@ -59,7 +59,8 @@ object IngestProbe {
         .filter(_._2 % Batches == k).map(_._1).toSeq)
 
     /** Drive `startQ`'s stream with `Batches` equal slices, timing each
-      * processAllAvailable; returns (per-batch seconds, total matches).
+      * processAllAvailable; returns per-batch seconds (matches are
+      * accumulated by the caller's sink counter).
       */
     def drive[A: org.apache.spark.sql.Encoder](all: Array[A],
         startQ: MemoryStream[A] => org.apache.spark.sql.streaming

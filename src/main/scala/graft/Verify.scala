@@ -49,6 +49,30 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Band-recall precondition (ADVICE r13): q_dedup_incremental256's
+    // oracle pins the 32x8/256 LSH probe against the EXACT delta-corpus
+    // answer, which holds only while the fixture has no true pairs in
+    // j in [0.8, ~0.93) — the band where the r=8 S-curve's miss
+    // probability is non-negligible. Assert the precondition with the
+    // recall-complete 16x4/128 face (miss ~4e-8 at the threshold): a
+    // fixture/generator drift then fails as THIS diagnosable error row,
+    // not as an opaque hash mismatch on a correct engine.
+    if (selected("q_dedup_incremental256") &&
+        !errors.contains("q_dedup_incremental256"))
+      try {
+        val inBand = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+          .filter("jaccard >= 0.8 AND jaccard < 0.93").count()
+        if (inBand > 0)
+          errors("q_dedup_incremental256") =
+            s"band-recall precondition violated: $inBand true pairs in " +
+              "j in [0.8, 0.93) — the fixture drifted into the 32x8/256 " +
+              "shape's miss band, so its exact oracle no longer bounds " +
+              "the probe; re-seed the fixture or re-derive the oracle"
+      } catch { case e: Throwable =>
+        errors("q_dedup_incremental256") =
+          "band-recall precondition check failed: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
     // Always written (usually `{}`) so its ABSENCE is also a signal; exit
     // stays 0 — one broken query must not void the other dumps.
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }

@@ -53,6 +53,21 @@ object Bucketing {
   def sessionMaxBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.sql.sources.bucketing.maxBuckets", "100000").toInt
 
+  /** Guard for table identifiers interpolated into SQL text by the
+    * shared helpers below: each dot-separated part must be a plain
+    * identifier (letters/digits/underscore). A backtick, quote, or
+    * semicolon in an index-family table name would otherwise parse wrong
+    * or inject — every family reuses these helpers, so the check lives
+    * here once.
+    */
+  private def validIdentifier(table: String): String = {
+    require(table.nonEmpty &&
+      table.split('.').forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"table name must be dot-separated plain identifiers " +
+        s"([A-Za-z_][A-Za-z0-9_]*), got: $table")
+    table
+  }
+
   /** Record `props` on a managed table — the managed-table twin of the
     * directory artifacts' `_meta.txt`, ONE definition for every index
     * family that rides configuration on TBLPROPERTIES.
@@ -60,6 +75,7 @@ object Bucketing {
   def setTableProps(spark: SparkSession, table: String,
       props: Map[String, String]): Unit =
     if (props.nonEmpty) {
+      validIdentifier(table)
       // escape for Spark SQL string literals: current callers pass only
       // integers, but a shared helper must not break (or truncate) on
       // the first quote-carrying value a future family records. Known
@@ -77,7 +93,7 @@ object Bucketing {
 
   /** Read a managed table's TBLPROPERTIES as a map. */
   def tableProps(spark: SparkSession, table: String): Map[String, String] =
-    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+    spark.sql(s"SHOW TBLPROPERTIES ${validIdentifier(table)}").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** Write `df` as a managed parquet table bucketed (and sorted) by `key`. */

@@ -1726,6 +1726,14 @@ object DedupQueries {
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    // RECALL DEPENDENCY (ADVICE r13): this pins the 32x8/256 LSH probe
+    // against the EXACT delta-corpus answer — equality holds because the
+    // fixture's true pairs all sit at j >= 0.93, where the r=8 S-curve's
+    // miss probability is ~4e-12; a fixture/generator that planted pairs
+    // in j in [0.8, ~0.93) could hash-fail with a CORRECT engine. The
+    // gate asserts that no-pairs-in-band precondition explicitly
+    // (Verify's band-recall probe), so a drift fails diagnosably there,
+    // not as an opaque hash mismatch here.
     "q_dedup_incremental256" ->
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}

@@ -165,15 +165,59 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
     ()
   }
 
-  /** Recursive parquet byte total of one table's partition subtree —
-    * driver-side metadata listing, bounded by file count.
+  /** Recursive parquet byte total of a directory subtree — driver-side
+    * metadata listing, bounded by file count.
     */
-  private def tableBytes(ver: java.io.File, tblDirName: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
-      else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-    walk(new java.io.File(ver, tblDirName))
+  private def walkBytes(f: java.io.File): Long =
+    if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+    else Option(f.listFiles()).getOrElse(Array.empty).map(walkBytes).sum
+
+  /** Fallback full-subtree walk of one table's partition dir — paid only
+    * for versions written before the `_BYTES` sidecar existed (the next
+    * merge records totals and retires the walk).
+    */
+  private def tableBytes(ver: java.io.File, tblDirName: String): Long =
+    walkBytes(new java.io.File(ver, tblDirName))
+
+  /** Per-table on-disk byte totals of a committed version, from its
+    * `_BYTES` sidecar (`tbl<TAB>bytes`, inside the version dir — atomic
+    * with the pointer swap, like `_BUCKETS`). The sidecar exists so the
+    * auto-sizing resize check reads ONE file instead of re-walking every
+    * touched table's full file tree per micro-batch (O(part files)
+    * driver-side listing that grows with table size even though a resize
+    * fires only O(log growth) times). None / missing tables fall back to
+    * the walk once; the merge then records totals for every table it
+    * commits.
+    */
+  private def storedBytes(ver: java.io.File): Option[Map[String, Long]] = {
+    val f = new java.io.File(ver, "_BYTES")
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap)
   }
+
+  private def writeBytes(ver: java.io.File,
+      bytes: Map[String, Long]): Unit = {
+    java.nio.file.Files.write(new java.io.File(ver, "_BYTES").toPath,
+      bytes.toSeq.sorted.map { case (t, b) => s"$t\t$b" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Per-`pkb=` bucket-dir byte totals of one table subtree — the
+    * incremental-update unit: a merge's new version holds (pre-link)
+    * exactly the bucket dirs it rewrote, so the new table total is
+    * prevTotal − prevBytes(those dirs) + newBytes(those dirs), each term
+    * bounded by TOUCHED-bucket file counts, never the table's.
+    */
+  private def bucketDirBytes(tblDir: java.io.File): Map[String, Long] =
+    Option(tblDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("pkb="))
+      .map(d => d.getName -> walkBytes(d)).toMap
 
   /** The sizing rule (one shared definition —
     * [[graft.analytics.Bucketing.sizedBuckets]]): smallest power of two
@@ -283,6 +327,16 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         // re-bucket everything once, like the legacy-layout migration
         val rebucketAll = legacy || (prev.isDefined && stored.isEmpty)
         val prevCounts = stored.getOrElse(Map.empty[String, Int])
+        // sizing inputs read sidecar-first: one file instead of a
+        // full-tree walk per touched table per merge (ADVICE r13); a
+        // pre-sidecar version walks once and is recorded below
+        val prevByteMap: Map[String, Long] =
+          prevDir.flatMap(storedBytes).getOrElse(Map.empty)
+        def prevTableBytes(t: String): Long =
+          prevByteMap.getOrElse(t,
+            prevDir.map(pd => tableBytes(pd,
+              "tbl=" + ExternalCatalogUtils.escapePathName(t)))
+              .getOrElse(0L))
         // auto-sizing: touched tables whose power-of-two target count
         // moved ≥ 2× from the recorded count are fully re-bucketed in
         // this merge (quiet tables never resize — no unprompted rewrites)
@@ -295,9 +349,7 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
               // backfill into a 1-bucket trickle table must re-bucket in
               // the merge that carries it, not funnel through one bucket
               // and resize a merge late
-              val want = sizedBuckets(math.max(
-                tableBytes(prevDir.get,
-                  "tbl=" + ExternalCatalogUtils.escapePathName(t)),
+              val want = sizedBuckets(math.max(prevTableBytes(t),
                 tblStats.getOrElse(t, 0L)))
               if (want >= cur * 2 || want * 2 <= cur) Some(t -> want)
               else None
@@ -325,11 +377,8 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
             (prevTbls ++ touchedTbls).distinct
               .filterNot(prevCounts.contains)
               .map { t =>
-                val prevBytes = prevDir.map(pd => tableBytes(pd,
-                  "tbl=" + ExternalCatalogUtils.escapePathName(t)))
-                  .getOrElse(0L)
-                t -> sizedBuckets(
-                  math.max(prevBytes, tblStats.getOrElse(t, 0L)))
+                t -> sizedBuckets(math.max(prevTableBytes(t),
+                  tblStats.getOrElse(t, 0L)))
               }.toMap
           }
         val counts = prevCounts ++ seeded ++ resized
@@ -392,6 +441,17 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         next.repartition(col("tbl"), col("pkb"))
           .write.mode("overwrite").partitionBy("tbl", "pkb")
           .parquet(nextDir.toString)
+        // PRE-link snapshot of the new version: it holds exactly the
+        // bucket dirs this merge rewrote (incl. conjunctive-pruning
+        // over-reads — they were rewritten, so they belong in the
+        // incremental byte arithmetic below), so per-table walks here
+        // are bounded by touched-bucket file counts
+        val rewrittenBytes: Map[String, Map[String, Long]] =
+          Option(nextDir.listFiles()).getOrElse(Array.empty)
+            .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+            .map(d => ExternalCatalogUtils
+              .unescapePathName(d.getName.stripPrefix("tbl=")) ->
+              bucketDirBytes(d)).toMap
         if (!rebucketAll) prevDir.foreach(pd =>
           VersionedStore.linkUntouchedTree(pd, nextDir,
             // a resized table is fully rewritten under its NEW modulus —
@@ -410,6 +470,27 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
             .unescapePathName(d.getName.stripPrefix("tbl=")))
         writeBuckets(nextDir,
           allTbls.map(t => t -> counts.getOrElse(t, buckets)).toMap)
+        // byte totals for every table in the new version, incrementally:
+        // fully-rewritten tables (resize/migration/new) total their own
+        // fresh subtree; partially-rewritten tables adjust the previous
+        // total by the rewritten buckets' before/after bytes (prev-side
+        // walks bounded by those same dirs); carried tables keep their
+        // recorded total (sidecar-first, one-time walk for pre-sidecar
+        // versions)
+        writeBytes(nextDir, allTbls.map { t =>
+          val rw = rewrittenBytes.getOrElse(t, Map.empty)
+          val total =
+            if (rebucketAll || resized.contains(t)) rw.values.sum
+            else if (rw.isEmpty) prevTableBytes(t)
+            else {
+              val tblDirName = "tbl=" + ExternalCatalogUtils.escapePathName(t)
+              val prevRw = prevDir.map(pd => rw.keys.map(b =>
+                walkBytes(new java.io.File(new java.io.File(pd, tblDirName),
+                  b))).sum).getOrElse(0L)
+              prevTableBytes(t) - prevRw + rw.values.sum
+            }
+          t -> total
+        }.toMap)
         VersionedStore.swapPointer(dir, v)
       }
     } finally { keyed.unpersist(); () }

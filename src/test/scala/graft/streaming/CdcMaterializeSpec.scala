@@ -423,6 +423,56 @@ class CdcMaterializeSpec extends SparkSpec {
       "quiet table's layout changed without being touched")
   }
 
+  test("_BYTES sidecar: recorded per-table totals equal a fresh walk " +
+      "after partial merges, resizes, and a pre-sidecar reopen") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-serve-bytes").toString
+    def sidecar(v: Int): Map[String, Long] = {
+      val f = new java.io.File(dir, s"v$v/_BYTES")
+      assert(f.isFile, s"v$v has no _BYTES sidecar")
+      new String(java.nio.file.Files.readAllBytes(f.toPath))
+        .split("\n").filter(_.nonEmpty).map { line =>
+          val i = line.lastIndexOf('\t')
+          line.substring(0, i) -> line.substring(i + 1).toLong
+        }.toMap
+    }
+    def walked(v: Int): Map[String, Long] =
+      Option(new java.io.File(dir, s"v$v").listFiles())
+        .getOrElse(Array.empty).filter(d => d.isDirectory &&
+          d.getName.startsWith("tbl=")).map { d =>
+          d.getName.stripPrefix("tbl=") ->
+            parquetFilesUnder(d).map(_.length).sum
+        }.toMap
+    val t = new CdcServingTable(dir,
+      Map("shop.orders" -> "id", "shop.audit" -> "id"),
+      buckets = 4, autoSizeTargetBytes = 1L << 30)
+    t.merge((1L to 16L).map(i => env("insert", i, s"n$i", 10, i)).toDS())
+    assert(sidecar(0) === walked(0), "seed version's totals drifted")
+    // partial merge: orders touched (incremental prev−rw+new path),
+    // audit new (rw-only path), both must match a fresh walk
+    t.merge(Seq(env("update", 1, "u1", 20, 99),
+      env("insert", 50, "log", 20, 100).copy(table = "audit")).toDS())
+    assert(sidecar(1) === walked(1),
+      "incremental byte arithmetic drifted from the on-disk truth")
+    // untouched-table carry: audit quiet, its recorded total carries
+    t.merge(Seq(env("update", 2, "u2", 30, 200)).toDS())
+    assert(sidecar(2) === walked(2), "carried totals drifted")
+    // pre-sidecar reopen: delete _BYTES — the next merge walks once
+    // (fallback) and records fresh totals
+    assert(new java.io.File(dir, "v2/_BYTES").delete())
+    val t2 = new CdcServingTable(dir,
+      Map("shop.orders" -> "id", "shop.audit" -> "id"),
+      buckets = 4, autoSizeTargetBytes = 1L << 30)
+    t2.merge(Seq(env("update", 3, "u3", 40, 300)).toDS())
+    assert(sidecar(3) === walked(3), "pre-sidecar migration totals wrong")
+    // resize rewrite: tiny target forces an upsize — full-rewrite path
+    val t3 = new CdcServingTable(dir,
+      Map("shop.orders" -> "id", "shop.audit" -> "id"),
+      buckets = 4, autoSizeTargetBytes = 512L)
+    t3.merge(Seq(env("update", 4, "u4", 50, 400)).toDS())
+    assert(sidecar(4) === walked(4), "resize-rewrite totals wrong")
+  }
+
   test("auto-sizing seeds a NEW table from its first batch's bytes: a " +
       "bootstrap-sized load lands multi-bucket, not at 1 + resize") {
     import spark.implicits._
