@@ -36,6 +36,18 @@ import graft.streaming.VersionedArtifact
   * would double every pair the verify join emits), a crash mid-admission
   * leaves the previous version intact, and probes resolve every table
   * against one pointer read.
+  *
+  * TWO LAYOUTS, ONE FAMILY (see [[DedupIndex]]'s class doc for the full
+  * design): the plain directory layout, or the BUCKETED layout
+  * (`build(…, bucketed = true)`, the corpus-scale default) — the same
+  * four tables written as [[IndexLayout]] external bucketed tables
+  * inside the version dirs: `tokens`/`prefix`/`df` bucketBy the token
+  * hash `hx` (this family's keys are single-column already, so no
+  * derived key is needed), `sets` bucketBy `doc_id`. Probes read every
+  * corpus table in place (only delta frames and candidates exchange —
+  * `ContainIndexBucketedSpec`), micro probes BUCKET-PRUNE the postings
+  * and df scans to the delta's token set, and admission/compaction
+  * preserve the layout.
   */
 object ContainIndex {
 
@@ -97,20 +109,84 @@ object ContainIndex {
   }
 
   /** Build (or fully REBUILD, re-freshening df) from a `(doc_id, text)`
-    * corpus frame.
+    * corpus frame. `bucketed = true` writes the bucketed layout
+    * (byte-sized counts unless `buckets` pins them), recorded in the
+    * artifact meta.
     */
-  def build(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String,
+      bucketed: Boolean = false, buckets: Int = 0): Unit = {
     buildRuns.incrementAndGet()
-    artifact(indexDir).build { next =>
+    if (!bucketed)
+      artifact(indexDir).build { next =>
+        val sh = shingled(docs).persist()
+        try {
+          val dfTable = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
+          dfTable.write.mode("overwrite")
+            .parquet(new File(next, "df").toString)
+          writePostings(DedupQueries.containRanked(sh, dfTable), sh, next,
+            "overwrite")
+        } finally { sh.unpersist(); () }
+      }
+    else {
+      val family = IndexLayout.familyOf(indexDir)
       val sh = shingled(docs).persist()
+      val dfFrame = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
+        .persist()
       try {
-        val dfTable = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
-        dfTable.write.mode("overwrite")
-          .parquet(new File(next, "df").toString)
-        writePostings(DedupQueries.containRanked(sh, dfTable), sh, next,
-          "overwrite")
-      } finally { sh.unpersist(); () }
+        // buckets = 0: per-table sizing from bytes (Bucketing rule),
+        // counted on the persisted frames the writes reuse. tokens = the
+        // full posting list at ~16 B/row; prefix ≈ 1/10 of it; df = one
+        // row per DISTINCT token; sets pack the same hashes as tokens at
+        // ~8 B plus per-doc framing
+        val cap = Bucketing.sessionMaxBuckets(spark)
+        val shRows = if (buckets > 0) 0L else sh.count()
+        val dfRows = if (buckets > 0) 0L else dfFrame.count()
+        def n(bytes: Long): Int =
+          if (buckets > 0) buckets
+          else Bucketing.sizedBuckets(bytes, maxBuckets = cap)
+        val postings = Map(
+          "tokens" -> n(shRows * 16L), "prefix" -> n(shRows * 16L / 10),
+          "df" -> n(dfRows * 16L))
+        // schema DDLs: postings tables are (hx, doc_id); df is (hx, df);
+        // sets is setsOf's (doc_id, hs, sz)
+        val postingDDL = "hx BIGINT,doc_id BIGINT"
+        val meta = Map(
+          IndexLayout.LayoutKey -> IndexLayout.BucketedValue) ++
+          IndexLayout.metaFor("tokens", IndexLayout.TableSpec(
+            postings("tokens"), Seq("hx"), Seq("hx"), postingDDL)) ++
+          IndexLayout.metaFor("prefix", IndexLayout.TableSpec(
+            postings("prefix"), Seq("hx"), Seq("hx"), postingDDL)) ++
+          IndexLayout.metaFor("df", IndexLayout.TableSpec(
+            postings("df"), Seq("hx"), Seq("hx"),
+            dfFrame.schema.toDDL)) ++
+          IndexLayout.metaFor("sets", IndexLayout.TableSpec(
+            n(shRows * 9L), Seq("doc_id"), Seq("doc_id"),
+            setsOf(sh).schema.toDDL))
+        artifact(indexDir).build({ next =>
+          writeBucketed(family, sh, dfFrame, next, meta,
+            overwrite = true)
+        }, buildMeta = meta)
+      } finally { sh.unpersist(); dfFrame.unpersist(); () }
     }
+  }
+
+  /** The bucketed-layout write of all four tables — shared by the build
+    * (fresh df) and the admission (frozen corpus df) paths.
+    */
+  private def writeBucketed(family: String, sh: DataFrame,
+      dfForRank: DataFrame, ver: File, meta: Map[String, String],
+      overwrite: Boolean): Unit = {
+    val r = DedupQueries.containRanked(sh, dfForRank)
+    if (overwrite)
+      IndexLayout.writeInto(dfForRank, family, "df", ver,
+        IndexLayout.specOf(meta, "df"), overwrite)
+    IndexLayout.writeInto(r.select(col("hx"), col("doc_id")), family,
+      "tokens", ver, IndexLayout.specOf(meta, "tokens"), overwrite)
+    IndexLayout.writeInto(
+      DedupQueries.containPrefix(r).select(col("hx"), col("doc_id")),
+      family, "prefix", ver, IndexLayout.specOf(meta, "prefix"), overwrite)
+    IndexLayout.writeInto(setsOf(sh), family, "sets", ver,
+      IndexLayout.specOf(meta, "sets"), overwrite)
   }
 
   /** ADMIT a delta (probe-then-admit lifecycle): true if admitted, false
@@ -123,15 +199,31 @@ object ContainIndex {
     */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
       deltaId: String): Boolean = {
+    val meta = artifact(indexDir).meta
     val corpusDfPath = artifact(indexDir).tablePath("df")
-    artifact(indexDir).admit(deltaId, Tables, { next =>
-      val sh = shingled(docs).persist()
-      try {
-        val corpusDf = spark.read.parquet(corpusDfPath)
-        writePostings(DedupQueries.containRanked(sh, corpusDf), sh, next,
-          "append")
-      } finally { sh.unpersist(); () }
-    })
+    if (!IndexLayout.isBucketed(meta))
+      artifact(indexDir).admit(deltaId, Tables, { next =>
+        val sh = shingled(docs).persist()
+        try {
+          val corpusDf = spark.read.parquet(corpusDfPath)
+          writePostings(DedupQueries.containRanked(sh, corpusDf), sh, next,
+            "append")
+        } finally { sh.unpersist(); () }
+      })
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      artifact(indexDir).admit(deltaId, Tables, { next =>
+        val sh = shingled(docs).persist()
+        try {
+          // frozen corpus df, read as plain parquet from the snapshot
+          // path (bucket metadata is a read-side catalog concern; the
+          // files are ordinary parquet) — df itself is NOT rewritten,
+          // same frozen-df contract as the directory admit
+          writeBucketed(family, sh, spark.read.parquet(corpusDfPath),
+            next, meta, overwrite = false)
+        } finally { sh.unpersist(); () }
+      })
+    }
   }
 
   /** Drop index versions older than the newest `keep` (default 2 — see
@@ -147,115 +239,24 @@ object ContainIndex {
     * doc_id.
     */
   def compact(spark: SparkSession, indexDir: String,
-      maxFiles: Int = 64): Int =
-    artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
-      val df = spark.read.parquet(src)
-      val out =
-        if (tgt.getName == "sets") df.repartition(col("doc_id"))
-        else df.repartition(col("hx"))
-      out.write.mode("overwrite").parquet(tgt.toString)
+      maxFiles: Int = 64): Int = {
+    val meta = artifact(indexDir).meta
+    if (!IndexLayout.isBucketed(meta))
+      artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
+        val df = spark.read.parquet(src)
+        val out =
+          if (tgt.getName == "sets") df.repartition(col("doc_id"))
+          else df.repartition(col("hx"))
+        out.write.mode("overwrite").parquet(tgt.toString)
+      }
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
+        IndexLayout.writeInto(spark.read.parquet(src), family,
+          tgt.getName, tgt.getParentFile,
+          IndexLayout.specOf(meta, tgt.getName), overwrite = true)
+      }
     }
-
-  /** CLUSTER-SCALE layout — the [[DedupIndex.buildBucketedBands]]
-    * treatment for the containment family: all four corpus tables as
-    * managed parquet tables bucketed (and sorted) on their probe-side
-    * join keys — `tokens`/`prefix`/`df` on the token hash `hx` (the
-    * candidate equi-joins and the delta's rarest-first ranking join),
-    * `sets` on `doc_id` (the exact verify lookup) — so a probe reads
-    * every corpus table IN PLACE and only the delta's frames (and the
-    * candidate rows) exchange (`ContainIndexBucketedSpec` pins the
-    * plans and pair parity with the directory artifact's probe).
-    */
-  def buildBucketedTables(spark: SparkSession, docs: DataFrame,
-      tablePrefix: String, buckets: Int = 0): Unit = {
-    import org.apache.spark.sql.SaveMode
-    val sh = shingled(docs).persist()
-    val dfFrame = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
-    try {
-      // buckets = 0: per-table sizing from bytes (Bucketing rule),
-      // counted on the persisted shingle frame. tokens = the full
-      // posting list at ~16 B/row; prefix ≈ 1/10 of it; df = one row
-      // per DISTINCT token (counted on the df frame the write reuses —
-      // sizing df by posting rows would over-bucket by the corpus's
-      // average token frequency, and a separate distinct() would pay the
-      // same aggregation twice); sets pack the same hashes as tokens at
-      // ~8 B plus per-doc framing
-      val shRows = if (buckets > 0) 0L else sh.count()
-      // persist only when the sizing count adds a second consumer; with
-      // explicit buckets the write is the frame's single action. The
-      // release rides the outer finally (a failed write must not leak a
-      // corpus-sized cache entry for the session's life).
-      if (buckets == 0) { dfFrame.persist(); () }
-      val dfRows = if (buckets > 0) 0L else dfFrame.count()
-      val cap = Bucketing.sessionMaxBuckets(spark)
-      def n(bytes: Long): Int =
-        if (buckets > 0) buckets
-        else Bucketing.sizedBuckets(bytes, maxBuckets = cap)
-      val tokenN = n(shRows * 16L)
-      val prefixN = n(shRows * 16L / 10)
-      val setsN = n(shRows * 9L)
-      dfFrame
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(n(dfRows * 16L), "hx").sortBy("hx")
-        .saveAsTable(s"${tablePrefix}_df")
-      // early release on success (the heavy tokens/prefix/sets writes
-      // below never read dfFrame — containRanked reads the WRITTEN
-      // table); the finally's second unpersist is an idempotent no-op
-      // and covers the failed-write path
-      dfFrame.unpersist()
-      val r = DedupQueries.containRanked(sh,
-        spark.table(s"${tablePrefix}_df"))
-      r.select(col("hx"), col("doc_id"))
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(tokenN, "hx").sortBy("hx")
-        .saveAsTable(s"${tablePrefix}_tokens")
-      DedupQueries.containPrefix(r).select(col("hx"), col("doc_id"))
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(prefixN, "hx").sortBy("hx")
-        .saveAsTable(s"${tablePrefix}_prefix")
-      setsOf(sh)
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(setsN, "doc_id").sortBy("doc_id")
-        .saveAsTable(s"${tablePrefix}_sets")
-    } finally { sh.unpersist(); dfFrame.unpersist(); () }
-  }
-
-  /** [[probe]] against [[buildBucketedTables]] output — same verified
-    * pairs, every corpus-side exchange elided by layout. The verify runs
-    * SPLIT per direction ([[DedupQueries.verifyContainmentSplit]]): each
-    * side of each verify join is unique by construction (delta sets vs
-    * corpus sets — a delta doc re-probed after admission reads its set
-    * from the delta side, identical content), so the directory probe's
-    * union + anti-join never materialize and the bucketed corpus `sets`
-    * table joins in place. The final distinct collapses the one overlap
-    * a RE-probe can produce (a pair whose both docs sit in delta AND
-    * admitted corpus arrives from both directions).
-    */
-  def probeBucketed(spark: SparkSession, tablePrefix: String,
-      deltaDocs: DataFrame): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    val sh = shingled(deltaDocs)
-    val r = DedupQueries.containRanked(sh, spark.table(s"${tablePrefix}_df"))
-    val deltaPrefix = DedupQueries.containPrefix(r)
-      .select(col("hx"), col("doc_id"))
-    val deltaTokens = r.select(col("hx"), col("doc_id"))
-    val corpusTokens = spark.table(s"${tablePrefix}_tokens")
-    val corpusPrefix = spark.table(s"${tablePrefix}_prefix")
-    val candNewInOld = deltaPrefix.withColumnRenamed("doc_id", "id_a")
-      .join(corpusTokens.withColumnRenamed("doc_id", "id_b"), "hx")
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val candOldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
-      .join(deltaTokens.withColumnRenamed("doc_id", "id_b"), "hx")
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val deltaSets = setsOf(sh)
-    val corpusSets = spark.table(s"${tablePrefix}_sets")
-    DedupQueries.verifyContainmentSplit(deltaSets, corpusSets, candNewInOld)
-      .unionByName(
-        DedupQueries.verifyContainmentSplit(corpusSets, deltaSets,
-          candOldInNew))
-      .distinct()
   }
 
   /** Probe with a `(doc_id, text)` delta frame: ordered containment
@@ -278,18 +279,27 @@ object ContainIndex {
     * re-reading corpus-sized postings from the lake.
     */
   final case class Loaded(tokens: DataFrame, prefix: DataFrame,
-      sets: DataFrame, df: DataFrame)
+      sets: DataFrame, df: DataFrame, bucketed: Boolean = false)
 
   /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
   val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   def load(spark: SparkSession, indexDir: String): Loaded = {
     loadRuns.incrementAndGet()
+    val meta = artifact(indexDir).meta
     val paths = artifact(indexDir).snapshotPaths(Tables)
-    Loaded(spark.read.parquet(paths("tokens")),
-      spark.read.parquet(paths("prefix")),
-      spark.read.parquet(paths("sets")),
-      spark.read.parquet(paths("df")))
+    if (!IndexLayout.isBucketed(meta))
+      Loaded(spark.read.parquet(paths("tokens")),
+        spark.read.parquet(paths("prefix")),
+        spark.read.parquet(paths("sets")),
+        spark.read.parquet(paths("df")))
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
+        spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
+      Loaded(tbl("tokens"), tbl("prefix"), tbl("sets"), tbl("df"),
+        bucketed = true)
+    }
   }
 
   /** [[probe]] against pre-loaded (possibly persisted) artifact frames.
@@ -301,6 +311,16 @@ object ContainIndex {
     * corpus-sized postings (the dominant per-batch term at 10× corpus,
     * measured in `IngestProbe`). Batch probes keep the default: a daily
     * delta is not broadcast-bounded.
+    *
+    * On the BUCKETED layout, micro goes further
+    * ([[DedupIndex.probeLoaded]]'s design): the delta's distinct token
+    * hashes collect (bounded by |batch| docs × ~200 shingles —
+    * admission-bounded by the stream's contract) and BUCKET-PRUNE the
+    * `tokens`/`prefix`/`df` scans ([[microCandidateFrames]]); the
+    * per-direction candidate pairs then localize and the corpus `sets`
+    * scans bucket-prune to the candidate ids — EVERY corpus read in the
+    * batch is a pruned bucket read (`SelectedBucketsCount` k out of n).
+    * Eager through candidate generation; batch probes stay fully lazy.
     */
   def probeLoaded(loaded: Loaded, deltaDocs: DataFrame,
       micro: Boolean = false): DataFrame = {
@@ -309,6 +329,26 @@ object ContainIndex {
     // no persist — see DedupIndex.probe: a lazy return plus an
     // un-released cache entry per daily probe is a session-length leak
     val sh = shingled(deltaDocs)
+    val deltaSets = setsOf(sh)
+    val corpusSets = loaded.sets
+    if (micro && loaded.bucketed) {
+      // TWO eager candidate jobs (one per direction, each reading its
+      // pruned corpus posting table once), candidates localized, corpus
+      // `sets` scans bucket-pruned per direction to the candidate ids.
+      // Split verify as below: each side unique by construction, the
+      // final distinct collapses the one overlap a RE-probe can produce.
+      import spark.implicits._
+      val (n2oF, o2nF) = microCandidateFrames(loaded, deltaDocs)
+      val n2o = n2oF.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val o2n = o2nF.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      return DedupQueries.verifyContainmentSplit(deltaSets,
+          IndexLayout.pruned(corpusSets, "doc_id", n2o.map(_._2).distinct),
+          n2o.toDF("id_a", "id_b"), micro = true)
+        .unionByName(DedupQueries.verifyContainmentSplit(
+          IndexLayout.pruned(corpusSets, "doc_id", o2n.map(_._1).distinct),
+          deltaSets, o2n.toDF("id_a", "id_b"), micro = true))
+        .distinct()
+    }
     // micro: containRanked's left join would exchange+sort the corpus df
     // table per batch (left-outer can't broadcast its preserved side);
     // shrink df to the delta's tokens first — corpus df STREAMS against
@@ -318,26 +358,22 @@ object ContainIndex {
       if (micro)
         // outer broadcast: containRanked's LEFT join can then take this
         // delta-bounded frame as its broadcast build side too
-        broadcast(
-          loaded.df.join(broadcast(sh.select(col("hx")).distinct()), "hx"))
+        broadcast(loaded.df
+          .join(broadcast(sh.select(col("hx")).distinct()), "hx"))
       else loaded.df
     val r = DedupQueries.containRanked(sh, dfForRank)
     def side(d: DataFrame): DataFrame = if (micro) broadcast(d) else d
     val deltaPrefix = DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
     val deltaTokens = r.select(col("hx"), col("doc_id"))
-    val corpusTokens = loaded.tokens
-    val corpusPrefix = loaded.prefix
     val rawNewInOld = side(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
-      .join(corpusTokens.withColumnRenamed("doc_id", "id_b"), "hx")
+      .join(loaded.tokens.withColumnRenamed("doc_id", "id_b"), "hx")
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val rawOldInNew = corpusPrefix.withColumnRenamed("doc_id", "id_a")
+    val rawOldInNew = loaded.prefix.withColumnRenamed("doc_id", "id_a")
       .join(side(deltaTokens.withColumnRenamed("doc_id", "id_b")), "hx")
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val deltaSets = setsOf(sh)
-    val corpusSets = loaded.sets
     if (micro)
       // split per direction, distinct per direction: each verify side is
       // unique by construction, so with the delta broadcast the corpus
@@ -349,6 +385,21 @@ object ContainIndex {
           rawNewInOld.distinct(), micro = true)
         .unionByName(DedupQueries.verifyContainmentSplit(corpusSets,
           deltaSets, rawOldInNew.distinct(), micro = true))
+        .distinct()
+    else if (loaded.bucketed)
+      // bucketed batch shape: split per direction so the corpus `sets`
+      // table joins each verify IN PLACE (bucketed on doc_id). The
+      // directory batch shape's union of corpus+delta sets would erase
+      // the bucket partitioning and re-shuffle the corpus side — the
+      // split's second verify pass is cheaper than that exchange, the
+      // OPPOSITE trade from the directory layout (where the corpus side
+      // exchanges either way and the union amortizes it). Each verify
+      // side is unique by construction; the final distinct collapses the
+      // one overlap a RE-probe can produce.
+      DedupQueries.verifyContainmentSplit(deltaSets, corpusSets,
+          rawNewInOld.distinct())
+        .unionByName(DedupQueries.verifyContainmentSplit(corpusSets,
+          deltaSets, rawOldInNew.distinct()))
         .distinct()
     else {
       // batch shape: ONE candidate distinct and ONE verify pass over a
@@ -365,5 +416,41 @@ object ContainIndex {
         .unionByName(deltaSets)
       DedupQueries.verifyContainment(per, cand)
     }
+  }
+
+  /** The bucketed micro probe's two candidate frames (new-in-old,
+    * old-in-new), LAZY — the plans that touch the corpus posting tables
+    * per micro batch. The delta's distinct token hashes collect once
+    * (prefixes ⊆ tokens, so ONE key set prunes all three hx-keyed
+    * tables) and BUCKET-PRUNE the `df`/`tokens`/`prefix` scans; delta
+    * sides broadcast. [[probeLoaded]] collects both; exposed so the plan
+    * spec can assert the pruning on the frames themselves
+    * (`ContainIndexBucketedSpec`).
+    */
+  private[analytics] def microCandidateFrames(loaded: Loaded,
+      deltaDocs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = shingled(deltaDocs)
+    val deltaHx: Seq[Long] = sh.select(col("hx")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    def pruneHx(corpus: DataFrame): DataFrame =
+      IndexLayout.pruned(corpus, "hx", deltaHx)
+    // df shrink as in probeLoaded's micro dfForRank, on the PRUNED scan
+    val dfForRank = broadcast(pruneHx(loaded.df)
+      .join(broadcast(sh.select(col("hx")).distinct()), "hx"))
+    val r = DedupQueries.containRanked(sh, dfForRank)
+    val deltaPrefix = DedupQueries.containPrefix(r)
+      .select(col("hx"), col("doc_id"))
+    val deltaTokens = r.select(col("hx"), col("doc_id"))
+    val n2o = broadcast(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
+      .join(pruneHx(loaded.tokens).withColumnRenamed("doc_id", "id_b"),
+        "hx")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val o2n = pruneHx(loaded.prefix).withColumnRenamed("doc_id", "id_a")
+      .join(broadcast(deltaTokens.withColumnRenamed("doc_id", "id_b")),
+        "hx")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    (n2o, o2n)
   }
 }

@@ -12,10 +12,10 @@ import graft.streaming.VersionedArtifact
   * LSH index"): build once at corpus ingest, then every daily delta
   * probes it from disk without recomputing a single corpus signature.
   *
-  * Two parquet tables inside each version:
-  *   - `bands`       (band, sig, doc_id) — the banded bucket keys at the
-  *                   build-time [[DedupIndex.Shape]] (recorded in the
-  *                   artifact; corpus-scale 32×8/256 by default);
+  * Two tables inside each version:
+  *   - `bands`       — the banded bucket keys at the build-time
+  *                   [[DedupIndex.Shape]] (recorded in the artifact;
+  *                   corpus-scale 32×8/256 by default);
   *   - `signatures`  (doc_id, mhsig, hs, sz) — the per-doc sorted hash
   *                   sets the exact merge-scan verify reads.
   * Probing = the [[DedupQueries.qDedupIncremental]] plan with the corpus
@@ -34,15 +34,33 @@ import graft.streaming.VersionedArtifact
   * distinct, signature duplicates are not) — and a crash mid-admission
   * leaves the pointer on the intact previous version.
   *
-  * At cluster scale the band write becomes `saveAsTable` with
-  * `bucketBy(n, "band", "sig")` — SHIPPED as [[buildBucketedBands]] /
-  * [[probeBucketed]], with `DedupIndexBucketedSpec` pinning pair parity
-  * and the single-Exchange plan (corpus side read in place, only the
-  * delta moves); the signature table would take `bucketBy(n, "doc_id")`
-  * identically (left as the directory artifact here: the verify join is
-  * candidate-bounded, so its corpus-side exchange carries only matched
-  * rows, not the index). Staleness is the caller's contract, same as [[AnnIndex]]:
-  * [[build]] rebuilds from scratch into a fresh version.
+  * TWO LAYOUTS, ONE ARTIFACT FAMILY (r13 verdict's unification):
+  *   - the plain DIRECTORY layout — `bands` = (band, sig, doc_id)
+  *     parquet read with `spark.read.parquet`; probes shuffle both join
+  *     sides. Right at oracle scale; the legacy default.
+  *   - the BUCKETED layout (`build(…, bucketed = true)`, the
+  *     CORPUS-SCALE default a 100 TB deployment uses for BOTH the daily
+  *     batch and the streaming face) — `bands` = (bk, doc_id) with
+  *     `bk = xxhash64(band, sig)`, written as an external bucketed table
+  *     (bucketBy bk) inside the SAME version dirs via [[IndexLayout]];
+  *     `signatures` bucketBy doc_id. Probes read the corpus side IN
+  *     PLACE (bucket HashPartitioning reported, only the delta
+  *     exchanges — `DedupIndexBucketedSpec` pins the plan), micro
+  *     probes BUCKET-PRUNE the band scan to the delta's key set, and
+  *     admission/compaction keep the layout (bucket ids ride file
+  *     names, which hard links preserve; appends land at the recorded
+  *     modulus). The single-column bk key is what makes pruning
+  *     possible (Spark prunes single-column bucket specs only); a bk
+  *     collision can only ADD a candidate, which the exact verify
+  *     filters like any other non-pair — same contract as every LSH
+  *     candidate stage here.
+  * The layout rides `_meta.txt` ([[IndexLayout.isBucketed]]), so
+  * [[probe]]/[[append]]/[[load]]/[[compact]] — and therefore the
+  * streaming ingest faces, which go through [[load]] — pick the right
+  * read/write path with zero caller involvement.
+  *
+  * Staleness is the caller's contract, same as [[AnnIndex]]: [[build]]
+  * rebuilds from scratch into a fresh version.
   */
 object DedupIndex {
 
@@ -89,13 +107,13 @@ object DedupIndex {
     * replay. Pre-metadata artifacts (r12) read back as [[Shape.Oracle]],
     * the only shape that revision ever wrote.
     */
-  def shapeOf(indexDir: String): Shape = {
-    val m = artifact(indexDir).meta
+  def shapeOf(indexDir: String): Shape = shapeOfMeta(artifact(indexDir).meta)
+
+  private def shapeOfMeta(m: Map[String, String]): Shape =
     (m.get("bands"), m.get("rowsPerBand"), m.get("slots")) match {
       case (Some(b), Some(r), Some(s)) => Shape(b.toInt, r.toInt, s.toInt)
       case _ => Shape.Oracle
     }
-  }
 
   /** Corpus-build counter — the [[AnnPersistSpec]]-style observability
     * hook: proves the oracled incremental face builds the artifact at
@@ -129,18 +147,43 @@ object DedupIndex {
   def appliedDeltas(indexDir: String): Set[String] =
     artifact(indexDir).appliedDeltas
 
+  /** The directory-layout band projection: (band, sig, doc_id). */
+  private def bandFrame(per: DataFrame, shape: Shape): DataFrame = {
+    val bandCols = DedupQueries.bandStructs(shape.bands,
+      shape.rowsPerBand, shape.slots)
+    per.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id"))
+  }
+
+  /** The bucketed-layout band projection: (bk, doc_id) with
+    * `bk = xxhash64(band, sig)` — the single-column join/bucket/prune
+    * key (see class doc), 16 B/row vs the directory layout's 40.
+    */
+  private def bucketedBandFrame(per: DataFrame, shape: Shape): DataFrame =
+    bandFrame(per, shape)
+      .select(xxhash64(col("band"), col("sig")).as("bk"), col("doc_id"))
+
   private def writeTables(docs: DataFrame, ver: File, mode: String,
       shape: Shape): Unit = {
     // signaturesOf already carries (doc_id, mhsig, hs, sz)
     val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
     try {
       per.write.mode(mode).parquet(new File(ver, "signatures").toString)
-      val bandCols = DedupQueries.bandStructs(shape.bands,
-        shape.rowsPerBand, shape.slots)
-      per.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
-          col("doc_id"))
+      bandFrame(per, shape)
         .write.mode(mode).parquet(new File(ver, "bands").toString)
+    } finally { per.unpersist(); () }
+  }
+
+  private def writeTablesBucketed(family: String, docs: DataFrame,
+      ver: File, meta: Map[String, String], shape: Shape,
+      overwrite: Boolean): Unit = {
+    val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
+    try {
+      IndexLayout.writeInto(per, family, "signatures", ver,
+        IndexLayout.specOf(meta, "signatures"), overwrite)
+      IndexLayout.writeInto(bucketedBandFrame(per, shape), family, "bands",
+        ver, IndexLayout.specOf(meta, "bands"), overwrite)
     } finally { per.unpersist(); () }
   }
 
@@ -150,199 +193,129 @@ object DedupIndex {
     * default is the corpus-scale [[Shape.Corpus]] banding (the oracled
     * face passes [[Shape.Oracle]] explicitly — recall-complete at its
     * oracle's exact j ≥ 0.8 answer).
+    *
+    * `bucketed = true` writes the BUCKETED layout (class doc): bucket
+    * counts are byte-sized ([[Bucketing.sizedBuckets]], session-cap
+    * clamped) unless `buckets` pins them (layout-pinning specs), and the
+    * full spec rides the artifact meta so every admission, probe, and
+    * session replays it.
     */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
-      shape: Shape = Shape.Corpus): Unit = {
+      shape: Shape = Shape.Corpus, bucketed: Boolean = false,
+      buckets: Int = 0): Unit = {
     buildRuns.incrementAndGet()
-    artifact(indexDir).build(writeTables(docs, _, "overwrite", shape),
-      buildMeta = Map("bands" -> shape.bands.toString,
-        "rowsPerBand" -> shape.rowsPerBand.toString,
-        "slots" -> shape.slots.toString))
+    val shapeMeta = Map("bands" -> shape.bands.toString,
+      "rowsPerBand" -> shape.rowsPerBand.toString,
+      "slots" -> shape.slots.toString)
+    if (!bucketed)
+      artifact(indexDir).build(writeTables(docs, _, "overwrite", shape),
+        buildMeta = shapeMeta)
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
+      try {
+        // buckets = 0: size from bytes (Bucketing rule) — the count
+        // rides the persisted signature frame the writes reuse (never a
+        // second scan of the source). Band rows are docs × bands at
+        // ~16 B (bk, doc_id); signature rows carry the slots-wide
+        // signature plus the distinct shingle hash set (~2 kB nominal).
+        val cap = Bucketing.sessionMaxBuckets(spark)
+        val rows = if (buckets > 0) 0L else per.count()
+        val bandN = if (buckets > 0) buckets
+          else Bucketing.sizedBuckets(rows * shape.bands * 16L,
+            maxBuckets = cap)
+        val sigN = if (buckets > 0) buckets
+          else Bucketing.sizedBuckets(rows * (shape.slots * 8L + 2048L),
+            maxBuckets = cap)
+        val bands = bucketedBandFrame(per, shape)
+        val meta = shapeMeta +
+          (IndexLayout.LayoutKey -> IndexLayout.BucketedValue) ++
+          IndexLayout.metaFor("signatures", IndexLayout.TableSpec(sigN,
+            Seq("doc_id"), Seq("doc_id"), per.schema.toDDL)) ++
+          IndexLayout.metaFor("bands", IndexLayout.TableSpec(bandN,
+            Seq("bk"), Seq("bk"), bands.schema.toDDL))
+        artifact(indexDir).build({ ver =>
+          IndexLayout.writeInto(per, family, "signatures", ver,
+            IndexLayout.specOf(meta, "signatures"), overwrite = true)
+          IndexLayout.writeInto(bands, family, "bands", ver,
+            IndexLayout.specOf(meta, "bands"), overwrite = true)
+        }, buildMeta = meta)
+      } finally { per.unpersist(); () }
+    }
   }
 
   /** ADMIT a delta (probe-then-admit lifecycle): true if admitted, false
     * if `deltaId` was already applied. O(|delta|) write — previous files
-    * carry as hard links, only the delta's part files are new. Signatures
-    * and bands at the shape the artifact records — never a caller choice.
+    * carry as hard links, only the delta's part files are new (for the
+    * bucketed layout: one new file per touched bucket, at the modulus
+    * the artifact records). Signatures and bands at the shape the
+    * artifact records — never a caller choice.
     */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
-      deltaId: String): Boolean =
-    artifact(indexDir).admit(deltaId, Tables,
-      writeTables(docs, _, "append", shapeOf(indexDir)))
+      deltaId: String): Boolean = {
+    val meta = artifact(indexDir).meta
+    val shape = shapeOfMeta(meta)
+    if (!IndexLayout.isBucketed(meta))
+      artifact(indexDir).admit(deltaId, Tables,
+        writeTables(docs, _, "append", shape))
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      artifact(indexDir).admit(deltaId, Tables,
+        writeTablesBucketed(family, docs, _, meta, shape,
+          overwrite = false))
+    }
+  }
 
   /** Drop index versions older than the newest `keep` (default 2: a
     * reader holding the previous version's paths — a lazy probe frame,
     * the ingest stream's cached corpus — survives one admission; consume
-    * lazy frames before pruning deeper).
+    * lazy frames before pruning deeper). Bucketed-layout catalog entries
+    * of pruned versions are left behind (metadata-only; [[IndexLayout
+    * .register]] drops-and-recreates on any same-name reuse).
     */
   def prune(indexDir: String, keep: Int = 2): Unit =
     artifact(indexDir).prune(keep)
 
   /** Compact tables that accreted more than `maxFiles` part files across
-    * admissions (measured in `IndexProbe`: 64 files PER admitted delta,
-    * forever) — out-of-band, behind the same atomic version swap as
-    * admission, delta-idempotence carried. Bands re-cluster on `band` so
-    * the probe's equi-join reads co-located buckets; probe output is
-    * multiset-invariant across a compact (`DedupIndexSpec`). Run from the
-    * admission loop (single-writer contract).
+    * admissions (measured in `IndexProbe`: 64 files PER admitted delta
+    * on the directory layout; one per touched bucket per delta on the
+    * bucketed layout) — out-of-band, behind the same atomic version swap
+    * as admission, delta-idempotence carried. Directory bands re-cluster
+    * on `band` so the probe's equi-join reads co-located buckets;
+    * bucketed tables rewrite back to ONE file per bucket at the recorded
+    * spec. Probe output is multiset-invariant across a compact
+    * (`DedupIndexSpec`/`DedupIndexBucketedSpec`). Run from the admission
+    * loop (single-writer contract).
     */
   def compact(spark: SparkSession, indexDir: String,
-      maxFiles: Int = 64): Int =
-    artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
-      val df = spark.read.parquet(src)
-      val out =
-        if (tgt.getName == "bands") df.repartition(col("band"))
-        else df.repartition(col("doc_id"))
-      out.write.mode("overwrite").parquet(tgt.toString)
+      maxFiles: Int = 64): Int = {
+    val meta = artifact(indexDir).meta
+    if (!IndexLayout.isBucketed(meta))
+      artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
+        val df = spark.read.parquet(src)
+        val out =
+          if (tgt.getName == "bands") df.repartition(col("band"))
+          else df.repartition(col("doc_id"))
+        out.write.mode("overwrite").parquet(tgt.toString)
+      }
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
+        IndexLayout.writeInto(spark.read.parquet(src), family,
+          tgt.getName, tgt.getParentFile,
+          IndexLayout.specOf(meta, tgt.getName), overwrite = true)
+      }
     }
-
-  /** CLUSTER-SCALE band layout — the `bucketBy` upgrade the class doc
-    * names, shipped: write the corpus band table as a managed parquet
-    * table bucketed (and sorted) on the probe's join key `(band, sig)`,
-    * so every later probe's candidate equi-join reads corpus buckets IN
-    * PLACE — the corpus side reports its bucket `HashPartitioning` to the
-    * planner and only the delta side exchanges
-    * (`DedupIndexBucketedSpec` pins the single-Exchange plan and pair
-    * parity with the directory artifact's probe). At 100 TB this is the
-    * difference between shuffling the standing index per probe and
-    * shuffling the delta only; bucket count targets ~128–512 MB per
-    * bucket file, the [[Bucketing]] sizing rule.
-    */
-  def buildBucketedBands(spark: SparkSession, docs: DataFrame,
-      table: String, buckets: Int = 0,
-      shape: Shape = Shape.Corpus): Unit = {
-    val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
-    try {
-      val bandCols = DedupQueries.bandStructs(shape.bands,
-        shape.rowsPerBand, shape.slots)
-      // buckets = 0: size from bytes (Bucketing rule) — band rows are
-      // docs × bands at ~24 B (band, sig, doc_id); the count rides the
-      // persisted signature frame the write reuses (never a second scan
-      // of the source). A toy-corpus build gets 1 bucket, a 100 TB one
-      // the count its bytes ask for (capped at the session's bucketBy
-      // ceiling), and an explicit count stays available for
-      // layout-pinning specs
-      val n = if (buckets > 0) buckets
-        else Bucketing.sizedBuckets(per.count() * shape.bands * 24L,
-          maxBuckets = Bucketing.sessionMaxBuckets(spark))
-      per.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
-          col("doc_id"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-        .bucketBy(n, "band", "sig").sortBy("band", "sig")
-        .saveAsTable(table)
-      recordShape(spark, table, shape)
-    } finally { per.unpersist(); () }
-  }
-
-  /** The managed-table twin of the directory artifact's `_meta.txt`: the
-    * band shape rides the table's TBLPROPERTIES, so a probe can never
-    * band its delta differently than the table was built (the silent
-    * near-empty join a caller-guess default invites — same contract as
-    * [[shapeOf]]).
-    */
-  private def recordShape(spark: SparkSession, table: String,
-      shape: Shape): Unit =
-    Bucketing.setTableProps(spark, table, Map(
-      "graft.bands" -> shape.bands.toString,
-      "graft.rowsPerBand" -> shape.rowsPerBand.toString,
-      "graft.slots" -> shape.slots.toString))
-
-  /** Shape recorded by [[buildBucketedBands]]. A table WITHOUT recorded
-    * properties is a LOUD error, not a guessed default: it is either a
-    * pre-metadata build (whose default changed across revisions — any
-    * guess silently near-empties the probe for half of them) or a build
-    * that crashed between `saveAsTable` and the property write; both
-    * want a rebuild (or a deliberate one-time `ALTER TABLE … SET
-    * TBLPROPERTIES`), not silent garbage.
-    */
-  def bucketedShapeOf(spark: SparkSession, table: String): Shape = {
-    val props = Bucketing.tableProps(spark, table)
-    (props.get("graft.bands"), props.get("graft.rowsPerBand"),
-        props.get("graft.slots")) match {
-      case (Some(b), Some(r), Some(s)) => Shape(b.toInt, r.toInt, s.toInt)
-      case _ => throw new IllegalStateException(
-        s"band table $table has no recorded shape (pre-metadata build, " +
-          "or a build interrupted before its property write): rebuild " +
-          "with buildBucketedBands, or record the build shape once via " +
-          "ALTER TABLE ... SET TBLPROPERTIES ('graft.bands' = '<bands>', " +
-          "'graft.rowsPerBand' = '<rows>', 'graft.slots' = '<slots>')")
-    }
-  }
-
-  /** The signature-table counterpart of [[buildBucketedBands]] — the
-    * VERIFY side's corpus state as a `bucketBy(doc_id)` managed table, so
-    * the exact-Jaccard verify's corpus-sets join reads buckets in place:
-    * [[DedupQueries.verifyJaccardSplit]]'s first join attaches A-side
-    * sets to the narrow candidate rows, and with this layout the corpus
-    * side reports its bucket partitioning while only the candidates
-    * exchange (`DedupIndexBucketedSpec` pins the plan). Completes the
-    * cluster-scale layout: bands AND signatures both read in place, so a
-    * probe moves the delta and the matched candidates — nothing
-    * corpus-sized.
-    */
-  def buildBucketedSignatures(spark: SparkSession, docs: DataFrame,
-      table: String, buckets: Int = 0,
-      shape: Shape = Shape.Corpus): Unit = {
-    val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
-    try {
-      // buckets = 0: per-doc row ≈ slots × 8 (signature) + the distinct
-      // 5-char shingle hash set (~200 tokens × 8 B on the measured
-      // corpus) — nominal 2 kB + signature width; counted on the
-      // persisted frame the write reuses
-      val n = if (buckets > 0) buckets
-        else Bucketing.sizedBuckets(per.count() * (shape.slots * 8L + 2048L),
-          maxBuckets = Bucketing.sessionMaxBuckets(spark))
-      per.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-        .bucketBy(n, "doc_id").sortBy("doc_id")
-        .saveAsTable(table)
-    } finally { per.unpersist(); () }
-  }
-
-  /** The raw candidate join against a [[buildBucketedBands]] table,
-    * BEFORE the dedup distinct — exposed so the plan-shape spec can
-    * assert the corpus side joins with no Exchange (the distinct above it
-    * necessarily adds one for its own aggregation).
-    */
-  private[graft] def bucketedCandidates(spark: SparkSession, table: String,
-      deltaPer: DataFrame, shape: Shape = Shape.Corpus): DataFrame = {
-    val bandCols = DedupQueries.bandStructs(shape.bands,
-      shape.rowsPerBand, shape.slots)
-    val deltaBands = deltaPer
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
-        col("doc_id").as("id_b"))
-    spark.table(table).withColumnRenamed("doc_id", "id_a")
-      .join(deltaBands, Seq("band", "sig"))
-      .where(col("id_a") =!= col("id_b"))
-  }
-
-  /** [[probe]] against the bucketed band table: same verified pairs, the
-    * corpus-side exchange elided by layout. `corpusPer` is the signature
-    * frame the exact verify reads (from the directory artifact or a
-    * doc_id-bucketed table of its own). The band shape is resolved from
-    * the TABLE's recorded properties ([[bucketedShapeOf]]) — never a
-    * caller guess.
-    */
-  def probeBucketed(spark: SparkSession, table: String, corpusPer: DataFrame,
-      deltaDocs: DataFrame): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    val shape = bucketedShapeOf(spark, table)
-    val deltaPer = DedupQueries.signaturesOf(deltaDocs, shape.slots)
-    val cand = bucketedCandidates(spark, table, deltaPer, shape)
-      .select(col("id_a"), col("id_b")).distinct()
-    DedupQueries.verifyJaccardSplit(corpusPer, deltaPer, cand, 0.8)
-      .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
-        col("jaccard"))
   }
 
   /** Probe the index with a `(doc_id, text)` delta frame: verified
     * near-dup pairs (corpus_id, new_id, jaccard ≥ 0.8) between the delta
     * and the indexed corpus. Cost is O(|delta| + matches) — nothing
-    * corpus-sized is computed, only scanned through the equi-join. Both
-    * artifact tables resolve against ONE pointer read, so a concurrent
-    * admission cannot hand the verify a different version than the
-    * candidate join.
+    * corpus-sized is computed, only scanned through the equi-join (and
+    * on the bucketed layout the corpus side is never even shuffled).
+    * Both artifact tables resolve against ONE pointer read, so a
+    * concurrent admission cannot hand the verify a different version
+    * than the candidate join.
     */
   def probe(spark: SparkSession, indexDir: String,
       deltaDocs: DataFrame): DataFrame =
@@ -351,22 +324,33 @@ object DedupIndex {
   /** The artifact's tables + shape resolved against ONE pointer read —
     * what a LONG-LIVED prober (the streaming text-ingest face) loads
     * once and persists, so every micro-batch probes memory instead of
-    * re-reading (or worse, re-deriving) corpus-sized state.
+    * re-reading (or worse, re-deriving) corpus-sized state. `bucketed`
+    * records which layout (and therefore which probe plan) the frames
+    * carry.
     */
   final case class Loaded(signatures: DataFrame, bands: DataFrame,
-      shape: Shape)
+      shape: Shape, bucketed: Boolean = false)
 
   /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
   val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   def load(spark: SparkSession, indexDir: String): Loaded = {
     loadRuns.incrementAndGet()
-    // shape resolved from the artifact BEFORE the path snapshot: both
-    // come from the same current version under the single-writer contract
-    val shape = shapeOf(indexDir)
+    // shape + layout resolved from the artifact BEFORE the path
+    // snapshot: all come from the same current version under the
+    // single-writer contract
+    val meta = artifact(indexDir).meta
+    val shape = shapeOfMeta(meta)
     val paths = artifact(indexDir).snapshotPaths(Tables)
-    Loaded(spark.read.parquet(paths("signatures")),
-      spark.read.parquet(paths("bands")), shape)
+    if (!IndexLayout.isBucketed(meta))
+      Loaded(spark.read.parquet(paths("signatures")),
+        spark.read.parquet(paths("bands")), shape)
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
+        spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
+      Loaded(tbl("signatures"), tbl("bands"), shape, bucketed = true)
+    }
   }
 
   /** [[probe]] against pre-loaded (possibly persisted) artifact frames.
@@ -374,37 +358,88 @@ object DedupIndex {
     * `micro = true` declares `deltaDocs` a MICRO-BATCH (the streaming
     * ingest face): delta bands and candidates broadcast into the corpus
     * joins, so the cached band/signature tables STREAM with zero
-    * per-batch exchange — see [[ContainIndex.probeLoaded]].
+    * per-batch exchange — see [[ContainIndex.probeLoaded]]. On the
+    * BUCKETED layout, micro goes further: the delta's band rows collect,
+    * the corpus band scan BUCKET-PRUNES to their key set, the resulting
+    * candidate pairs localize (all delta/admission-bounded — the
+    * broadcast size class the micro contract already assumes), and the
+    * verify's corpus signature scan bucket-prunes to the matched ids —
+    * EVERY corpus read in the batch is a pruned bucket read
+    * (`SelectedBucketsCount` k out of n), nothing corpus-sized. That
+    * makes the micro probe EAGER through candidate generation; batch
+    * probes stay fully lazy.
     */
   def probeLoaded(loaded: Loaded, deltaDocs: DataFrame,
       micro: Boolean = false): DataFrame = {
     val spark = deltaDocs.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val shape = loaded.shape
-    val corpusBands = loaded.bands.withColumnRenamed("doc_id", "id_a")
     // no persist: the probe returns a LAZY frame, and a persist here with
     // no unpersist would pin a cache entry per daily probe for the life
     // of the ingest session; the delta-sized recompute across the frame's
     // few consumers is cheaper than that leak
     val deltaPer = DedupQueries.signaturesOf(deltaDocs, shape.slots)
-    val bandCols = DedupQueries.bandStructs(shape.bands,
-      shape.rowsPerBand, shape.slots)
-    val deltaBands = deltaPer
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
-        col("doc_id").as("id_b"))
     // id_a =!= id_b: a RE-probe after admission (the at-least-once retry
     // the deltaId-idempotent admit exists for) would otherwise match every
     // delta doc against its own admitted copy at jaccard 1.0 and report
     // the whole retried delta as corpus duplicates — a keeper policy
     // downstream would then drop it. Batch faces filter the same way.
-    val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
-    val cand = deltaSide.join(corpusBands, Seq("band", "sig"))
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    DedupQueries.verifyJaccardSplit(loaded.signatures, deltaPer, cand, 0.8,
+    val (cand, corpusSigs) =
+      if (!loaded.bucketed) {
+        val corpusBands = loaded.bands.withColumnRenamed("doc_id", "id_a")
+        val deltaBands = bandFrame(deltaPer, shape)
+          .withColumnRenamed("doc_id", "id_b")
+        val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
+        (deltaSide.join(corpusBands, Seq("band", "sig"))
+          .where(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct(), loaded.signatures)
+      } else if (!micro) {
+        val deltaBands = bucketedBandFrame(deltaPer, shape)
+          .withColumnRenamed("doc_id", "id_b")
+        val corpusBands = loaded.bands.withColumnRenamed("doc_id", "id_a")
+        (deltaBands.join(corpusBands, Seq("bk"))
+          .where(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct(), loaded.signatures)
+      } else {
+        // bucketed micro: ONE eager candidate job ([[microCandidates]] —
+        // pruned corpus band read, localized delta), then the candidate
+        // pairs LOCALIZE (they are the broadcast size class already) so
+        // the verify's corpus signature scan can bucket-prune to the
+        // matched ids. Steady state per batch: each corpus table read
+        // once, every read pruned — no corpus-sized term at all.
+        import spark.implicits._
+        val candRows = microCandidates(loaded, deltaPer)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        (candRows.toDF("id_a", "id_b"),
+          IndexLayout.pruned(loaded.signatures, "doc_id",
+            candRows.map(_._1).distinct))
+      }
+    DedupQueries.verifyJaccardSplit(corpusSigs, deltaPer, cand, 0.8,
         micro)
       .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
         col("jaccard"))
+  }
+
+  /** The bucketed micro probe's candidate frame, LAZY — the one plan
+    * that touches the corpus band table per micro batch: the delta's
+    * band rows collect (|batch| × bands — admission-bounded by the
+    * stream's contract) and come back as a broadcast local relation, and
+    * the corpus band scan BUCKET-PRUNES to their key set
+    * (`SelectedBucketsCount` k out of n; `DedupIndexBucketedSpec` pins
+    * the shape). [[probeLoaded]] collects it; exposed so the plan spec
+    * can assert the pruning on the frame itself.
+    */
+  private[analytics] def microCandidates(loaded: Loaded,
+      deltaPer: DataFrame): DataFrame = {
+    val spark = deltaPer.sparkSession
+    import spark.implicits._
+    val deltaBandRows = bucketedBandFrame(deltaPer, loaded.shape)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val corpus = IndexLayout.pruned(
+      loaded.bands.withColumnRenamed("doc_id", "id_a"), "bk",
+      deltaBandRows.map(_._1).distinct)
+    broadcast(deltaBandRows.toDF("bk", "id_b")).join(corpus, Seq("bk"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 }

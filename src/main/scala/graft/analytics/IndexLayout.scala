@@ -1,0 +1,178 @@
+package graft.analytics
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BUCKETED table layout for the versioned index artifacts — the piece
+  * that unifies the two halves of the 100 TB index story (r13 verdict's
+  * top item): the [[graft.streaming.VersionedArtifact]] lifecycle
+  * (atomic `_CURRENT` swap, deltaId-idempotent admission, hard-link
+  * carry, compaction) with the bucketed managed-table probe shape
+  * (corpus side read IN PLACE — bucket `HashPartitioning` reported to
+  * the planner, so only the delta ever exchanges; single-column bucket
+  * keys so micro probes BUCKET-PRUNE the scan).
+  *
+  * How the two compose: a version dir's table subdir holds parquet files
+  * written by Spark's bucketed writer (bucket ids ride the file NAMES,
+  * `part-…_00007.parquet`), and each version is exposed to the planner
+  * as an EXTERNAL bucketed table over that subdir
+  * (`CREATE TABLE … CLUSTERED BY … INTO n BUCKETS LOCATION vN/tbl`).
+  * Hard links preserve file names, so the carry step of
+  * admission/compaction preserves bucket ids by construction; an
+  * admission APPENDS the delta's files into the next version's table at
+  * the same modulus (one new file per touched bucket — the write
+  * clusters on the bucket id first), and a compaction re-writes fat
+  * tables back to one file per bucket. The bucket spec + schema ride the
+  * artifact's `_meta.txt` — atomic with the pointer swap, carried
+  * through admit/compact — so ANY session can re-register the catalog
+  * entries from the artifact alone (the in-memory catalog does not
+  * survive a session; the artifact is the source of truth, same
+  * contract as the band shape).
+  *
+  * Catalog names are derived from the artifact DIRECTORY
+  * ([[familyOf]]) + table + version, so they are deterministic across
+  * sessions, never collide across versions (version ids only grow), and
+  * callers never choose (or mistype) a name.
+  */
+private[graft] object IndexLayout {
+
+  /** `_meta.txt` marker for a bucketed-layout artifact; absent = the
+    * plain directory layout (`spark.read.parquet`).
+    */
+  val LayoutKey = "layout"
+  val BucketedValue = "bucketed"
+
+  def isBucketed(meta: Map[String, String]): Boolean =
+    meta.get(LayoutKey).contains(BucketedValue)
+
+  /** One table's bucket layout, recorded in the artifact meta: count,
+    * bucket columns, sort columns, and the schema DDL the per-session
+    * re-registration needs (schema inference over an empty or
+    * link-carried dir is not a contract).
+    */
+  final case class TableSpec(buckets: Int, by: Seq[String],
+      sort: Seq[String], schemaDDL: String) {
+    require(buckets > 0 && by.nonEmpty && sort.nonEmpty,
+      s"bucket spec needs a positive count and non-empty columns: $this")
+  }
+
+  /** Deterministic catalog-name prefix for an artifact directory (MD5 of
+    * the canonical path — stable across sessions and JVMs, valid
+    * identifier, collision-safe at this scope).
+    */
+  def familyOf(indexDir: String): String = {
+    val canonical = new File(indexDir).getAbsolutePath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "graft_idx_" + md5.take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  def metaFor(table: String, spec: TableSpec): Map[String, String] = Map(
+    s"bucket.$table.n" -> spec.buckets.toString,
+    s"bucket.$table.by" -> spec.by.mkString(","),
+    s"bucket.$table.sort" -> spec.sort.mkString(","),
+    s"bucket.$table.schema" -> spec.schemaDDL)
+
+  /** The recorded spec for `table` — LOUD on absence (a bucketed-layout
+    * artifact without its specs is a corrupted/hand-edited meta, and a
+    * guessed layout would silently mis-bucket the next admission).
+    */
+  def specOf(meta: Map[String, String], table: String): TableSpec =
+    (meta.get(s"bucket.$table.n"), meta.get(s"bucket.$table.by"),
+        meta.get(s"bucket.$table.sort"),
+        meta.get(s"bucket.$table.schema")) match {
+      case (Some(n), Some(by), Some(sort), Some(ddl)) =>
+        TableSpec(n.toInt, by.split(',').toSeq, sort.split(',').toSeq, ddl)
+      case _ => throw new IllegalStateException(
+        s"bucketed-layout artifact has no recorded bucket spec for " +
+          s"'$table' (corrupted or hand-edited _meta.txt) — rebuild the " +
+          "artifact")
+    }
+
+  /** Cap on the key-list size a micro probe will inline into an INSET
+    * bucket-pruning filter: past this the filter literal itself becomes
+    * the per-batch cost (plan bloat, task-binary size), while the scan it
+    * would prune is already bounded by the join that follows. Above the
+    * cap [[pruned]] returns the frame unfiltered — correctness is
+    * unchanged (the equi-join restricts to the same keys); only the
+    * SelectedBucketsCount pruning is forfeited, and a batch that large
+    * has outgrown the micro contract anyway.
+    */
+  val MicroPruneMaxKeys = 65536
+
+  /** Bucket-prune `corpus` to the rows whose `column` (the table's
+    * single bucket key) is in `keys` — the micro-probe scan shape: the
+    * INSET filter reaches the bucketed `FileScan` as
+    * `SelectedBucketsCount k out of n`, so the per-batch corpus term is
+    * a pruned bucket read, not a full scan. Semantically a no-op when an
+    * equi-join on `column` (or on ids drawn from `keys`) follows, which
+    * is the only way probes use it.
+    */
+  def pruned(corpus: DataFrame, column: String, keys: Seq[Long]): DataFrame =
+    if (keys.size > MicroPruneMaxKeys) corpus
+    else corpus.filter(col(column).isin(keys: _*))
+
+  private def tableName(family: String, table: String, verName: String) =
+    s"${family}_${table}_$verName"
+
+  private def locationOf(spark: SparkSession, name: String): Option[String] =
+    spark.sql(s"DESCRIBE FORMATTED $name").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+
+  /** Idempotent per-session registration of the external bucketed table
+    * over one version's table dir: reuse a matching entry, else
+    * (re)create it from the recorded spec. A stale same-name entry
+    * pointing elsewhere (an artifact dir deleted and rebuilt within one
+    * session restarts version ids) is dropped — external tables drop
+    * metadata only, never files.
+    */
+  def register(spark: SparkSession, family: String, table: String,
+      tableDir: File, spec: TableSpec): String = {
+    val verName = tableDir.getParentFile.getName
+    val name = tableName(family, table, verName)
+    val expected = tableDir.getAbsoluteFile.toURI.toString.stripSuffix("/")
+    val exists = spark.catalog.tableExists(name)
+    val ok = exists && locationOf(spark, name)
+      .map(_.stripSuffix("/")).contains(expected)
+    if (!ok) {
+      if (exists) spark.sql(s"DROP TABLE IF EXISTS $name")
+      val by = spec.by.mkString(", ")
+      val sort = spec.sort.mkString(", ")
+      spark.sql(s"CREATE TABLE $name (${spec.schemaDDL}) USING parquet " +
+        s"CLUSTERED BY ($by) SORTED BY ($sort) INTO ${spec.buckets} " +
+        s"BUCKETS LOCATION '${tableDir.getAbsolutePath}'")
+    }
+    name
+  }
+
+  /** Bucketed write of one table into a version dir. `overwrite` is the
+    * build/compact path (fresh external table over the dir); append is
+    * the admission path (register, then append at the SAME modulus —
+    * Spark validates the writer's bucket spec against the table's).
+    *
+    * The pre-write exchange clusters rows on the BUCKET ID (the same
+    * `pmod(murmur3, n)` the bucketed writer computes), so each write
+    * lands ONE file per touched bucket — without it every write task
+    * opens a file per bucket it holds rows for (tasks × buckets small
+    * files per admission, the accrual [[graft.streaming
+    * .VersionedArtifact.compact]] exists to pay down).
+    */
+  def writeInto(df: DataFrame, family: String, table: String,
+      verDir: File, spec: TableSpec, overwrite: Boolean): Unit = {
+    val spark = df.sparkSession
+    val tableDir = new File(verDir, table)
+    val name = tableName(family, table, verDir.getName)
+    if (overwrite) spark.sql(s"DROP TABLE IF EXISTS $name")
+    else { register(spark, family, table, tableDir, spec); () }
+    val bucketId = pmod(hash(spec.by.map(col): _*), lit(spec.buckets))
+    val w = df.repartition(spec.buckets, bucketId)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .format("parquet")
+      .bucketBy(spec.buckets, spec.by.head, spec.by.tail: _*)
+      .sortBy(spec.sort.head, spec.sort.tail: _*)
+    (if (overwrite) w.option("path", tableDir.getAbsolutePath) else w)
+      .saveAsTable(name)
+  }
+}

@@ -14,8 +14,8 @@ import graft.streaming.VersionedArtifact
   * probes the standing band table from disk with O(|delta| + matches)
   * compute and no corpus re-banding.
   *
-  * Two parquet tables inside each version:
-  *   - `bands`   (band, bits, vec_id) — the banded sign-bit bucket keys;
+  * Two tables inside each version:
+  *   - `bands`   — the banded sign-bit bucket keys;
   *   - `vectors` (vec_id, v, nrm) — double vectors + norms for the exact
   *               cosine verify (the SRP collision is recall machinery;
   *               every emitted pair passes cos ≥ 0.46 exactly).
@@ -35,6 +35,18 @@ import graft.streaming.VersionedArtifact
   * oracle replays that seeded pipeline; artifacts written before the
   * shape was recorded read back as `Narrow` (the only shape that
   * revision ever built).
+  *
+  * TWO LAYOUTS, ONE FAMILY (see [[DedupIndex]]'s class doc for the full
+  * design): the plain directory layout — `bands` = (band, bits, vec_id)
+  * parquet — or the BUCKETED layout (`build(…, bucketed = true)`, the
+  * corpus-scale default): `bands` = (bk, vec_id) with
+  * `bk = xxhash64(band, bits)` bucketBy bk, `vectors` bucketBy vec_id,
+  * both as [[IndexLayout]] external tables inside the same version dirs.
+  * Probes read the corpus side in place (only the delta exchanges —
+  * `SrpIndexBucketedSpec`), micro probes bucket-prune the band scan to
+  * the delta's key set, and admission/compaction preserve the layout. A
+  * bk collision can only add a candidate the exact-cosine verify
+  * filters.
   *
   * Versioning + deltaId-idempotent probe-then-admit + compaction ride the
   * same [[graft.streaming.VersionedArtifact]] lifecycle as the other two
@@ -74,14 +86,23 @@ object SrpIndex {
     * must replay. Pre-metadata artifacts (r12) read back as `Narrow`,
     * the only shape that revision ever wrote.
     */
-  private[analytics] def shapeOf(indexDir: String): DedupQueries.SrpShape = {
-    val m = artifact(indexDir).meta
+  private[analytics] def shapeOf(indexDir: String): DedupQueries.SrpShape =
+    shapeOfMeta(artifact(indexDir).meta)
+
+  private def shapeOfMeta(m: Map[String, String]): DedupQueries.SrpShape =
     (m.get("bands"), m.get("rowsPerBand")) match {
       case (Some(b), Some(r)) =>
         DedupQueries.SrpShape(b.toInt * r.toInt, b.toInt, r.toInt)
       case _ => DedupQueries.Srp.Narrow
     }
-  }
+
+  /** The bucketed-layout band projection: (bk, vec_id) with
+    * `bk = xxhash64(band, bits)` — single-column join/bucket/prune key.
+    */
+  private def bucketedBandsOf(spark: SparkSession, v: DataFrame,
+      shape: DedupQueries.SrpShape): DataFrame =
+    DedupQueries.srpBandsOf(spark, v, shape)
+      .select(xxhash64(col("band"), col("bits")).as("bk"), col("vec_id"))
 
   private def writeTables(spark: SparkSession, vecs: DataFrame, ver: File,
       mode: String, shape: DedupQueries.SrpShape): Unit = {
@@ -94,27 +115,90 @@ object SrpIndex {
     } finally { v.unpersist(); () }
   }
 
+  private def writeTablesBucketed(spark: SparkSession, family: String,
+      vecs: DataFrame, ver: File, meta: Map[String, String],
+      shape: DedupQueries.SrpShape, overwrite: Boolean): Unit = {
+    val v = DedupQueries.srpVectorsOf(spark, vecs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      IndexLayout.writeInto(v, family, "vectors", ver,
+        IndexLayout.specOf(meta, "vectors"), overwrite)
+      IndexLayout.writeInto(bucketedBandsOf(spark, v, shape), family,
+        "bands", ver, IndexLayout.specOf(meta, "bands"), overwrite)
+    } finally { v.unpersist(); () }
+  }
+
   /** Build (or fully REBUILD) from a `(vec_id, embedding)` corpus frame.
     * `shape` is recorded in the artifact and rules every later
     * probe/admit; the default is the corpus-scale `Wide` banding (see
-    * class doc for why `Narrow` cannot reach 100 TB).
+    * class doc for why `Narrow` cannot reach 100 TB). `bucketed = true`
+    * writes the bucketed layout (byte-sized counts unless `buckets`
+    * pins them), recorded in the artifact meta.
     */
   def build(spark: SparkSession, vecs: DataFrame, indexDir: String,
-      shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide): Unit = {
+      shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide,
+      bucketed: Boolean = false, buckets: Int = 0): Unit = {
     buildRuns.incrementAndGet()
-    artifact(indexDir).build(writeTables(spark, vecs, _, "overwrite", shape),
-      buildMeta = Map("bands" -> shape.bands.toString,
-        "rowsPerBand" -> shape.rowsPerBand.toString))
+    val shapeMeta = Map("bands" -> shape.bands.toString,
+      "rowsPerBand" -> shape.rowsPerBand.toString)
+    if (!bucketed)
+      artifact(indexDir).build(writeTables(spark, vecs, _, "overwrite",
+        shape), buildMeta = shapeMeta)
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      val v = DedupQueries.srpVectorsOf(spark, vecs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // buckets = 0: per-table sizing from bytes (Bucketing rule) —
+        // the count rides the persisted frame the writes reuse. Vector
+        // rows carry the double array (dims × 8 B + norm); band rows are
+        // bands/vector at ~16 B (bk, vec_id). rows == 0 guard: first()
+        // on an empty frame throws — an empty corpus builds 1-bucket
+        // empty tables instead (sizedBuckets(0) = 1)
+        val cap = Bucketing.sessionMaxBuckets(spark)
+        val rows = if (buckets > 0) 0L else v.count()
+        val dims = if (buckets > 0 || rows == 0) 0
+          else v.select(size(col("v"))).first().getInt(0)
+        val vN = if (buckets > 0) buckets
+          else Bucketing.sizedBuckets(rows * (dims * 8L + 16L),
+            maxBuckets = cap)
+        val bN = if (buckets > 0) buckets
+          else Bucketing.sizedBuckets(rows * shape.bands * 16L,
+            maxBuckets = cap)
+        val bands = bucketedBandsOf(spark, v, shape)
+        val meta = shapeMeta +
+          (IndexLayout.LayoutKey -> IndexLayout.BucketedValue) ++
+          IndexLayout.metaFor("vectors", IndexLayout.TableSpec(vN,
+            Seq("vec_id"), Seq("vec_id"), v.schema.toDDL)) ++
+          IndexLayout.metaFor("bands", IndexLayout.TableSpec(bN,
+            Seq("bk"), Seq("bk"), bands.schema.toDDL))
+        artifact(indexDir).build({ ver =>
+          IndexLayout.writeInto(v, family, "vectors", ver,
+            IndexLayout.specOf(meta, "vectors"), overwrite = true)
+          IndexLayout.writeInto(bands, family, "bands", ver,
+            IndexLayout.specOf(meta, "bands"), overwrite = true)
+        }, buildMeta = meta)
+      } finally { v.unpersist(); () }
+    }
   }
 
   /** ADMIT a delta (probe-then-admit): true if admitted, false if
     * `deltaId` was already applied. O(|delta|) write, hard-link carry.
-    * Bands with the shape the artifact records — never a caller choice.
+    * Bands with the shape (and layout) the artifact records — never a
+    * caller choice.
     */
   def append(spark: SparkSession, vecs: DataFrame, indexDir: String,
-      deltaId: String): Boolean =
-    artifact(indexDir).admit(deltaId, Tables,
-      writeTables(spark, vecs, _, "append", shapeOf(indexDir)))
+      deltaId: String): Boolean = {
+    val meta = artifact(indexDir).meta
+    val shape = shapeOfMeta(meta)
+    if (!IndexLayout.isBucketed(meta))
+      artifact(indexDir).admit(deltaId, Tables,
+        writeTables(spark, vecs, _, "append", shape))
+    else
+      artifact(indexDir).admit(deltaId, Tables,
+        writeTablesBucketed(spark, IndexLayout.familyOf(indexDir), vecs,
+          _, meta, shape, overwrite = false))
+  }
 
   /** Drop versions older than the newest `keep` — see
     * [[DedupIndex.prune]]'s reader-grace note. */
@@ -122,18 +206,30 @@ object SrpIndex {
     artifact(indexDir).prune(keep)
 
   /** Compact tables past `maxFiles` part files — the shared
-    * [[VersionedArtifact.compact]] transaction; postings re-cluster on
-    * the probe's band key, vectors on vec_id.
+    * [[VersionedArtifact.compact]] transaction; directory postings
+    * re-cluster on the probe's band key, vectors on vec_id; bucketed
+    * tables rewrite back to one file per bucket at the recorded spec.
     */
   def compact(spark: SparkSession, indexDir: String,
-      maxFiles: Int = 64): Int =
-    artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
-      val df = spark.read.parquet(src)
-      val out =
-        if (tgt.getName == "bands") df.repartition(col("band"))
-        else df.repartition(col("vec_id"))
-      out.write.mode("overwrite").parquet(tgt.toString)
+      maxFiles: Int = 64): Int = {
+    val meta = artifact(indexDir).meta
+    if (!IndexLayout.isBucketed(meta))
+      artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
+        val df = spark.read.parquet(src)
+        val out =
+          if (tgt.getName == "bands") df.repartition(col("band"))
+          else df.repartition(col("vec_id"))
+        out.write.mode("overwrite").parquet(tgt.toString)
+      }
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
+        IndexLayout.writeInto(spark.read.parquet(src), family,
+          tgt.getName, tgt.getParentFile,
+          IndexLayout.specOf(meta, tgt.getName), overwrite = true)
+      }
     }
+  }
 
   /** Probe with a `(vec_id, embedding)` delta frame: verified near-dup
     * pairs (corpus_id, new_id, cos ≥ 0.46) between the delta and the
@@ -145,87 +241,15 @@ object SrpIndex {
       deltaVecs: DataFrame): DataFrame =
     probeLoaded(load(spark, indexDir), deltaVecs)
 
-  /** CLUSTER-SCALE layout — the [[DedupIndex.buildBucketedBands]]
-    * treatment for the SRP family: both corpus tables as managed parquet
-    * tables bucketed (and sorted) on their probe-side join keys — bands
-    * on `(band, bits)` (the candidate equi-join), vectors on `vec_id`
-    * (the exact-cosine verify lookup) — so every probe reads corpus
-    * buckets IN PLACE and only the delta (and the candidate rows) ever
-    * exchange (`SrpIndexBucketedSpec` pins the single-band-Exchange plan
-    * and pair parity with the directory artifact). Bucket count targets
-    * ~128–512 MB per bucket file ([[Bucketing]] sizing rule).
-    */
-  def buildBucketedTables(spark: SparkSession, vecs: DataFrame,
-      tablePrefix: String, buckets: Int = 0,
-      shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide): Unit = {
-    val v = DedupQueries.srpVectorsOf(spark, vecs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // buckets = 0: per-table sizing from bytes (Bucketing rule) — the
-      // count rides the persisted frame, so it costs one cached scan.
-      // Vector rows carry the float array (dims × 4 B + norm); band rows
-      // are bands/vector at ~24 B (band, bits, vec_id)
-      val rows = if (buckets > 0) 0L else v.count()
-      // rows == 0 guard: first() on an empty frame throws — an empty
-      // corpus builds 1-bucket empty tables instead (sizedBuckets(0) = 1)
-      val dims = if (buckets > 0 || rows == 0) 0
-        else v.select(size(col("v"))).first().getInt(0)
-      val cap = Bucketing.sessionMaxBuckets(spark)
-      val vN = if (buckets > 0) buckets
-        else Bucketing.sizedBuckets(rows * (dims * 4L + 16L), maxBuckets = cap)
-      val bN = if (buckets > 0) buckets
-        else Bucketing.sizedBuckets(rows * shape.bands * 24L, maxBuckets = cap)
-      v.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-        .bucketBy(vN, "vec_id").sortBy("vec_id")
-        .saveAsTable(s"${tablePrefix}_vectors")
-      DedupQueries.srpBandsOf(spark, v, shape)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-        .bucketBy(bN, "band", "bits").sortBy("band", "bits")
-        .saveAsTable(s"${tablePrefix}_bands")
-      // shape rides the band table's TBLPROPERTIES — the managed-table
-      // twin of the directory artifact's _meta.txt (DedupIndex precedent)
-      Bucketing.setTableProps(spark, s"${tablePrefix}_bands", Map(
-        "graft.bands" -> shape.bands.toString,
-        "graft.rowsPerBand" -> shape.rowsPerBand.toString))
-    } finally { v.unpersist(); () }
-  }
-
-  /** Shape recorded by [[buildBucketedTables]]. Missing properties are a
-    * LOUD error — see [[DedupIndex.bucketedShapeOf]]: a guessed default
-    * silently near-empties the probe for any table built at the other
-    * shape (or by a build that crashed before its property write).
-    */
-  def bucketedShapeOf(spark: SparkSession,
-      tablePrefix: String): DedupQueries.SrpShape = {
-    val props = Bucketing.tableProps(spark, s"${tablePrefix}_bands")
-    (props.get("graft.bands"), props.get("graft.rowsPerBand")) match {
-      case (Some(b), Some(r)) =>
-        DedupQueries.SrpShape(b.toInt * r.toInt, b.toInt, r.toInt)
-      case _ => throw new IllegalStateException(
-        s"SRP band table ${tablePrefix}_bands has no recorded shape: " +
-          "rebuild with buildBucketedTables, or record the build shape " +
-          "once via ALTER TABLE ... SET TBLPROPERTIES " +
-          "('graft.bands' = '<bands>', 'graft.rowsPerBand' = '<rows>')")
-    }
-  }
-
-  /** [[probe]] against [[buildBucketedTables]] output. The band shape is
-    * resolved from the tables' recorded properties ([[bucketedShapeOf]])
-    * — never a caller guess.
-    */
-  def probeBucketed(spark: SparkSession, tablePrefix: String,
-      deltaVecs: DataFrame): DataFrame =
-    probeLoaded(Loaded(spark.table(s"${tablePrefix}_vectors"),
-      spark.table(s"${tablePrefix}_bands"),
-      bucketedShapeOf(spark, tablePrefix)), deltaVecs)
-
   /** The artifact's tables + shape resolved against ONE pointer read —
     * what a LONG-LIVED prober (the streaming embedding-ingest face)
     * loads once and persists, so every micro-batch probes memory instead
-    * of re-reading the artifact from the lake.
+    * of re-reading the artifact from the lake. `bucketed` records which
+    * layout (and probe plan) the frames carry.
     */
   final case class Loaded(vectors: DataFrame, bands: DataFrame,
-      private[graft] val shape: DedupQueries.SrpShape)
+      private[graft] val shape: DedupQueries.SrpShape,
+      bucketed: Boolean = false)
 
   /** Artifact-load counter — the [[buildRuns]]-style observability hook:
     * lets `IngestDedupSpec` prove a multi-batch ingest stream resolved
@@ -235,13 +259,22 @@ object SrpIndex {
 
   def load(spark: SparkSession, indexDir: String): Loaded = {
     loadRuns.incrementAndGet()
-    // shape resolved from the artifact BEFORE the path snapshot: both
-    // come from the same current version under the single-writer
-    // contract, and every delta MUST band with the corpus's build shape
-    val shape = shapeOf(indexDir)
+    // shape + layout resolved from the artifact BEFORE the path
+    // snapshot: both come from the same current version under the
+    // single-writer contract, and every delta MUST band with the
+    // corpus's build shape
+    val meta = artifact(indexDir).meta
+    val shape = shapeOfMeta(meta)
     val paths = artifact(indexDir).snapshotPaths(Tables)
-    Loaded(spark.read.parquet(paths("vectors")),
-      spark.read.parquet(paths("bands")), shape)
+    if (!IndexLayout.isBucketed(meta))
+      Loaded(spark.read.parquet(paths("vectors")),
+        spark.read.parquet(paths("bands")), shape)
+    else {
+      val family = IndexLayout.familyOf(indexDir)
+      def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
+        spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
+      Loaded(tbl("vectors"), tbl("bands"), shape, bucketed = true)
+    }
   }
 
   /** [[probe]] against pre-loaded (possibly persisted) artifact frames.
@@ -249,23 +282,49 @@ object SrpIndex {
     * `micro = true` declares `deltaVecs` a MICRO-BATCH (the streaming
     * ingest face): delta bands and candidates broadcast into the corpus
     * joins, so the cached band/vector tables STREAM with zero per-batch
-    * exchange — see [[ContainIndex.probeLoaded]].
+    * exchange — see [[ContainIndex.probeLoaded]]. On the bucketed
+    * layout, micro goes further ([[DedupIndex.probeLoaded]]'s design):
+    * the delta's band rows collect, the corpus band scan BUCKET-PRUNES
+    * to their key set, the candidate pairs localize, and the verify's
+    * corpus VECTOR scan bucket-prunes to the matched ids — every corpus
+    * read in the batch is a pruned bucket read (`SelectedBucketsCount`
+    * k out of n). Eager through candidate generation; batch probes stay
+    * fully lazy.
     */
   def probeLoaded(loaded: Loaded, deltaVecs: DataFrame,
       micro: Boolean = false): DataFrame = {
     val spark = deltaVecs.sparkSession
-    val corpusVectors = loaded.vectors
-    val corpusBands = loaded.bands.withColumnRenamed("vec_id", "id_a")
     // no persist — lazy return; see DedupIndex.probe's leak note
     val deltaV = DedupQueries.srpVectorsOf(spark, deltaVecs)
-    val deltaBands = DedupQueries
-      .srpBandsOf(spark, deltaV, loaded.shape)
-      .withColumnRenamed("vec_id", "id_b")
     // id_a =!= id_b: re-probe of an admitted delta must not self-match
-    val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
-    val cand = deltaSide.join(corpusBands, Seq("band", "bits"))
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val (cand, corpusVectors) =
+      if (!loaded.bucketed) {
+        val corpusBands = loaded.bands.withColumnRenamed("vec_id", "id_a")
+        val deltaBands = DedupQueries
+          .srpBandsOf(spark, deltaV, loaded.shape)
+          .withColumnRenamed("vec_id", "id_b")
+        val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
+        (deltaSide.join(corpusBands, Seq("band", "bits"))
+          .where(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct(), loaded.vectors)
+      } else if (!micro) {
+        val deltaBands = bucketedBandsOf(spark, deltaV, loaded.shape)
+          .withColumnRenamed("vec_id", "id_b")
+        val corpusBands = loaded.bands.withColumnRenamed("vec_id", "id_a")
+        (deltaBands.join(corpusBands, Seq("bk"))
+          .where(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct(), loaded.vectors)
+      } else {
+        // bucketed micro: one eager candidate job, candidates localized,
+        // corpus vector scan pruned to matched ids — see
+        // DedupIndex.probeLoaded's design comment
+        import spark.implicits._
+        val candRows = microCandidates(loaded, deltaV)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        (candRows.toDF("id_a", "id_b"),
+          IndexLayout.pruned(loaded.vectors, "vec_id",
+            candRows.map(_._1).distinct))
+      }
     val withCorpus = (if (micro) broadcast(cand) else cand)
       .join(corpusVectors.select(col("vec_id").as("id_a"),
         col("v").as("av"), col("nrm").as("an")), Seq("id_a"))
@@ -276,5 +335,24 @@ object SrpIndex {
         (expr("graft_dot(av, bv)") / (col("an") * col("bn"))).as("cos"))
       .filter(col("cos") >= 0.46)
       .distinct()
+  }
+
+  /** The bucketed micro probe's candidate frame, LAZY — see
+    * [[DedupIndex.microCandidates]]: delta band rows collected and
+    * re-broadcast as a local relation, corpus band scan bucket-pruned to
+    * their key set (`SrpIndexBucketedSpec` pins the shape).
+    */
+  private[analytics] def microCandidates(loaded: Loaded,
+      deltaV: DataFrame): DataFrame = {
+    val spark = deltaV.sparkSession
+    import spark.implicits._
+    val deltaBandRows = bucketedBandsOf(spark, deltaV, loaded.shape)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val corpus = IndexLayout.pruned(
+      loaded.bands.withColumnRenamed("vec_id", "id_a"), "bk",
+      deltaBandRows.map(_._1).distinct)
+    broadcast(deltaBandRows.toDF("bk", "id_b")).join(corpus, Seq("bk"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 }

@@ -4,14 +4,14 @@ import org.apache.spark.sql.functions.lit
 
 import graft.SparkSpec
 
-/** The durable-index bucketed builders size their bucket counts from
+/** The unified bucketed artifacts size their bucket counts from
   * estimated bytes by default (the `CdcServingTable` rule via
   * [[Bucketing.sizedBuckets]]): a toy corpus builds 1-bucket tables
   * (no per-bucket commit tax where there is nothing to spread), a
   * corpus-scale build gets the power-of-two count its bytes ask for,
   * and an explicit count still wins for layout-pinning specs. This
-  * retires the builders' hand-tuned `buckets = 8` defaults — the same
-  * toy-scale-constant class as the r12 serving-store finding.
+  * retires hand-tuned toy-scale bucket constants — the same class of
+  * defect as the r12 serving-store finding.
   */
 class BucketSizingSpec extends SparkSpec {
 
@@ -33,39 +33,44 @@ class BucketSizingSpec extends SparkSpec {
     assert(Bucketing.sessionMaxBuckets(spark) === 100000)
   }
 
-  test("auto-sized builds put a toy corpus at 1 bucket per table") {
+  test("auto-sized unified builds put a toy corpus at 1 bucket per table") {
     import spark.implicits._
     val docs = graft.GraftSession
       .table(spark, "/root/testdata/sf0.001", "documents")
       .select($"doc_id", $"text").filter($"doc_id" % 5 =!= 4)
-    def numBuckets(table: String): String =
-      spark.sql(s"DESCRIBE FORMATTED $table")
+    def numBuckets(idx: String, table: String): String = {
+      // registration happens on load; the catalog name is deterministic
+      // from the artifact dir + table + version
+      spark.sql("DESCRIBE FORMATTED " +
+          s"${IndexLayout.familyOf(idx)}_${table}_v0")
         .filter($"col_name" === "Num Buckets")
         .first().getString(1).trim
-    try {
-      DedupIndex.buildBucketedBands(spark, docs, "sz_bands")
-      DedupIndex.buildBucketedSignatures(spark, docs, "sz_sigs")
-      ContainIndex.buildBucketedTables(spark, docs, "sz_contain")
-      for (t <- Seq("sz_bands", "sz_sigs", "sz_contain_tokens",
-          "sz_contain_prefix", "sz_contain_sets", "sz_contain_df"))
-        assert(numBuckets(t) === "1",
-          s"$t: expected 1 auto-sized bucket on the toy corpus")
-      // explicit count still wins
-      DedupIndex.buildBucketedBands(spark, docs, "sz_bands8", 8)
-      assert(numBuckets("sz_bands8") === "8")
-      // empty corpus: the SRP auto-sizer reads dims from a first() —
-      // zero rows must size to 1 bucket, not throw
-      val noVecs = graft.GraftSession
-        .table(spark, "/root/testdata/sf0.001", "embeddings")
-        .select($"vec_id", $"embedding").filter(lit(false))
-      SrpIndex.buildBucketedTables(spark, noVecs, "sz_srp_empty")
-      assert(numBuckets("sz_srp_empty_vectors") === "1")
-    } finally {
-      for (t <- Seq("sz_bands", "sz_sigs", "sz_bands8", "sz_contain_tokens",
-          "sz_contain_prefix", "sz_contain_sets", "sz_contain_df",
-          "sz_srp_empty_vectors", "sz_srp_empty_bands"))
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-      ()
     }
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dIdx = tmp("sz-dedup")
+    DedupIndex.build(spark, docs, dIdx, bucketed = true)
+    DedupIndex.load(spark, dIdx)
+    val cIdx = tmp("sz-contain")
+    ContainIndex.build(spark, docs, cIdx, bucketed = true)
+    ContainIndex.load(spark, cIdx)
+    for ((idx, t) <- Seq(dIdx -> "bands", dIdx -> "signatures",
+        cIdx -> "tokens", cIdx -> "prefix", cIdx -> "sets", cIdx -> "df"))
+      assert(numBuckets(idx, t) === "1",
+        s"$idx/$t: expected 1 auto-sized bucket on the toy corpus")
+    // explicit count still wins
+    val dIdx8 = tmp("sz-dedup8")
+    DedupIndex.build(spark, docs, dIdx8, bucketed = true, buckets = 8)
+    DedupIndex.load(spark, dIdx8)
+    assert(numBuckets(dIdx8, "bands") === "8")
+    // empty corpus: the SRP auto-sizer reads dims from a first() —
+    // zero rows must size to 1 bucket, not throw
+    val noVecs = graft.GraftSession
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding").filter(lit(false))
+    val sIdx = tmp("sz-srp-empty")
+    SrpIndex.build(spark, noVecs, sIdx, bucketed = true)
+    SrpIndex.load(spark, sIdx)
+    assert(numBuckets(sIdx, "vectors") === "1")
   }
 }

@@ -1,45 +1,55 @@
 package graft.analytics
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
-/** The cluster-scale containment layout ([[ContainIndex
-  * .buildBucketedTables]]): the four corpus tables bucketed on their
-  * probe-side join keys must (1) serve the SAME ordered pairs as the
-  * directory artifact's probe, and (2) plan every corpus join with NO
-  * corpus-side exchange — candidate joins on `hx` move only the delta's
-  * token frames, the rarest-first ranking join reads the bucketed `df`
-  * in place, and the split verify reads the bucketed `sets` in place.
+/** The UNIFIED bucketed containment artifact ([[ContainIndex.build]]
+  * with `bucketed = true`): ordered-pair parity with the directory
+  * artifact, the exchange-free corpus plan (every corpus table read in
+  * place — the bucketed batch probe verifies split per direction so the
+  * doc_id-bucketed `sets` table never re-shuffles), the admission
+  * lifecycle on the bucketed layout, and micro bucket pruning of the
+  * hx-keyed postings.
   */
 class ContainIndexBucketedSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("bucketed containment probe: pair parity with the artifact " +
-      "probe, and the corpus sets verify without an Exchange") {
+  private def fixture() = {
     import spark.implicits._
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    (docs.filter($"doc_id" % 5 =!= 4), docs.filter($"doc_id" % 5 === 4))
+  }
+
+  private def triples(
+      df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("bucketed containment probe: pair parity with the directory " +
+      "artifact, and the corpus sets verify without an Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val docs = graft.GraftSession.table(spark, dir, "documents")
-        .select($"doc_id", $"text")
-      val corpus = docs.filter($"doc_id" % 5 =!= 4)
-      val delta = docs.filter($"doc_id" % 5 === 4)
-      val idx = java.nio.file.Files
+      val (corpus, delta) = fixture()
+      val plainIdx = java.nio.file.Files
+        .createTempDirectory("graft-contain-dir").toString
+      val bIdx = java.nio.file.Files
         .createTempDirectory("graft-contain-bidx").toString
-      ContainIndex.build(spark, corpus, idx)
-      ContainIndex.buildBucketedTables(spark, corpus, "b_contain", 8)
+      ContainIndex.build(spark, corpus, plainIdx)
+      ContainIndex.build(spark, corpus, bIdx, bucketed = true, buckets = 8)
 
-      val bucketed = ContainIndex.probeBucketed(spark, "b_contain", delta)
-      val got = bucketed.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val plain = ContainIndex.probe(spark, idx, delta)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .toSet
+      val bucketed = ContainIndex.probe(spark, bIdx, delta)
+      val got = triples(bucketed)
+      val plain = triples(ContainIndex.probe(spark, plainIdx, delta))
       assert(plain.nonEmpty, "fixture must contain cross-split pairs")
       assert(got === plain,
-        "bucketed containment probe diverged from the artifact probe")
+        "bucketed containment probe diverged from the directory artifact")
 
       // final adaptive plan only (the appended initial plan would
       // double-count)
+      bucketed.count()
       val plan = bucketed.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       // the split verify's corpus-sets joins read the bucketed table in
@@ -58,9 +68,82 @@ class ContainIndexBucketedSpec extends SparkSpec {
           s"report bucketing:\n$plan")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      Seq("df", "tokens", "prefix", "sets").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS b_contain_$t"))
       ()
     }
+  }
+
+  test("lifecycle + micro pruning on the bucketed layout") {
+    import spark.implicits._
+    val (corpus, delta) = fixture()
+    val bIdx = java.nio.file.Files
+      .createTempDirectory("graft-contain-blife").toString
+    // 64 buckets: a tiny doc's ≤ 57 distinct 16-char shingle hashes can
+    // cover at most 57 buckets, so the pruned set is provably proper
+    ContainIndex.build(spark, corpus, bIdx, bucketed = true, buckets = 64)
+    val loaded = ContainIndex.load(spark, bIdx)
+    assert(loaded.bucketed)
+    val micro = ContainIndex.probeLoaded(loaded, delta, micro = true)
+    val microTriples = triples(micro)
+    assert(microTriples === triples(ContainIndex.probeLoaded(loaded,
+      delta)), "pruned micro probe diverged from the batch probe")
+    assert(microTriples.nonEmpty,
+      "fixture must contain cross-split pairs")
+    // one delta doc WITH a containment match (exactly one side of every
+    // triple is a delta doc — ids ≡ 4 mod 5), so the verify stage
+    // survives optimization and its corpus `sets` scan is inspectable
+    val t = microTriples.head
+    val one = delta.filter(
+      $"doc_id" === (if (t._1 % 5 == 4) t._1 else t._2))
+    val pruned = ContainIndex.probeLoaded(loaded, one, micro = true)
+    pruned.count()
+    val plan = pruned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // every corpus read in the verify plan pruned (the per-direction
+    // `sets` scans here), and the posting tables absent — their one read
+    // per batch happened in the eager candidate jobs, whose lazy frames
+    // (below) prune to the delta's token hashes
+    val sels = "SelectedBucketsCount: (\\d+) out of 64".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toList
+    assert(sels.nonEmpty, s"no bucket pruning in the verify plan:\n$plan")
+    assert(sels.forall(_ < 64),
+      s"a corpus scan read every bucket ($sels of 64):\n$plan")
+    Seq("_tokens_", "_prefix_", "_df_").foreach(tbl =>
+      assert(!plan.contains(tbl),
+        s"$tbl leaked into the verify plan:\n$plan"))
+    val (n2oF, o2nF) = ContainIndex.microCandidateFrames(loaded, one)
+    Seq("new-in-old" -> n2oF, "old-in-new" -> o2nF).foreach {
+      case (label, f) =>
+        f.count()
+        val cplan = f.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val csels = "SelectedBucketsCount: (\\d+) out of 64".r
+          .findAllMatchIn(cplan).map(_.group(1).toInt).toList
+        assert(csels.nonEmpty,
+          s"no bucket pruning in the $label candidate plan:\n$cplan")
+        assert(csels.forall(_ < 64),
+          s"$label candidate job read every bucket ($csels of 64):\n$cplan")
+    }
+
+    // admission lifecycle: idempotent admit of a containing superdoc,
+    // fresh probes see it, compaction preserves output + layout
+    val seed = corpus.orderBy($"doc_id").limit(1).collect().head
+    val admitted = Seq((900001L,
+      seed.getString(1) + " " + seed.getString(1)))
+      .toDF("doc_id", "text")
+    assert(ContainIndex.append(spark, admitted, bIdx, "d1"))
+    assert(!ContainIndex.append(spark, admitted, bIdx, "d1"),
+      "retried admission was not a no-op")
+    assert(ContainIndex.appliedDeltas(bIdx) === Set("d1"))
+    val probeDoc = Seq((900002L, seed.getString(1))).toDF("doc_id", "text")
+    val after = triples(ContainIndex.probe(spark, bIdx, probeDoc))
+    assert(after.exists(t => t._1 == 900002L && t._2 == 900001L),
+      s"probe doc not contained in the admitted superdoc: $after")
+    assert(ContainIndex.compact(spark, bIdx, maxFiles = 0) > 0)
+    assert(ContainIndex.appliedDeltas(bIdx) === Set("d1"))
+    val afterCompact = ContainIndex.probe(spark, bIdx, probeDoc)
+    assert(triples(afterCompact) === after,
+      "probe output changed across compaction")
+    assert(afterCompact.queryExecution.executedPlan.toString
+      .contains("Bucketed: true"), "compaction lost the bucketed layout")
   }
 }

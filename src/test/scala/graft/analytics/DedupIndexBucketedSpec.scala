@@ -4,106 +4,62 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** The cluster-scale band layout ([[DedupIndex.buildBucketedBands]]):
-  * the corpus band table bucketed on the probe's join key must (1) serve
-  * the SAME verified pairs as the directory artifact's probe, and
-  * (2) plan the candidate join with NO corpus-side exchange — the
-  * write-once bucket shuffle replaces the per-probe one, which at 100 TB
-  * is the difference between moving the standing index per probe and
-  * moving the delta only.
+/** The UNIFIED bucketed artifact ([[DedupIndex.build]] with
+  * `bucketed = true`): one artifact family carrying BOTH halves of the
+  * 100 TB index story — the versioned-admission lifecycle (deltaId
+  * idempotence, hard-link carry, compaction behind the atomic swap) AND
+  * the bucketed managed-table probe shape (corpus side read in place,
+  * only the delta exchanges; micro probes bucket-prune the scan).
+  * Pinned here: (1) pair parity with the directory artifact, (2) the
+  * exchange-free corpus plan, (3) the lifecycle on the bucketed layout,
+  * (4) bucket pruning in the micro probe.
   */
 class DedupIndexBucketedSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("bucketed band probe: pair parity with the artifact probe, and " +
-      "the corpus side joins without an Exchange") {
+  private def fixture() = {
     import spark.implicits._
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val docs = graft.GraftSession.table(spark, dir, "documents")
-        .select($"doc_id", $"text")
-      val corpus = docs.filter($"doc_id" % 5 =!= 4)
-      val delta = docs.filter($"doc_id" % 5 === 4)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-dedup-bidx").toString
-      DedupIndex.build(spark, corpus, idx)
-      DedupIndex.buildBucketedBands(spark, corpus, "b_dedup_bands", 8)
-
-      val corpusPer = spark.read.parquet(
-        DedupIndex.tablePath(idx, "signatures"))
-      val bucketed = DedupIndex
-        .probeBucketed(spark, "b_dedup_bands", corpusPer, delta)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val plain = DedupIndex.probe(spark, idx, delta)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(plain.nonEmpty, "fixture must contain cross-split pairs")
-      assert(bucketed === plain,
-        "bucketed band probe diverged from the artifact probe")
-
-      // plan shape of the raw candidate join (pre-distinct): exactly ONE
-      // exchange — the delta side shuffling to the corpus's bucketing;
-      // a corpus-side Exchange would mean the layout bought nothing
-      val cand = DedupIndex.bucketedCandidates(spark, "b_dedup_bands",
-        DedupQueries.signaturesOf(delta,
-          DedupIndex.Shape.Corpus.slots))
-      cand.count()
-      val plan = cand.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan)
-      // the delta signature derivation legitimately exchanges on doc_id
-      // internally; the claim is about the JOIN key — exactly one
-      // (band, sig) exchange in the whole plan = the delta side moving to
-      // the corpus's bucketing, corpus side read in place
-      val bandExchanges = "Exchange hashpartitioning\\(band".r
-        .findAllMatchIn(plan).length
-      assert(bandExchanges === 1,
-        s"expected exactly 1 (band, sig) exchange (delta side), got " +
-          s"$bandExchanges:\n$plan")
-      assert(plan.contains("Bucketed: true"),
-        s"corpus band scan must report its bucketing:\n$plan")
-    } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.sql("DROP TABLE IF EXISTS b_dedup_bands")
-      ()
-    }
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    (docs.filter($"doc_id" % 5 =!= 4), docs.filter($"doc_id" % 5 === 4))
   }
 
-  test("bucketed SIGNATURE table: verify-side pair parity, and the " +
-      "corpus sets join the candidates without an Exchange") {
-    import spark.implicits._
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bucketed artifact probe: pair parity with the directory " +
+      "artifact, corpus sides join without an Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val docs = graft.GraftSession.table(spark, dir, "documents")
-        .select($"doc_id", $"text")
-      val corpus = docs.filter($"doc_id" % 5 =!= 4)
-      val delta = docs.filter($"doc_id" % 5 === 4)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-dedup-bsig").toString
-      DedupIndex.build(spark, corpus, idx)
-      DedupIndex.buildBucketedBands(spark, corpus, "b_dedup_bands2", 8)
-      DedupIndex.buildBucketedSignatures(spark, corpus, "b_dedup_sigs", 8)
+      val (corpus, delta) = fixture()
+      val plainIdx = java.nio.file.Files
+        .createTempDirectory("graft-dedup-dir").toString
+      val bIdx = java.nio.file.Files
+        .createTempDirectory("graft-dedup-bidx").toString
+      DedupIndex.build(spark, corpus, plainIdx)
+      DedupIndex.build(spark, corpus, bIdx, bucketed = true, buckets = 8)
 
-      // parity: the fully-bucketed probe (bands AND signatures from
-      // managed tables) equals the directory artifact's probe
-      val bucketed = DedupIndex.probeBucketed(spark, "b_dedup_bands2",
-        spark.table("b_dedup_sigs"), delta)
-      val got = bucketed.collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val plain = DedupIndex.probe(spark, idx, delta)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bucketed = DedupIndex.probe(spark, bIdx, delta)
+      val got = pairs(bucketed)
+      val plain = pairs(DedupIndex.probe(spark, plainIdx, delta))
       assert(plain.nonEmpty, "fixture must contain cross-split pairs")
       assert(got === plain,
-        "bucketed-signature probe diverged from the artifact probe")
+        "bucketed artifact probe diverged from the directory artifact")
 
-      // plan shape: the verify's corpus-sets join must read the bucketed
-      // signature table IN PLACE — the a-side (corpus, a_id = doc_id)
-      // reports its bucket partitioning, so the only single-key exchange
-      // on that join is the NARROW candidate side (id_a). A corpus-side
-      // exchange would surface as `Exchange hashpartitioning(a_id…)`.
-      // final adaptive plan only (the appended initial plan would
-      // double-count)
+      // plan shape, final adaptive plan only (the appended initial plan
+      // would double-count): the candidate join's only bk exchange is
+      // the DELTA side moving to the corpus band table's bucketing, and
+      // the verify's corpus signature side (doc_id → a_id) never
+      // exchanges — a_id shuffles belong to the narrow candidates only
+      bucketed.count()
       val plan = bucketed.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
+      val bkExchanges = "Exchange hashpartitioning\\(bk".r
+        .findAllMatchIn(plan).length
+      assert(bkExchanges === 1,
+        s"expected exactly 1 bk exchange (delta side), got " +
+          s"$bkExchanges:\n$plan")
       assert(!"Exchange hashpartitioning\\(a_id".r
         .findAllMatchIn(plan).hasNext,
         s"corpus signature side exchanged — bucketing bought nothing:\n$plan")
@@ -111,54 +67,111 @@ class DedupIndexBucketedSpec extends SparkSpec {
         s"both corpus scans (bands + signatures) must report bucketing:\n$plan")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.sql("DROP TABLE IF EXISTS b_dedup_bands2")
-      spark.sql("DROP TABLE IF EXISTS b_dedup_sigs")
       ()
     }
   }
 
-  test("band shape rides the TABLE's properties: a probe replays the " +
-      "build shape, never a caller guess") {
+  test("lifecycle on the bucketed layout: deltaId-idempotent admission, " +
+      "probe freshness, compaction invariance, shape riding the meta") {
     import spark.implicits._
-    val docs = graft.GraftSession.table(spark, dir, "documents")
-      .select($"doc_id", $"text")
-    val corpus = docs.filter($"doc_id" % 5 =!= 4)
-    val delta = docs.filter($"doc_id" % 5 === 4)
-    try {
-      // build at the NON-default Oracle shape; the probe takes no shape
-      // argument, so parity with an Oracle-shaped artifact proves it
-      // resolved the recorded shape (a Corpus-banded delta against
-      // Oracle-banded corpus sigs matches only on 64-bit collisions)
-      DedupIndex.buildBucketedBands(spark, corpus, "b_shape_bands", 4,
-        DedupIndex.Shape.Oracle)
-      assert(DedupIndex.bucketedShapeOf(spark, "b_shape_bands") ===
-        DedupIndex.Shape.Oracle)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-dedup-shape").toString
-      DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
-      val corpusPer = spark.read.parquet(
-        DedupIndex.tablePath(idx, "signatures"))
-      val bucketed = DedupIndex
-        .probeBucketed(spark, "b_shape_bands", corpusPer, delta)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val plain = DedupIndex.probe(spark, idx, delta)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(plain.nonEmpty, "fixture must contain cross-split pairs")
-      assert(bucketed === plain,
-        "probe did not replay the table's recorded Oracle shape")
-      // a table WITHOUT recorded properties (pre-metadata build, or a
-      // build that crashed between saveAsTable and the property write)
-      // must fail LOUDLY — any guessed default silently near-empties
-      // the probe for tables built at the other shape
-      spark.sql("ALTER TABLE b_shape_bands UNSET TBLPROPERTIES " +
-        "('graft.bands', 'graft.rowsPerBand', 'graft.slots')")
-      val e = intercept[IllegalStateException] {
-        DedupIndex.bucketedShapeOf(spark, "b_shape_bands")
-      }
-      assert(e.getMessage.contains("no recorded shape"))
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS b_shape_bands")
-      ()
-    }
+    val (corpus, delta) = fixture()
+    val bIdx = java.nio.file.Files
+      .createTempDirectory("graft-dedup-blife").toString
+    // non-default Oracle shape: probes take no shape argument, so parity
+    // with an Oracle-shaped directory artifact proves the probe replayed
+    // the artifact-recorded shape (a Corpus-banded delta against an
+    // Oracle-banded corpus matches only on 64-bit collisions)
+    DedupIndex.build(spark, corpus, bIdx, DedupIndex.Shape.Oracle,
+      bucketed = true, buckets = 4)
+    assert(DedupIndex.shapeOf(bIdx) === DedupIndex.Shape.Oracle)
+    val plainIdx = java.nio.file.Files
+      .createTempDirectory("graft-dedup-dlife").toString
+    DedupIndex.build(spark, corpus, plainIdx, DedupIndex.Shape.Oracle)
+    val before = pairs(DedupIndex.probe(spark, bIdx, delta))
+    assert(before === pairs(DedupIndex.probe(spark, plainIdx, delta)))
+    assert(before.nonEmpty)
+
+    // admit a synthetic near-dup of a corpus doc; idempotence: the retry
+    // is a no-op (a double admission would re-register the delta's
+    // signature rows and double its verify pairs)
+    val seed = corpus.orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"text").collect().head
+    val admitted = Seq((900001L, seed.getString(1) + " tail"))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.append(spark, admitted, bIdx, "delta-1"))
+    assert(!DedupIndex.append(spark, admitted, bIdx, "delta-1"),
+      "retried admission was not a no-op")
+    assert(DedupIndex.appliedDeltas(bIdx) === Set("delta-1"))
+    // the admitted doc is now corpus: a probe with its near-dup finds it
+    val probeDoc = Seq((900002L, seed.getString(1) + " tail2"))
+      .toDF("doc_id", "text")
+    val after = pairs(DedupIndex.probe(spark, bIdx, probeDoc))
+    assert(after.exists(_._1 == 900001L),
+      s"admitted doc not probed against: $after")
+    // directory artifact given the same admission must agree
+    DedupIndex.append(spark, admitted, plainIdx, "delta-1")
+    assert(after === pairs(DedupIndex.probe(spark, plainIdx, probeDoc)))
+
+    // compaction: force a rewrite (maxFiles = 0), probe multiset
+    // unchanged, deltas carried, layout still bucketed (probe plan
+    // still reads a bucketed scan)
+    assert(DedupIndex.compact(spark, bIdx, maxFiles = 0) > 0)
+    assert(DedupIndex.appliedDeltas(bIdx) === Set("delta-1"),
+      "compaction reset the admitted-delta set")
+    val afterCompact = DedupIndex.probe(spark, bIdx, probeDoc)
+    assert(pairs(afterCompact) === after,
+      "probe output changed across compaction")
+    assert(afterCompact.queryExecution.executedPlan.toString
+      .contains("Bucketed: true"),
+      "compaction lost the bucketed layout")
+  }
+
+  test("micro probe: EVERY corpus read bucket-pruned — candidate job " +
+      "on the pruned band scan, verify on the pruned signature scan — " +
+      "with pair parity") {
+    import spark.implicits._
+    val (corpus, delta) = fixture()
+    val bIdx = java.nio.file.Files
+      .createTempDirectory("graft-dedup-bprune").toString
+    // 64 buckets ≫ the 32 band keys a 1-doc micro-batch carries, so the
+    // pruned set is provably proper (k ≤ 32 < 64)
+    DedupIndex.build(spark, corpus, bIdx, bucketed = true, buckets = 64)
+    val loaded = DedupIndex.load(spark, bIdx)
+    assert(loaded.bucketed)
+    val micro = DedupIndex.probeLoaded(loaded, delta, micro = true)
+    val microPairs = pairs(micro)
+    assert(microPairs === pairs(DedupIndex.probeLoaded(loaded, delta)),
+      "pruned micro probe diverged from the batch probe")
+    assert(microPairs.nonEmpty, "fixture must contain cross-split pairs")
+    // probe ONE delta doc that HAS a corpus match, so the verify stage
+    // survives optimization and its corpus scan is inspectable
+    val one = delta.filter($"doc_id" === microPairs.head._2)
+    val pruned = DedupIndex.probeLoaded(loaded, one, micro = true)
+    pruned.count()
+    val plan = pruned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the verify's corpus SIGNATURE scan prunes to the candidates' ids…
+    val sels = "SelectedBucketsCount: (\\d+) out of 64".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toList
+    assert(sels.nonEmpty, s"no bucket pruning in the verify plan:\n$plan")
+    assert(sels.forall(_ < 64),
+      s"a corpus scan read every bucket ($sels of 64):\n$plan")
+    // …and the corpus BAND table is absent from the verify plan: its one
+    // read per batch happened in the eager candidate job, whose lazy
+    // frame (below) prunes to the delta's band keys
+    assert(!plan.contains("_bands_"),
+      s"band table leaked into the verify plan:\n$plan")
+    val cand = DedupIndex.microCandidates(loaded,
+      DedupQueries.signaturesOf(one, loaded.shape.slots))
+    cand.count()
+    val cplan = cand.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val csel = "SelectedBucketsCount: (\\d+) out of 64".r
+      .findFirstMatchIn(cplan)
+    assert(csel.isDefined,
+      s"no bucket pruning in the candidate plan:\n$cplan")
+    assert(csel.get.group(1).toInt < 64,
+      s"candidate job read every band bucket " +
+        s"(${csel.get.group(1)}/64):\n$cplan")
   }
 }
