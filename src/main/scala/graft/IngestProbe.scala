@@ -16,10 +16,12 @@ import graft.streaming.{IngestDedup, IngestDoc, IngestVec}
   * corpus grows 10×, because every batch equi-joins the loaded artifact
   * instead of re-deriving corpus state.
   *
-  * Batch 1 is reported separately: it pays the one-time artifact load +
-  * cache materialization (which IS corpus-sized by design — the price is
-  * paid once per stream, not per batch); batches 2+ are the steady
-  * state. Indexes are built at the production default shapes.
+  * Batch 1 is reported separately: it pays the one-time artifact load
+  * (and, on the directory layout, the corpus-sized cache
+  * materialization); batches 2+ are the steady state. Indexes are built
+  * at the production defaults — since round 15 that means the BUCKETED
+  * layout, whose steady state reads PRUNED bucket scans per batch
+  * (`SelectedBucketsCount`) instead of cached corpus frames.
   *
   *   sbt "runMain graft.IngestProbe /root/testdata/sf0.1"
   */
@@ -91,12 +93,39 @@ object IngestProbe {
     def ckpt(tag: String): String = java.nio.file.Files
       .createTempDirectory(s"graft-ingestprobe-$tag").toString
 
+    /** Post-build artifact anatomy: layout, per-table auto-sized bucket
+      * counts (from the recorded `_meta.txt` spec), bytes, and file
+      * counts — the SCALE.md wall-table columns next to the walls.
+      */
+    def describe(face: String, tag: String, idx: String): Unit = {
+      val ver = new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .maxBy(_.getName.stripPrefix("v").toLong)
+      val metaF = new java.io.File(ver, "_meta.txt")
+      val meta = if (!metaF.exists()) Map.empty[String, String]
+        else new String(java.nio.file.Files.readAllBytes(metaF.toPath))
+          .split("\n").filter(_.contains('=')).map { l =>
+            val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+          }.toMap
+      val layout = meta.getOrElse("layout", "directory")
+      ver.listFiles().filter(_.isDirectory).sortBy(_.getName).foreach { t =>
+        val files = t.listFiles().filter(f =>
+          f.isFile && f.getName.endsWith(".parquet"))
+        val mb = files.map(_.length).sum / 1e6
+        val n = meta.get(s"bucket.${t.getName}.n").map(_ + " buckets")
+          .getOrElse("-")
+        println(f"[ingestprobe] $face%-12s $tag%3s: table=${t.getName}%-10s " +
+          f"$layout $n files=${files.length} ${mb}%.1f MB")
+      }
+    }
+
     def runText(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
       val idx = java.nio.file.Files
         .createTempDirectory(s"graft-ingestprobe-idx-$tag").toString
       val t0 = System.nanoTime()
       graft.analytics.DedupIndex.build(spark, corpus, idx)
       println(f"[ingestprobe] text         $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      describe("text", tag, idx)
       val n = new java.util.concurrent.atomic.AtomicLong(0)
       val times = drive[IngestDoc](deltaDocs,
         in => IngestDedup.dedupIngestFromIndex(in.toDS(), idx, ckpt(tag)) {
@@ -111,6 +140,7 @@ object IngestProbe {
       val t0 = System.nanoTime()
       graft.analytics.ContainIndex.build(spark, corpus, idx)
       println(f"[ingestprobe] containment  $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      describe("containment", tag, idx)
       val n = new java.util.concurrent.atomic.AtomicLong(0)
       val times = drive[IngestDoc](deltaDocs,
         in => IngestDedup.dedupIngestContainment(in.toDS(), idx,
@@ -124,6 +154,7 @@ object IngestProbe {
       val t0 = System.nanoTime()
       graft.analytics.SrpIndex.build(spark, corpus, idx)
       println(f"[ingestprobe] embedding    $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      describe("embedding", tag, idx)
       val n = new java.util.concurrent.atomic.AtomicLong(0)
       val times = drive[IngestVec](deltaVecs,
         in => IngestDedup.dedupIngestEmbeddings(in.toDS(), idx,

@@ -109,12 +109,13 @@ object ContainIndex {
   }
 
   /** Build (or fully REBUILD, re-freshening df) from a `(doc_id, text)`
-    * corpus frame. `bucketed = true` writes the bucketed layout
-    * (byte-sized counts unless `buckets` pins them), recorded in the
-    * artifact meta.
+    * corpus frame. The BUCKETED layout is the DEFAULT (byte-sized counts
+    * unless `buckets` pins them, full spec recorded in the artifact
+    * meta — see [[DedupIndex.build]]); `bucketed = false` writes the
+    * plain directory layout the parity specs compare against.
     */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
-      bucketed: Boolean = false, buckets: Int = 0): Unit = {
+      bucketed: Boolean = true, buckets: Int = 0): Unit = {
     buildRuns.incrementAndGet()
     if (!bucketed)
       artifact(indexDir).build { next =>
@@ -148,8 +149,12 @@ object ContainIndex {
           "tokens" -> n(shRows * 16L), "prefix" -> n(shRows * 16L / 10),
           "df" -> n(dfRows * 16L))
         // schema DDLs: postings tables are (hx, doc_id); df is (hx, df);
-        // sets is setsOf's (doc_id, hs, sz)
-        val postingDDL = "hx BIGINT,doc_id BIGINT"
+        // sets is setsOf's (doc_id, hs, sz). Derived from the actual
+        // frame (metadata-only), like every other table's spec — a
+        // caller-supplied non-Long doc_id must register as what the
+        // files really hold, or cross-session re-registration reads wrong
+        val postingDDL = DedupQueries.containRanked(sh, dfFrame)
+          .select(col("hx"), col("doc_id")).schema.toDDL
         val meta = Map(
           IndexLayout.LayoutKey -> IndexLayout.BucketedValue) ++
           IndexLayout.metaFor("tokens", IndexLayout.TableSpec(
@@ -227,10 +232,17 @@ object ContainIndex {
   }
 
   /** Drop index versions older than the newest `keep` (default 2 — see
-    * [[DedupIndex.prune]]'s reader-grace note).
+    * [[DedupIndex.prune]]'s reader-grace + catalog-drop notes).
     */
-  def prune(indexDir: String, keep: Int = 2): Unit =
-    artifact(indexDir).prune(keep)
+  def prune(spark: SparkSession, indexDir: String, keep: Int = 2): Unit = {
+    val bucketed = IndexLayout.isBucketed(artifact(indexDir).meta)
+    val dropped = artifact(indexDir).prune(keep)
+    if (bucketed) {
+      val family = IndexLayout.familyOf(indexDir)
+      dropped.foreach(v =>
+        Tables.foreach(IndexLayout.deregister(spark, family, _, v)))
+    }
+  }
 
   /** Compact tables past `maxFiles` part files — see
     * [[DedupIndex.compact]] (same versioned-swap transaction, same

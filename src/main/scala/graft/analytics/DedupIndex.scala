@@ -35,12 +35,14 @@ import graft.streaming.VersionedArtifact
   * leaves the pointer on the intact previous version.
   *
   * TWO LAYOUTS, ONE ARTIFACT FAMILY (r13 verdict's unification):
-  *   - the plain DIRECTORY layout — `bands` = (band, sig, doc_id)
-  *     parquet read with `spark.read.parquet`; probes shuffle both join
-  *     sides. Right at oracle scale; the legacy default.
-  *   - the BUCKETED layout (`build(…, bucketed = true)`, the
-  *     CORPUS-SCALE default a 100 TB deployment uses for BOTH the daily
-  *     batch and the streaming face) — `bands` = (bk, doc_id) with
+  *   - the plain DIRECTORY layout (`build(…, bucketed = false)`) —
+  *     `bands` = (band, sig, doc_id) parquet read with
+  *     `spark.read.parquet`; probes shuffle both join sides. The
+  *     catalog-free fallback the parity specs compare against.
+  *   - the BUCKETED layout — the build DEFAULT, what every production
+  *     caller (the oracled incremental faces, the streaming ingest
+  *     trio) builds and a 100 TB deployment uses for BOTH the daily
+  *     batch and the streaming face — `bands` = (bk, doc_id) with
   *     `bk = xxhash64(band, sig)`, written as an external bucketed table
   *     (bucketBy bk) inside the SAME version dirs via [[IndexLayout]];
   *     `signatures` bucketBy doc_id. Probes read the corpus side IN
@@ -194,14 +196,17 @@ object DedupIndex {
     * face passes [[Shape.Oracle]] explicitly — recall-complete at its
     * oracle's exact j ≥ 0.8 answer).
     *
-    * `bucketed = true` writes the BUCKETED layout (class doc): bucket
-    * counts are byte-sized ([[Bucketing.sizedBuckets]], session-cap
-    * clamped) unless `buckets` pins them (layout-pinning specs), and the
-    * full spec rides the artifact meta so every admission, probe, and
-    * session replays it.
+    * The BUCKETED layout (class doc) is the DEFAULT — the layout every
+    * production caller (the oracled incremental faces, the streaming
+    * ingest trio) builds and probes: bucket counts are byte-sized
+    * ([[Bucketing.sizedBuckets]], session-cap clamped) unless `buckets`
+    * pins them (layout-pinning specs), and the full spec rides the
+    * artifact meta so every admission, probe, and session replays it.
+    * `bucketed = false` writes the plain directory layout — the
+    * catalog-free fallback the parity specs compare against.
     */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
-      shape: Shape = Shape.Corpus, bucketed: Boolean = false,
+      shape: Shape = Shape.Corpus, bucketed: Boolean = true,
       buckets: Int = 0): Unit = {
     buildRuns.incrementAndGet()
     val shapeMeta = Map("bands" -> shape.bands.toString,
@@ -269,12 +274,19 @@ object DedupIndex {
   /** Drop index versions older than the newest `keep` (default 2: a
     * reader holding the previous version's paths — a lazy probe frame,
     * the ingest stream's cached corpus — survives one admission; consume
-    * lazy frames before pruning deeper). Bucketed-layout catalog entries
-    * of pruned versions are left behind (metadata-only; [[IndexLayout
-    * .register]] drops-and-recreates on any same-name reuse).
+    * lazy frames before pruning deeper). On the bucketed layout the
+    * pruned versions' external-table catalog entries drop with them
+    * (metadata-only — the files are already gone).
     */
-  def prune(indexDir: String, keep: Int = 2): Unit =
-    artifact(indexDir).prune(keep)
+  def prune(spark: SparkSession, indexDir: String, keep: Int = 2): Unit = {
+    val bucketed = IndexLayout.isBucketed(artifact(indexDir).meta)
+    val dropped = artifact(indexDir).prune(keep)
+    if (bucketed) {
+      val family = IndexLayout.familyOf(indexDir)
+      dropped.foreach(v =>
+        Tables.foreach(IndexLayout.deregister(spark, family, _, v)))
+    }
+  }
 
   /** Compact tables that accreted more than `maxFiles` part files across
     * admissions (measured in `IndexProbe`: 64 files PER admitted delta

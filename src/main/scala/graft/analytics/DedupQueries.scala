@@ -1368,6 +1368,77 @@ object DedupQueries {
     SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
   }
 
+  /** Planted-delta parameters of [[qDedupEmbeddingWidePlanted]]: copies
+    * get `vec_id + PlantOffset` (disjoint from any driver id range), the
+    * per-dim rescale draws one of [[PlantPatterns]] seeded Rademacher
+    * patterns off the global plane stream at [[PlantSeed]] (far past any
+    * signature plane index, so planted noise is independent of every
+    * banding), and the ±[[PlantWobble]] amplitude puts exact
+    * cos(v, v·(1 ± w)) near 1/√(1+w²) ≈ 0.958 — ABOVE the 0.9
+    * production threshold the Wide S-curve recovers at.
+    */
+  private[analytics] val PlantOffset = 10000000L
+  private val PlantPatterns = 4
+  private val PlantSeed = 4096
+  private val PlantWobble = 0.3
+
+  /** The coefficient 1 ± wobble for pattern `k`, dim `d` — ONE
+    * definition emitting both the Spark literal and the oracle's SQL
+    * text, so the two plans perturb bit-identically.
+    */
+  private def plantCoef(k: Int, d: Int): Double =
+    if (Srp.sign(PlantSeed + k, d) > 0) 1.0 + PlantWobble
+    else 1.0 - PlantWobble
+
+  /** The planted near-dup delta: the `vec_id % 10 == 0` corpus slice,
+    * re-identified past [[PlantOffset]], each vector rescaled per-dim by
+    * its pattern's coefficients (computed in DOUBLE on both sides — the
+    * float→double widening happens before the multiply, so Spark and
+    * the DuckDB oracle see bit-identical planted vectors and therefore
+    * bit-identical SRP signatures).
+    */
+  private[analytics] def plantedDelta(vecs: DataFrame): DataFrame = {
+    val pats = (0 until PlantPatterns).map { k =>
+      array((0 until Srp.Dims).map(d => lit(plantCoef(k, d))): _*)
+    }
+    val coef = (1 until PlantPatterns)
+      .foldLeft(when(col("vec_id") % PlantPatterns === 0, pats(0))) {
+        (w, k) => w.when(col("vec_id") % PlantPatterns === k, pats(k))
+      }.otherwise(pats(0)) // unreachable: % covers 0 until PlantPatterns
+    vecs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + PlantOffset).as("vec_id"),
+        zip_with(transform(col("embedding"), _.cast("double")), coef,
+          (a, b) => a * b).as("embedding"))
+  }
+
+  /** The Wide shape at a PRODUCTION near-dup threshold with PLANTED
+    * expected pairs — the row that makes the Wide S-curve recovery claim
+    * carry a green driver hash (r13 verdict #4): [[qDedupEmbeddingLsh64]]
+    * honestly shows near-zero Wide recall at this corpus's noise-floor
+    * cos ≥ 0.46, and THIS face shows the same 8×16 banding recovering
+    * recall where real duplicate mass lives. Corpus = ALL embeddings in
+    * a Wide-default durable [[SrpIndex]] artifact (own `srpwp-` dir);
+    * delta = [[plantedDelta]]'s copies at exact cos ≈ 0.958; output =
+    * verified (corpus_id, new_id, cos ≥ 0.9) matches.
+    *
+    * Recall model vs measurement: at cos 0.958 a sign bit agrees with
+    * p = 1 − acos(0.958)/π ≈ 0.908, a 16-bit band matches at p¹⁶ ≈ 0.21,
+    * and 8 bands give 1−(1−p¹⁶)⁸ ≈ 0.85 — the oracle replays the
+    * identical seeded pipeline, so the row is hash-exact at whatever
+    * recall the S-curve actually delivers (measured sf0.1: see SCALE.md
+    * round-15 planted-recall row; `SrpPlantedRecallSpec` bounds it).
+    */
+  def qDedupEmbeddingWidePlanted(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = AnnIndex.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val idx = s"${SimilarityQueries.indexRoot}/srpwp-$fp"
+    val vecs = table(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    if (!SrpIndex.hasCurrent(idx)) SrpIndex.build(spark, vecs, idx)
+    SrpIndex.probe(spark, idx, plantedDelta(vecs))
+      .filter($"cos" >= 0.9)
+  }
+
   /** The artifact-free in-session face of [[qDedupEmbeddingIncremental]]
     * (shared [[srpBanded]] cache, no disk round-trip) — `SrpIndexSpec`'s
     * independent reference, same reasoning as [[incrementalInSession]].
@@ -1538,6 +1609,7 @@ object DedupQueries {
     "q_dedup_embedding_lsh64" -> qDedupEmbeddingLsh64,
     "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
     "q_dedup_embedding_incremental_wide" -> qDedupEmbeddingIncrementalWide,
+    "q_dedup_embedding_wide_planted" -> qDedupEmbeddingWidePlanted,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_components_star" -> qDedupComponentsStar,
     "q_dedup_containment" -> qDedupContainment,
@@ -1636,6 +1708,65 @@ object DedupQueries {
        | JOIN v va ON va.vec_id = c.$outA
        | JOIN v vb ON vb.vec_id = c.$outB
        |WHERE list_cosine_similarity(va.e, vb.e) >= 0.46""".stripMargin
+  }
+
+  /** [[qDedupEmbeddingWidePlanted]]'s oracle: the identical planted
+    * construction (same [[plantCoef]] literals, pattern chosen on the
+    * SOURCE vec_id inside an inner scope so no alias shadowing), the
+    * identical seeded Wide banding, verify at the production cos ≥ 0.9.
+    */
+  private def plantedWideOracle: String = {
+    val shape = Srp.Wide
+    val sigCols = (0 until shape.planes).map { p =>
+      s"CASE WHEN (${Srp.duckPlaneDot(p)}) >= 0 THEN 1 ELSE 0 END AS p$p"
+    }.mkString(",\n   ")
+    val bandCase = (0 until shape.bands).map { b =>
+      val bits = (0 until shape.rowsPerBand).map { r =>
+        val p = b * shape.rowsPerBand + r
+        if (r == 0) s"p$p" else s"${1L << r}*p$p"
+      }.mkString(" + ")
+      s"WHEN $b THEN $bits"
+    }.mkString(" ")
+    val bandList = (0 until shape.bands).map(b => s"($b)").mkString(",")
+    val plantedDims = (0 until Srp.Dims).map { d =>
+      val cases = (0 until PlantPatterns).map { k =>
+        if (k == PlantPatterns - 1) s"ELSE ${plantCoef(k, d)}"
+        else s"WHEN $k THEN ${plantCoef(k, d)}"
+      }.mkString(" ")
+      s"e[${d + 1}] * (CASE (src % $PlantPatterns) $cases END)"
+    }.mkString(",\n    ")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | planted AS MATERIALIZED (
+       |  SELECT src + $PlantOffset AS vec_id, e2 AS e FROM (
+       |   SELECT vec_id AS src,
+       |   [$plantedDims] AS e2
+       |   FROM v WHERE vec_id % 10 = 0)),
+       | sigc AS MATERIALIZED (
+       |  SELECT vec_id, e,
+       |   $sigCols
+       |  FROM v),
+       | sigp AS MATERIALIZED (
+       |  SELECT vec_id, e,
+       |   $sigCols
+       |  FROM planted),
+       | bc AS MATERIALIZED (
+       |  SELECT vec_id, bb.band,
+       |   (CASE bb.band $bandCase END)::BIGINT AS bits
+       |  FROM sigc CROSS JOIN (VALUES $bandList) bb(band)),
+       | bp AS MATERIALIZED (
+       |  SELECT vec_id, bb.band,
+       |   (CASE bb.band $bandCase END)::BIGINT AS bits
+       |  FROM sigp CROSS JOIN (VALUES $bandList) bb(band)),
+       | cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS corpus_id, b.vec_id AS new_id
+       |  FROM bc a JOIN bp b ON a.band = b.band AND a.bits = b.bits)
+       |SELECT c.corpus_id, c.new_id,
+       | list_cosine_similarity(va.e, vb.e) AS cos
+       |FROM cand c
+       | JOIN v va ON va.vec_id = c.corpus_id
+       | JOIN planted vb ON vb.vec_id = c.new_id
+       |WHERE list_cosine_similarity(va.e, vb.e) >= 0.9""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1802,6 +1933,7 @@ object DedupQueries {
     "q_dedup_embedding_incremental_wide" -> embeddingLshOracle(Srp.Wide,
       joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
       outA = "corpus_id", outB = "new_id"),
+    "q_dedup_embedding_wide_planted" -> plantedWideOracle,
     "q_dedup_components" -> componentsOracle,
     "q_dedup_components_star" -> componentsOracle,
     "q_dedup_keeper_quality" -> keeperQualityOracle,

@@ -63,7 +63,10 @@ private[graft] object IndexLayout {
     * identifier, collision-safe at this scope).
     */
   def familyOf(indexDir: String): String = {
-    val canonical = new File(indexDir).getAbsolutePath
+    // getCanonicalPath (not getAbsolutePath): a symlinked alias of the
+    // same artifact dir must resolve to ONE family, not duplicate
+    // catalog registrations over identical files
+    val canonical = new File(indexDir).getCanonicalPath
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     "graft_idx_" + md5.take(6).map(b => f"${b & 0xff}%02x").mkString
@@ -145,6 +148,17 @@ private[graft] object IndexLayout {
         s"BUCKETS LOCATION '${tableDir.getAbsolutePath}'")
     }
     name
+  }
+
+  /** Drop the catalog entry of one pruned version's table — external
+    * tables drop metadata only, never files (the version dir is already
+    * gone by the time prune calls this). Keeps the session catalog free
+    * of entries whose LOCATION no longer exists.
+    */
+  def deregister(spark: SparkSession, family: String, table: String,
+      version: Long): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(family, table, s"v$version")}")
+    ()
   }
 
   /** Bucketed write of one table into a version dir. `overwrite` is the

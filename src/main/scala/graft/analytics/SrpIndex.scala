@@ -131,13 +131,15 @@ object SrpIndex {
   /** Build (or fully REBUILD) from a `(vec_id, embedding)` corpus frame.
     * `shape` is recorded in the artifact and rules every later
     * probe/admit; the default is the corpus-scale `Wide` banding (see
-    * class doc for why `Narrow` cannot reach 100 TB). `bucketed = true`
-    * writes the bucketed layout (byte-sized counts unless `buckets`
-    * pins them), recorded in the artifact meta.
+    * class doc for why `Narrow` cannot reach 100 TB). The BUCKETED
+    * layout is the DEFAULT (byte-sized counts unless `buckets` pins
+    * them, full spec recorded in the artifact meta — see
+    * [[DedupIndex.build]]); `bucketed = false` writes the plain
+    * directory layout the parity specs compare against.
     */
   def build(spark: SparkSession, vecs: DataFrame, indexDir: String,
       shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide,
-      bucketed: Boolean = false, buckets: Int = 0): Unit = {
+      bucketed: Boolean = true, buckets: Int = 0): Unit = {
     buildRuns.incrementAndGet()
     val shapeMeta = Map("bands" -> shape.bands.toString,
       "rowsPerBand" -> shape.rowsPerBand.toString)
@@ -201,9 +203,16 @@ object SrpIndex {
   }
 
   /** Drop versions older than the newest `keep` — see
-    * [[DedupIndex.prune]]'s reader-grace note. */
-  def prune(indexDir: String, keep: Int = 2): Unit =
-    artifact(indexDir).prune(keep)
+    * [[DedupIndex.prune]]'s reader-grace + catalog-drop notes. */
+  def prune(spark: SparkSession, indexDir: String, keep: Int = 2): Unit = {
+    val bucketed = IndexLayout.isBucketed(artifact(indexDir).meta)
+    val dropped = artifact(indexDir).prune(keep)
+    if (bucketed) {
+      val family = IndexLayout.familyOf(indexDir)
+      dropped.foreach(v =>
+        Tables.foreach(IndexLayout.deregister(spark, family, _, v)))
+    }
+  }
 
   /** Compact tables past `maxFiles` part files — the shared
     * [[VersionedArtifact.compact]] transaction; directory postings

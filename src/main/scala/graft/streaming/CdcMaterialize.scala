@@ -192,12 +192,20 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
   private def storedBytes(ver: java.io.File): Option[Map[String, Long]] = {
     val f = new java.io.File(ver, "_BYTES")
     if (!f.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf('\t')
-        line.substring(0, i) -> line.substring(i + 1).toLong
-      }.toMap)
+    else try {
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map { line =>
+          val i = line.lastIndexOf('\t')
+          require(i > 0, s"malformed _BYTES line: $line")
+          line.substring(0, i) -> line.substring(i + 1).toLong
+        }.toMap)
+    } catch {
+      // a torn/corrupted sidecar (no tab, non-numeric bytes) must degrade
+      // to the one-time walk fallback it exists to avoid — the next merge
+      // rewrites it — never wedge the merge itself
+      case _: IllegalArgumentException | _: NumberFormatException => None
+    }
   }
 
   private def writeBytes(ver: java.io.File,

@@ -69,7 +69,8 @@ object IngestDedup {
     val cache = new VersionedCache(
       () => graft.analytics.SrpIndex.currentVersion(indexDir),
       () => graft.analytics.SrpIndex.load(spark, indexDir),
-      (l: graft.analytics.SrpIndex.Loaded) => Seq(l.vectors, l.bands))
+      (l: graft.analytics.SrpIndex.Loaded) =>
+        if (l.bucketed) Seq.empty else Seq(l.vectors, l.bands))
     // eager first load: a missing/corrupt index must throw HERE,
     // synchronously, not as an async batch-0 failure the caller's error
     // handling never sees (and a failed start() then has real cache
@@ -106,7 +107,8 @@ object IngestDedup {
     val cache = new VersionedCache(
       () => graft.analytics.DedupIndex.currentVersion(indexDir),
       () => graft.analytics.DedupIndex.load(spark, indexDir),
-      (l: graft.analytics.DedupIndex.Loaded) => Seq(l.signatures, l.bands))
+      (l: graft.analytics.DedupIndex.Loaded) =>
+        if (l.bucketed) Seq.empty else Seq(l.signatures, l.bands))
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -140,7 +142,8 @@ object IngestDedup {
       () => graft.analytics.ContainIndex.currentVersion(indexDir),
       () => graft.analytics.ContainIndex.load(spark, indexDir),
       (l: graft.analytics.ContainIndex.Loaded) =>
-        Seq(l.tokens, l.prefix, l.sets, l.df))
+        if (l.bucketed) Seq.empty
+        else Seq(l.tokens, l.prefix, l.sets, l.df))
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -157,7 +160,15 @@ object IngestDedup {
     * resolves the artifact's CURRENT version once per call (one pointer
     * file read — the cheap check), serves the persisted frames while the
     * version is unchanged, and reloads + re-persists only when an
-    * admission moved the pointer. This bounds the stream's staleness to
+    * admission moved the pointer. `frames` selects which loaded frames
+    * to persist — EMPTY for the bucketed layout (the build default):
+    * its micro probes bucket-prune every corpus read down to the
+    * batch's key set, and pinning the frames in memory would both
+    * defeat that pruning (an INSET over an InMemoryRelation scans the
+    * cached partitions, never `SelectedBucketsCount`) and hold
+    * corpus-sized cache entries the pruned disk reads make unnecessary.
+    * Directory-layout frames persist as before (their probes scan the
+    * whole corpus side per batch, so memory is the right place for it). This bounds the stream's staleness to
     * ONE micro-batch — a delta admitted at batch N is probed against
     * from batch N+1 — while the steady state keeps the load-once cache
     * hit (a pure pin-at-start cache would never see mid-stream

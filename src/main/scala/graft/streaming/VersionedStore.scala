@@ -104,17 +104,20 @@ private[graft] object VersionedStore {
   /** Drop snapshot versions older than the newest `keep` (the pointer's
     * target is always kept). Hard-linked files shared with newer versions
     * survive deletion of the old directory entry — link counts, not
-    * copies, are what the carry step paid for.
+    * copies, are what the carry step paid for. Returns the dropped
+    * version ids so layout-aware callers (the bucketed index artifacts)
+    * can drop their per-version catalog entries too.
     */
-  def prune(dir: String, keep: Int): Unit = currentVersion(dir).foreach { cur =>
-    val d = new File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toLong)
-        .toOption.map(f -> _))
-      .filter { case (_, v) => v <= cur - keep }
-      .foreach { case (f, _) => rm(f) }
-  }
+  def prune(dir: String, keep: Int): Seq[Long] =
+    currentVersion(dir).toSeq.flatMap { cur =>
+      val d = new File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toLong)
+          .toOption.map(f -> _))
+        .filter { case (_, v) => v <= cur - keep }
+        .map { case (f, v) => rm(f); v }.toSeq
+    }
 
   private def rm(x: File): Unit = {
     Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -299,5 +302,8 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     }
   }
 
-  def prune(keep: Int = 2): Unit = VersionedStore.prune(indexDir, keep)
+  /** Drop versions older than the newest `keep`; returns the dropped
+    * version ids (see [[VersionedStore.prune]]).
+    */
+  def prune(keep: Int = 2): Seq[Long] = VersionedStore.prune(indexDir, keep)
 }

@@ -37,7 +37,7 @@ class ContainIndexBucketedSpec extends SparkSpec {
         .createTempDirectory("graft-contain-dir").toString
       val bIdx = java.nio.file.Files
         .createTempDirectory("graft-contain-bidx").toString
-      ContainIndex.build(spark, corpus, plainIdx)
+      ContainIndex.build(spark, corpus, plainIdx, bucketed = false)
       ContainIndex.build(spark, corpus, bIdx, bucketed = true, buckets = 8)
 
       val bucketed = ContainIndex.probe(spark, bIdx, delta)

@@ -37,7 +37,7 @@ class DedupIndexBucketedSpec extends SparkSpec {
         .createTempDirectory("graft-dedup-dir").toString
       val bIdx = java.nio.file.Files
         .createTempDirectory("graft-dedup-bidx").toString
-      DedupIndex.build(spark, corpus, plainIdx)
+      DedupIndex.build(spark, corpus, plainIdx, bucketed = false)
       DedupIndex.build(spark, corpus, bIdx, bucketed = true, buckets = 8)
 
       val bucketed = DedupIndex.probe(spark, bIdx, delta)
@@ -86,7 +86,8 @@ class DedupIndexBucketedSpec extends SparkSpec {
     assert(DedupIndex.shapeOf(bIdx) === DedupIndex.Shape.Oracle)
     val plainIdx = java.nio.file.Files
       .createTempDirectory("graft-dedup-dlife").toString
-    DedupIndex.build(spark, corpus, plainIdx, DedupIndex.Shape.Oracle)
+    DedupIndex.build(spark, corpus, plainIdx, DedupIndex.Shape.Oracle,
+      bucketed = false)
     val before = pairs(DedupIndex.probe(spark, bIdx, delta))
     assert(before === pairs(DedupIndex.probe(spark, plainIdx, delta)))
     assert(before.nonEmpty)

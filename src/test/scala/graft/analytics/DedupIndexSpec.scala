@@ -174,19 +174,19 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx)
     val delta = docs.filter($"doc_id" % 5 === 4)
     assert(DedupIndex.probe(spark, idx, delta).count() > 0)
-    // hollow out the band table: same API inputs, zero candidates — so
-    // candidates demonstrably come from disk, never from recomputing the
-    // corpus
-    val bands = DedupIndex.tablePath(idx, "bands")
-    spark.read.parquet(bands).limit(0)
-      .write.mode("overwrite").parquet(s"$bands-empty")
-    val p = java.nio.file.Paths.get(bands)
-    def rmTree(d: java.nio.file.Path): Unit = {
-      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { java.nio.file.Files.delete(f); () })
-    }
-    rmTree(p)
-    java.nio.file.Files.move(java.nio.file.Paths.get(s"$bands-empty"), p)
+    // hollow out the band table (delete its parquet files in place —
+    // the registered external bucketed table then scans an empty dir):
+    // same API inputs, zero candidates — so candidates demonstrably
+    // come from disk, never from recomputing the corpus
+    val bands = new java.io.File(DedupIndex.tablePath(idx, "bands"))
+    bands.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete(), s"could not delete $f"))
+    // out-of-band file surgery needs a listing refresh — the artifact
+    // lifecycle itself never mutates a version in place (admission and
+    // compaction write NEW version dirs under NEW table names), so the
+    // cached listing is safe everywhere but this deliberate corruption
+    spark.sql(s"REFRESH TABLE ${IndexLayout.familyOf(idx)}_bands_v0")
     assert(DedupIndex.probe(spark, idx, delta).count() === 0,
       "probe found pairs with an empty on-disk band table")
   }

@@ -5,7 +5,9 @@ import org.apache.spark.sql.DataFrame
 import graft.SparkSpec
 
 /** Plan-shape contract of the streaming ingest probes' `micro = true`
-  * mode (`probeLoaded` on all three durable indexes): a micro-batch
+  * mode on the DIRECTORY layout (`bucketed = false` pinned on every
+  * build here; the bucketed default's micro shape — pruned bucket
+  * reads — is pinned by the `*BucketedSpec` suites): a micro-batch
   * delta BROADCASTS into every corpus join, so the cached corpus tables
   * STREAM from their in-memory scans — zero sort-merge or shuffled-hash
   * joins anywhere in the per-batch plan, which is what keeps per-trigger
@@ -46,7 +48,8 @@ class IngestMicroPlanSpec extends SparkSpec {
         .select($"doc_id", $"text")
       val idx = java.nio.file.Files
         .createTempDirectory("graft-micro-didx").toString
-      DedupIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx)
+      DedupIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx,
+        bucketed = false)
       val loaded = DedupIndex.load(spark, idx)
       loaded.signatures.persist(); loaded.bands.persist()
       try {
@@ -72,7 +75,8 @@ class IngestMicroPlanSpec extends SparkSpec {
         .select($"doc_id", $"text")
       val idx = java.nio.file.Files
         .createTempDirectory("graft-micro-cidx").toString
-      ContainIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx)
+      ContainIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx,
+        bucketed = false)
       val loaded = ContainIndex.load(spark, idx)
       val cached = Seq(loaded.tokens, loaded.prefix, loaded.sets, loaded.df)
       cached.foreach(_.persist())
@@ -101,7 +105,7 @@ class IngestMicroPlanSpec extends SparkSpec {
         .createTempDirectory("graft-micro-sidx").toString
       // oracle-matched Narrow so the sf0.001 fixture has pairs to compare
       SrpIndex.build(spark, vecs.filter($"vec_id" % 5 =!= 4), idx,
-        DedupQueries.Srp.Narrow)
+        DedupQueries.Srp.Narrow, bucketed = false)
       val loaded = SrpIndex.load(spark, idx)
       loaded.vectors.persist(); loaded.bands.persist()
       try {

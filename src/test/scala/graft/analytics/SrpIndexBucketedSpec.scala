@@ -39,7 +39,8 @@ class SrpIndexBucketedSpec extends SparkSpec {
       // claim is layout, not shape (probes take no shape argument, so
       // parity also proves the probe replayed the artifact-recorded
       // Narrow rather than the Wide build default)
-      SrpIndex.build(spark, corpus, plainIdx, DedupQueries.Srp.Narrow)
+      SrpIndex.build(spark, corpus, plainIdx, DedupQueries.Srp.Narrow,
+        bucketed = false)
       SrpIndex.build(spark, corpus, bIdx, DedupQueries.Srp.Narrow,
         bucketed = true, buckets = 8)
       assert(SrpIndex.shapeOf(bIdx) === DedupQueries.Srp.Narrow)

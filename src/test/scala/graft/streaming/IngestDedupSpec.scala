@@ -86,8 +86,9 @@ class IngestDedupSpec extends SparkSpec {
       input.addData(b1.toSeq); q.processAllAvailable()
       input.addData(b2.toSeq); q.processAllAvailable()
       // two micro-batches at ONE artifact version = ONE resolution
-      // (bands + signatures persisted, probed from memory per batch —
-      // the previous wiring re-banded the corpus per batch)
+      // (bucketed build default: per-batch probes bucket-prune the
+      // artifact scans instead of caching corpus frames — the previous
+      // wiring re-banded the corpus per batch)
       assert(graft.analytics.DedupIndex.loadRuns.get() === loadsBefore + 1,
         "text ingest re-read the artifact per batch instead of loading " +
           "it once per version")
@@ -150,7 +151,8 @@ class IngestDedupSpec extends SparkSpec {
       input.addData(b1.toSeq); q.processAllAvailable()
     } finally q.stop()
     // three micro-batches, ONE artifact resolution: tokens/prefix/sets/df
-    // load at start and every batch probes the persisted frames
+    // resolve at start and every batch probes them (bucketed default:
+    // pruned scans, not cached frames)
     assert(graft.analytics.ContainIndex.loadRuns.get() === loadsBefore + 1,
       "containment ingest re-read the artifact per batch instead of " +
         "loading it once for the query's life")
@@ -196,10 +198,14 @@ class IngestDedupSpec extends SparkSpec {
       .createTempDirectory("graft-ingest-srp").toString
     // oracle-matched Narrow (the oracled face's artifact shape) — the
     // default-Wide lifecycle is pinned in SrpIndexSpec; here the claim
-    // is parity with the oracled in-session face
+    // is parity with the oracled in-session face. DIRECTORY layout
+    // pinned: this test also pins the VersionedCache persist/release
+    // lifecycle, which only the directory layout uses (bucketed probes
+    // read pruned scans, never cached frames); bucketed streaming is
+    // covered by the text and containment tests above
     graft.analytics.SrpIndex.build(
       spark, vecs.filter($"vec_id" % 5 =!= 4), idx,
-      graft.analytics.DedupQueries.Srp.Narrow)
+      graft.analytics.DedupQueries.Srp.Narrow, bucketed = false)
     val delta = vecs.filter($"vec_id" % 5 === 4)
       .as[IngestVec].collect().sortBy(_.vec_id)
     val got = java.util.concurrent.ConcurrentHashMap
