@@ -53,6 +53,33 @@ object Bucketing {
   def sessionMaxBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.sql.sources.bucketing.maxBuckets", "100000").toInt
 
+  /** ~32 MB per bucket for INDEX artifacts (vs the serving store's
+    * 256 MB): an index table's bucket is a PROBE unit, not a merge
+    * unit — more, smaller buckets buy scan parallelism (with
+    * `autoBucketedScan` disabled a bucketed scan runs one task per
+    * bucket) and bucket-prune granularity (a micro batch's key set
+    * skips the buckets it can't touch), while the serving store sizes
+    * for rewrite amortization.
+    */
+  val IndexTargetBucketBytes: Long = 32L << 20
+
+  /** Bucket count for one index-artifact table: byte-sized at the index
+    * target, FLOORED at the session's default parallelism (power of
+    * two) — a small table collapsing to 1 bucket would make every probe
+    * of it a single-task scan (measured: the streaming containment
+    * face's per-batch posting scans ran one core and the steady median
+    * read 17-18 s at BOTH 1x and 10x corpus; the floor restores the
+    * r13 parallel numbers), capped at the session `bucketBy` maximum.
+    */
+  def indexBuckets(spark: SparkSession, estimatedBytes: Long): Int = {
+    val cap = sessionMaxBuckets(spark)
+    val floor = sizedBuckets(
+      spark.sparkContext.defaultParallelism.toLong * IndexTargetBucketBytes,
+      IndexTargetBucketBytes, maxBuckets = cap)
+    math.max(floor,
+      sizedBuckets(estimatedBytes, IndexTargetBucketBytes, maxBuckets = cap))
+  }
+
   /** Guard for table identifiers interpolated into SQL text by the
     * shared helpers below: each dot-separated part must be a plain
     * identifier (letters/digits/underscore). A backtick, quote, or

@@ -134,17 +134,17 @@ object ContainIndex {
       val dfFrame = sh.groupBy(col("hx")).agg(count(lit(1)).as("df"))
         .persist()
       try {
-        // buckets = 0: per-table sizing from bytes (Bucketing rule),
+        // buckets = 0: per-table sizing from bytes (Bucketing
+        // .indexBuckets — 32 MB index target, parallelism floor),
         // counted on the persisted frames the writes reuse. tokens = the
         // full posting list at ~16 B/row; prefix ≈ 1/10 of it; df = one
         // row per DISTINCT token; sets pack the same hashes as tokens at
         // ~8 B plus per-doc framing
-        val cap = Bucketing.sessionMaxBuckets(spark)
         val shRows = if (buckets > 0) 0L else sh.count()
         val dfRows = if (buckets > 0) 0L else dfFrame.count()
         def n(bytes: Long): Int =
           if (buckets > 0) buckets
-          else Bucketing.sizedBuckets(bytes, maxBuckets = cap)
+          else Bucketing.indexBuckets(spark, bytes)
         val postings = Map(
           "tokens" -> n(shRows * 16L), "prefix" -> n(shRows * 16L / 10),
           "df" -> n(dfRows * 16L))
@@ -291,7 +291,8 @@ object ContainIndex {
     * re-reading corpus-sized postings from the lake.
     */
   final case class Loaded(tokens: DataFrame, prefix: DataFrame,
-      sets: DataFrame, df: DataFrame, bucketed: Boolean = false)
+      sets: DataFrame, df: DataFrame, bucketed: Boolean = false,
+      private[graft] val buckets: Map[String, Int] = Map.empty)
 
   /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
   val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
@@ -310,9 +311,16 @@ object ContainIndex {
       def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
         spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
       Loaded(tbl("tokens"), tbl("prefix"), tbl("sets"), tbl("df"),
-        bucketed = true)
+        bucketed = true,
+        buckets = Tables.map(t =>
+          t -> IndexLayout.specOf(meta, t).buckets).toMap)
     }
   }
+
+  /** Total data bytes behind the artifact's current version — what the
+    * streaming face's cache-if-fits decision reads once per version.
+    */
+  def artifactBytes(indexDir: String): Long = artifact(indexDir).currentBytes
 
   /** [[probe]] against pre-loaded (possibly persisted) artifact frames.
     *
@@ -324,15 +332,17 @@ object ContainIndex {
     * measured in `IngestProbe`). Batch probes keep the default: a daily
     * delta is not broadcast-bounded.
     *
-    * On the BUCKETED layout, micro goes further
-    * ([[DedupIndex.probeLoaded]]'s design): the delta's distinct token
-    * hashes collect (bounded by |batch| docs × ~200 shingles —
-    * admission-bounded by the stream's contract) and BUCKET-PRUNE the
-    * `tokens`/`prefix`/`df` scans ([[microCandidateFrames]]); the
-    * per-direction candidate pairs then localize and the corpus `sets`
-    * scans bucket-prune to the candidate ids — EVERY corpus read in the
-    * batch is a pruned bucket read (`SelectedBucketsCount` k out of n).
-    * Eager through candidate generation; batch probes stay fully lazy.
+    * On the BUCKETED layout, an UNCACHED micro probe goes further
+    * ([[DedupIndex.probeLoaded]]'s three-regime design — a CACHED one,
+    * the steady state whenever the artifact fits the cluster's storage
+    * budget, takes the broadcast-delta plan below over the
+    * InMemoryRelations): the delta's distinct token hashes collect
+    * (CAPPED — see [[microCandidateFrames]]) and BUCKET-PRUNE the
+    * `tokens`/`prefix`/`df` scans where the key count clears the
+    * table's bucket count; the per-direction candidate pairs then
+    * localize and the corpus `sets` scans bucket-prune to the candidate
+    * ids. Eager through candidate generation; batch probes stay fully
+    * lazy.
     */
   def probeLoaded(loaded: Loaded, deltaDocs: DataFrame,
       micro: Boolean = false): DataFrame = {
@@ -343,21 +353,25 @@ object ContainIndex {
     val sh = shingled(deltaDocs)
     val deltaSets = setsOf(sh)
     val corpusSets = loaded.sets
-    if (micro && loaded.bucketed) {
+    if (micro && loaded.bucketed && !IndexLayout.isCached(loaded.tokens)) {
       // TWO eager candidate jobs (one per direction, each reading its
-      // pruned corpus posting table once), candidates localized, corpus
+      // corpus posting table once — pruned where the delta's key count
+      // clears the table's bucket count), candidates localized, corpus
       // `sets` scans bucket-pruned per direction to the candidate ids.
       // Split verify as below: each side unique by construction, the
       // final distinct collapses the one overlap a RE-probe can produce.
       import spark.implicits._
+      val setsN = loaded.buckets.getOrElse("sets", Int.MaxValue)
       val (n2oF, o2nF) = microCandidateFrames(loaded, deltaDocs)
       val n2o = n2oF.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val o2n = o2nF.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       return DedupQueries.verifyContainmentSplit(deltaSets,
-          IndexLayout.pruned(corpusSets, "doc_id", n2o.map(_._2).distinct),
+          IndexLayout.pruned(corpusSets, "doc_id", n2o.map(_._2).distinct,
+            setsN),
           n2o.toDF("id_a", "id_b"), micro = true)
         .unionByName(DedupQueries.verifyContainmentSplit(
-          IndexLayout.pruned(corpusSets, "doc_id", o2n.map(_._1).distinct),
+          IndexLayout.pruned(corpusSets, "doc_id", o2n.map(_._1).distinct,
+            setsN),
           deltaSets, o2n.toDF("id_a", "id_b"), micro = true))
         .distinct()
     }
@@ -438,27 +452,41 @@ object ContainIndex {
     * sides broadcast. [[probeLoaded]] collects both; exposed so the plan
     * spec can assert the pruning on the frames themselves
     * (`ContainIndexBucketedSpec`).
+    *
+    * The key collect is CAPPED at one past the largest count any table
+    * could use (a batch's token-hash volume is docs × shingles — ~200 k
+    * for a 200-doc batch, far past toy bucket counts): `limit` bounds
+    * the driver transfer, and an overflowed collect declines pruning for
+    * every hx table rather than shipping a key set no table can use.
     */
   private[analytics] def microCandidateFrames(loaded: Loaded,
       deltaDocs: DataFrame): (DataFrame, DataFrame) = {
     val sh = shingled(deltaDocs)
-    val deltaHx: Seq[Long] = sh.select(col("hx")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    def pruneHx(corpus: DataFrame): DataFrame =
-      IndexLayout.pruned(corpus, "hx", deltaHx)
+    val hxCap = math.min(IndexLayout.MicroPruneMaxKeys.toLong,
+      IndexLayout.PruneKeysPerBucket.toLong * Seq("tokens", "prefix", "df")
+        .map(loaded.buckets.getOrElse(_, Int.MaxValue)).max).toInt
+    val hxRows = sh.select(col("hx")).distinct().limit(hxCap + 1)
+      .collect()
+    val deltaHx: Option[Seq[Long]] =
+      if (hxRows.length > hxCap) None
+      else Some(hxRows.map(_.getLong(0)).toSeq)
+    def pruneHx(corpus: DataFrame, table: String): DataFrame =
+      deltaHx.fold(corpus)(IndexLayout.pruned(corpus, "hx", _,
+        loaded.buckets.getOrElse(table, Int.MaxValue)))
     // df shrink as in probeLoaded's micro dfForRank, on the PRUNED scan
-    val dfForRank = broadcast(pruneHx(loaded.df)
+    val dfForRank = broadcast(pruneHx(loaded.df, "df")
       .join(broadcast(sh.select(col("hx")).distinct()), "hx"))
     val r = DedupQueries.containRanked(sh, dfForRank)
     val deltaPrefix = DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
     val deltaTokens = r.select(col("hx"), col("doc_id"))
     val n2o = broadcast(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
-      .join(pruneHx(loaded.tokens).withColumnRenamed("doc_id", "id_b"),
-        "hx")
+      .join(pruneHx(loaded.tokens, "tokens")
+        .withColumnRenamed("doc_id", "id_b"), "hx")
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val o2n = pruneHx(loaded.prefix).withColumnRenamed("doc_id", "id_a")
+    val o2n = pruneHx(loaded.prefix, "prefix")
+      .withColumnRenamed("doc_id", "id_a")
       .join(broadcast(deltaTokens.withColumnRenamed("doc_id", "id_b")),
         "hx")
       .where(col("id_a") =!= col("id_b"))

@@ -219,19 +219,18 @@ object DedupIndex {
       val family = IndexLayout.familyOf(indexDir)
       val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
       try {
-        // buckets = 0: size from bytes (Bucketing rule) — the count
+        // buckets = 0: size from bytes (Bucketing.indexBuckets — the
+        // 32 MB index target with the parallelism floor) — the count
         // rides the persisted signature frame the writes reuse (never a
         // second scan of the source). Band rows are docs × bands at
         // ~16 B (bk, doc_id); signature rows carry the slots-wide
         // signature plus the distinct shingle hash set (~2 kB nominal).
-        val cap = Bucketing.sessionMaxBuckets(spark)
         val rows = if (buckets > 0) 0L else per.count()
         val bandN = if (buckets > 0) buckets
-          else Bucketing.sizedBuckets(rows * shape.bands * 16L,
-            maxBuckets = cap)
+          else Bucketing.indexBuckets(spark, rows * shape.bands * 16L)
         val sigN = if (buckets > 0) buckets
-          else Bucketing.sizedBuckets(rows * (shape.slots * 8L + 2048L),
-            maxBuckets = cap)
+          else Bucketing.indexBuckets(spark,
+            rows * (shape.slots * 8L + 2048L))
         val bands = bucketedBandFrame(per, shape)
         val meta = shapeMeta +
           (IndexLayout.LayoutKey -> IndexLayout.BucketedValue) ++
@@ -341,7 +340,8 @@ object DedupIndex {
     * carry.
     */
   final case class Loaded(signatures: DataFrame, bands: DataFrame,
-      shape: Shape, bucketed: Boolean = false)
+      shape: Shape, bucketed: Boolean = false,
+      private[graft] val buckets: Map[String, Int] = Map.empty)
 
   /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
   val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
@@ -361,25 +361,46 @@ object DedupIndex {
       val family = IndexLayout.familyOf(indexDir)
       def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
         spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
-      Loaded(tbl("signatures"), tbl("bands"), shape, bucketed = true)
+      Loaded(tbl("signatures"), tbl("bands"), shape, bucketed = true,
+        buckets = Tables.map(t =>
+          t -> IndexLayout.specOf(meta, t).buckets).toMap)
     }
   }
+
+  /** Total data bytes behind the artifact's current version — what the
+    * streaming face's cache-if-fits decision reads once per version.
+    */
+  def artifactBytes(indexDir: String): Long = artifact(indexDir).currentBytes
 
   /** [[probe]] against pre-loaded (possibly persisted) artifact frames.
     *
     * `micro = true` declares `deltaDocs` a MICRO-BATCH (the streaming
     * ingest face): delta bands and candidates broadcast into the corpus
-    * joins, so the cached band/signature tables STREAM with zero
+    * joins, so the corpus band/signature tables STREAM with zero
     * per-batch exchange — see [[ContainIndex.probeLoaded]]. On the
-    * BUCKETED layout, micro goes further: the delta's band rows collect,
-    * the corpus band scan BUCKET-PRUNES to their key set, the resulting
-    * candidate pairs localize (all delta/admission-bounded — the
-    * broadcast size class the micro contract already assumes), and the
-    * verify's corpus signature scan bucket-prunes to the matched ids —
-    * EVERY corpus read in the batch is a pruned bucket read
-    * (`SelectedBucketsCount` k out of n), nothing corpus-sized. That
-    * makes the micro probe EAGER through candidate generation; batch
-    * probes stay fully lazy.
+    * BUCKETED layout the corpus-side READ picks one of three regimes
+    * (the r15 design — each measured in `IngestProbe`/SCALE.md):
+    *
+    *   1. CACHED — the frames are persisted ([[IndexLayout.isCached]];
+    *      the streaming face persists them whenever the artifact fits
+    *      the cluster's storage budget, see `IngestDedup`): the lazy
+    *      broadcast-delta plan streams the InMemoryRelation, nothing
+    *      read from the lake. The steady state below cache scale.
+    *   2. UNCACHED, PRUNABLE (the 100 TB regime: the artifact outgrew
+    *      memory, and the byte-sized bucket counts dwarf the delta's
+    *      key set): eager through candidate generation — the delta's
+    *      band rows collect (|batch| × bands, admission-bounded), the
+    *      corpus band scan BUCKET-PRUNES to their key set, candidates
+    *      localize, and the verify's corpus signature scan prunes to
+    *      the matched ids — every corpus read a pruned bucket read
+    *      (`SelectedBucketsCount` k out of n), nothing corpus-sized.
+    *   3. UNCACHED, UNPRUNABLE (keys ≥ bucket count — toy-scale tables
+    *      or oversized batches): [[IndexLayout.pruned]] declines the
+    *      INSET per table, leaving the same eager plan over parallel
+    *      full bucketed scans — the honest fallback; the verify side
+    *      still prunes to candidate ids (always a small set).
+    *
+    * Batch probes (`micro = false`) stay fully lazy.
     */
   def probeLoaded(loaded: Loaded, deltaDocs: DataFrame,
       micro: Boolean = false): DataFrame = {
@@ -405,26 +426,31 @@ object DedupIndex {
         (deltaSide.join(corpusBands, Seq("band", "sig"))
           .where(col("id_a") =!= col("id_b"))
           .select(col("id_a"), col("id_b")).distinct(), loaded.signatures)
-      } else if (!micro) {
+      } else if (!micro || IndexLayout.isCached(loaded.bands)) {
+        // batch probe, or the micro CACHED regime (1): lazy bk
+        // equi-join; micro broadcasts the delta so the corpus side
+        // (bucketed scan or InMemoryRelation) streams exchange-free
         val deltaBands = bucketedBandFrame(deltaPer, shape)
           .withColumnRenamed("doc_id", "id_b")
         val corpusBands = loaded.bands.withColumnRenamed("doc_id", "id_a")
-        (deltaBands.join(corpusBands, Seq("bk"))
+        val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
+        (deltaSide.join(corpusBands, Seq("bk"))
           .where(col("id_a") =!= col("id_b"))
           .select(col("id_a"), col("id_b")).distinct(), loaded.signatures)
       } else {
-        // bucketed micro: ONE eager candidate job ([[microCandidates]] —
-        // pruned corpus band read, localized delta), then the candidate
-        // pairs LOCALIZE (they are the broadcast size class already) so
-        // the verify's corpus signature scan can bucket-prune to the
-        // matched ids. Steady state per batch: each corpus table read
-        // once, every read pruned — no corpus-sized term at all.
+        // uncached micro, regimes (2)/(3): ONE eager candidate job
+        // ([[microCandidates]] — corpus band read pruned where the key
+        // count clears the table's bucket count, full parallel scan
+        // where it doesn't), then the candidate pairs LOCALIZE (they
+        // are the broadcast size class already) so the verify's corpus
+        // signature scan can bucket-prune to the matched ids.
         import spark.implicits._
         val candRows = microCandidates(loaded, deltaPer)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         (candRows.toDF("id_a", "id_b"),
           IndexLayout.pruned(loaded.signatures, "doc_id",
-            candRows.map(_._1).distinct))
+            candRows.map(_._1).distinct,
+            loaded.buckets.getOrElse("signatures", Int.MaxValue)))
       }
     DedupQueries.verifyJaccardSplit(corpusSigs, deltaPer, cand, 0.8,
         micro)
@@ -449,7 +475,8 @@ object DedupIndex {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val corpus = IndexLayout.pruned(
       loaded.bands.withColumnRenamed("doc_id", "id_a"), "bk",
-      deltaBandRows.map(_._1).distinct)
+      deltaBandRows.map(_._1).distinct,
+      loaded.buckets.getOrElse("bands", Int.MaxValue))
     broadcast(deltaBandRows.toDF("bk", "id_b")).join(corpus, Seq("bk"))
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

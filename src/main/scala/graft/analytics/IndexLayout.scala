@@ -112,10 +112,40 @@ private[graft] object IndexLayout {
     * a pruned bucket read, not a full scan. Semantically a no-op when an
     * equi-join on `column` (or on ids drawn from `keys`) follows, which
     * is the only way probes use it.
+    *
+    * `nBuckets` (the table's recorded bucket count) gates the DECISION:
+    * prune only when `keys.size <= PruneKeysPerBucket × nBuckets` (and
+    * under the literal cap). Past ~8 keys/bucket every bucket is
+    * selected with near-certainty (expected selected fraction
+    * 1 - e^(-k/n) > 99.9 %) — the INSET buys zero skip while its
+    * literal, its plan/codegen time, and the driver collect that
+    * produced the keys are pure per-batch cost (measured: the streaming
+    * containment face's ~10⁵ token keys over 1-8-bucket toy tables ran
+    * 17-24 s/batch; declining restores parallel full scans, and the
+    * equi-join that follows keeps the semantics). At corpus scale the
+    * byte-sized bucket counts grow with the table (32 MB/bucket —
+    * [[Bucketing.indexBuckets]]), so a micro batch's bounded key set
+    * passes the gate precisely where pruning pays.
     */
-  def pruned(corpus: DataFrame, column: String, keys: Seq[Long]): DataFrame =
-    if (keys.size > MicroPruneMaxKeys) corpus
+  def pruned(corpus: DataFrame, column: String, keys: Seq[Long],
+      nBuckets: Int): DataFrame =
+    if (keys.size > MicroPruneMaxKeys ||
+        keys.size > PruneKeysPerBucket.toLong * nBuckets) corpus
     else corpus.filter(col(column).isin(keys: _*))
+
+  /** See [[pruned]]: the keys-per-bucket ratio past which an INSET
+    * bucket filter cannot select a meaningfully proper subset.
+    */
+  val PruneKeysPerBucket = 8
+
+  /** Whether a loaded corpus frame is persisted (the streaming ingest
+    * caches' cache-if-fits regime — see `IngestDedup`): a cached frame
+    * flips the micro probe to the lazy broadcast-delta plan over the
+    * InMemoryRelation, where an INSET filter would scan every cached
+    * partition anyway (block-level pruning is a FileScan feature).
+    */
+  def isCached(df: DataFrame): Boolean =
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
 
   private def tableName(family: String, table: String, verName: String) =
     s"${family}_${table}_$verName"

@@ -151,22 +151,20 @@ object SrpIndex {
       val v = DedupQueries.srpVectorsOf(spark, vecs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // buckets = 0: per-table sizing from bytes (Bucketing rule) —
-        // the count rides the persisted frame the writes reuse. Vector
+        // buckets = 0: per-table sizing from bytes (Bucketing
+        // .indexBuckets — 32 MB index target, parallelism floor) — the
+        // count rides the persisted frame the writes reuse. Vector
         // rows carry the double array (dims × 8 B + norm); band rows are
         // bands/vector at ~16 B (bk, vec_id). rows == 0 guard: first()
-        // on an empty frame throws — an empty corpus builds 1-bucket
-        // empty tables instead (sizedBuckets(0) = 1)
-        val cap = Bucketing.sessionMaxBuckets(spark)
+        // on an empty frame throws — an empty corpus builds floor-count
+        // empty tables instead
         val rows = if (buckets > 0) 0L else v.count()
         val dims = if (buckets > 0 || rows == 0) 0
           else v.select(size(col("v"))).first().getInt(0)
         val vN = if (buckets > 0) buckets
-          else Bucketing.sizedBuckets(rows * (dims * 8L + 16L),
-            maxBuckets = cap)
+          else Bucketing.indexBuckets(spark, rows * (dims * 8L + 16L))
         val bN = if (buckets > 0) buckets
-          else Bucketing.sizedBuckets(rows * shape.bands * 16L,
-            maxBuckets = cap)
+          else Bucketing.indexBuckets(spark, rows * shape.bands * 16L)
         val bands = bucketedBandsOf(spark, v, shape)
         val meta = shapeMeta +
           (IndexLayout.LayoutKey -> IndexLayout.BucketedValue) ++
@@ -258,7 +256,8 @@ object SrpIndex {
     */
   final case class Loaded(vectors: DataFrame, bands: DataFrame,
       private[graft] val shape: DedupQueries.SrpShape,
-      bucketed: Boolean = false)
+      bucketed: Boolean = false,
+      private[graft] val buckets: Map[String, Int] = Map.empty)
 
   /** Artifact-load counter — the [[buildRuns]]-style observability hook:
     * lets `IngestDedupSpec` prove a multi-batch ingest stream resolved
@@ -282,9 +281,16 @@ object SrpIndex {
       val family = IndexLayout.familyOf(indexDir)
       def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
         spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
-      Loaded(tbl("vectors"), tbl("bands"), shape, bucketed = true)
+      Loaded(tbl("vectors"), tbl("bands"), shape, bucketed = true,
+        buckets = Tables.map(t =>
+          t -> IndexLayout.specOf(meta, t).buckets).toMap)
     }
   }
+
+  /** Total data bytes behind the artifact's current version — what the
+    * streaming face's cache-if-fits decision reads once per version.
+    */
+  def artifactBytes(indexDir: String): Long = artifact(indexDir).currentBytes
 
   /** [[probe]] against pre-loaded (possibly persisted) artifact frames.
     *
@@ -316,23 +322,29 @@ object SrpIndex {
         (deltaSide.join(corpusBands, Seq("band", "bits"))
           .where(col("id_a") =!= col("id_b"))
           .select(col("id_a"), col("id_b")).distinct(), loaded.vectors)
-      } else if (!micro) {
+      } else if (!micro || IndexLayout.isCached(loaded.bands)) {
+        // batch probe, or the micro CACHED regime: lazy bk equi-join;
+        // micro broadcasts the delta so the corpus side streams — see
+        // DedupIndex.probeLoaded's three-regime design comment
         val deltaBands = bucketedBandsOf(spark, deltaV, loaded.shape)
           .withColumnRenamed("vec_id", "id_b")
         val corpusBands = loaded.bands.withColumnRenamed("vec_id", "id_a")
-        (deltaBands.join(corpusBands, Seq("bk"))
+        val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
+        (deltaSide.join(corpusBands, Seq("bk"))
           .where(col("id_a") =!= col("id_b"))
           .select(col("id_a"), col("id_b")).distinct(), loaded.vectors)
       } else {
-        // bucketed micro: one eager candidate job, candidates localized,
-        // corpus vector scan pruned to matched ids — see
+        // uncached micro: one eager candidate job (band scan pruned
+        // where the key count clears the bucket count), candidates
+        // localized, corpus vector scan pruned to matched ids — see
         // DedupIndex.probeLoaded's design comment
         import spark.implicits._
         val candRows = microCandidates(loaded, deltaV)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         (candRows.toDF("id_a", "id_b"),
           IndexLayout.pruned(loaded.vectors, "vec_id",
-            candRows.map(_._1).distinct))
+            candRows.map(_._1).distinct,
+            loaded.buckets.getOrElse("vectors", Int.MaxValue)))
       }
     val withCorpus = (if (micro) broadcast(cand) else cand)
       .join(corpusVectors.select(col("vec_id").as("id_a"),
@@ -359,7 +371,8 @@ object SrpIndex {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val corpus = IndexLayout.pruned(
       loaded.bands.withColumnRenamed("vec_id", "id_a"), "bk",
-      deltaBandRows.map(_._1).distinct)
+      deltaBandRows.map(_._1).distinct,
+      loaded.buckets.getOrElse("bands", Int.MaxValue))
     broadcast(deltaBandRows.toDF("bk", "id_b")).join(corpus, Seq("bk"))
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

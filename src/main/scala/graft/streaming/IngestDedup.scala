@@ -70,7 +70,9 @@ object IngestDedup {
       () => graft.analytics.SrpIndex.currentVersion(indexDir),
       () => graft.analytics.SrpIndex.load(spark, indexDir),
       (l: graft.analytics.SrpIndex.Loaded) =>
-        if (l.bucketed) Seq.empty else Seq(l.vectors, l.bands))
+        cacheIfFits(spark, l.bucketed,
+          () => graft.analytics.SrpIndex.artifactBytes(indexDir),
+          Seq(l.vectors, l.bands)))
     // eager first load: a missing/corrupt index must throw HERE,
     // synchronously, not as an async batch-0 failure the caller's error
     // handling never sees (and a failed start() then has real cache
@@ -108,7 +110,9 @@ object IngestDedup {
       () => graft.analytics.DedupIndex.currentVersion(indexDir),
       () => graft.analytics.DedupIndex.load(spark, indexDir),
       (l: graft.analytics.DedupIndex.Loaded) =>
-        if (l.bucketed) Seq.empty else Seq(l.signatures, l.bands))
+        cacheIfFits(spark, l.bucketed,
+          () => graft.analytics.DedupIndex.artifactBytes(indexDir),
+          Seq(l.signatures, l.bands)))
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -142,8 +146,9 @@ object IngestDedup {
       () => graft.analytics.ContainIndex.currentVersion(indexDir),
       () => graft.analytics.ContainIndex.load(spark, indexDir),
       (l: graft.analytics.ContainIndex.Loaded) =>
-        if (l.bucketed) Seq.empty
-        else Seq(l.tokens, l.prefix, l.sets, l.df))
+        cacheIfFits(spark, l.bucketed,
+          () => graft.analytics.ContainIndex.artifactBytes(indexDir),
+          Seq(l.tokens, l.prefix, l.sets, l.df)))
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -156,46 +161,76 @@ object IngestDedup {
     withCacheLifecycle(spark, start, cache)
   }
 
+  /** CACHE-IF-FITS: the frames a face's [[VersionedCache]] persists —
+    * ALL of them while the artifact fits the session's storage budget,
+    * NONE once it outgrows it. This is the regime selector the micro
+    * probes key on ([[graft.analytics.DedupIndex.probeLoaded]]'s
+    * three-regime design): persisted frames flip every probe to the
+    * lazy broadcast-delta plan over memory (the steady state measured
+    * at 1.2–2.4 s/batch in `IngestProbe`); past the budget the probes
+    * fall to pruned/parallel bucketed disk reads — the only option at
+    * 100 TB, where no cluster pins the corpus index in memory.
+    * Directory-layout frames (the parity fallback) always persist —
+    * their probes scan the whole corpus side per batch, so memory is
+    * the right place for it, and the layout is not the corpus-scale
+    * path.
+    *
+    * The budget: `spark.graft.index.cache.maxBytes` if set, else a
+    * quarter of the cluster's max storage memory — headroom for the
+    * parquet → deserialized-columnar inflation (measured ~2-4× on
+    * these tables) and for everything else the storage pool holds.
+    * `bytes` is ONE driver-side directory walk per version load (never
+    * per batch).
+    */
+  private def cacheIfFits(spark: org.apache.spark.sql.SparkSession,
+      bucketed: Boolean, bytes: () => Long,
+      all: => Seq[DataFrame]): Seq[DataFrame] =
+    if (!bucketed) all
+    else {
+      val budget = spark.conf.getOption("spark.graft.index.cache.maxBytes")
+        .map(_.toLong)
+        .getOrElse(spark.sparkContext.getExecutorMemoryStatus
+          .values.map(_._1).sum / 4)
+      if (bytes() <= budget) all else Seq.empty
+    }
+
   /** Version-pinned artifact cache for a long-lived prober: `get()`
     * resolves the artifact's CURRENT version once per call (one pointer
     * file read — the cheap check), serves the persisted frames while the
     * version is unchanged, and reloads + re-persists only when an
     * admission moved the pointer. `frames` selects which loaded frames
-    * to persist — EMPTY for the bucketed layout (the build default):
-    * its micro probes bucket-prune every corpus read down to the
-    * batch's key set, and pinning the frames in memory would both
-    * defeat that pruning (an INSET over an InMemoryRelation scans the
-    * cached partitions, never `SelectedBucketsCount`) and hold
-    * corpus-sized cache entries the pruned disk reads make unnecessary.
-    * Directory-layout frames persist as before (their probes scan the
-    * whole corpus side per batch, so memory is the right place for it). This bounds the stream's staleness to
-    * ONE micro-batch — a delta admitted at batch N is probed against
-    * from batch N+1 — while the steady state keeps the load-once cache
-    * hit (a pure pin-at-start cache would never see mid-stream
-    * admissions; re-loading per batch is the O(|corpus|) re-read the
-    * cache exists to avoid). `IngestDedupSpec` pins both halves: one
-    * load across same-version batches, and a post-admission batch
-    * matching against the admitted doc.
+    * to persist — the [[cacheIfFits]] policy for every face; the
+    * persisted list is REMEMBERED per version so the unpersist on
+    * reload/release drops exactly what was pinned, even if the policy's
+    * answer changed with the new version's size. This bounds the
+    * stream's staleness to ONE micro-batch — a delta admitted at batch
+    * N is probed against from batch N+1 — while the steady state keeps
+    * the load-once cache hit (a pure pin-at-start cache would never see
+    * mid-stream admissions; re-loading per batch is the O(|corpus|)
+    * re-read the cache exists to avoid). `IngestDedupSpec` pins both
+    * halves: one load across same-version batches, and a
+    * post-admission batch matching against the admitted doc.
     */
   private final class VersionedCache[L](
       currentVersion: () => Option[Long],
       load: () => L,
       frames: L => Seq[DataFrame]) {
-    private var state: Option[(Option[Long], L)] = None
+    private var state: Option[(Option[Long], L, Seq[DataFrame])] = None
     def get(): L = synchronized {
       val v = currentVersion()
       state match {
-        case Some((sv, l)) if sv == v => l
+        case Some((sv, l, _)) if sv == v => l
         case prev =>
-          prev.foreach { case (_, l) => frames(l).foreach(_.unpersist()) }
+          prev.foreach { case (_, _, fs) => fs.foreach(_.unpersist()) }
           val l = load()
-          frames(l).foreach(_.persist())
-          state = Some((v, l))
+          val fs = frames(l)
+          fs.foreach(_.persist())
+          state = Some((v, l, fs))
           l
       }
     }
     def release(): Unit = synchronized {
-      state.foreach { case (_, l) => frames(l).foreach(_.unpersist()) }
+      state.foreach { case (_, _, fs) => fs.foreach(_.unpersist()) }
       state = None
     }
   }

@@ -164,6 +164,19 @@ private[graft] final class VersionedArtifact(indexDir: String) {
   def tablePath(table: String): String =
     new File(requireDir, table).toString
 
+  /** Total data bytes behind the CURRENT version (every table's part
+    * files; hard-linked carries count at their real length). One
+    * driver-side directory walk, O(part files) — what the streaming
+    * ingest caches' cache-if-fits decision reads once per version
+    * (see `IngestDedup.cacheBudgetBytes`), never per batch.
+    */
+  def currentBytes: Long = {
+    def walk(f: File): Long =
+      if (f.isFile) { if (f.getName.startsWith("_")) 0L else f.length }
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    currentDir.map(walk).getOrElse(0L)
+  }
+
   def appliedDeltas: Set[String] =
     currentDir.map(readDeltas).getOrElse(Set.empty)
 
