@@ -119,6 +119,27 @@ object IngestProbe {
       }
     }
 
+    /** Drive the face TWICE over one built artifact: the production
+      * default (cache-if-fits — CACHED at these artifact sizes), then
+      * with the cache budget forced to 0 (`…-u` rows) so the steady
+      * state pays the UNCACHED regime — pruned bucket reads where the
+      * key set clears the gate, parallel full scans where it doesn't;
+      * the regime a 100 TB artifact lives in. Fresh checkpoint per leg.
+      */
+    def twoLegs[A: org.apache.spark.sql.Encoder](face: String, tag: String,
+        all: Array[A], n: java.util.concurrent.atomic.AtomicLong)(
+        startQ: (MemoryStream[A], String) => org.apache.spark.sql.streaming
+          .StreamingQuery): Unit = {
+      n.set(0)
+      report(face, tag,
+        drive[A](all, in => startQ(in, ckpt(s"$face-$tag"))), n.get())
+      n.set(0)
+      spark.conf.set("spark.graft.index.cache.maxBytes", "0")
+      try report(face, s"$tag-u",
+        drive[A](all, in => startQ(in, ckpt(s"$face-$tag-u"))), n.get())
+      finally spark.conf.unset("spark.graft.index.cache.maxBytes")
+    }
+
     def runText(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
       val idx = java.nio.file.Files
         .createTempDirectory(s"graft-ingestprobe-idx-$tag").toString
@@ -127,11 +148,11 @@ object IngestProbe {
       println(f"[ingestprobe] text         $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
       describe("text", tag, idx)
       val n = new java.util.concurrent.atomic.AtomicLong(0)
-      val times = drive[IngestDoc](deltaDocs,
-        in => IngestDedup.dedupIngestFromIndex(in.toDS(), idx, ckpt(tag)) {
+      twoLegs("text", tag, deltaDocs, n) { (in, ck) =>
+        IngestDedup.dedupIngestFromIndex(in.toDS(), idx, ck) {
           (pairs, _) => n.addAndGet(pairs.count()); ()
-        })
-      report("text", tag, times, n.get())
+        }
+      }
     }
 
     def runContain(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
@@ -142,10 +163,11 @@ object IngestProbe {
       println(f"[ingestprobe] containment  $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
       describe("containment", tag, idx)
       val n = new java.util.concurrent.atomic.AtomicLong(0)
-      val times = drive[IngestDoc](deltaDocs,
-        in => IngestDedup.dedupIngestContainment(in.toDS(), idx,
-          ckpt(s"c$tag")) { (pairs, _) => n.addAndGet(pairs.count()); () })
-      report("containment", tag, times, n.get())
+      twoLegs("containment", tag, deltaDocs, n) { (in, ck) =>
+        IngestDedup.dedupIngestContainment(in.toDS(), idx, ck) {
+          (pairs, _) => n.addAndGet(pairs.count()); ()
+        }
+      }
     }
 
     def runEmb(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
@@ -156,10 +178,11 @@ object IngestProbe {
       println(f"[ingestprobe] embedding    $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
       describe("embedding", tag, idx)
       val n = new java.util.concurrent.atomic.AtomicLong(0)
-      val times = drive[IngestVec](deltaVecs,
-        in => IngestDedup.dedupIngestEmbeddings(in.toDS(), idx,
-          ckpt(s"s$tag")) { (pairs, _) => n.addAndGet(pairs.count()); () })
-      report("embedding", tag, times, n.get())
+      twoLegs("embedding", tag, deltaVecs, n) { (in, ck) =>
+        IngestDedup.dedupIngestEmbeddings(in.toDS(), idx, ck) {
+          (pairs, _) => n.addAndGet(pairs.count()); ()
+        }
+      }
     }
 
     runText("1x", docs1.filter($"doc_id" % 5 =!= 4))
