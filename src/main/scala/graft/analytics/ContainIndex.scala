@@ -459,7 +459,7 @@ object ContainIndex {
     * the driver transfer, and an overflowed collect declines pruning for
     * every hx table rather than shipping a key set no table can use.
     */
-  private[analytics] def microCandidateFrames(loaded: Loaded,
+  private[graft] def microCandidateFrames(loaded: Loaded,
       deltaDocs: DataFrame): (DataFrame, DataFrame) = {
     val sh = shingled(deltaDocs)
     val hxCap = math.min(IndexLayout.MicroPruneMaxKeys.toLong,

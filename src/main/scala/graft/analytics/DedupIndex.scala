@@ -467,7 +467,7 @@ object DedupIndex {
     * the shape). [[probeLoaded]] collects it; exposed so the plan spec
     * can assert the pruning on the frame itself.
     */
-  private[analytics] def microCandidates(loaded: Loaded,
+  private[graft] def microCandidates(loaded: Loaded,
       deltaPer: DataFrame): DataFrame = {
     val spark = deltaPer.sparkSession
     import spark.implicits._

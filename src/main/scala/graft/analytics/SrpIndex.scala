@@ -363,7 +363,7 @@ object SrpIndex {
     * re-broadcast as a local relation, corpus band scan bucket-pruned to
     * their key set (`SrpIndexBucketedSpec` pins the shape).
     */
-  private[analytics] def microCandidates(loaded: Loaded,
+  private[graft] def microCandidates(loaded: Loaded,
       deltaV: DataFrame): DataFrame = {
     val spark = deltaV.sparkSession
     import spark.implicits._
