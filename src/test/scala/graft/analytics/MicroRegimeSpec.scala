@@ -138,6 +138,36 @@ class MicroRegimeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("containment cached regime: persisted frames stream through the " +
+      "lazy broadcast plan, parity holds") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (corpus, delta) = fixture()
+      val bIdx = java.nio.file.Files
+        .createTempDirectory("graft-regime-ccached").toString
+      ContainIndex.build(spark, corpus, bIdx, bucketed = true, buckets = 8)
+      val loaded = ContainIndex.load(spark, bIdx)
+      val frames = Seq(loaded.tokens, loaded.prefix, loaded.sets, loaded.df)
+      frames.foreach(_.persist())
+      try {
+        val micro = ContainIndex.probeLoaded(loaded, delta, micro = true)
+        val plan = planOf(micro)
+        assert(plan.contains("InMemoryTableScan") &&
+          !plan.contains("LocalTableScan"),
+          s"containment cached regime ran the eager path:\n$plan")
+        assert(!plan.contains("SortMergeJoin") &&
+          !plan.contains("ShuffledHashJoin"),
+          s"containment cached micro plan exchanges a corpus side:\n$plan")
+        val got = micro.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val batch = ContainIndex.probeLoaded(loaded, delta).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(batch.nonEmpty && got === batch,
+          "containment cached micro probe diverged from the batch probe")
+      } finally { frames.foreach(_.unpersist()); () }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("embedding cached regime: persisted frames stream, parity holds") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
