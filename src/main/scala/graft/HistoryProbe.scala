@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object HistoryProbe {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: graft.HistoryProbe <sfDir> <copies> <batches>")
     val Array(sfDir, copiesS, batchesS) = args.take(3)
     val copies = copiesS.toInt
     val batches = batchesS.toInt

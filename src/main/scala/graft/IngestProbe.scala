@@ -17,11 +17,13 @@ import graft.streaming.{IngestDedup, IngestDoc, IngestVec}
   * instead of re-deriving corpus state.
   *
   * Batch 1 is reported separately: it pays the one-time artifact load
-  * (and, on the directory layout, the corpus-sized cache
+  * (and, when cache-if-fits persists the frames, the corpus-sized cache
   * materialization); batches 2+ are the steady state. Indexes are built
   * at the production defaults — since round 15 that means the BUCKETED
-  * layout, whose steady state reads PRUNED bucket scans per batch
-  * (`SelectedBucketsCount`) instead of cached corpus frames.
+  * layout probed under the three-regime selection: at these artifact
+  * sizes the default leg runs CACHED (frames persisted, lazy broadcast
+  * plan), and the forced-uncached `-u` leg runs the pruned/parallel
+  * scan regimes a 100 TB artifact lives in.
   *
   *   sbt "runMain graft.IngestProbe /root/testdata/sf0.1"
   */

@@ -358,13 +358,22 @@ object ContainIndex {
       // corpus posting table once — pruned where the delta's key count
       // clears the table's bucket count), candidates localized, corpus
       // `sets` scans bucket-pruned per direction to the candidate ids.
-      // Split verify as below: each side unique by construction, the
-      // final distinct collapses the one overlap a RE-probe can produce.
+      // The delta's shingle frame persists for the eager window (the hx
+      // limit-collect plus both candidate collects would otherwise each
+      // re-derive it) and releases before the lazy return — the verify
+      // pays ONE delta-sized recompute at the sink, same contract as
+      // every micro face. Split verify as below: each side unique by
+      // construction, the final distinct collapses the one overlap a
+      // RE-probe can produce.
       import spark.implicits._
       val setsN = loaded.buckets.getOrElse("sets", Int.MaxValue)
-      val (n2oF, o2nF) = microCandidateFrames(loaded, deltaDocs)
-      val n2o = n2oF.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val o2n = o2nF.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val shP = sh.persist()
+      val (n2o, o2n) =
+        try {
+          val (n2oF, o2nF) = microCandidateFramesOf(loaded, shP)
+          (n2oF.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+            o2nF.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        } finally { shP.unpersist(); () }
       return DedupQueries.verifyContainmentSplit(deltaSets,
           IndexLayout.pruned(corpusSets, "doc_id", n2o.map(_._2).distinct,
             setsN),
@@ -460,8 +469,15 @@ object ContainIndex {
     * every hx table rather than shipping a key set no table can use.
     */
   private[graft] def microCandidateFrames(loaded: Loaded,
-      deltaDocs: DataFrame): (DataFrame, DataFrame) = {
-    val sh = shingled(deltaDocs)
+      deltaDocs: DataFrame): (DataFrame, DataFrame) =
+    microCandidateFramesOf(loaded, shingled(deltaDocs))
+
+  /** [[microCandidateFrames]] over an already-shingled (possibly
+    * persisted) delta frame — what [[probeLoaded]]'s eager window uses
+    * so its three jobs share one shingle derivation.
+    */
+  private def microCandidateFramesOf(loaded: Loaded,
+      sh: DataFrame): (DataFrame, DataFrame) = {
     val hxCap = math.min(IndexLayout.MicroPruneMaxKeys.toLong,
       IndexLayout.PruneKeysPerBucket.toLong * Seq("tokens", "prefix", "df")
         .map(loaded.buckets.getOrElse(_, Int.MaxValue)).max).toInt

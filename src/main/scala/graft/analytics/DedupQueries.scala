@@ -1401,9 +1401,14 @@ object DedupQueries {
     val pats = (0 until PlantPatterns).map { k =>
       array((0 until Srp.Dims).map(d => lit(plantCoef(k, d))): _*)
     }
+    // pattern selector on vec_id/10 (the slice index), NOT vec_id: the
+    // % 10 == 0 slice makes vec_id always even, so a vec_id % 4 selector
+    // could only ever fire patterns 0 and 2 — half the seeded diversity
+    // dead. The oracle's CASE replays the same (src // 10) % 4.
+    val sel = expr(s"(vec_id div 10) % $PlantPatterns")
     val coef = (1 until PlantPatterns)
-      .foldLeft(when(col("vec_id") % PlantPatterns === 0, pats(0))) {
-        (w, k) => w.when(col("vec_id") % PlantPatterns === k, pats(k))
+      .foldLeft(when(sel === 0, pats(0))) {
+        (w, k) => w.when(sel === k, pats(k))
       }.otherwise(pats(0)) // unreachable: % covers 0 until PlantPatterns
     vecs.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + PlantOffset).as("vec_id"),
@@ -1733,7 +1738,7 @@ object DedupQueries {
         if (k == PlantPatterns - 1) s"ELSE ${plantCoef(k, d)}"
         else s"WHEN $k THEN ${plantCoef(k, d)}"
       }.mkString(" ")
-      s"e[${d + 1}] * (CASE (src % $PlantPatterns) $cases END)"
+      s"e[${d + 1}] * (CASE ((src // 10) % $PlantPatterns) $cases END)"
     }.mkString(",\n    ")
     s"""WITH v AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -187,8 +187,11 @@ object IngestDedup {
       all: => Seq[DataFrame]): Seq[DataFrame] =
     if (!bucketed) all
     else {
+      // byteStringAsBytes: accept Spark-conventional size strings
+      // ("512m", "8g") as well as plain byte counts — a bare .toLong
+      // would kill the stream from inside foreachBatch on "1g"
       val budget = spark.conf.getOption("spark.graft.index.cache.maxBytes")
-        .map(_.toLong)
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
         .getOrElse(spark.sparkContext.getExecutorMemoryStatus
           .values.map(_._1).sum / 4)
       if (bytes() <= budget) all else Seq.empty

@@ -168,7 +168,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     * files; hard-linked carries count at their real length). One
     * driver-side directory walk, O(part files) — what the streaming
     * ingest caches' cache-if-fits decision reads once per version
-    * (see `IngestDedup.cacheBudgetBytes`), never per batch.
+    * (see `IngestDedup.cacheIfFits`), never per batch.
     */
   def currentBytes: Long = {
     def walk(f: File): Long =

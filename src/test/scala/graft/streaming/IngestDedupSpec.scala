@@ -151,8 +151,9 @@ class IngestDedupSpec extends SparkSpec {
       input.addData(b1.toSeq); q.processAllAvailable()
     } finally q.stop()
     // three micro-batches, ONE artifact resolution: tokens/prefix/sets/df
-    // resolve at start and every batch probes them (bucketed default:
-    // pruned scans, not cached frames)
+    // resolve at start and every batch probes them (bucketed default: at
+    // this fixture's size cache-if-fits PERSISTS the frames, so batches
+    // run the cached lazy regime — MicroRegimeSpec pins the plan)
     assert(graft.analytics.ContainIndex.loadRuns.get() === loadsBefore + 1,
       "containment ingest re-read the artifact per batch instead of " +
         "loading it once for the query's life")
@@ -199,10 +200,12 @@ class IngestDedupSpec extends SparkSpec {
     // oracle-matched Narrow (the oracled face's artifact shape) — the
     // default-Wide lifecycle is pinned in SrpIndexSpec; here the claim
     // is parity with the oracled in-session face. DIRECTORY layout
-    // pinned: this test also pins the VersionedCache persist/release
-    // lifecycle, which only the directory layout uses (bucketed probes
-    // read pruned scans, never cached frames); bucketed streaming is
-    // covered by the text and containment tests above
+    // pinned: that layout persists its frames UNCONDITIONALLY (no
+    // cache-if-fits byte check), so this test exercises that leg of the
+    // VersionedCache lifecycle; bucketed streaming (cache-if-fits —
+    // cached at fixture sizes, pruned/parallel scans past the budget)
+    // is covered by the text and containment tests above and
+    // MicroRegimeSpec's plan pins
     graft.analytics.SrpIndex.build(
       spark, vecs.filter($"vec_id" % 5 =!= 4), idx,
       graft.analytics.DedupQueries.Srp.Narrow, bucketed = false)
