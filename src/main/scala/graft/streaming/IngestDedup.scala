@@ -28,6 +28,24 @@ final case class IngestVec(vec_id: Long, embedding: Seq[Float])
   * downstream sink (the `UpsertStore` pattern, a MERGE target keyed on
   * (corpus_id, new_id)) yields exactly-once EFFECT — the same contract as
   * [[EventStreams.upsertLatest]].
+  *
+  * PROBE-THEN-ADMIT (`admit = true` on the three index faces): after
+  * the sink sees a batch's pairs, the batch itself is ADMITTED into the
+  * artifact with `deltaId = "batch-<id>"` — the full production loop
+  * (dedup the firehose, then index it so the NEXT batch dedups against
+  * it). Every leg is replay-safe by construction: a replayed batch's
+  * probe cannot self-match its own admitted copies (`id_a =!= id_b` —
+  * same doc_id), its re-admission is a deltaId no-op, and the
+  * `VersionedCache` picks up each admission's pointer move within one
+  * batch — so growth, freshness, and at-least-once delivery compose
+  * without caller logic (`IngestAdmitSpec`). Two contract notes:
+  * (1) pairs WITHIN one batch are not reported by its own probe (the
+  * probe is delta × standing-corpus; pre-dedup inside the batch with
+  * `q_dedup_exact`'s hash groupBy or accept that the pair surfaces if
+  * a later batch overlaps); (2) admission cost is O(|batch|) appended
+  * files per trigger — run `compact` from the admission loop when the
+  * per-version file count drifts past its threshold, same single-writer
+  * contract as batch admission.
   */
 object IngestDedup {
 
@@ -64,7 +82,8 @@ object IngestDedup {
     * moving the pointer, released when the query stops.
     */
   def dedupIngestEmbeddings(vecs: Dataset[IngestVec], indexDir: String,
-      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+      checkpointDir: String, admit: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = vecs.sparkSession
     val cache = new VersionedCache(
       () => graft.analytics.SrpIndex.currentVersion(indexDir),
@@ -84,6 +103,11 @@ object IngestDedup {
       .foreachBatch { (batch: Dataset[IngestVec], batchId: Long) =>
         sink(graft.analytics.SrpIndex.probeLoaded(cache.get(),
           batch.toDF(), micro = true), batchId)
+        if (admit) {
+          graft.analytics.SrpIndex.append(spark, batch.toDF(), indexDir,
+            deltaId = s"batch-$batchId")
+          ()
+        }
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -104,7 +128,8 @@ object IngestDedup {
     * post-admission freshness.
     */
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
-      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+      checkpointDir: String, admit: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
       () => graft.analytics.DedupIndex.currentVersion(indexDir),
@@ -120,6 +145,11 @@ object IngestDedup {
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
         sink(graft.analytics.DedupIndex.probeLoaded(cache.get(),
           batch.toDF(), micro = true), batchId)
+        if (admit) {
+          graft.analytics.DedupIndex.append(spark, batch.toDF(), indexDir,
+            deltaId = s"batch-$batchId")
+          ()
+        }
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -140,7 +170,8 @@ object IngestDedup {
     * admission, released when the query stops.
     */
   def dedupIngestContainment(docs: Dataset[IngestDoc], indexDir: String,
-      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+      checkpointDir: String, admit: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
       () => graft.analytics.ContainIndex.currentVersion(indexDir),
@@ -156,6 +187,11 @@ object IngestDedup {
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
         sink(graft.analytics.ContainIndex.probeLoaded(cache.get(),
           batch.toDF(), micro = true), batchId)
+        if (admit) {
+          graft.analytics.ContainIndex.append(spark, batch.toDF(), indexDir,
+            deltaId = s"batch-$batchId")
+          ()
+        }
       }
       .start()
     withCacheLifecycle(spark, start, cache)
