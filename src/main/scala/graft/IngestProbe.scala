@@ -121,24 +121,56 @@ object IngestProbe {
       }
     }
 
-    /** Drive the face TWICE over one built artifact: the production
-      * default (cache-if-fits — CACHED at these artifact sizes), then
-      * with the cache budget forced to 0 (`…-u` rows) so the steady
-      * state pays the UNCACHED regime — pruned bucket reads where the
-      * key set clears the gate, parallel full scans where it doesn't;
-      * the regime a 100 TB artifact lives in. Fresh checkpoint per leg.
+    /** Drive the face over one built artifact in FOUR legs: the
+      * production default (cache-if-fits — CACHED at these artifact
+      * sizes); the cache budget forced to 0 (`…-u`) so the steady state
+      * pays the UNCACHED regime — pruned bucket reads where the key set
+      * clears the gate, parallel full scans where it doesn't; then the
+      * PROBE-THEN-ADMIT loop in both cache regimes (`…-a`, `…-ua`):
+      * each batch probes AND is admitted, adding the O(|batch|)
+      * bucketed append plus the next batch's version reload — which at
+      * cache scale re-materializes the corpus frames per admission
+      * (`…-a`), and past the budget is metadata-only (`…-ua`). The
+      * admitting legs run LAST (they grow the artifact) and the second
+      * rebuilds first. Fresh checkpoint per leg.
       */
-    def twoLegs[A: org.apache.spark.sql.Encoder](face: String, tag: String,
-        all: Array[A], n: java.util.concurrent.atomic.AtomicLong)(
-        startQ: (MemoryStream[A], String) => org.apache.spark.sql.streaming
-          .StreamingQuery): Unit = {
+    def fourLegs[A: org.apache.spark.sql.Encoder](face: String, tag: String,
+        all: Array[A], n: java.util.concurrent.atomic.AtomicLong,
+        rebuild: () => Unit)(
+        startQ: (MemoryStream[A], String, Boolean, String) =>
+          org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       n.set(0)
       report(face, tag,
-        drive[A](all, in => startQ(in, ckpt(s"$face-$tag"))), n.get())
+        drive[A](all, in => startQ(in, ckpt(s"$face-$tag"), false, "")),
+        n.get())
       n.set(0)
       spark.conf.set("spark.graft.index.cache.maxBytes", "0")
       try report(face, s"$tag-u",
-        drive[A](all, in => startQ(in, ckpt(s"$face-$tag-u"))), n.get())
+        drive[A](all, in => startQ(in, ckpt(s"$face-$tag-u"), false, "")),
+        n.get())
+      finally spark.conf.unset("spark.graft.index.cache.maxBytes")
+      // admitting legs: each is a NEW stream (fresh checkpoint, batch
+      // ids restart) against the same artifact, so each carries its own
+      // admitId — the txnAppId contract the faces document
+      n.set(0)
+      report(face, s"$tag-a",
+        drive[A](all,
+          in => startQ(in, ckpt(s"$face-$tag-a"), true, s"$face-$tag-a")),
+        n.get())
+      // uncached + admitting (`…-ua`): per-admission reload is
+      // metadata-only here (no corpus-sized cache re-materialization per
+      // pointer move), so this leg isolates the admit loop's own cost —
+      // the shape a past-cache-budget (100 TB) deployment pays. Fresh
+      // REBUILD first: the -a leg admitted this delta already, and
+      // re-admitting the same doc_ids under a new admitId would measure
+      // probes over duplicated signature rows
+      rebuild()
+      n.set(0)
+      spark.conf.set("spark.graft.index.cache.maxBytes", "0")
+      try report(face, s"$tag-ua",
+        drive[A](all,
+          in => startQ(in, ckpt(s"$face-$tag-ua"), true, s"$face-$tag-ua")),
+        n.get())
       finally spark.conf.unset("spark.graft.index.cache.maxBytes")
     }
 
@@ -150,8 +182,9 @@ object IngestProbe {
       println(f"[ingestprobe] text         $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
       describe("text", tag, idx)
       val n = new java.util.concurrent.atomic.AtomicLong(0)
-      twoLegs("text", tag, deltaDocs, n) { (in, ck) =>
-        IngestDedup.dedupIngestFromIndex(in.toDS(), idx, ck) {
+      fourLegs("text", tag, deltaDocs, n,
+        () => graft.analytics.DedupIndex.build(spark, corpus, idx)) { (in, ck, admit, aid) =>
+        IngestDedup.dedupIngestFromIndex(in.toDS(), idx, ck, admit, aid) {
           (pairs, _) => n.addAndGet(pairs.count()); ()
         }
       }
@@ -165,8 +198,9 @@ object IngestProbe {
       println(f"[ingestprobe] containment  $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
       describe("containment", tag, idx)
       val n = new java.util.concurrent.atomic.AtomicLong(0)
-      twoLegs("containment", tag, deltaDocs, n) { (in, ck) =>
-        IngestDedup.dedupIngestContainment(in.toDS(), idx, ck) {
+      fourLegs("containment", tag, deltaDocs, n,
+        () => graft.analytics.ContainIndex.build(spark, corpus, idx)) { (in, ck, admit, aid) =>
+        IngestDedup.dedupIngestContainment(in.toDS(), idx, ck, admit, aid) {
           (pairs, _) => n.addAndGet(pairs.count()); ()
         }
       }
@@ -180,8 +214,9 @@ object IngestProbe {
       println(f"[ingestprobe] embedding    $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
       describe("embedding", tag, idx)
       val n = new java.util.concurrent.atomic.AtomicLong(0)
-      twoLegs("embedding", tag, deltaVecs, n) { (in, ck) =>
-        IngestDedup.dedupIngestEmbeddings(in.toDS(), idx, ck) {
+      fourLegs("embedding", tag, deltaVecs, n,
+        () => graft.analytics.SrpIndex.build(spark, corpus, idx)) { (in, ck, admit, aid) =>
+        IngestDedup.dedupIngestEmbeddings(in.toDS(), idx, ck, admit, aid) {
           (pairs, _) => n.addAndGet(pairs.count()); ()
         }
       }

@@ -31,14 +31,21 @@ final case class IngestVec(vec_id: Long, embedding: Seq[Float])
   *
   * PROBE-THEN-ADMIT (`admit = true` on the three index faces): after
   * the sink sees a batch's pairs, the batch itself is ADMITTED into the
-  * artifact with `deltaId = "batch-<id>"` — the full production loop
-  * (dedup the firehose, then index it so the NEXT batch dedups against
-  * it). Every leg is replay-safe by construction: a replayed batch's
-  * probe cannot self-match its own admitted copies (`id_a =!= id_b` —
-  * same doc_id), its re-admission is a deltaId no-op, and the
-  * `VersionedCache` picks up each admission's pointer move within one
-  * batch — so growth, freshness, and at-least-once delivery compose
-  * without caller logic (`IngestAdmitSpec`). Two contract notes:
+  * artifact with `deltaId = "<admitId>-<batchId>"` — the full
+  * production loop (dedup the firehose, then index it so the NEXT
+  * batch dedups against it). Every leg is replay-safe by construction:
+  * a replayed batch's probe cannot self-match its own admitted copies
+  * (`id_a =!= id_b` — same doc_id), its re-admission is a deltaId
+  * no-op, and the `VersionedCache` picks up each admission's pointer
+  * move within one batch — so growth, freshness, and at-least-once
+  * delivery compose without caller logic (`IngestAdmitSpec`).
+  * `admitId` is the Delta-Lake `txnAppId` idiom: batch ids are only
+  * unique WITHIN one checkpoint lineage, so keep `admitId` stable
+  * across restarts of the same logical stream (its replays then
+  * no-op), and change it when starting a NEW stream over a fresh
+  * checkpoint against the same artifact (batch ids restart at 0 there,
+  * and colliding deltaIds would silently drop the new stream's
+  * admissions). Two contract notes:
   * (1) pairs WITHIN one batch are not reported by its own probe (the
   * probe is delta × standing-corpus; pre-dedup inside the batch with
   * `q_dedup_exact`'s hash groupBy or accept that the pair surfaces if
@@ -82,7 +89,8 @@ object IngestDedup {
     * moving the pointer, released when the query stops.
     */
   def dedupIngestEmbeddings(vecs: Dataset[IngestVec], indexDir: String,
-      checkpointDir: String, admit: Boolean = false)(
+      checkpointDir: String, admit: Boolean = false,
+      admitId: String = "batch")(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = vecs.sparkSession
     val cache = new VersionedCache(
@@ -105,7 +113,7 @@ object IngestDedup {
           batch.toDF(), micro = true), batchId)
         if (admit) {
           graft.analytics.SrpIndex.append(spark, batch.toDF(), indexDir,
-            deltaId = s"batch-$batchId")
+            deltaId = s"$admitId-$batchId")
           ()
         }
       }
@@ -128,7 +136,8 @@ object IngestDedup {
     * post-admission freshness.
     */
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
-      checkpointDir: String, admit: Boolean = false)(
+      checkpointDir: String, admit: Boolean = false,
+      admitId: String = "batch")(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
@@ -147,7 +156,7 @@ object IngestDedup {
           batch.toDF(), micro = true), batchId)
         if (admit) {
           graft.analytics.DedupIndex.append(spark, batch.toDF(), indexDir,
-            deltaId = s"batch-$batchId")
+            deltaId = s"$admitId-$batchId")
           ()
         }
       }
@@ -170,7 +179,8 @@ object IngestDedup {
     * admission, released when the query stops.
     */
   def dedupIngestContainment(docs: Dataset[IngestDoc], indexDir: String,
-      checkpointDir: String, admit: Boolean = false)(
+      checkpointDir: String, admit: Boolean = false,
+      admitId: String = "batch")(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
@@ -189,7 +199,7 @@ object IngestDedup {
           batch.toDF(), micro = true), batchId)
         if (admit) {
           graft.analytics.ContainIndex.append(spark, batch.toDF(), indexDir,
-            deltaId = s"batch-$batchId")
+            deltaId = s"$admitId-$batchId")
           ()
         }
       }
