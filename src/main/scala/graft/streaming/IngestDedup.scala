@@ -50,9 +50,11 @@ final case class IngestVec(vec_id: Long, embedding: Seq[Float])
   * probe is delta × standing-corpus; pre-dedup inside the batch with
   * `q_dedup_exact`'s hash groupBy or accept that the pair surfaces if
   * a later batch overlaps); (2) admission cost is O(|batch|) appended
-  * files per trigger — run `compact` from the admission loop when the
-  * per-version file count drifts past its threshold, same single-writer
-  * contract as batch admission.
+  * files per trigger — `compactEvery = N` runs the artifact's
+  * `compact()` from the admission loop every N batches (the
+  * single-writer seat compaction requires); `compact` itself is a
+  * cheap no-op until a table actually drifts past its file-count
+  * threshold, so a small N is safe.
   */
 object IngestDedup {
 
@@ -90,7 +92,7 @@ object IngestDedup {
     */
   def dedupIngestEmbeddings(vecs: Dataset[IngestVec], indexDir: String,
       checkpointDir: String, admit: Boolean = false,
-      admitId: String = "batch")(
+      admitId: String = "batch", compactEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = vecs.sparkSession
     val cache = new VersionedCache(
@@ -114,7 +116,10 @@ object IngestDedup {
         if (admit) {
           graft.analytics.SrpIndex.append(spark, batch.toDF(), indexDir,
             deltaId = s"$admitId-$batchId")
-          ()
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.analytics.SrpIndex.compact(spark, indexDir)
+            ()
+          }
         }
       }
       .start()
@@ -137,7 +142,7 @@ object IngestDedup {
     */
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String, admit: Boolean = false,
-      admitId: String = "batch")(
+      admitId: String = "batch", compactEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
@@ -157,7 +162,10 @@ object IngestDedup {
         if (admit) {
           graft.analytics.DedupIndex.append(spark, batch.toDF(), indexDir,
             deltaId = s"$admitId-$batchId")
-          ()
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.analytics.DedupIndex.compact(spark, indexDir)
+            ()
+          }
         }
       }
       .start()
@@ -180,7 +188,7 @@ object IngestDedup {
     */
   def dedupIngestContainment(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String, admit: Boolean = false,
-      admitId: String = "batch")(
+      admitId: String = "batch", compactEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
@@ -200,7 +208,10 @@ object IngestDedup {
         if (admit) {
           graft.analytics.ContainIndex.append(spark, batch.toDF(), indexDir,
             deltaId = s"$admitId-$batchId")
-          ()
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.analytics.ContainIndex.compact(spark, indexDir)
+            ()
+          }
         }
       }
       .start()

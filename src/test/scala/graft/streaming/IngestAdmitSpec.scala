@@ -54,8 +54,12 @@ class IngestAdmitSpec extends SparkSpec {
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-admit-ckpt").toString
     val loadsBefore = graft.analytics.DedupIndex.loadRuns.get()
+    // compactEvery = 1: the in-loop compaction seat — a no-op at this
+    // artifact's file counts (compact's own 64-file threshold), pinned
+    // here as exactly that: it must not perturb versions, deltas, or
+    // the load count below
     val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx, ckpt,
-      admit = true) { (pairs, batchId) =>
+      admit = true, compactEvery = 1) { (pairs, batchId) =>
         pairs.collect().foreach(r =>
           got.add((r.getLong(0), r.getLong(1), batchId)))
       }
