@@ -184,7 +184,8 @@ object IngestProbe {
       val n = new java.util.concurrent.atomic.AtomicLong(0)
       fourLegs("text", tag, deltaDocs, n,
         () => graft.analytics.DedupIndex.build(spark, corpus, idx)) { (in, ck, admit, aid) =>
-        IngestDedup.dedupIngestFromIndex(in.toDS(), idx, ck, admit, aid) {
+        IngestDedup.dedupIngestFromIndex(in.toDS(), idx, ck,
+            admitId = if (admit) Some(aid) else None) {
           (pairs, _) => n.addAndGet(pairs.count()); ()
         }
       }
@@ -200,7 +201,8 @@ object IngestProbe {
       val n = new java.util.concurrent.atomic.AtomicLong(0)
       fourLegs("containment", tag, deltaDocs, n,
         () => graft.analytics.ContainIndex.build(spark, corpus, idx)) { (in, ck, admit, aid) =>
-        IngestDedup.dedupIngestContainment(in.toDS(), idx, ck, admit, aid) {
+        IngestDedup.dedupIngestContainment(in.toDS(), idx, ck,
+            admitId = if (admit) Some(aid) else None) {
           (pairs, _) => n.addAndGet(pairs.count()); ()
         }
       }
@@ -216,7 +218,8 @@ object IngestProbe {
       val n = new java.util.concurrent.atomic.AtomicLong(0)
       fourLegs("embedding", tag, deltaVecs, n,
         () => graft.analytics.SrpIndex.build(spark, corpus, idx)) { (in, ck, admit, aid) =>
-        IngestDedup.dedupIngestEmbeddings(in.toDS(), idx, ck, admit, aid) {
+        IngestDedup.dedupIngestEmbeddings(in.toDS(), idx, ck,
+            admitId = if (admit) Some(aid) else None) {
           (pairs, _) => n.addAndGet(pairs.count()); ()
         }
       }

@@ -230,10 +230,16 @@ object SrpIndex {
       }
     else {
       val family = IndexLayout.familyOf(indexDir)
-      artifact(indexDir).compact(Tables, maxFiles) { (src, tgt) =>
-        IndexLayout.writeInto(spark.read.parquet(src), family,
-          tgt.getName, tgt.getParentFile,
-          IndexLayout.specOf(meta, tgt.getName), overwrite = true)
+      // bucketed threshold = bucket floor + maxFiles ACCRUAL slack: the
+      // compacted steady state is one file per bucket, so a flat count
+      // would flag any table with > maxFiles buckets as permanently fat
+      // and rewrite the corpus on every maintenance call
+      artifact(indexDir).compact(Tables,
+        (t: String) => IndexLayout.specOf(meta, t).buckets + maxFiles) {
+        (src, tgt) =>
+          IndexLayout.writeInto(spark.read.parquet(src), family,
+            tgt.getName, tgt.getParentFile,
+            IndexLayout.specOf(meta, tgt.getName), overwrite = true)
       }
     }
   }

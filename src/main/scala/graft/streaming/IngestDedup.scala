@@ -91,8 +91,8 @@ object IngestDedup {
     * moving the pointer, released when the query stops.
     */
   def dedupIngestEmbeddings(vecs: Dataset[IngestVec], indexDir: String,
-      checkpointDir: String, admit: Boolean = false,
-      admitId: String = "batch", compactEvery: Int = 0)(
+      checkpointDir: String, admitId: Option[String] = None,
+      compactEvery: Int = 0, compactMaxFiles: Int = 64)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = vecs.sparkSession
     val cache = new VersionedCache(
@@ -111,16 +111,21 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestVec], batchId: Long) =>
-        sink(graft.analytics.SrpIndex.probeLoaded(cache.get(),
-          batch.toDF(), micro = true), batchId)
-        if (admit) {
-          graft.analytics.SrpIndex.append(spark, batch.toDF(), indexDir,
-            deltaId = s"$admitId-$batchId")
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            graft.analytics.SrpIndex.compact(spark, indexDir)
+        val pairs = graft.analytics.SrpIndex.probeLoaded(cache.get(),
+          batch.toDF(), micro = true)
+        val ids = if (admitId.isEmpty) Array.empty[Long]
+          else batch.toDF().select("vec_id").collect().map(_.getLong(0))
+        sink(admissionShape(pairs, "corpus_id", "new_id", ids), batchId)
+        maintain(admitId, compactEvery, batchId, nonEmpty = ids.nonEmpty,
+          append = d => {
+            graft.analytics.SrpIndex.append(spark, batch.toDF(), indexDir, d)
             ()
-          }
-        }
+          },
+          compact = () => {
+            graft.analytics.SrpIndex.compact(spark, indexDir, compactMaxFiles)
+            ()
+          },
+          prune = () => graft.analytics.SrpIndex.prune(spark, indexDir))
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -141,8 +146,8 @@ object IngestDedup {
     * post-admission freshness.
     */
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
-      checkpointDir: String, admit: Boolean = false,
-      admitId: String = "batch", compactEvery: Int = 0)(
+      checkpointDir: String, admitId: Option[String] = None,
+      compactEvery: Int = 0, compactMaxFiles: Int = 64)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
@@ -157,16 +162,21 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
-        sink(graft.analytics.DedupIndex.probeLoaded(cache.get(),
-          batch.toDF(), micro = true), batchId)
-        if (admit) {
-          graft.analytics.DedupIndex.append(spark, batch.toDF(), indexDir,
-            deltaId = s"$admitId-$batchId")
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            graft.analytics.DedupIndex.compact(spark, indexDir)
+        val pairs = graft.analytics.DedupIndex.probeLoaded(cache.get(),
+          batch.toDF(), micro = true)
+        val ids = if (admitId.isEmpty) Array.empty[Long]
+          else batch.toDF().select("doc_id").collect().map(_.getLong(0))
+        sink(admissionShape(pairs, "corpus_id", "new_id", ids), batchId)
+        maintain(admitId, compactEvery, batchId, nonEmpty = ids.nonEmpty,
+          append = d => {
+            graft.analytics.DedupIndex.append(spark, batch.toDF(), indexDir, d)
             ()
-          }
-        }
+          },
+          compact = () => {
+            graft.analytics.DedupIndex.compact(spark, indexDir, compactMaxFiles)
+            ()
+          },
+          prune = () => graft.analytics.DedupIndex.prune(spark, indexDir))
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -187,8 +197,8 @@ object IngestDedup {
     * admission, released when the query stops.
     */
   def dedupIngestContainment(docs: Dataset[IngestDoc], indexDir: String,
-      checkpointDir: String, admit: Boolean = false,
-      admitId: String = "batch", compactEvery: Int = 0)(
+      checkpointDir: String, admitId: Option[String] = None,
+      compactEvery: Int = 0, compactMaxFiles: Int = 64)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
@@ -203,20 +213,67 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
-        sink(graft.analytics.ContainIndex.probeLoaded(cache.get(),
-          batch.toDF(), micro = true), batchId)
-        if (admit) {
-          graft.analytics.ContainIndex.append(spark, batch.toDF(), indexDir,
-            deltaId = s"$admitId-$batchId")
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            graft.analytics.ContainIndex.compact(spark, indexDir)
+        val pairs = graft.analytics.ContainIndex.probeLoaded(cache.get(),
+          batch.toDF(), micro = true)
+        val ids = if (admitId.isEmpty) Array.empty[Long]
+          else batch.toDF().select("doc_id").collect().map(_.getLong(0))
+        sink(admissionShape(pairs, "id_a", "id_b", ids), batchId)
+        maintain(admitId, compactEvery, batchId, nonEmpty = ids.nonEmpty,
+          append = d => {
+            graft.analytics.ContainIndex.append(spark, batch.toDF(), indexDir, d)
             ()
-          }
-        }
+          },
+          compact = () => {
+            graft.analytics.ContainIndex.compact(spark, indexDir, compactMaxFiles)
+            ()
+          },
+          prune = () => graft.analytics.ContainIndex.prune(spark, indexDir))
       }
       .start()
     withCacheLifecycle(spark, start, cache)
   }
+
+  /** Deterministic pair shape under admission: drop rows whose BOTH
+    * sides are in the CURRENT batch. Without this, a batch replayed
+    * after a crash between its `append` and the checkpoint commit
+    * probes against its own admitted copies and emits within-batch
+    * pairs a non-crashed run never produces — breaking the "replayed
+    * batch re-derives the identical pair rows" exactly-once-effect
+    * contract and the faces' one-side-in-the-batch row shape. The
+    * filter costs one admission-bounded id collect per batch and is a
+    * semantic no-op on the first delivery (nothing in the batch is in
+    * the standing corpus yet); within-batch duplicates stay the
+    * caller's pre-dedup step either way (contract note 1 above).
+    */
+  private def admissionShape(pairs: DataFrame, aCol: String, bCol: String,
+      batchIds: Array[Long]): DataFrame =
+    if (batchIds.isEmpty) pairs
+    else {
+      import org.apache.spark.sql.functions.col
+      pairs.filter(!(col(aCol).isin(batchIds.toIndexedSeq: _*) &&
+        col(bCol).isin(batchIds.toIndexedSeq: _*)))
+    }
+
+  /** The per-batch artifact maintenance the admitting faces share:
+    * admit the (non-empty — an empty batch must not move the pointer
+    * and force a cache re-materialization for nothing) batch under
+    * `"<admitId>-<batchId>"`, compact every `compactEvery` batches
+    * (the single-writer seat; the bucket-relative threshold makes it
+    * a skip until real accrual), and prune old versions (keep = 2 —
+    * exactly the reader-grace window the one-batch cache staleness
+    * needs), so a long-running admitting stream's version count,
+    * disk, and catalog entries stay bounded.
+    */
+  private def maintain(admitId: Option[String], compactEvery: Int,
+      batchId: Long, nonEmpty: Boolean, append: String => Unit,
+      compact: () => Unit, prune: () => Unit): Unit =
+    admitId.foreach { id =>
+      if (nonEmpty) {
+        append(s"$id-$batchId")
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) compact()
+        prune()
+      }
+    }
 
   /** CACHE-IF-FITS: the frames a face's [[VersionedCache]] persists —
     * ALL of them while the artifact fits the session's storage budget,

@@ -290,6 +290,18 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     * number of tables rewritten.
     */
   def compact(tables: Seq[String], maxFiles: Int)(
+      rewrite: (String, File) => Unit): Int =
+    compact(tables, (_: String) => maxFiles)(rewrite)
+
+  /** [[compact]] with a PER-TABLE file-count threshold — what the
+    * bucketed layout needs: its compacted steady state is one file PER
+    * BUCKET, so a flat count (the directory layout's 64) would flag a
+    * 1024-bucket table as permanently fat and rewrite the whole corpus
+    * table on every maintenance call. Bucketed callers pass
+    * `buckets(t) + slack` (slack = allowed accrual files beyond the
+    * floor) so the skip test measures ACCRUAL, not size.
+    */
+  def compact(tables: Seq[String], threshold: String => Int)(
       rewrite: (String, File) => Unit): Int = {
     val curV = currentVersion.getOrElse(
       throw new IllegalStateException(s"no artifact at $indexDir — build first"))
@@ -297,7 +309,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     def parquetCount(t: String): Int =
       Option(new File(cur, t).listFiles()).getOrElse(Array.empty)
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    val fat = tables.filter(parquetCount(_) > maxFiles)
+    val fat = tables.filter(t => parquetCount(t) > threshold(t))
     if (fat.isEmpty) 0
     else {
       val next = versionDir(curV + 1)

@@ -4,23 +4,26 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSpec
 
-/** The PROBE-THEN-ADMIT streaming loop (`admit = true` on the index
-  * faces) — the full production shape: each micro-batch dedups against
-  * the standing corpus, then becomes part of it. Pinned:
+/** The PROBE-THEN-ADMIT streaming loop (`admitId = Some(…)` on the
+  * index faces) — the full production shape: each micro-batch dedups
+  * against the standing corpus, then becomes part of it. Pinned:
   *
   *   1. GROWTH + FRESHNESS — a near-dup planted in batch 1 of a doc
   *      that arrived in batch 0 is reported by batch 1's probe: batch
   *      0 was admitted and the `VersionedCache` picked up the pointer
   *      move within one batch.
-  *   2. REDELIVERY SAFETY — batch 1 also re-sends a batch-0 doc
-  *      verbatim (same doc_id): no self-pair (`id_a =!= id_b`), the
-  *      documented re-probe contract.
+  *   2. REDELIVERY SAFETY — batch 2 re-sends a batch-0 doc verbatim
+  *      (same doc_id): no self-pair, but it DOES pair with the
+  *      admitted batch-1 copy (a real duplicate relationship under a
+  *      different id); and the deterministic admission pair shape
+  *      (`admissionShape`) keeps both-sides-in-batch rows out, so a
+  *      crash-replayed batch emits the same rows as a clean one.
   *   3. ADMISSION BOOKKEEPING — one `appliedDeltas` entry per batch,
-  *      and a checkpoint-replayed deltaId is a no-op (`append`
-  *      returns false), so Spark's at-least-once batch replay cannot
-  *      double-admit.
-  *   4. One artifact load per VERSION: initial load + one reload after
-  *      batch 0's admission moved the pointer.
+  *      a checkpoint-replayed deltaId is a no-op (`append` returns
+  *      false), and old versions PRUNE from the loop (keep = 2) so a
+  *      long-running stream's disk and catalog stay bounded.
+  *   4. One artifact load per VERSION: initial load + one reload per
+  *      admission-moved pointer.
   */
 class IngestAdmitSpec extends SparkSpec {
 
@@ -41,12 +44,12 @@ class IngestAdmitSpec extends SparkSpec {
     val b0 = delta.take(delta.length / 2).toSeq
     val seed = b0.head
     // batch 1: a verbatim near-dup COPY of a batch-0 doc under a fresh
-    // id (the cross-batch pair the admitted index must surface), the
-    // SAME batch-0 doc re-sent verbatim (must NOT self-pair), and the
-    // rest of the delta
+    // id (the cross-batch pair the admitted index must surface) plus
+    // the rest of the delta; batch 2: the SAME batch-0 doc re-sent
+    // verbatim (must NOT self-pair; must pair with the admitted copy)
     val copyId = 990000001L
-    val b1 = Seq(IngestDoc(copyId, seed.text), seed) ++
-      delta.drop(delta.length / 2)
+    val b1 = IngestDoc(copyId, seed.text) +: delta.drop(delta.length / 2)
+    val b2 = Seq(seed)
 
     val got = java.util.concurrent.ConcurrentHashMap
       .newKeySet[(Long, Long, Long)]()  // (corpus_id, new_id, batchId)
@@ -54,18 +57,22 @@ class IngestAdmitSpec extends SparkSpec {
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-admit-ckpt").toString
     val loadsBefore = graft.analytics.DedupIndex.loadRuns.get()
-    // compactEvery = 1: the in-loop compaction seat — a no-op at this
-    // artifact's file counts (compact's own 64-file threshold), pinned
-    // here as exactly that: it must not perturb versions, deltas, or
-    // the load count below
+    def versions(): Set[Long] = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.stripPrefix("v").toLong).toSet
+    // compactEvery = 1: the in-loop compaction seat — a skip at this
+    // artifact's accrual (files ≤ buckets + compactMaxFiles), pinned
+    // here as exactly that: it must not perturb deltas or the load
+    // count below; the firing path is pinned in the next test
     val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx, ckpt,
-      admit = true, compactEvery = 1) { (pairs, batchId) =>
+      admitId = Some("batch"), compactEvery = 1) { (pairs, batchId) =>
         pairs.collect().foreach(r =>
           got.add((r.getLong(0), r.getLong(1), batchId)))
       }
     try {
       input.addData(b0); q.processAllAvailable()
-      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
     } finally q.stop()
 
     import scala.jdk.CollectionConverters._
@@ -74,21 +81,89 @@ class IngestAdmitSpec extends SparkSpec {
     assert(pairs.contains((seed.doc_id, copyId, 1L)),
       s"batch 1's probe missed the planted copy of the admitted " +
         s"batch-0 doc ${seed.doc_id}: $pairs")
-    // 2. redelivery safety: the re-sent doc never pairs with itself
+    // 2. redelivery safety: the re-sent doc never pairs with itself,
+    // and DOES pair with its admitted differently-id'd copy
     assert(!pairs.exists(p => p._1 == p._2),
       s"self-pair reported for a re-sent admitted doc: $pairs")
-    // 3. bookkeeping: one delta per batch; replaying a deltaId no-ops
+    assert(pairs.contains((copyId, seed.doc_id, 2L)),
+      s"the re-sent doc must still match the admitted copy: $pairs")
+    // 3. bookkeeping: one delta per batch; replaying a deltaId no-ops;
+    // the loop PRUNES old versions (keep = 2: v0 build + 3 admissions
+    // = v3, so only v2/v3 survive)
     assert(graft.analytics.DedupIndex.appliedDeltas(idx) ===
-      Set("batch-0", "batch-1"))
+      Set("batch-0", "batch-1", "batch-2"))
     assert(!graft.analytics.DedupIndex.append(spark,
         docs.filter($"doc_id" === seed.doc_id), idx, "batch-0"),
       "a replayed deltaId must be an admission no-op")
     assert(graft.analytics.DedupIndex.appliedDeltas(idx) ===
-      Set("batch-0", "batch-1"), "the no-op replay mutated the delta set")
-    // 4. one load per version: initial + the post-batch-0 reload
-    assert(graft.analytics.DedupIndex.loadRuns.get() === loadsBefore + 2,
-      "expected exactly initial load + one reload after batch 0's " +
-        "admission moved the pointer")
+      Set("batch-0", "batch-1", "batch-2"),
+      "the no-op replay mutated the delta set")
+    assert(versions() === Set(2L, 3L),
+      s"the admission loop must prune old versions (got ${versions()})")
+    // 4. one load per version: initial + one reload per admission
+    assert(graft.analytics.DedupIndex.loadRuns.get() === loadsBefore + 3,
+      "expected exactly initial load + one reload per admission-moved " +
+        "pointer")
+  }
+
+  test("in-loop compaction FIRES past the accrual threshold and carries " +
+      "deltas, versions, and probe output") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-admit-cpx").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id)
+    val (b0, b1) = delta.splitAt(delta.length / 2)
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long)]()
+    val input = MemoryStream[IngestDoc]
+    // compactMaxFiles = 0: ANY accrual past the one-file-per-bucket
+    // floor compacts — every admission appends one file per touched
+    // bucket, so compaction fires after each of the two batches; the
+    // stream must keep probing correctly across the compaction-moved
+    // versions, deltas must carry, and files return to the floor
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-admit-cpx-ck")
+        .toString, admitId = Some("batch"), compactEvery = 1,
+      compactMaxFiles = 0) { (pairs, _) =>
+        pairs.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+      }
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.analytics.DedupIndex.appliedDeltas(idx) ===
+      Set("batch-0", "batch-1"),
+      "deltas must survive in-loop compactions")
+    // post-compaction layout: every table back at one file per bucket
+    val meta = """bucket\.(\w+)\.n=(\d+)""".r
+    val ver = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .maxBy(_.getName.stripPrefix("v").toLong)
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(ver, "_meta.txt").toPath))
+    val counts = meta.findAllMatchIn(metaTxt)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    for ((t, n) <- counts) {
+      val files = new java.io.File(ver, t).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files <= n,
+        s"$t: $files files after in-loop compaction, floor is $n")
+    }
+    // probe output parity with a fresh batch probe over the compacted
+    // artifact: the admitted docs are the corpus now, so a re-probe of
+    // the delta reports no self-pairs and the same cross pairs
+    val fresh = graft.analytics.DedupIndex.probe(spark, idx,
+      docs.filter($"doc_id" % 5 === 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!fresh.exists(p => p._1 == p._2),
+      "re-probe after compaction self-paired")
   }
 
   test("containment and embedding faces admit with the same contract") {
@@ -114,7 +189,7 @@ class IngestAdmitSpec extends SparkSpec {
     val input = MemoryStream[IngestDoc]
     val q = IngestDedup.dedupIngestContainment(input.toDS(), cIdx,
       java.nio.file.Files.createTempDirectory("graft-admit-cckpt")
-        .toString, admit = true) { (pairs, _) =>
+        .toString, admitId = Some("batch")) { (pairs, _) =>
         pairs.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
       }
     try {
@@ -145,7 +220,7 @@ class IngestAdmitSpec extends SparkSpec {
     val vinput = MemoryStream[IngestVec]
     val vq = IngestDedup.dedupIngestEmbeddings(vinput.toDS(), sIdx,
       java.nio.file.Files.createTempDirectory("graft-admit-sckpt")
-        .toString, admit = true) { (pairs, _) =>
+        .toString, admitId = Some("batch")) { (pairs, _) =>
         pairs.collect().foreach(r => vgot.add((r.getLong(0), r.getLong(1))))
       }
     try {
