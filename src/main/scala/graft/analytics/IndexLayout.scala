@@ -65,8 +65,20 @@ private[graft] object IndexLayout {
   def familyOf(indexDir: String): String = {
     // getCanonicalPath (not getAbsolutePath): a symlinked alias of the
     // same artifact dir must resolve to ONE family, not duplicate
-    // catalog registrations over identical files
-    val canonical = new File(indexDir).getCanonicalPath
+    // catalog registrations over identical files. Canonicalization can
+    // throw IOException on pathological paths (embedded NUL, filesystem
+    // query failures) where getAbsolutePath cannot — fall back rather
+    // than fail a read that would otherwise work. Deployment note for
+    // PERSISTENT metastores: moving from the pre-canonical naming, a
+    // symlinked artifact path changes family once; register() is
+    // drop-and-recreate by name, so the old family's entries linger
+    // until dropped — a one-time cleanup, not a correctness issue
+    // (entries are keyed per family; the new family re-registers from
+    // the artifact meta).
+    val f = new File(indexDir)
+    val canonical =
+      try f.getCanonicalPath
+      catch { case _: java.io.IOException => f.getAbsolutePath }
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     "graft_idx_" + md5.take(6).map(b => f"${b & 0xff}%02x").mkString

@@ -99,7 +99,7 @@ object IngestDedup {
       () => graft.analytics.SrpIndex.currentVersion(indexDir),
       () => graft.analytics.SrpIndex.load(spark, indexDir),
       (l: graft.analytics.SrpIndex.Loaded) =>
-        cacheIfFits(spark, l.bucketed,
+        cacheIfFits(spark, l.bucketed, admitting = admitId.isDefined,
           () => graft.analytics.SrpIndex.artifactBytes(indexDir),
           Seq(l.vectors, l.bands)))
     // eager first load: a missing/corrupt index must throw HERE,
@@ -111,14 +111,15 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestVec], batchId: Long) =>
+        val df = batch.toDF()
         val pairs = graft.analytics.SrpIndex.probeLoaded(cache.get(),
-          batch.toDF(), micro = true)
-        val ids = if (admitId.isEmpty) Array.empty[Long]
-          else batch.toDF().select("vec_id").collect().map(_.getLong(0))
+          df, micro = true)
+        val ids = if (admitId.isEmpty) None else Some(df.select("vec_id"))
         sink(admissionShape(pairs, "corpus_id", "new_id", ids), batchId)
-        maintain(admitId, compactEvery, batchId, nonEmpty = ids.nonEmpty,
+        maintain(admitId, compactEvery, batchId,
+          nonEmpty = admitId.isDefined && !df.isEmpty,
           append = d => {
-            graft.analytics.SrpIndex.append(spark, batch.toDF(), indexDir, d)
+            graft.analytics.SrpIndex.append(spark, df, indexDir, d)
             ()
           },
           compact = () => {
@@ -154,7 +155,7 @@ object IngestDedup {
       () => graft.analytics.DedupIndex.currentVersion(indexDir),
       () => graft.analytics.DedupIndex.load(spark, indexDir),
       (l: graft.analytics.DedupIndex.Loaded) =>
-        cacheIfFits(spark, l.bucketed,
+        cacheIfFits(spark, l.bucketed, admitting = admitId.isDefined,
           () => graft.analytics.DedupIndex.artifactBytes(indexDir),
           Seq(l.signatures, l.bands)))
     cache.get()  // eager first load: fail fast, see the embedding face
@@ -162,14 +163,15 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
+        val df = batch.toDF()
         val pairs = graft.analytics.DedupIndex.probeLoaded(cache.get(),
-          batch.toDF(), micro = true)
-        val ids = if (admitId.isEmpty) Array.empty[Long]
-          else batch.toDF().select("doc_id").collect().map(_.getLong(0))
+          df, micro = true)
+        val ids = if (admitId.isEmpty) None else Some(df.select("doc_id"))
         sink(admissionShape(pairs, "corpus_id", "new_id", ids), batchId)
-        maintain(admitId, compactEvery, batchId, nonEmpty = ids.nonEmpty,
+        maintain(admitId, compactEvery, batchId,
+          nonEmpty = admitId.isDefined && !df.isEmpty,
           append = d => {
-            graft.analytics.DedupIndex.append(spark, batch.toDF(), indexDir, d)
+            graft.analytics.DedupIndex.append(spark, df, indexDir, d)
             ()
           },
           compact = () => {
@@ -205,7 +207,7 @@ object IngestDedup {
       () => graft.analytics.ContainIndex.currentVersion(indexDir),
       () => graft.analytics.ContainIndex.load(spark, indexDir),
       (l: graft.analytics.ContainIndex.Loaded) =>
-        cacheIfFits(spark, l.bucketed,
+        cacheIfFits(spark, l.bucketed, admitting = admitId.isDefined,
           () => graft.analytics.ContainIndex.artifactBytes(indexDir),
           Seq(l.tokens, l.prefix, l.sets, l.df)))
     cache.get()  // eager first load: fail fast, see the embedding face
@@ -213,14 +215,15 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
+        val df = batch.toDF()
         val pairs = graft.analytics.ContainIndex.probeLoaded(cache.get(),
-          batch.toDF(), micro = true)
-        val ids = if (admitId.isEmpty) Array.empty[Long]
-          else batch.toDF().select("doc_id").collect().map(_.getLong(0))
+          df, micro = true)
+        val ids = if (admitId.isEmpty) None else Some(df.select("doc_id"))
         sink(admissionShape(pairs, "id_a", "id_b", ids), batchId)
-        maintain(admitId, compactEvery, batchId, nonEmpty = ids.nonEmpty,
+        maintain(admitId, compactEvery, batchId,
+          nonEmpty = admitId.isDefined && !df.isEmpty,
           append = d => {
-            graft.analytics.ContainIndex.append(spark, batch.toDF(), indexDir, d)
+            graft.analytics.ContainIndex.append(spark, df, indexDir, d)
             ()
           },
           compact = () => {
@@ -240,29 +243,60 @@ object IngestDedup {
     * pairs a non-crashed run never produces — breaking the "replayed
     * batch re-derives the identical pair rows" exactly-once-effect
     * contract and the faces' one-side-in-the-batch row shape. The
-    * filter costs one admission-bounded id collect per batch and is a
-    * semantic no-op on the first delivery (nothing in the batch is in
-    * the standing corpus yet); within-batch duplicates stay the
+    * membership test is TWO broadcast left-outer joins against the
+    * batch's (deduped) id frame — O(1) driver-side regardless of batch
+    * size, where the previous `isin` literal collected every batch id
+    * to the driver and inlined them into the plan (a backlog-draining
+    * first trigger would blow up plan/codegen size; the analogous
+    * collect paths elsewhere are capped by
+    * [[graft.analytics.IndexLayout.MicroPruneMaxKeys]]). The filter is
+    * a semantic no-op on the first delivery (nothing in the batch is
+    * in the standing corpus yet); within-batch duplicates stay the
     * caller's pre-dedup step either way (contract note 1 above).
     */
-  private def admissionShape(pairs: DataFrame, aCol: String, bCol: String,
-      batchIds: Array[Long]): DataFrame =
-    if (batchIds.isEmpty) pairs
-    else {
-      import org.apache.spark.sql.functions.col
-      pairs.filter(!(col(aCol).isin(batchIds.toIndexedSeq: _*) &&
-        col(bCol).isin(batchIds.toIndexedSeq: _*)))
+  private[streaming] def admissionShape(pairs: DataFrame, aCol: String,
+      bCol: String, batchIds: Option[DataFrame]): DataFrame =
+    batchIds match {
+      case None => pairs
+      case Some(ids) =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        // distinct: a left join against duplicate ids would MULTIPLY
+        // matching pair rows; the id frame is batch-bounded so the
+        // dedup shuffle is too
+        val idCol = ids.columns.head
+        val dedup = ids.distinct()
+        val aIds = dedup.withColumnRenamed(idCol, "__graft_batch_a")
+        val bIds = dedup.withColumnRenamed(idCol, "__graft_batch_b")
+        pairs
+          .join(broadcast(aIds), pairs(aCol) === col("__graft_batch_a"),
+            "left")
+          .join(broadcast(bIds), col(bCol) === col("__graft_batch_b"),
+            "left")
+          .filter(col("__graft_batch_a").isNull ||
+            col("__graft_batch_b").isNull)
+          .drop("__graft_batch_a", "__graft_batch_b")
     }
 
   /** The per-batch artifact maintenance the admitting faces share:
     * admit the (non-empty — an empty batch must not move the pointer
     * and force a cache re-materialization for nothing) batch under
-    * `"<admitId>-<batchId>"`, compact every `compactEvery` batches
-    * (the single-writer seat; the bucket-relative threshold makes it
-    * a skip until real accrual), and prune old versions (keep = 2 —
-    * exactly the reader-grace window the one-batch cache staleness
-    * needs), so a long-running admitting stream's version count,
+    * `"<admitId>-<batchId>"`, prune old versions (keep = 2 — exactly
+    * the reader-grace window the one-batch cache staleness needs),
+    * then compact every `compactEvery` batches (the single-writer
+    * seat; the bucket-relative threshold makes it a skip until real
+    * accrual), so a long-running admitting stream's version count,
     * disk, and catalog entries stay bounded.
+    *
+    * ORDER MATTERS: prune runs BEFORE compact. A compacting batch
+    * otherwise creates two versions (append → v+1, compact → v+2)
+    * before prune(keep = 2) runs, deleting version v — the version
+    * THIS batch's probe read and whose frames the [[VersionedCache]]
+    * still pins: an evicted cached partition recomputing from the
+    * deleted files (or a caller-held lazy pairs frame) would hit
+    * FileNotFoundException. Prune-first keeps v through the batch
+    * that probed it; it is deleted one batch later, after the cache
+    * has moved off it — the documented one-version reader grace. Disk
+    * holds at most three versions transiently on a compacting batch.
     */
   private def maintain(admitId: Option[String], compactEvery: Int,
       batchId: Long, nonEmpty: Boolean, append: String => Unit,
@@ -270,8 +304,8 @@ object IngestDedup {
     admitId.foreach { id =>
       if (nonEmpty) {
         append(s"$id-$batchId")
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) compact()
         prune()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) compact()
       }
     }
 
@@ -289,27 +323,71 @@ object IngestDedup {
     * the right place for it, and the layout is not the corpus-scale
     * path.
     *
+    * ADMITTING STREAMS SKIP THE CACHE by default (`admitting = true`):
+    * every non-empty batch's admission moves the artifact pointer, so
+    * a [[VersionedCache]] holding persisted corpus frames would
+    * unpersist + re-materialize them EVERY batch — the probe pays a
+    * full corpus scan per trigger PLUS the cache write, strictly worse
+    * than the uncached pruned-probe regime it displaced (the
+    * per-admission tax SCALE.md measured). An admitting face therefore
+    * runs regime 2 (bucket-pruned disk probes) unless the operator
+    * opts back in with `spark.graft.index.cache.admitting = always`
+    * (right when admissions are RARE relative to batches — e.g. a
+    * mostly-empty firehose — so the re-materialization amortizes).
+    *
     * The budget: `spark.graft.index.cache.maxBytes` if set, else a
-    * quarter of the cluster's max storage memory — headroom for the
-    * parquet → deserialized-columnar inflation (measured ~2-4× on
-    * these tables) and for everything else the storage pool holds.
-    * `bytes` is ONE driver-side directory walk per version load (never
-    * per batch).
+    * quarter of the EXECUTORS' max storage memory ([[storageBudget]]:
+    * the driver's block manager is excluded in cluster mode — it holds
+    * no cached partitions, so counting it overestimates headroom;
+    * local mode keeps its single entry, which IS the executor) —
+    * headroom for the parquet → deserialized-columnar inflation
+    * (measured ~2-4× on these tables) and for everything else the
+    * storage pool holds. Max (not remaining) memory keeps the policy
+    * DETERMINISTIC across version reloads: remaining dips while the
+    * previous version's frames await their async unpersist, and a
+    * same-sized artifact flapping in and out of cache across versions
+    * is worse than a fixed quarter-of-pool bound. `bytes` is ONE
+    * driver-side directory walk per version load (never per batch).
     */
-  private def cacheIfFits(spark: org.apache.spark.sql.SparkSession,
-      bucketed: Boolean, bytes: () => Long,
+  private[streaming] def cacheIfFits(spark: org.apache.spark.sql.SparkSession,
+      bucketed: Boolean, admitting: Boolean, bytes: () => Long,
       all: => Seq[DataFrame]): Seq[DataFrame] =
     if (!bucketed) all
+    else if (admitting && !spark.conf
+        .getOption("spark.graft.index.cache.admitting").contains("always"))
+      Seq.empty
     else {
       // byteStringAsBytes: accept Spark-conventional size strings
       // ("512m", "8g") as well as plain byte counts — a bare .toLong
       // would kill the stream from inside foreachBatch on "1g"
       val budget = spark.conf.getOption("spark.graft.index.cache.maxBytes")
         .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-        .getOrElse(spark.sparkContext.getExecutorMemoryStatus
-          .values.map(_._1).sum / 4)
+        .getOrElse(storageBudget(
+          spark.sparkContext.getExecutorMemoryStatus.toMap,
+          spark.sparkContext.getConf.get("spark.driver.host", "")))
       if (bytes() <= budget) all else Seq.empty
     }
+
+  /** Quarter of the executors' max storage memory, from
+    * `getExecutorMemoryStatus` (keys are `host:port` block-manager
+    * addresses). In cluster mode the map includes the DRIVER's block
+    * manager — excluded here by driver-host prefix, since it caches no
+    * partitions and would inflate the budget by a driver-heap's worth.
+    * Local mode (single entry) keeps its one entry: the driver IS the
+    * executor there. If the host filter would empty the map (driver
+    * co-hosted with every executor), keep the full map rather than
+    * return a zero budget.
+    */
+  private[streaming] def storageBudget(status: Map[String, (Long, Long)],
+      driverHost: String): Long = {
+    val nonDriver =
+      if (status.size > 1 && driverHost.nonEmpty)
+        status.filterNot { case (k, _) => k.startsWith(driverHost + ":") }
+      else status
+    val pool = (if (nonDriver.nonEmpty) nonDriver else status)
+      .values.map(_._1).sum
+    pool / 4
+  }
 
   /** Version-pinned artifact cache for a long-lived prober: `get()`
     * resolves the artifact's CURRENT version once per call (one pointer

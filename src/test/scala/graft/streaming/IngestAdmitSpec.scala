@@ -136,7 +136,18 @@ class IngestAdmitSpec extends SparkSpec {
       }
     try {
       input.addData(b0.toSeq); q.processAllAvailable()
+      // READER GRACE on a COMPACTING batch: record the version batch 1's
+      // probe will read; after the batch (append -> v+1, prune keeps
+      // {v, v+1}, compact -> v+2) that version must still exist on disk
+      // — prune-before-compact. The compact-then-prune order deleted it
+      // WHILE the VersionedCache still pinned its frames (an evicted
+      // cached partition recomputing, or a caller-held lazy pairs frame,
+      // would hit FileNotFoundException).
+      val probed = graft.analytics.DedupIndex.currentVersion(idx).get
       input.addData(b1.toSeq); q.processAllAvailable()
+      assert(new java.io.File(idx, s"v$probed").exists(),
+        s"version v$probed (probed by the compacting batch) was pruned " +
+          "during the batch that read it — reader grace violated")
     } finally q.stop()
     assert(graft.analytics.DedupIndex.appliedDeltas(idx) ===
       Set("batch-0", "batch-1"),
@@ -232,5 +243,71 @@ class IngestAdmitSpec extends SparkSpec {
         s"admitted batch-0 vector: ${vgot.asScala}")
     assert(graft.analytics.SrpIndex.appliedDeltas(sIdx) ===
       Set("batch-0", "batch-1"))
+  }
+
+  test("admissionShape is driver-bounded: a 100k-id batch builds " +
+      "broadcast joins, never an IN-list literal") {
+    import spark.implicits._
+    // pairs: (5,7) both in batch -> dropped; (5, 200001) one side in
+    // batch -> kept; (200001, 200002) neither -> kept
+    val pairs = Seq((5L, 7L, 0.95), (5L, 200001L, 0.91),
+      (200001L, 200002L, 0.88))
+      .toDF("corpus_id", "new_id", "jaccard")
+    // duplicate ids on purpose: the join-based membership test must not
+    // MULTIPLY matching pair rows (the isin filter it replaces didn't)
+    val ids = spark.range(0, 100000).toDF("doc_id")
+      .union(spark.range(0, 1000).toDF("doc_id"))
+    val shaped = IngestDedup.admissionShape(pairs, "corpus_id", "new_id",
+      Some(ids))
+    val rows = shaped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq === Seq((5L, 200001L), (200001L, 200002L)),
+      s"admission shape semantics drifted: ${rows.toSeq}")
+    assert(shaped.columns.toSeq === Seq("corpus_id", "new_id", "jaccard"),
+      "admission shape must preserve the sink's column order")
+    val plan = shaped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast membership joins, got:\n$plan")
+    assert(!plan.contains("InSet") && !plan.contains(" IN ("),
+      "admission shape inlined the batch ids into the plan — the " +
+        s"IN-list path is uncapped driver-side work:\n$plan")
+  }
+
+  test("admitting streams skip the corpus cache (every admission would " +
+      "re-materialize it); conf opts back in") {
+    // by-name `all`: the skip must not even EVALUATE the frame list
+    val skipped = IngestDedup.cacheIfFits(spark, bucketed = true,
+      admitting = true, bytes = () => 0L,
+      all = fail("admitting face evaluated its cache frames"))
+    assert(skipped.isEmpty)
+    // non-admitting bucketed face under the byte budget still caches
+    import spark.implicits._
+    val f = Seq(1L).toDF("x")
+    assert(IngestDedup.cacheIfFits(spark, bucketed = true,
+      admitting = false, bytes = () => 0L, all = Seq(f)) === Seq(f))
+    // explicit opt-in for rare-admission streams
+    spark.conf.set("spark.graft.index.cache.admitting", "always")
+    try assert(IngestDedup.cacheIfFits(spark, bucketed = true,
+      admitting = true, bytes = () => 0L, all = Seq(f)) === Seq(f))
+    finally spark.conf.unset("spark.graft.index.cache.admitting")
+  }
+
+  test("storage budget excludes the driver's block manager in cluster " +
+      "mode, keeps local mode's single entry") {
+    val gb = 1L << 30
+    // local mode: one entry, driver IS the executor
+    assert(IngestDedup.storageBudget(
+      Map("10.0.0.1:7077" -> ((4 * gb, 3 * gb))), "10.0.0.1") === gb)
+    // cluster mode: the driver entry holds no cached partitions and
+    // must not inflate the budget
+    assert(IngestDedup.storageBudget(Map(
+      "driver-host:7077" -> ((8 * gb, 8 * gb)),
+      "exec1:4040" -> ((4 * gb, 2 * gb)),
+      "exec2:4041" -> ((4 * gb, 4 * gb))), "driver-host") === 2 * gb)
+    // degenerate co-hosting: if the host filter would empty the map,
+    // keep the full pool rather than return a zero budget
+    assert(IngestDedup.storageBudget(Map(
+      "h:1" -> ((4 * gb, 4 * gb)), "h:2" -> ((4 * gb, 4 * gb))),
+      "h") === 2 * gb)
   }
 }
