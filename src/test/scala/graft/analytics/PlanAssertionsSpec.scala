@@ -58,7 +58,10 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("minhash aggregate is object-hash with partial merge") {
-    val plan = run("q_dedup_minhash_lsh")
+    // since the chain tables became durable artifacts (round 16), the
+    // CONSUMER plan is a parquet read-back; the aggregate contract lives
+    // on the BUILD plan chainTable materializes
+    val plan = planOf(DedupQueries.mh128Build(spark, dir))
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.contains("partial_graft_minhash128"), plan)
   }
@@ -70,7 +73,15 @@ class PlanAssertionsSpec extends SparkSpec {
     // at 108 s before the fix). The shape contract: at most one
     // ShuffledHashJoin (candidate-list build) and at least one
     // SortMergeJoin (the set-carrying join streams).
-    val plan = run("q_dedup_ngram_jaccard")
+    // the BUILD plan (see the minhash test above): consumers of
+    // q_dedup_ngram_jaccard now read the pairs32x4_070 artifact back.
+    // collect(), not count(): the frame's OWN AQE plan must finalize
+    // for the Final-tree assertion (same note as the salted-join test)
+    val df = DedupQueries.pairsBuild(spark, dir,
+      bands = 32, rowsPerBand = 4, 0.7)
+    df.collect()
+    val plan = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     // AQE prints the tree twice (final + initial) plus a details section;
     // assert on the FINAL tree only
     val finalTree = plan.substring(
