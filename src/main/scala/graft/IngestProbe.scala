@@ -225,12 +225,44 @@ object IngestProbe {
       }
     }
 
+    /** The embedding face with REAL duplicate mass (r15 verdict #4): the
+      * natural delta matches 1-5 times per run — near-vacuous — so this
+      * leg streams [[graft.analytics.DedupQueries.plantedDelta]]'s
+      * near-dup copies (exact cos ≈ 0.958, Wide S-curve recall ≈ 0.85)
+      * against the FULL corpus of each scale (the copies' sources are
+      * the `vec_id % 10 == 0` slice of copy 0, standing at both scales),
+      * so per-batch match counts land in the tens and the admission
+      * premium is measured on a face that actually matches.
+      * `IngestPlantedSpec` pins the recall-vs-model bound on this path.
+      */
+    def runEmbPlanted(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val plantedRows = graft.analytics.DedupQueries.plantedDelta(vecs1)
+        .select($"vec_id",
+          transform($"embedding", _.cast("float")).as("embedding"))
+        .as[IngestVec].collect().sortBy(_.vec_id)
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-ingestprobe-pidx-$tag").toString
+      val t0 = System.nanoTime()
+      graft.analytics.SrpIndex.build(spark, corpus, idx)
+      println(f"[ingestprobe] emb-planted  $tag%3s: build=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      fourLegs("emb-planted", tag, plantedRows, n,
+        () => graft.analytics.SrpIndex.build(spark, corpus, idx)) { (in, ck, admit, aid) =>
+        IngestDedup.dedupIngestEmbeddings(in.toDS(), idx, ck,
+            admitId = if (admit) Some(aid) else None) {
+          (pairs, _) => n.addAndGet(pairs.count()); ()
+        }
+      }
+    }
+
     runText("1x", docs1.filter($"doc_id" % 5 =!= 4))
     runText("10x", docs10.filter(!isDocDelta))
     runContain("1x", docs1.filter($"doc_id" % 5 =!= 4))
     runContain("10x", docs10.filter(!isDocDelta))
     runEmb("1x", vecs1.filter($"vec_id" % 5 =!= 4))
     runEmb("10x", vecs10.filter(!isVecDelta))
+    runEmbPlanted("1x", vecs1)
+    runEmbPlanted("10x", vecs10)
     spark.stop()
   }
 }

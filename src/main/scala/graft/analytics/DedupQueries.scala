@@ -1439,7 +1439,7 @@ object DedupQueries {
     * cos(v, v·(1 ± w)) near 1/√(1+w²) ≈ 0.958 — ABOVE the 0.9
     * production threshold the Wide S-curve recovers at.
     */
-  private[analytics] val PlantOffset = 10000000L
+  private[graft] val PlantOffset = 10000000L
   private val PlantPatterns = 4
   private val PlantSeed = 4096
   private val PlantWobble = 0.3
@@ -1459,7 +1459,7 @@ object DedupQueries {
     * the DuckDB oracle see bit-identical planted vectors and therefore
     * bit-identical SRP signatures).
     */
-  private[analytics] def plantedDelta(vecs: DataFrame): DataFrame = {
+  private[graft] def plantedDelta(vecs: DataFrame): DataFrame = {
     val pats = (0 until PlantPatterns).map { k =>
       array((0 until Srp.Dims).map(d => lit(plantCoef(k, d))): _*)
     }
