@@ -54,15 +54,18 @@ object Bench {
     // reproducible cost. Pass structure (not per-query repetition) keeps
     // the suite's deliberate cache sharing identical to a real run.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
-    // chain attribution: queries sharing a persisted lineage (the dedup
-    // chain: docShingles → minhash → LSH → verify) previously charged the
-    // whole cold build to whichever member ran FIRST in name order, which
-    // made that row swing 2-4× with host memory pressure while the real
-    // per-query compute was stable. The build now runs at the top of each
-    // pass as its OWN labeled row (`chain_build`, included in the total —
-    // the cost is not hidden, just correctly named), so every chain
-    // member's line measures that query's own compute and back-to-back
-    // runs stay comparable.
+    // chain attribution: queries sharing the dedup chain (docShingles →
+    // minhash → LSH → verify) previously charged the whole cold build to
+    // whichever member ran FIRST in name order, which made that row swing
+    // 2-4× with host memory pressure while the real per-query compute was
+    // stable. The build now runs at the top of each pass as its OWN
+    // labeled row (`chain_build`, included in the total — the cost is not
+    // hidden, just correctly named). Since round 16 the chain tables are
+    // DURABLE fingerprint-keyed parquet artifacts (the heap cache they
+    // replace was the host's worst variance source — 1.3 → 27 s swings on
+    // idle passes), so a cold-artifact pass 1 carries the one-time
+    // signature build and later passes measure the load path, exactly
+    // like the ANN/index artifact rows below.
     // ANN markers: training runs AT MOST once per (corpus, params) — the
     // session memo serves passes 2-3 and any persisted artifact under
     // SPARK_GRAFT_INDEX_DIR serves even the first pass, so only a

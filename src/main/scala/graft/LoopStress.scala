@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{IngestDedup, IngestDoc}
+
+/** The 100×-SHAPE rehearsal of the full probe-then-admit loop (r15
+  * verdict #6): drive the TEXT face — the largest index family — over a
+  * [[ScaleStress]]-synthesized `copies`× corpus at PRODUCTION bucket
+  * auto-sizing and the DEFAULT cache policy, and report, per batch:
+  * wall, match count, the probe's `SelectedBucketsCount` (regime-2
+  * evidence — bucket-pruned reads engaging in the steady state), and
+  * whether the corpus frames were persisted (the cache-if-fits
+  * decision). Run it at two copy counts and the regime FLIPS at the
+  * measured byte threshold: below the session's storage budget
+  * (printed) probe-only streams run cached; past it they fall to the
+  * uncached-prunable regime — the only option at 100 TB — and the
+  * per-batch medians must stay near-flat anyway, because every probe
+  * reads ~(1 − e^(−keys/buckets)) of the table, not all of it.
+  *
+  * Two legs per run, like `IngestProbe` but at rehearsal scale:
+  * probe-only (fresh checkpoint), then probe-then-admit (fresh
+  * checkpoint + rebuilt artifact; `compactEvery = 4` seats in-loop
+  * compaction so the rehearsal also exercises maintenance under load).
+  *
+  *   sbt "runMain graft.LoopStress /root/testdata/sf0.1 100 8"
+  */
+object LoopStress {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(100)
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "graft-loopstress")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = System.nanoTime()
+    val bigDir = java.nio.file.Files
+      .createTempDirectory(s"graft-loopstress-${copies}x").toString
+    ScaleStress.generate(spark, dir, bigDir, copies)
+    println(f"[loopstress] ${copies}x corpus generated in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val docs = spark.read.parquet(s"$bigDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val isDelta = $"doc_id" < 1000000000L && $"doc_id" % 5 === 4
+    val corpus = docs.filter(!isDelta)
+    // the SAME natural delta at every copy count (copy 0 is verbatim)
+    val delta = docs.filter(isDelta).as[IngestDoc].collect().sortBy(_.doc_id)
+    val batches = (0 until nBatches).map(k => delta.iterator.zipWithIndex
+      .filter(_._2 % nBatches == k).map(_._1).toSeq)
+
+    val idx = java.nio.file.Files
+      .createTempDirectory(s"graft-loopstress-idx").toString
+    def build(): Unit = {
+      val t = System.nanoTime()
+      graft.analytics.DedupIndex.build(spark, corpus, idx)
+      println(f"[loopstress] index build=${(System.nanoTime() - t) / 1e9}%.1f s")
+    }
+    build()
+
+    val artifactMb = graft.analytics.DedupIndex.artifactBytes(idx) / 1e6
+    val budgetMb = spark.conf
+      .getOption("spark.graft.index.cache.maxBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(IngestDedup.storageBudget(
+        spark.sparkContext.getExecutorMemoryStatus.toMap,
+        spark.sparkContext.getConf.get("spark.driver.host", ""))) / 1e6
+    println(f"[loopstress] artifact=${artifactMb}%.0f MB, session cache " +
+      f"budget=${budgetMb}%.0f MB -> expected regime: " +
+      (if (artifactMb <= budgetMb) "CACHED (fits)" else "UNCACHED-PRUNABLE"))
+
+    /** One leg: returns per-batch (wall s, matches, selected-buckets). */
+    def leg(tag: String, admit: Boolean): Unit = {
+      val results = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Long, String)]
+      val input = MemoryStream[IngestDoc]
+      val ck = java.nio.file.Files
+        .createTempDirectory(s"graft-loopstress-ck-$tag").toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx, ck,
+        admitId = if (admit) Some(s"loop-$tag") else None,
+        compactEvery = if (admit) 4 else 0) { (pairs, _) =>
+          val n = pairs.count()
+          val plan = pairs.queryExecution.executedPlan.toString
+          val s = sel.findFirstMatchIn(plan)
+            .map(m => s"${m.group(1)}/${m.group(2)}").getOrElse("-")
+          results += ((0.0, n, s)); ()
+        }
+      try batches.foreach { b =>
+        val t = System.nanoTime()
+        input.addData(b); q.processAllAvailable()
+        val last = results.last
+        results(results.length - 1) =
+          ((System.nanoTime() - t) / 1e9, last._2, last._3)
+      } finally q.stop()
+      val cached = spark.sparkContext.getRDDStorageInfo.nonEmpty
+      val steady = results.tail.map(_._1).sorted
+      println(f"[loopstress] $tag%-12s ${copies}%4dx: " +
+        f"batch1=${results.head._1}%.2f s " +
+        f"steady median=${steady(steady.length / 2)}%.2f s " +
+        f"(${results.tail.map(r => f"${r._1}%.2f").mkString("/")}) " +
+        f"matches=${results.map(_._2).sum} " +
+        f"selected=${results.map(_._3).distinct.mkString(",")} " +
+        f"cached=$cached")
+    }
+
+    leg("probe", admit = false)
+    build() // fresh artifact: the probe leg didn't admit, but keep parity
+    leg("probe+admit", admit = true)
+    spark.stop()
+  }
+}
