@@ -378,7 +378,7 @@ object IngestDedup {
     * co-hosted with every executor), keep the full map rather than
     * return a zero budget.
     */
-  private[streaming] def storageBudget(status: Map[String, (Long, Long)],
+  private[graft] def storageBudget(status: Map[String, (Long, Long)],
       driverHost: String): Long = {
     val nonDriver =
       if (status.size > 1 && driverHost.nonEmpty)
