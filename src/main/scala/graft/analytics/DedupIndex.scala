@@ -312,15 +312,17 @@ object DedupIndex {
     else {
       val family = IndexLayout.familyOf(indexDir)
       // bucketed threshold = bucket floor + maxFiles ACCRUAL slack: the
-      // compacted steady state is one file per bucket, so a flat count
-      // would flag any table with > maxFiles buckets as permanently fat
-      // and rewrite the corpus on every maintenance call
-      artifact(indexDir).compact(Tables,
+      // compacted steady state is one or two files per bucket, so a flat
+      // count would flag any table with > maxFiles buckets as permanently
+      // fat. Bucket-granular rewrite: only the admission accrual is
+      // folded (base files hard-link) — O(admitted bytes), not O(corpus)
+      artifact(indexDir).compactBucketed(Tables,
         (t: String) => IndexLayout.specOf(meta, t).buckets + maxFiles) {
-        (src, tgt) =>
-          IndexLayout.writeInto(spark.read.parquet(src), family,
-            tgt.getName, tgt.getParentFile,
-            IndexLayout.specOf(meta, tgt.getName), overwrite = true)
+        (table, files, tgt) =>
+          IndexLayout.writeInto(
+            spark.read.parquet(files.map(_.getAbsolutePath): _*), family,
+            table, tgt.getParentFile,
+            IndexLayout.specOf(meta, table), overwrite = true)
       }
     }
   }

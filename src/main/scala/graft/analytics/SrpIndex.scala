@@ -230,16 +230,17 @@ object SrpIndex {
       }
     else {
       val family = IndexLayout.familyOf(indexDir)
-      // bucketed threshold = bucket floor + maxFiles ACCRUAL slack: the
-      // compacted steady state is one file per bucket, so a flat count
-      // would flag any table with > maxFiles buckets as permanently fat
-      // and rewrite the corpus on every maintenance call
-      artifact(indexDir).compact(Tables,
+      // bucketed threshold = bucket floor + maxFiles ACCRUAL slack; the
+      // rewrite is bucket-granular (fold the accrual, hard-link the base
+      // files) — see DedupIndex.compact and VersionedArtifact
+      // .compactBucketed
+      artifact(indexDir).compactBucketed(Tables,
         (t: String) => IndexLayout.specOf(meta, t).buckets + maxFiles) {
-        (src, tgt) =>
-          IndexLayout.writeInto(spark.read.parquet(src), family,
-            tgt.getName, tgt.getParentFile,
-            IndexLayout.specOf(meta, tgt.getName), overwrite = true)
+        (table, files, tgt) =>
+          IndexLayout.writeInto(
+            spark.read.parquet(files.map(_.getAbsolutePath): _*), family,
+            table, tgt.getParentFile,
+            IndexLayout.specOf(meta, table), overwrite = true)
       }
     }
   }

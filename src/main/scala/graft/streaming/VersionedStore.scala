@@ -327,6 +327,86 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     }
   }
 
+  /** BUCKET-GRANULAR compaction for the bucketed index layout — the
+    * difference between an O(admitted bytes) maintenance call and an
+    * O(corpus) one. Table-granular [[compact]] rewrites every fat table
+    * whole, but on the bucketed layout almost all of a fat table's
+    * bytes sit in the per-bucket BASE files the build wrote (one big
+    * file per bucket); the accrual that tripped the threshold is the
+    * small one-file-per-touched-bucket admission appends. Measured on
+    * the 100× LoopStress rehearsal: the whole-table rewrite spent ~48 s
+    * per firing re-writing a 1.4 GB corpus to fold in a few MB of
+    * admitted deltas — at 100 TB that is a full-corpus rewrite every
+    * `compactEvery` batches, the wrong scaling class entirely.
+    *
+    * Per bucket (bucket ids ride Spark's bucketed file NAMES, `…_00007.
+    * c000…`, so grouping is a directory listing, no data read):
+    *   - one file: hard-link it (nothing to fold);
+    *   - base file ≥ sum of the rest: LINK the base, rewrite only the
+    *     small files into one merged file (LSM minor compaction);
+    *   - otherwise: rewrite the whole bucket back to one file (major —
+    *     fires only when accrued bytes rival the base, so write
+    *     amplification is logarithmic in corpus growth, not linear in
+    *     maintenance calls).
+    * A file whose name carries no bucket id joins the rewrite set —
+    * rewriting is always correct (the caller re-buckets by hash);
+    * linking is only the optimization.
+    *
+    * `rewrite(table, smallFiles, targetTableDir)` must (re)CREATE the
+    * target dir with the merged files (the bucketed writer's overwrite
+    * does); the kept base files are hard-linked in AFTERWARDS, so the
+    * steady state is ≤ 2 files per bucket — callers' thresholds stay
+    * `buckets + slack` and simply fire more often, each firing folding
+    * only the accrual since the last. Same deltaId carry, meta carry,
+    * single-writer tripwire, and atomic pointer swap as [[compact]];
+    * same multiset guarantee. Returns the number of tables compacted.
+    */
+  def compactBucketed(tables: Seq[String], threshold: String => Int)(
+      rewrite: (String, Seq[File], File) => Unit): Int = {
+    val curV = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no artifact at $indexDir — build first"))
+    val cur = versionDir(curV)
+    def parquetFiles(t: String): Seq[File] =
+      Option(new File(cur, t).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    val fat = tables.filter(t => parquetFiles(t).size > threshold(t))
+    if (fat.isEmpty) 0
+    else {
+      val next = versionDir(curV + 1)
+      VersionedStore.clearStale(next)
+      tables.filterNot(fat.contains).foreach(t =>
+        VersionedStore.linkTree(new File(cur, t), new File(next, t)))
+      val bucketId = "_(\\d{5})\\.".r
+      fat.foreach { t =>
+        val (keep, fold) = parquetFiles(t)
+          .groupBy(f => bucketId.findFirstMatchIn(f.getName).map(_.group(1)))
+          .toSeq.map {
+            case (None, fs) => (Seq.empty[File], fs) // unparseable: rewrite
+            case (Some(_), fs) if fs.size == 1 => (fs, Seq.empty[File])
+            case (Some(_), fs) =>
+              val sorted = fs.sortBy(-_.length)
+              if (sorted.head.length >= sorted.tail.map(_.length).sum)
+                (Seq(sorted.head), sorted.tail) // minor: fold the accrual
+              else (Seq.empty[File], sorted)    // major: fold the bucket
+          }.unzip match { case (k, f) => (k.flatten, f.flatten) }
+        val tgt = new File(next, t)
+        if (fold.isEmpty) VersionedStore.linkTree(new File(cur, t), tgt)
+        else {
+          rewrite(t, fold, tgt)
+          keep.foreach(f => Files.createLink(
+            new File(tgt, f.getName).toPath, f.toPath))
+        }
+      }
+      writeDeltas(next, readDeltas(cur))
+      writeMeta(next, readMeta(cur))
+      require(currentVersion.contains(curV),
+        s"concurrent admission detected at $indexDir (version moved past " +
+          s"$curV) — the artifact requires a single writer")
+      VersionedStore.swapPointer(indexDir, curV + 1)
+      fat.length
+    }
+  }
+
   /** Drop versions older than the newest `keep`; returns the dropped
     * version ids (see [[VersionedStore.prune]]).
     */

@@ -152,20 +152,36 @@ class IngestAdmitSpec extends SparkSpec {
     assert(graft.analytics.DedupIndex.appliedDeltas(idx) ===
       Set("batch-0", "batch-1"),
       "deltas must survive in-loop compactions")
-    // post-compaction layout: every table back at one file per bucket
+    // post-compaction layout: bucket-granular compaction folds the
+    // accrual but hard-links the per-bucket BASE files, so the floor is
+    // base + merged = TWO files per bucket (not one); and the base files
+    // must be LINKS of the prior version's (same name, same inode via
+    // Files.isSameFile) — the O(admitted-bytes)-not-O(corpus) proof
     val meta = """bucket\.(\w+)\.n=(\d+)""".r
-    val ver = new java.io.File(idx).listFiles()
+    val vers = new java.io.File(idx).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .maxBy(_.getName.stripPrefix("v").toLong)
+      .sortBy(_.getName.stripPrefix("v").toLong)
+    val ver = vers.last
+    val prev = vers(vers.length - 2)
     val metaTxt = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(ver, "_meta.txt").toPath))
     val counts = meta.findAllMatchIn(metaTxt)
       .map(m => m.group(1) -> m.group(2).toInt).toMap
     for ((t, n) <- counts) {
-      val files = new java.io.File(ver, t).listFiles()
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
-      assert(files <= n,
-        s"$t: $files files after in-loop compaction, floor is $n")
+      val bucketOf = "_(\\d{5})\\.".r
+      val byBucket = new java.io.File(ver, t).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .groupBy(f => bucketOf.findFirstMatchIn(f.getName).get.group(1))
+      assert(byBucket.values.forall(_.length <= 2),
+        s"$t: a bucket holds > 2 files after in-loop compaction " +
+          s"(${byBucket.view.mapValues(_.length).toMap})")
+      val carried = byBucket.values.flatten.count { f =>
+        val old = new java.io.File(prev, t + "/" + f.getName)
+        old.exists() && java.nio.file.Files.isSameFile(f.toPath, old.toPath)
+      }
+      assert(carried > 0,
+        s"$t: no base file was hard-link-carried — compaction rewrote " +
+          "the whole table")
     }
     // probe output parity with a fresh batch probe over the compacted
     // artifact: the admitted docs are the corpus now, so a re-probe of
