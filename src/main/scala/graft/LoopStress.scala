@@ -90,14 +90,18 @@ object LoopStress {
             .map(m => s"${m.group(1)}/${m.group(2)}").getOrElse("-")
           results += ((0.0, n, s)); ()
         }
+      // sample the cache-if-fits decision BEFORE stop(): the stream's
+      // cache lifecycle releases its entries on stop, so a post-stop
+      // read always says false
+      var cached = false
       try batches.foreach { b =>
         val t = System.nanoTime()
         input.addData(b); q.processAllAvailable()
         val last = results.last
         results(results.length - 1) =
           ((System.nanoTime() - t) / 1e9, last._2, last._3)
+        cached = spark.sparkContext.getRDDStorageInfo.nonEmpty
       } finally q.stop()
-      val cached = spark.sparkContext.getRDDStorageInfo.nonEmpty
       val steady = results.tail.map(_._1).sorted
       println(f"[loopstress] $tag%-12s ${copies}%4dx: " +
         f"batch1=${results.head._1}%.2f s " +
