@@ -278,6 +278,51 @@ object ContainIndex {
     }
   }
 
+  /** LOGICAL document deletion (takedown) — see [[DedupIndex.delete]] /
+    * [[IndexTombstones]]: `ids` is one LongType doc-id column; probes
+    * drop pairs touching the set; false = deltaId already applied.
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+      deltaId: String): Boolean =
+    IndexTombstones.delete(artifact(indexDir), Tables, ids, deltaId)
+
+  /** PHYSICAL tombstone removal — see [[DedupIndex.purge]]. The `df`
+    * table carries as a LINK, not a rewrite: it has no doc-id column
+    * (token → document frequency), and a deleted doc's contribution is
+    * an efficiency-only drift by the prefix filter's order-independence
+    * — the same frozen-df argument [[append]] rests on. Re-freshen with
+    * a periodic [[build]].
+    */
+  def purge(spark: SparkSession, indexDir: String): Boolean = {
+    val art = artifact(indexDir)
+    IndexTombstones.loadTombstones(spark, art) match {
+      case None => false
+      case Some(t) =>
+        val meta = art.meta
+        val rewriteTables = Tables.filterNot(_ == "df")
+        val tomb = broadcast(t.select(col("id")))
+        def kept(src: String): DataFrame = spark.read.parquet(src)
+          .join(tomb, col("doc_id") === col("id"), "left_anti")
+        if (!IndexLayout.isBucketed(meta))
+          art.purgeVersion(rewriteTables, Seq("df"),
+              Set(IndexTombstones.Table)) { (table, src, tgt) =>
+            val out = if (table == "sets") kept(src).repartition(col("doc_id"))
+              else kept(src).repartition(col("hx"))
+            out.write.mode("overwrite").parquet(tgt.toString)
+          }
+        else {
+          val family = IndexLayout.familyOf(indexDir)
+          art.purgeVersion(rewriteTables, Seq("df"),
+              Set(IndexTombstones.Table)) { (table, src, tgt) =>
+            IndexLayout.writeInto(kept(src), family, table,
+              tgt.getParentFile, IndexLayout.specOf(meta, table),
+              overwrite = true)
+          }
+        }
+        true
+    }
+  }
+
   /** Probe with a `(doc_id, text)` delta frame: ordered containment
     * pairs (id_a contained-in id_b, ≥ 0.9) with exactly one side in the
     * delta — both directions found by delta-sized probes of the standing
@@ -299,7 +344,8 @@ object ContainIndex {
     */
   final case class Loaded(tokens: DataFrame, prefix: DataFrame,
       sets: DataFrame, df: DataFrame, bucketed: Boolean = false,
-      private[graft] val buckets: Map[String, Int] = Map.empty)
+      private[graft] val buckets: Map[String, Int] = Map.empty,
+      private[graft] val tombstones: Option[DataFrame] = None)
 
   /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
   val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
@@ -308,11 +354,12 @@ object ContainIndex {
     loadRuns.incrementAndGet()
     val meta = artifact(indexDir).meta
     val paths = artifact(indexDir).snapshotPaths(Tables)
+    val tomb = IndexTombstones.loadTombstones(spark, artifact(indexDir))
     if (!IndexLayout.isBucketed(meta))
       Loaded(spark.read.parquet(paths("tokens")),
         spark.read.parquet(paths("prefix")),
         spark.read.parquet(paths("sets")),
-        spark.read.parquet(paths("df")))
+        spark.read.parquet(paths("df")), tombstones = tomb)
     else {
       val family = IndexLayout.familyOf(indexDir)
       def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
@@ -320,7 +367,8 @@ object ContainIndex {
       Loaded(tbl("tokens"), tbl("prefix"), tbl("sets"), tbl("df"),
         bucketed = true,
         buckets = Tables.map(t =>
-          t -> IndexLayout.specOf(meta, t).buckets).toMap)
+          t -> IndexLayout.specOf(meta, t).buckets).toMap,
+        tombstones = tomb)
     }
   }
 
@@ -352,7 +400,12 @@ object ContainIndex {
     * lazy.
     */
   def probeLoaded(loaded: Loaded, deltaDocs: DataFrame,
-      micro: Boolean = false): DataFrame = {
+      micro: Boolean = false): DataFrame =
+    IndexTombstones.filterPairs(
+      probeRaw(loaded, deltaDocs, micro), loaded.tombstones, "id_a", "id_b")
+
+  private def probeRaw(loaded: Loaded, deltaDocs: DataFrame,
+      micro: Boolean): DataFrame = {
     val spark = deltaDocs.sparkSession
     graft.functions.VectorFunctions.register(spark)
     // no persist — see DedupIndex.probe: a lazy return plus an

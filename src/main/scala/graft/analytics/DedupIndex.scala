@@ -327,6 +327,51 @@ object DedupIndex {
     }
   }
 
+  /** LOGICAL document deletion (takedown) — admit `ids` (one LongType
+    * doc-id column) into the artifact's tombstone sidecar under
+    * `deltaId`; every subsequent probe drops pairs touching them. See
+    * [[IndexTombstones]] for the two-phase design; false = the deltaId
+    * was already applied (idempotent retry).
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+      deltaId: String): Boolean =
+    IndexTombstones.delete(artifact(indexDir), Tables, ids, deltaId)
+
+  /** PHYSICAL tombstone removal: rewrite both tables without the
+    * tombstoned docs' rows and drop the sidecar, one pointer swap.
+    * O(table) by design — the compliance backstop behind the logical
+    * filter, not the hot path ([[IndexTombstones]]). False if there is
+    * nothing to purge.
+    */
+  def purge(spark: SparkSession, indexDir: String): Boolean = {
+    val art = artifact(indexDir)
+    IndexTombstones.loadTombstones(spark, art) match {
+      case None => false
+      case Some(t) =>
+        val meta = art.meta
+        val tomb = broadcast(t.select(col("id")))
+        def kept(src: String): DataFrame = spark.read.parquet(src)
+          .join(tomb, col("doc_id") === col("id"), "left_anti")
+        if (!IndexLayout.isBucketed(meta))
+          art.purgeVersion(Tables, Nil, Set(IndexTombstones.Table)) {
+            (table, src, tgt) =>
+              val out = if (table == "bands") kept(src).repartition(col("band"))
+                else kept(src).repartition(col("doc_id"))
+              out.write.mode("overwrite").parquet(tgt.toString)
+          }
+        else {
+          val family = IndexLayout.familyOf(indexDir)
+          art.purgeVersion(Tables, Nil, Set(IndexTombstones.Table)) {
+            (table, src, tgt) =>
+              IndexLayout.writeInto(kept(src), family, table,
+                tgt.getParentFile, IndexLayout.specOf(meta, table),
+                overwrite = true)
+          }
+        }
+        true
+    }
+  }
+
   /** Probe the index with a `(doc_id, text)` delta frame: verified
     * near-dup pairs (corpus_id, new_id, jaccard ≥ 0.8) between the delta
     * and the indexed corpus. Cost is O(|delta| + matches) — nothing
@@ -349,7 +394,8 @@ object DedupIndex {
     */
   final case class Loaded(signatures: DataFrame, bands: DataFrame,
       shape: Shape, bucketed: Boolean = false,
-      private[graft] val buckets: Map[String, Int] = Map.empty)
+      private[graft] val buckets: Map[String, Int] = Map.empty,
+      private[graft] val tombstones: Option[DataFrame] = None)
 
   /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
   val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
@@ -362,16 +408,18 @@ object DedupIndex {
     val meta = artifact(indexDir).meta
     val shape = shapeOfMeta(meta)
     val paths = artifact(indexDir).snapshotPaths(Tables)
+    val tomb = IndexTombstones.loadTombstones(spark, artifact(indexDir))
     if (!IndexLayout.isBucketed(meta))
       Loaded(spark.read.parquet(paths("signatures")),
-        spark.read.parquet(paths("bands")), shape)
+        spark.read.parquet(paths("bands")), shape, tombstones = tomb)
     else {
       val family = IndexLayout.familyOf(indexDir)
       def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
         spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
       Loaded(tbl("signatures"), tbl("bands"), shape, bucketed = true,
         buckets = Tables.map(t =>
-          t -> IndexLayout.specOf(meta, t).buckets).toMap)
+          t -> IndexLayout.specOf(meta, t).buckets).toMap,
+        tombstones = tomb)
     }
   }
 
@@ -460,10 +508,12 @@ object DedupIndex {
             candRows.map(_._1).distinct,
             loaded.buckets.getOrElse("signatures", Int.MaxValue)))
       }
-    DedupQueries.verifyJaccardSplit(corpusSigs, deltaPer, cand, 0.8,
-        micro)
-      .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
-        col("jaccard"))
+    IndexTombstones.filterPairs(
+      DedupQueries.verifyJaccardSplit(corpusSigs, deltaPer, cand, 0.8,
+          micro)
+        .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
+          col("jaccard")),
+      loaded.tombstones, "corpus_id", "new_id")
   }
 
   /** The bucketed micro probe's candidate frame, LAZY — the one plan

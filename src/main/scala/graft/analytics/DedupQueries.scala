@@ -391,6 +391,29 @@ object DedupQueries {
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
+  /** [[qDedupIncremental]] after a TAKEDOWN: a deterministic slice of
+    * the indexed corpus (doc_id % 7 = 3) is tombstoned
+    * ([[DedupIndex.delete]] — the [[IndexTombstones]] logical phase),
+    * and the probe must report exactly the pairs whose corpus side
+    * SURVIVES. Own artifact family (`dedup-td`) so the shared `dedup`
+    * artifact the other faces probe stays un-deleted; the delete is
+    * deltaId-idempotent, so re-running the face (or a crash between
+    * build and delete on a fresh fingerprint) converges — the delete
+    * call runs unconditionally every time.
+    */
+  def qDedupIncrementalTakedown(spark: SparkSession,
+      dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "dedup-td")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    if (!DedupIndex.hasCurrent(idx))
+      DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
+    DedupIndex.delete(spark, idx,
+      corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+      "takedown-0")
+    DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
   /** [[qDedupIncremental]] at the DEFAULT corpus-scale artifact shape
     * (32×8/256, [[DedupIndex.Shape.Corpus]]) — the face that drives the
     * production build path through the driver's hash gate rather than
@@ -1668,6 +1691,7 @@ object DedupQueries {
     "q_neighbor_topk" -> qNeighborTopk,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_dedup_incremental_takedown" -> qDedupIncrementalTakedown,
     "q_dedup_incremental256" -> qDedupIncremental256,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
@@ -1923,6 +1947,13 @@ object DedupQueries {
     "q_dedup_incremental" ->
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    // takedown face: the corpus side additionally excludes the
+    // tombstoned doc_id % 7 = 3 slice (delta ids are % 5 = 4, never
+    // tombstoned, so the one-sided exclusion is exact)
+    "q_dedup_incremental_takedown" ->
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND a.doc_id % 7 <> 3 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
     // RECALL DEPENDENCY (ADVICE r13): this pins the 32x8/256 LSH probe
     // against the EXACT delta-corpus answer — equality holds because the

@@ -1,0 +1,83 @@
+package graft.analytics
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.VersionedArtifact
+
+/** Document DELETION for the versioned index artifacts — the lifecycle
+  * piece a training-data pipeline needs the day a takedown request,
+  * contamination report, or opt-out lands: the standing corpus indexes
+  * ([[DedupIndex]]/[[SrpIndex]]/[[ContainIndex]]) otherwise only grow.
+  * (The reference has no analogue — its state is a CDC passthrough; this
+  * is part of the driver-mandated pipeline surface.)
+  *
+  * Two-phase, the same shape the lakehouse formats settled on
+  * (copy-on-write only when you must):
+  *
+  *   1. LOGICAL — [[delete]] admits the ids into a `tombstones` sidecar
+  *      dir through the SAME deltaId-idempotent `admit` transaction as
+  *      data admission (a retried takedown is a no-op; the tombstone set
+  *      and the pointer move atomically). Every probe then anti-joins
+  *      its output pairs against the set — tombstones are
+  *      deletion-bounded and broadcast, so the filter is O(pairs), and
+  *      an absent sidecar costs literally nothing (the common case).
+  *      The sidecar rides every lifecycle step (admission, compaction,
+  *      prune carry) as a hard-linked extra.
+  *   2. PHYSICAL — [[DedupIndex.purge]]/[[SrpIndex.purge]]/
+  *      [[ContainIndex.purge]] rewrite the tables WITHOUT the tombstoned
+  *      rows and drop the sidecar, in one pointer swap. Purge is the
+  *      compliance backstop, priced honestly: it rewrites whole tables
+  *      (deleted rows sit in band/posting buckets keyed by band/token
+  *      hash, not by doc id, so an eager sweep is inherently O(table) —
+  *      the reason the DEFAULT is the logical filter, which makes purge
+  *      schedulable instead of urgent). Tables with no document-id
+  *      column (ContainIndex's token-df) carry as links: a deleted
+  *      doc's df contribution is an efficiency-only drift by the
+  *      prefix-filter's order-independence (see
+  *      `DedupQueries.qDedupContainmentIncremental`).
+  *
+  * Delta-side ids are filtered too: a pair is never reported if EITHER
+  * side is tombstoned, so a re-probe of a batch whose docs were since
+  * deleted stays silent about them.
+  */
+private[graft] object IndexTombstones {
+
+  /** Sidecar dir name inside a version (not in any family's `Tables`). */
+  val Table = "tombstones"
+
+  /** Admit `ids` (single LongType column, any name) as tombstones under
+    * `deltaId` — false if the id was already applied. Shares the data
+    * admissions' deltaId namespace on purpose: one ledger per artifact,
+    * so callers namespace their ids (`takedown-…`) like streams do.
+    */
+  def delete(art: VersionedArtifact, tables: Seq[String],
+      ids: DataFrame, deltaId: String): Boolean = {
+    val col0 = ids.columns.head
+    art.admit(deltaId, tables, next =>
+      ids.select(col(col0).cast("long").as("id")).distinct()
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(new File(next, Table).getAbsolutePath))
+  }
+
+  /** The current version's tombstone set as a `(id)` frame, if any. */
+  def loadTombstones(spark: SparkSession,
+      art: VersionedArtifact): Option[DataFrame] =
+    art.extraPath(Table).map(d => spark.read.parquet(d.getAbsolutePath))
+
+  /** Drop every pair touching a tombstoned id on ANY of `idCols`. The
+    * tombstone side broadcasts (deletion-bounded by contract); `None`
+    * returns `pairs` untouched — zero plan cost for artifacts that never
+    * saw a delete.
+    */
+  def filterPairs(pairs: DataFrame, tomb: Option[DataFrame],
+      idCols: String*): DataFrame =
+    tomb.fold(pairs) { t =>
+      val ids = broadcast(t.select(col("id").as("__graft_tomb")))
+      idCols.foldLeft(pairs)((d, c) =>
+        d.join(ids, col(c) === col("__graft_tomb"), "left_anti"))
+    }
+}

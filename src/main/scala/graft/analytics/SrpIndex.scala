@@ -245,6 +245,44 @@ object SrpIndex {
     }
   }
 
+  /** LOGICAL vector deletion (takedown) — see [[DedupIndex.delete]] /
+    * [[IndexTombstones]]: `ids` is one LongType vec-id column; probes
+    * drop pairs touching the set; false = deltaId already applied.
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+      deltaId: String): Boolean =
+    IndexTombstones.delete(artifact(indexDir), Tables, ids, deltaId)
+
+  /** PHYSICAL tombstone removal — see [[DedupIndex.purge]]. */
+  def purge(spark: SparkSession, indexDir: String): Boolean = {
+    val art = artifact(indexDir)
+    IndexTombstones.loadTombstones(spark, art) match {
+      case None => false
+      case Some(t) =>
+        val meta = art.meta
+        val tomb = broadcast(t.select(col("id")))
+        def kept(src: String): DataFrame = spark.read.parquet(src)
+          .join(tomb, col("vec_id") === col("id"), "left_anti")
+        if (!IndexLayout.isBucketed(meta))
+          art.purgeVersion(Tables, Nil, Set(IndexTombstones.Table)) {
+            (table, src, tgt) =>
+              val out = if (table == "bands") kept(src).repartition(col("band"))
+                else kept(src).repartition(col("vec_id"))
+              out.write.mode("overwrite").parquet(tgt.toString)
+          }
+        else {
+          val family = IndexLayout.familyOf(indexDir)
+          art.purgeVersion(Tables, Nil, Set(IndexTombstones.Table)) {
+            (table, src, tgt) =>
+              IndexLayout.writeInto(kept(src), family, table,
+                tgt.getParentFile, IndexLayout.specOf(meta, table),
+                overwrite = true)
+          }
+        }
+        true
+    }
+  }
+
   /** Probe with a `(vec_id, embedding)` delta frame: verified near-dup
     * pairs (corpus_id, new_id, cos ≥ 0.46) between the delta and the
     * indexed corpus — delta bands equi-join the standing band table,
@@ -264,7 +302,8 @@ object SrpIndex {
   final case class Loaded(vectors: DataFrame, bands: DataFrame,
       private[graft] val shape: DedupQueries.SrpShape,
       bucketed: Boolean = false,
-      private[graft] val buckets: Map[String, Int] = Map.empty)
+      private[graft] val buckets: Map[String, Int] = Map.empty,
+      private[graft] val tombstones: Option[DataFrame] = None)
 
   /** Artifact-load counter — the [[buildRuns]]-style observability hook:
     * lets `IngestDedupSpec` prove a multi-batch ingest stream resolved
@@ -281,16 +320,18 @@ object SrpIndex {
     val meta = artifact(indexDir).meta
     val shape = shapeOfMeta(meta)
     val paths = artifact(indexDir).snapshotPaths(Tables)
+    val tomb = IndexTombstones.loadTombstones(spark, artifact(indexDir))
     if (!IndexLayout.isBucketed(meta))
       Loaded(spark.read.parquet(paths("vectors")),
-        spark.read.parquet(paths("bands")), shape)
+        spark.read.parquet(paths("bands")), shape, tombstones = tomb)
     else {
       val family = IndexLayout.familyOf(indexDir)
       def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
         spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
       Loaded(tbl("vectors"), tbl("bands"), shape, bucketed = true,
         buckets = Tables.map(t =>
-          t -> IndexLayout.specOf(meta, t).buckets).toMap)
+          t -> IndexLayout.specOf(meta, t).buckets).toMap,
+        tombstones = tomb)
     }
   }
 
@@ -356,13 +397,15 @@ object SrpIndex {
     val withCorpus = (if (micro) broadcast(cand) else cand)
       .join(corpusVectors.select(col("vec_id").as("id_a"),
         col("v").as("av"), col("nrm").as("an")), Seq("id_a"))
-    (if (micro) broadcast(withCorpus) else withCorpus)
+    val pairs = (if (micro) broadcast(withCorpus) else withCorpus)
       .join(deltaV.select(col("vec_id").as("id_b"),
         col("v").as("bv"), col("nrm").as("bn")), Seq("id_b"))
       .select(col("id_a").as("corpus_id"), col("id_b").as("new_id"),
         (expr("graft_dot(av, bv)") / (col("an") * col("bn"))).as("cos"))
       .filter(col("cos") >= 0.46)
       .distinct()
+    IndexTombstones.filterPairs(pairs, loaded.tombstones,
+      "corpus_id", "new_id")
   }
 
   /** The bucketed micro probe's candidate frame, LAZY — see

@@ -161,6 +161,32 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     tables.map(t => t -> new File(cur, t).toString).toMap
   }
 
+  /** The current version's SIDECAR dir `name` (a table-shaped extra the
+    * lifecycle carries but the family doesn't list in its `Tables` —
+    * e.g. the tombstone set), if present. Resolved against one pointer
+    * read like [[snapshotPaths]]; callers needing sidecar + tables from
+    * the SAME snapshot should resolve the version dir once via
+    * snapshotPaths and derive (single-writer contract makes the races
+    * benign for the sidecars' semantics: tombstones only ever filter).
+    */
+  def extraPath(name: String): Option[File] = {
+    val f = new File(requireDir, name)
+    if (f.isDirectory) Some(f) else None
+  }
+
+  /** Hard-link every SIDECAR directory of `cur` (a subdir not in
+    * `tables`, e.g. `tombstones`) into `next` unless already there —
+    * so lifecycle steps that enumerate only the family's tables still
+    * carry table-shaped extras. Called by [[admit]]/[[compact]]/
+    * [[compactBucketed]]; [[purgeVersion]] takes a drop-list instead.
+    */
+  private def linkExtras(cur: File, next: File,
+      tables: Seq[String], drop: Set[String] = Set.empty): Unit =
+    Option(cur.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !tables.contains(d.getName) &&
+        !drop.contains(d.getName) && !new File(next, d.getName).exists())
+      .foreach(d => VersionedStore.linkTree(d, new File(next, d.getName)))
+
   def tablePath(table: String): String =
     new File(requireDir, table).toString
 
@@ -262,6 +288,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       VersionedStore.clearStale(next)
       tables.foreach(t =>
         VersionedStore.linkTree(new File(cur, t), new File(next, t)))
+      linkExtras(cur, next, tables)
       write(next)
       writeDeltas(next, applied + deltaId)
       writeMeta(next, readMeta(cur))
@@ -316,6 +343,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       VersionedStore.clearStale(next)
       tables.filterNot(fat.contains).foreach(t =>
         VersionedStore.linkTree(new File(cur, t), new File(next, t)))
+      linkExtras(cur, next, tables)
       fat.foreach(t => rewrite(new File(cur, t).toString, new File(next, t)))
       writeDeltas(next, readDeltas(cur))
       writeMeta(next, readMeta(cur))
@@ -376,6 +404,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       VersionedStore.clearStale(next)
       tables.filterNot(fat.contains).foreach(t =>
         VersionedStore.linkTree(new File(cur, t), new File(next, t)))
+      linkExtras(cur, next, tables)
       val bucketId = "_(\\d{5})\\.".r
       fat.foreach { t =>
         val (keep, fold) = parquetFiles(t)
@@ -405,6 +434,38 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       VersionedStore.swapPointer(indexDir, curV + 1)
       fat.length
     }
+  }
+
+  /** PURGE transaction (the physical half of tombstone deletion —
+    * [[graft.analytics.IndexTombstones]]): a new version where
+    * `rewriteTables` are re-written by the caller (dropping tombstoned
+    * rows), `linkTables` carry as hard links (tables without a
+    * document-id column, e.g. a token-df table whose deleted-doc
+    * contribution is an efficiency-only drift), and sidecars in
+    * `dropExtras` (the tombstone set itself, once applied) do NOT
+    * carry. Deltas and meta carry — idempotence of prior admissions
+    * must survive a purge. Same single-writer tripwire and atomic
+    * pointer swap as every lifecycle step here.
+    */
+  def purgeVersion(rewriteTables: Seq[String], linkTables: Seq[String],
+      dropExtras: Set[String])(rewrite: (String, String, File) => Unit)
+      : Unit = {
+    val curV = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no artifact at $indexDir — build first"))
+    val cur = versionDir(curV)
+    val next = versionDir(curV + 1)
+    VersionedStore.clearStale(next)
+    linkTables.foreach(t =>
+      VersionedStore.linkTree(new File(cur, t), new File(next, t)))
+    linkExtras(cur, next, rewriteTables ++ linkTables, dropExtras)
+    rewriteTables.foreach(t =>
+      rewrite(t, new File(cur, t).toString, new File(next, t)))
+    writeDeltas(next, readDeltas(cur))
+    writeMeta(next, readMeta(cur))
+    require(currentVersion.contains(curV),
+      s"concurrent admission detected at $indexDir (version moved past " +
+        s"$curV) — the artifact requires a single writer")
+    VersionedStore.swapPointer(indexDir, curV + 1)
   }
 
   /** Drop versions older than the newest `keep`; returns the dropped

@@ -99,6 +99,11 @@ class ContainIndexSpec extends SparkSpec {
     ContainIndex.build(spark, docs.filter($"doc_id" % 5 < 3), idx)
     assert(ContainIndex.append(spark, docs.filter($"doc_id" % 5 === 3), idx,
       "day1"))
+    // two admissions: the bucket-granular fold's floor is base + merged
+    // (2 files/bucket), so one accrual file per bucket cannot shrink
+    assert(ContainIndex.append(spark,
+      docs.filter($"doc_id" % 5 === 3)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"), idx, "day2"))
     val delta = docs.filter($"doc_id" % 5 === 4)
     val before = ContainIndex.probe(spark, idx, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -114,7 +119,7 @@ class ContainIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq.sorted
     assert(after === before, "compaction changed the probe multiset")
-    assert(ContainIndex.appliedDeltas(idx) === Set("day1"))
+    assert(ContainIndex.appliedDeltas(idx) === Set("day1", "day2"))
   }
 
   test("prefix table is ~10% of the token table (the reason old-in-new " +

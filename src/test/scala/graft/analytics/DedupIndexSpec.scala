@@ -141,6 +141,13 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.build(spark, docs.filter($"doc_id" % 5 < 3), idx)
     assert(DedupIndex.append(spark, docs.filter($"doc_id" % 5 === 3), idx,
       "day1"))
+    // second admission: bucket-granular compaction links each bucket's
+    // BASE file and folds only the accrual, so its floor is 2
+    // files/bucket — one admission is already at the floor; two give
+    // the fold something to shrink (base + 2 accruals -> base + merged)
+    assert(DedupIndex.append(spark,
+      docs.filter($"doc_id" % 5 === 3)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"), idx, "day2"))
     val delta = docs.filter($"doc_id" % 5 === 4)
     val before = DedupIndex.probe(spark, idx, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -158,8 +165,8 @@ class DedupIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq.sorted
     assert(after === before, "compaction changed the probe multiset")
-    // idempotence carried: the compacted version still remembers day1
-    assert(DedupIndex.appliedDeltas(idx) === Set("day1"))
+    // idempotence carried: the compacted version still remembers both days
+    assert(DedupIndex.appliedDeltas(idx) === Set("day1", "day2"))
     assert(!DedupIndex.append(spark, docs.filter($"doc_id" % 5 === 3), idx,
       "day1"), "compaction must not reset delta idempotence")
   }

@@ -106,6 +106,12 @@ class SrpIndexSpec extends SparkSpec {
     SrpIndex.build(spark, vecs.filter($"vec_id" % 5 < 3), idx)
     assert(SrpIndex.append(spark, vecs.filter($"vec_id" % 5 === 3), idx,
       "day1"))
+    // two admissions: the bucket-granular fold's floor is base + merged
+    // (2 files/bucket), so one accrual file per bucket cannot shrink
+    assert(SrpIndex.append(spark,
+      vecs.filter($"vec_id" % 5 === 3)
+        .select(($"vec_id" + 500000L).as("vec_id"), $"embedding"),
+      idx, "day2"))
     val delta = vecs.filter($"vec_id" % 5 === 4)
     val before = SrpIndex.probe(spark, idx, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -120,6 +126,6 @@ class SrpIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq.sorted
     assert(after === before, "compaction changed the probe multiset")
-    assert(SrpIndex.appliedDeltas(idx) === Set("day1"))
+    assert(SrpIndex.appliedDeltas(idx) === Set("day1", "day2"))
   }
 }
