@@ -193,6 +193,51 @@ class IngestAdmitSpec extends SparkSpec {
       "re-probe after compaction self-paired")
   }
 
+  test("a takedown issued between batches (single-writer seat) filters " +
+      "the NEXT batch's probe via the version-pinned cache reload") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-admit-td").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[IngestDoc]
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-admit-td-ck")
+        .toString) { (pairs, batchId) =>
+        pairs.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), batchId)))
+      }
+    try {
+      // batch 0: the full delta — establishes which corpus ids match
+      input.addData(delta); q.processAllAvailable()
+      val matched = got.filter(_._3 == 0L).map(_._1).distinct.sorted
+      assert(matched.nonEmpty, "fixture must contain cross-split pairs")
+      // takedown of one matching corpus doc BETWEEN batches — the
+      // delete moves the pointer, so the stream's VersionedCache must
+      // reload and batch 1's probe (same delta, fresh rows) must not
+      // report it; no stream restart involved
+      val dropId = matched.head
+      assert(graft.analytics.DedupIndex.delete(spark, idx,
+        Seq(dropId).toDF("doc_id"), "takedown-mid"))
+      input.addData(delta); q.processAllAvailable()
+      val batch1 = got.filter(_._3 == 1L)
+      assert(batch1.nonEmpty, "batch 1 must still report surviving pairs")
+      assert(batch1.forall(p => p._1 != dropId && p._2 != dropId),
+        s"batch 1 reported pairs touching the tombstoned id $dropId")
+      assert(batch1.map(p => (p._1, p._2)).toSet ===
+        got.filter(_._3 == 0L).map(p => (p._1, p._2))
+          .filterNot(p => p._1 == dropId || p._2 == dropId).toSet,
+        "batch 1 must equal batch 0 minus the tombstoned pairs")
+    } finally q.stop()
+  }
+
   test("containment and embedding faces admit with the same contract") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
