@@ -312,11 +312,22 @@ object ContainIndex {
           }
         else {
           val family = IndexLayout.familyOf(indexDir)
-          art.purgeVersion(rewriteTables, Seq("df"),
-              Set(IndexTombstones.Table)) { (table, src, tgt) =>
-            IndexLayout.writeInto(kept(src), family, table,
-              tgt.getParentFile, IndexLayout.specOf(meta, table),
-              overwrite = true)
+          // sets is bucketed BY doc_id: affected-bucket rewrite only
+          // (see DedupIndex.purge); tokens/prefix (bucketed by the
+          // token hash) rewrite whole
+          def affectedOf(table: String): Option[Set[String]] = {
+            val spec = IndexLayout.specOf(meta, table)
+            if (spec.by != Seq("doc_id")) None
+            else Some(IndexTombstones.affectedBuckets(t, spec.buckets))
+          }
+          art.purgeVersionSelective(rewriteTables, Seq("df"),
+              Set(IndexTombstones.Table), affectedOf) {
+            (table, files, tgt) =>
+              IndexLayout.writeInto(
+                spark.read.parquet(files.map(_.getAbsolutePath): _*)
+                  .join(tomb, col("doc_id") === col("id"), "left_anti"),
+                family, table, tgt.getParentFile,
+                IndexLayout.specOf(meta, table), overwrite = true)
           }
         }
         true

@@ -361,11 +361,24 @@ object DedupIndex {
           }
         else {
           val family = IndexLayout.familyOf(indexDir)
-          art.purgeVersion(Tables, Nil, Set(IndexTombstones.Table)) {
-            (table, src, tgt) =>
-              IndexLayout.writeInto(kept(src), family, table,
-                tgt.getParentFile, IndexLayout.specOf(meta, table),
-                overwrite = true)
+          // signatures is bucketed BY doc_id: only the buckets holding
+          // tombstoned rows rewrite, the rest hard-link — O(affected
+          // buckets), not O(table). bands (bucketed by the band key)
+          // rewrites whole: a deleted doc's band rows spread across all
+          // buckets by construction.
+          def affectedOf(table: String): Option[Set[String]] = {
+            val spec = IndexLayout.specOf(meta, table)
+            if (spec.by != Seq("doc_id")) None
+            else Some(IndexTombstones.affectedBuckets(t, spec.buckets))
+          }
+          art.purgeVersionSelective(Tables, Nil,
+              Set(IndexTombstones.Table), affectedOf) {
+            (table, files, tgt) =>
+              IndexLayout.writeInto(
+                spark.read.parquet(files.map(_.getAbsolutePath): _*)
+                  .join(tomb, col("doc_id") === col("id"), "left_anti"),
+                family, table, tgt.getParentFile,
+                IndexLayout.specOf(meta, table), overwrite = true)
           }
         }
         true

@@ -68,6 +68,17 @@ private[graft] object IndexTombstones {
       art: VersionedArtifact): Option[DataFrame] =
     art.extraPath(Table).map(d => spark.read.parquet(d.getAbsolutePath))
 
+  /** The 5-digit bucket names holding tombstoned rows in a table
+    * bucketed BY its id column — the same `pmod(murmur3, n)` the
+    * bucketed writer computes (see `IndexLayout.writeInto`), evaluated
+    * over the tombstone set, so a purge can rewrite ONLY those buckets
+    * and hard-link the rest. The collect is bounded by
+    * min(|tombstones|, buckets).
+    */
+  def affectedBuckets(tomb: DataFrame, buckets: Int): Set[String] =
+    tomb.select(pmod(hash(col("id")), lit(buckets)).as("b")).distinct()
+      .collect().map(r => f"${r.getInt(0)}%05d").toSet
+
   /** Drop every pair touching a tombstoned id on ANY of `idCols`. The
     * tombstone side broadcasts (deletion-bounded by contract); `None`
     * returns `pairs` untouched — zero plan cost for artifacts that never

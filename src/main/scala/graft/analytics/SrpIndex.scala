@@ -272,11 +272,21 @@ object SrpIndex {
           }
         else {
           val family = IndexLayout.familyOf(indexDir)
-          art.purgeVersion(Tables, Nil, Set(IndexTombstones.Table)) {
-            (table, src, tgt) =>
-              IndexLayout.writeInto(kept(src), family, table,
-                tgt.getParentFile, IndexLayout.specOf(meta, table),
-                overwrite = true)
+          // vectors is bucketed BY vec_id: affected-bucket rewrite only
+          // (see DedupIndex.purge); bands rewrites whole
+          def affectedOf(table: String): Option[Set[String]] = {
+            val spec = IndexLayout.specOf(meta, table)
+            if (spec.by != Seq("vec_id")) None
+            else Some(IndexTombstones.affectedBuckets(t, spec.buckets))
+          }
+          art.purgeVersionSelective(Tables, Nil,
+              Set(IndexTombstones.Table), affectedOf) {
+            (table, files, tgt) =>
+              IndexLayout.writeInto(
+                spark.read.parquet(files.map(_.getAbsolutePath): _*)
+                  .join(tomb, col("vec_id") === col("id"), "left_anti"),
+                family, table, tgt.getParentFile,
+                IndexLayout.specOf(meta, table), overwrite = true)
           }
         }
         true

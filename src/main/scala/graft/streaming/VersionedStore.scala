@@ -449,7 +449,29 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     */
   def purgeVersion(rewriteTables: Seq[String], linkTables: Seq[String],
       dropExtras: Set[String])(rewrite: (String, String, File) => Unit)
-      : Unit = {
+      : Unit =
+    purgeVersionSelective(rewriteTables, linkTables, dropExtras,
+      _ => None) { (t, files, tgt) =>
+      // whole-table path: the caller's rewrite reads the table dir
+      rewrite(t, files.head.getParentFile.toString, tgt)
+    }
+
+  /** [[purgeVersion]] with BUCKET-selective rewrites: for a table whose
+    * bucket key IS its document-id column (the bucketed layout's
+    * signatures/vectors/sets), the buckets holding tombstoned rows are
+    * computable from the tombstone ids with the same `pmod(hash, n)`
+    * the writer used — `affected(table)` returns their 5-digit bucket
+    * names and only THOSE buckets' files rewrite; every other file
+    * hard-links. Purge there is O(affected buckets' bytes) ≈
+    * O(|tombstones| × bucket size), not O(table). `None` = rewrite the
+    * whole table (band/posting tables, where deleted rows spread across
+    * all buckets by construction). A file whose name carries no bucket
+    * id joins the rewrite set — rewriting is always correct.
+    */
+  def purgeVersionSelective(rewriteTables: Seq[String],
+      linkTables: Seq[String], dropExtras: Set[String],
+      affected: String => Option[Set[String]])(
+      rewrite: (String, Seq[File], File) => Unit): Unit = {
     val curV = currentVersion.getOrElse(
       throw new IllegalStateException(s"no artifact at $indexDir — build first"))
     val cur = versionDir(curV)
@@ -458,8 +480,25 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     linkTables.foreach(t =>
       VersionedStore.linkTree(new File(cur, t), new File(next, t)))
     linkExtras(cur, next, rewriteTables ++ linkTables, dropExtras)
-    rewriteTables.foreach(t =>
-      rewrite(t, new File(cur, t).toString, new File(next, t)))
+    val bucketId = "_(\\d{5})\\.".r
+    rewriteTables.foreach { t =>
+      val files = Option(new File(cur, t).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      val (keep, fold) = affected(t) match {
+        case None => (Seq.empty[File], files)
+        case Some(buckets) => files.partition(f =>
+          bucketId.findFirstMatchIn(f.getName)
+            .exists(m => !buckets.contains(m.group(1))))
+      }
+      val tgt = new File(next, t)
+      if (fold.isEmpty) VersionedStore.linkTree(new File(cur, t), tgt)
+      else {
+        rewrite(t, fold, tgt)
+        keep.foreach(f => Files.createLink(
+          new File(tgt, f.getName).toPath, f.toPath))
+      }
+    }
     writeDeltas(next, readDeltas(cur))
     writeMeta(next, readMeta(cur))
     require(currentVersion.contains(curV),

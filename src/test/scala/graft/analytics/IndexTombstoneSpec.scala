@@ -75,6 +75,7 @@ class IndexTombstoneSpec extends SparkSpec {
 
     // PHYSICAL purge: rows gone from both tables, sidecar dropped,
     // probe output unchanged, deltas carried (idempotence survives)
+    val preVer = currentVerDir(idx)
     assert(DedupIndex.purge(spark, idx))
     val ver = currentVerDir(idx)
     assert(!new File(ver, IndexTombstones.Table).exists(),
@@ -84,6 +85,17 @@ class IndexTombstoneSpec extends SparkSpec {
       assert(dropIds.forall(!ids.contains(_)),
         s"$t still holds tombstoned rows after purge")
     }
+    // signatures is bucketed BY doc_id: purge must rewrite only the
+    // affected buckets and hard-link-carry the rest (inode identity)
+    val sigCarried = new File(ver, "signatures").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .count { f =>
+        val old = new File(preVer, "signatures/" + f.getName)
+        old.exists() && java.nio.file.Files.isSameFile(f.toPath, old.toPath)
+      }
+    assert(sigCarried > 0,
+      "purge rewrote every signatures bucket — unaffected buckets must " +
+        "hard-link-carry")
     assert(pairSet(DedupIndex.probe(spark, idx, delta)) === after,
       "probe output changed across purge")
     assert(DedupIndex.appliedDeltas(idx).contains("delta-1"),
