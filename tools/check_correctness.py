@@ -10,6 +10,7 @@ float tolerance. Exit code = number of mismatching queries.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -128,4 +129,10 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        sys.exit("usage: check_correctness.py <sfDir> <outDir>  "
+                 "(sfDir = testdata tables, outDir = graft.Verify dump)")
+    if not os.path.exists(f"{sys.argv[2]}/oracle_sql.json"):
+        sys.exit(f"no oracle_sql.json under outDir '{sys.argv[2]}' — "
+                 "args are (sfDir, outDir) in that order; did you swap them?")
     sys.exit(main(sys.argv[1], sys.argv[2]))
