@@ -11,6 +11,40 @@ final case class IngestDoc(doc_id: Long, text: String)
 /** One embedding vector arriving on the ingest stream. */
 final case class IngestVec(vec_id: Long, embedding: Seq[Float])
 
+/** Thread-safe takedown mailbox for a RUNNING ingest stream — the safe
+  * seat for deletion against an artifact an admitting loop owns. A
+  * delete issued from any other thread races the loop's admission (the
+  * single-writer tripwire fails the stream, by design); `request` from
+  * anywhere instead, and the loop drains the queue from its own writer
+  * thread after each trigger's maintenance
+  * ([[graft.analytics.IndexTombstones]] logical deletes — idempotent
+  * per `deltaId`, so a crash between the delete and the checkpoint
+  * commit re-applies harmlessly). Applied at the NEXT trigger: an idle
+  * stream (no incoming batches) holds requests until data arrives —
+  * for an urgent takedown on a quiet stream, stop → delete → restart
+  * from the checkpoint is the alternative seat. Probe-only streams
+  * (no `admitId`) may use the queue too when the stream is the
+  * artifact's designated writer.
+  */
+final class TakedownQueue {
+  private val q =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Seq[Long], String)]()
+
+  /** Enqueue ids for deletion under `deltaId` (the caller's idempotence
+    * key — namespace it like a stream id, e.g. `takedown-<n>`).
+    */
+  def request(ids: Seq[Long], deltaId: String): Unit = { q.add((ids, deltaId)); () }
+
+  def isEmpty: Boolean = q.isEmpty
+
+  private[streaming] def drain(): Seq[(Seq[Long], String)] = {
+    val b = Seq.newBuilder[(Seq[Long], String)]
+    var e = q.poll()
+    while (e != null) { b += e; e = q.poll() }
+    b.result()
+  }
+}
+
 /** Streaming ingest dedup — "dedup the firehose against the lake": each
   * micro-batch of arriving documents computes its MinHash signatures
   * batch-locally, probes the STANDING corpus's LSH band index by
@@ -92,7 +126,8 @@ object IngestDedup {
     */
   def dedupIngestEmbeddings(vecs: Dataset[IngestVec], indexDir: String,
       checkpointDir: String, admitId: Option[String] = None,
-      compactEvery: Int = 0, compactMaxFiles: Int = 64)(
+      compactEvery: Int = 0, compactMaxFiles: Int = 64,
+      takedowns: Option[TakedownQueue] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = vecs.sparkSession
     val cache = new VersionedCache(
@@ -126,7 +161,14 @@ object IngestDedup {
             graft.analytics.SrpIndex.compact(spark, indexDir, compactMaxFiles)
             ()
           },
-          prune = () => graft.analytics.SrpIndex.prune(spark, indexDir))
+          prune = () => graft.analytics.SrpIndex.prune(spark, indexDir),
+          takedowns = takedowns,
+          delete = (ids, d) => {
+            import spark.implicits._
+            graft.analytics.SrpIndex.delete(spark, indexDir,
+              ids.toDF("vec_id"), d)
+            ()
+          })
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -148,7 +190,8 @@ object IngestDedup {
     */
   def dedupIngestFromIndex(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String, admitId: Option[String] = None,
-      compactEvery: Int = 0, compactMaxFiles: Int = 64)(
+      compactEvery: Int = 0, compactMaxFiles: Int = 64,
+      takedowns: Option[TakedownQueue] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
@@ -178,7 +221,14 @@ object IngestDedup {
             graft.analytics.DedupIndex.compact(spark, indexDir, compactMaxFiles)
             ()
           },
-          prune = () => graft.analytics.DedupIndex.prune(spark, indexDir))
+          prune = () => graft.analytics.DedupIndex.prune(spark, indexDir),
+          takedowns = takedowns,
+          delete = (ids, d) => {
+            import spark.implicits._
+            graft.analytics.DedupIndex.delete(spark, indexDir,
+              ids.toDF("doc_id"), d)
+            ()
+          })
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -200,7 +250,8 @@ object IngestDedup {
     */
   def dedupIngestContainment(docs: Dataset[IngestDoc], indexDir: String,
       checkpointDir: String, admitId: Option[String] = None,
-      compactEvery: Int = 0, compactMaxFiles: Int = 64)(
+      compactEvery: Int = 0, compactMaxFiles: Int = 64,
+      takedowns: Option[TakedownQueue] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val cache = new VersionedCache(
@@ -230,7 +281,14 @@ object IngestDedup {
             graft.analytics.ContainIndex.compact(spark, indexDir, compactMaxFiles)
             ()
           },
-          prune = () => graft.analytics.ContainIndex.prune(spark, indexDir))
+          prune = () => graft.analytics.ContainIndex.prune(spark, indexDir),
+          takedowns = takedowns,
+          delete = (ids, d) => {
+            import spark.implicits._
+            graft.analytics.ContainIndex.delete(spark, indexDir,
+              ids.toDF("doc_id"), d)
+            ()
+          })
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -300,7 +358,9 @@ object IngestDedup {
     */
   private def maintain(admitId: Option[String], compactEvery: Int,
       batchId: Long, nonEmpty: Boolean, append: String => Unit,
-      compact: () => Unit, prune: () => Unit): Unit =
+      compact: () => Unit, prune: () => Unit,
+      takedowns: Option[TakedownQueue] = None,
+      delete: (Seq[Long], String) => Unit = (_, _) => ()): Unit = {
     admitId.foreach { id =>
       if (nonEmpty) {
         append(s"$id-$batchId")
@@ -308,6 +368,18 @@ object IngestDedup {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) compact()
       }
     }
+    // takedowns drain AFTER the batch's admission, from the same writer
+    // thread — the only seat that cannot trip the single-writer check —
+    // and regardless of batch emptiness (a takedown must not wait on
+    // data). prune() after keeps versions bounded on delete-heavy runs.
+    takedowns.foreach { tq =>
+      val reqs = tq.drain()
+      if (reqs.nonEmpty) {
+        reqs.foreach { case (ids, d) => delete(ids, d) }
+        prune()
+      }
+    }
+  }
 
   /** CACHE-IF-FITS: the frames a face's [[VersionedCache]] persists —
     * ALL of them while the artifact fits the session's storage budget,

@@ -238,6 +238,63 @@ class IngestAdmitSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TakedownQueue: an ADMITTING stream applies enqueued deletes from " +
+      "its own writer seat — no tripwire, next probe filtered, versions " +
+      "bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-admit-tq").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    val tq = new TakedownQueue
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[IngestDoc]
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-admit-tq-ck").toString,
+      admitId = Some("tqstream"), takedowns = Some(tq)) { (pairs, batchId) =>
+        pairs.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), batchId)))
+      }
+    try {
+      // batch 0: full delta, admitted; its probe tells us which corpus
+      // ids match
+      input.addData(delta); q.processAllAvailable()
+      val matched = got.filter(_._3 == 0L).map(_._1).distinct.sorted
+      assert(matched.nonEmpty, "fixture must contain cross-split pairs")
+      val dropId = matched.head
+      // enqueue from "another thread" (here: the test thread) — the
+      // loop applies it after batch 1's own admission, from the writer
+      // seat, so the single-writer tripwire never fires even though
+      // batch 1 ALSO admits
+      tq.request(Seq(dropId), "takedown-q0")
+      // batch 1: fresh ids (re-sending batch 0's ids would be admitted
+      // copies pairing among themselves); probe must be filtered by the
+      // takedown applied at the END of this batch only from batch 2 on
+      val b1 = delta.map(d => d.copy(doc_id = d.doc_id + 990000000L))
+      input.addData(b1); q.processAllAvailable()
+      assert(tq.isEmpty, "the loop did not drain the takedown queue")
+      // batch 2: same shape again — NOW the takedown is in effect
+      val b2 = delta.map(d => d.copy(doc_id = d.doc_id + 995000000L))
+      input.addData(b2); q.processAllAvailable()
+      val batch2 = got.filter(_._3 == 2L)
+      assert(batch2.nonEmpty, "batch 2 must still report surviving pairs")
+      assert(batch2.forall(_._1 != dropId),
+        s"batch 2 reported pairs against the taken-down corpus id $dropId")
+      // the stream survived (no tripwire) and keeps versions bounded
+      assert(q.isActive)
+      val versions = new java.io.File(idx).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      assert(versions <= 3,
+        s"takedown admissions must stay pruned (found $versions versions)")
+    } finally q.stop()
+  }
+
   test("containment and embedding faces admit with the same contract") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
