@@ -293,7 +293,9 @@ object DedupIndex {
     * bucketed layout) — out-of-band, behind the same atomic version swap
     * as admission, delta-idempotence carried. Directory bands re-cluster
     * on `band` so the probe's equi-join reads co-located buckets;
-    * bucketed tables rewrite back to ONE file per bucket at the recorded
+    * bucketed tables fold BUCKET-GRANULARLY (base file hard-links, only
+    * the accrual rewrites — [[graft.streaming.VersionedArtifact
+    * .compactBucketed]]) to a ≤ 2-files-per-bucket floor at the recorded
     * spec. Probe output is multiset-invariant across a compact
     * (`DedupIndexSpec`/`DedupIndexBucketedSpec`). Run from the admission
     * loop (single-writer contract).

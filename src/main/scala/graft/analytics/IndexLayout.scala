@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * admission/compaction preserves bucket ids by construction; an
   * admission APPENDS the delta's files into the next version's table at
   * the same modulus (one new file per touched bucket — the write
-  * clusters on the bucket id first), and a compaction re-writes fat
-  * tables back to one file per bucket. The bucket spec + schema ride the
+  * clusters on the bucket id first), and a compaction folds fat tables
+  * bucket-granularly (base files hard-link, accrual files merge — a
+  * ≤ 2-files-per-bucket floor). The bucket spec + schema ride the
   * artifact's `_meta.txt` — atomic with the pointer swap, carried
   * through admit/compact — so ANY session can re-register the catalog
   * entries from the artifact alone (the in-memory catalog does not

@@ -213,9 +213,10 @@ object SrpIndex {
   }
 
   /** Compact tables past `maxFiles` part files — the shared
-    * [[VersionedArtifact.compact]] transaction; directory postings
-    * re-cluster on the probe's band key, vectors on vec_id; bucketed
-    * tables rewrite back to one file per bucket at the recorded spec.
+    * versioned-swap transaction; directory postings re-cluster on the
+    * probe's band key, vectors on vec_id; bucketed tables fold
+    * bucket-granularly (base hard-links, accrual merges — see
+    * [[DedupIndex.compact]]).
     */
   def compact(spark: SparkSession, indexDir: String,
       maxFiles: Int = 64): Int = {
