@@ -373,9 +373,18 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     *   - base file ≥ sum of the rest: LINK the base, rewrite only the
     *     small files into one merged file (LSM minor compaction);
     *   - otherwise: rewrite the whole bucket back to one file (major —
-    *     fires only when accrued bytes rival the base, so write
-    *     amplification is logarithmic in corpus growth, not linear in
-    *     maintenance calls).
+    *     fires only when accrued bytes rival the base).
+    * Amortization is the classic two-level-merge shape: each minor
+    * firing re-folds the bucket's merged file plus the new accrual, so
+    * the cost per firing is O(bytes admitted since the last MAJOR), and
+    * a major (which resets the merged level into the base) costs
+    * O(bucket). Total write amplification between majors is linear in
+    * the admitted-to-batch ratio — fine while admissions per major stay
+    * ≪ base (the measured regime: 3–5 s per firing on a 1.4 GB corpus
+    * at 100×). If a deployment's admitted volume rivals its base
+    * between rebuilds, the known upgrade is a geometric file chain per
+    * bucket (link every file that dominates the sum of the smaller
+    * ones) — O(log) amplification at the cost of a deeper read fan-in.
     * A file whose name carries no bucket id joins the rewrite set —
     * rewriting is always correct (the caller re-buckets by hash);
     * linking is only the optimization.
