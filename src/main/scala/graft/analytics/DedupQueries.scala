@@ -1070,6 +1070,26 @@ object DedupQueries {
     ContainIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
+  /** [[qDedupContainmentIncremental]] after a TAKEDOWN of the corpus's
+    * doc_id % 7 = 3 slice — deletion under the ASYMMETRIC two-direction
+    * probe (a tombstoned corpus doc must vanish from pairs whether it
+    * is the contained `id_a` or the containing `id_b`). Same
+    * own-family + unconditional-idempotent-delete shape as
+    * [[qDedupIncrementalTakedown]].
+    */
+  def qDedupContainmentTakedown(spark: SparkSession,
+      dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "contain-td")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    if (!ContainIndex.hasCurrent(idx))
+      ContainIndex.build(spark, corpus, idx)
+    ContainIndex.delete(spark, idx,
+      corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+      "takedown-0")
+    ContainIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
   /** The artifact-free in-session face of
     * [[qDedupContainmentIncremental]] — ranks prefixes by LIVE
     * (corpus ∪ delta) df where the artifact path probes under the frozen
@@ -1705,6 +1725,7 @@ object DedupQueries {
     "q_dedup_components_star" -> qDedupComponentsStar,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_containment_incremental" -> qDedupContainmentIncremental,
+    "q_dedup_containment_takedown" -> qDedupContainmentTakedown,
     "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_dedup_keeper_quality" -> qDedupKeeperQuality
   )
@@ -2045,7 +2066,14 @@ object DedupQueries {
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
     "q_dedup_containment" -> duckContainPairs("a.doc_id <> b.doc_id"),
     "q_dedup_containment_incremental" -> duckContainPairs(
-      "a.doc_id <> b.doc_id AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))")
+      "a.doc_id <> b.doc_id AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))"),
+    // takedown face: either side that is a corpus doc (% 5 <> 4) in the
+    // tombstoned % 7 = 3 slice is excluded — the probe filters BOTH pair
+    // columns, and in this face only corpus docs can be tombstoned
+    "q_dedup_containment_takedown" -> duckContainPairs(
+      "a.doc_id <> b.doc_id AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))" +
+        " AND NOT (a.doc_id % 5 <> 4 AND a.doc_id % 7 = 3)" +
+        " AND NOT (b.doc_id % 5 <> 4 AND b.doc_id % 7 = 3)")
   )
 
   /** Recursive-CTE transitive closure over the exact all-pairs j ≥ 0.8
