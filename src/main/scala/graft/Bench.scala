@@ -1,5 +1,75 @@
 package graft
 object Bench {
+
+  /** Prevents the JIT from eliding the sentinel loops; printed once at
+    * suite end so the value is observably live.
+    */
+  @volatile private var blackhole: Long = 0L
+
+  /** Fixed-work PURE-CPU sentinel (zero Spark, zero allocation): 2^28
+    * splitmix64 mixes on one thread. Its wall time depends ONLY on this
+    * process's share of one core — so when a bench run's query rows read
+    * high while its sentinel rows sit in the idle band, the slowdown is
+    * in the plans; when the sentinels read high too, the HOST was loaded
+    * and the run is contaminated. This is what makes the run of record
+    * SELF-attributing: two consecutive official runs (r15 68.0 s, r16
+    * 74.93 s) were out of band vs same-code idle triples (54.9–61.5 s)
+    * with the slowdown diffuse across untouched trivial plans — the
+    * signature of host contention — but the record itself couldn't
+    * prove it.
+    */
+  private def cpuSentinel(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < (1 << 28)) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      acc ^= z ^ (z >>> 31)
+      i += 1
+    }
+    blackhole ^= acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed-work MEMORY-BANDWIDTH sentinel: 8 sequential sweeps over a
+    * 128 MiB long array (≫ LLC, so every sweep streams from DRAM —
+    * ~1 GiB of traffic). Catches the contention the CPU sentinel can't:
+    * a co-tenant saturating memory bandwidth or pushing this process's
+    * pages to the host's slow tier (measured round 5: cold re-reads at
+    * ~50 MB/s under host-side swap). The array allocates and
+    * first-touches ONCE, untimed, at suite start.
+    */
+  private def memSentinel(arr: Array[Long]): Double = {
+    val t0 = System.nanoTime()
+    var s = 0L
+    var sweep = 0
+    while (sweep < 8) {
+      var i = 0
+      while (i < arr.length) { s += arr(i); i += 1 }
+      sweep += 1
+    }
+    blackhole ^= s
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    catch { case _: Throwable => "" }
+
+  private def memAvailableKb(): Long =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/meminfo")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.find(_.startsWith("MemAvailable:"))
+      .map(_.split("\\s+")(1).toLong).getOrElse(-1L)
+    catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,6 +124,16 @@ object Bench {
     // reproducible cost. Pass structure (not per-query repetition) keeps
     // the suite's deliberate cache sharing identical to a real run.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
+    // self-attribution: the sentinel array allocates + first-touches
+    // here (untimed — fresh-page provisioning is the host's slowest
+    // path), and one untimed run of each sentinel pays JIT compilation
+    // so pass-1 values measure the host, not the compiler
+    val memArr = Array.tabulate(16 << 20)(_.toLong)
+    cpuSentinel(); memSentinel(memArr)
+    val loadStart = loadavg()
+    val memAvailStart = memAvailableKb()
+    val cpuSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val memSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     // chain attribution: queries sharing the dedup chain (docShingles →
     // minhash → LSH → verify) previously charged the whole cold build to
     // whichever member ran FIRST in name order, which made that row swing
@@ -138,6 +218,14 @@ object Bench {
     }
     for (p <- 1 to passes) {
       if (p > 1) spark.sharedState.cacheManager.clearCache()
+      // sentinel pair at the top of EVERY pass: a stall window that
+      // spans one pass (observed on this host) shows up in that pass's
+      // sentinels, not just its query rows
+      val cs = cpuSentinel(); val ms = memSentinel(memArr)
+      cpuSentinels += cs; memSentinels += ms
+      System.err.println(
+        f"[bench] pass $p sentinel_cpu $cs%.3f s  sentinel_mem $ms%.3f s  " +
+          s"loadavg ${loadavg()}")
       if (needChain)
         timedBuild(p, "chain_build", "shared dedup-chain build")(
           graft.analytics.DedupQueries.buildChain(spark, sfDir))
@@ -182,7 +270,22 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    val loadEnd = loadavg()
+    val memAvailEnd = memAvailableKb()
+    System.err.println(s"[bench] blackhole=$blackhole")  // sentinels live
+    def secArr(xs: Seq[Double]) = xs.map(v =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+      .mkString("[", ",", "]")
+    // sentinel + load fields sit just before the total, at the
+    // truncation-surviving END of the line: the run of record can now
+    // attribute an out-of-band total to the host (sentinels high) or to
+    // the code (sentinels in band) BY ITSELF. Idle band (SCALE.md):
+    // sentinel_cpu and sentinel_mem per-pass values on an idle host.
+    val sentinels =
+      s""""sentinel_cpu":${secArr(cpuSentinels.toSeq)},""" +
+        s""""sentinel_mem":${secArr(memSentinels.toSeq)},""" +
+        s""""load_start":"$loadStart","load_end":"$loadEnd""""
+    println(s"""{"queries":$qs,"sf":"$sfDir",$sentinels,"metric":"total","value":$total,"unit":"sec"}""")
     // self-emitted full report: the driver tail records only ~2000 chars
     // of stdout (BENCH_r10 landed with "parsed": null), so the complete
     // per-query table — times AND result cardinalities, plus the input
@@ -199,7 +302,13 @@ object Bench {
       }.mkString("{", ",", "}")
       val self =
         s"""{"sf":"$sfDir","cpus":$cpus,"passes":$passes,""" +
-          s""""total_sec":${fmt(total)},"table_rows":$tbls,"queries":$rows}"""
+          s""""total_sec":${fmt(total)},""" +
+          s""""sentinels":{"cpu_sec":${secArr(cpuSentinels.toSeq)},""" +
+          s""""mem_sec":${secArr(memSentinels.toSeq)},""" +
+          s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
+          s""""mem_available_start_kb":$memAvailStart,""" +
+          s""""mem_available_end_kb":$memAvailEnd},""" +
+          s""""table_rows":$tbls,"queries":$rows}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_SELF.json"), self)
       catch { case e: Throwable =>

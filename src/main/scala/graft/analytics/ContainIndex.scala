@@ -286,6 +286,20 @@ object ContainIndex {
       deltaId: String): Boolean =
     IndexTombstones.delete(artifact(indexDir), Tables, ids, deltaId)
 
+  /** [[delete]] for a batch of requests in ONE version bump — the
+    * takedown-drain seat (see [[IndexTombstones.deleteAll]]).
+    */
+  def deleteAll(spark: SparkSession, indexDir: String,
+      reqs: Seq[(DataFrame, String)]): Boolean =
+    IndexTombstones.deleteAll(artifact(indexDir), Tables, reqs)
+
+  /** |tombstones| / |indexed docs| — the auto-purge trigger metric;
+    * see [[IndexTombstones.ratio]]. `sets` is the one-row-per-doc
+    * table.
+    */
+  def tombstoneRatio(spark: SparkSession, indexDir: String): Double =
+    IndexTombstones.ratio(spark, artifact(indexDir), "sets")
+
   /** PHYSICAL tombstone removal — see [[DedupIndex.purge]]. The `df`
     * table carries as a LINK, not a rewrite: it has no doc-id column
     * (token → document frequency), and a deleted doc's contribution is
@@ -363,9 +377,12 @@ object ContainIndex {
 
   def load(spark: SparkSession, indexDir: String): Loaded = {
     loadRuns.incrementAndGet()
-    val meta = artifact(indexDir).meta
-    val paths = artifact(indexDir).snapshotPaths(Tables)
-    val tomb = IndexTombstones.loadTombstones(spark, artifact(indexDir))
+    // one pointer read for meta + table paths + sidecar: independent
+    // reads could straddle a purge and serve pre-purge tables unfiltered
+    val snap = artifact(indexDir).snapshot(Tables, IndexTombstones.Table)
+    val meta = snap.meta
+    val paths = snap.paths
+    val tomb = IndexTombstones.fromSnapshot(spark, snap)
     if (!IndexLayout.isBucketed(meta))
       Loaded(spark.read.parquet(paths("tokens")),
         spark.read.parquet(paths("prefix")),

@@ -339,6 +339,21 @@ object DedupIndex {
       deltaId: String): Boolean =
     IndexTombstones.delete(artifact(indexDir), Tables, ids, deltaId)
 
+  /** [[delete]] for a batch of requests in ONE version bump — the
+    * takedown-drain seat (see [[IndexTombstones.deleteAll]]).
+    */
+  def deleteAll(spark: SparkSession, indexDir: String,
+      reqs: Seq[(DataFrame, String)]): Boolean =
+    IndexTombstones.deleteAll(artifact(indexDir), Tables, reqs)
+
+  /** |tombstones| / |indexed docs| for the current version — both
+    * parquet row counts answered from footer metadata, no data read;
+    * what the auto-purge policy compares to its threshold once per
+    * takedown drain (never per batch). 0 with no sidecar.
+    */
+  def tombstoneRatio(spark: SparkSession, indexDir: String): Double =
+    IndexTombstones.ratio(spark, artifact(indexDir), "signatures")
+
   /** PHYSICAL tombstone removal: rewrite both tables without the
     * tombstoned docs' rows and drop the sidecar, one pointer swap.
     * O(table) by design — the compliance backstop behind the logical
@@ -417,13 +432,15 @@ object DedupIndex {
 
   def load(spark: SparkSession, indexDir: String): Loaded = {
     loadRuns.incrementAndGet()
-    // shape + layout resolved from the artifact BEFORE the path
-    // snapshot: all come from the same current version under the
-    // single-writer contract
-    val meta = artifact(indexDir).meta
+    // shape, layout, table paths, AND the tombstone sidecar all resolve
+    // against ONE pointer read: independent reads could straddle a
+    // purge and pair pre-purge tables with a dropped sidecar —
+    // transiently resurfacing deleted pairs
+    val snap = artifact(indexDir).snapshot(Tables, IndexTombstones.Table)
+    val meta = snap.meta
     val shape = shapeOfMeta(meta)
-    val paths = artifact(indexDir).snapshotPaths(Tables)
-    val tomb = IndexTombstones.loadTombstones(spark, artifact(indexDir))
+    val paths = snap.paths
+    val tomb = IndexTombstones.fromSnapshot(spark, snap)
     if (!IndexLayout.isBucketed(meta))
       Loaded(spark.read.parquet(paths("signatures")),
         spark.read.parquet(paths("bands")), shape, tombstones = tomb)

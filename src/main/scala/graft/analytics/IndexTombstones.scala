@@ -54,19 +54,63 @@ private[graft] object IndexTombstones {
     * so callers namespace their ids (`takedown-…`) like streams do.
     */
   def delete(art: VersionedArtifact, tables: Seq[String],
-      ids: DataFrame, deltaId: String): Boolean = {
-    val col0 = ids.columns.head
-    art.admit(deltaId, tables, next =>
-      ids.select(col(col0).cast("long").as("id")).distinct()
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(new File(next, Table).getAbsolutePath))
-  }
+      ids: DataFrame, deltaId: String): Boolean =
+    deleteAll(art, tables, Seq(ids -> deltaId))
 
-  /** The current version's tombstone set as a `(id)` frame, if any. */
+  /** [[delete]] for a BATCH of requests in ONE version bump (the
+    * takedown-drain shape: a drain of N queued requests must not create
+    * N versions, or the post-drain prune outruns the reader-grace
+    * window — see `IngestDedup.maintain`). Per-request idempotence is
+    * unchanged: already-applied deltaIds skip individually. False iff
+    * nothing fresh was applied.
+    */
+  def deleteAll(art: VersionedArtifact, tables: Seq[String],
+      reqs: Seq[(DataFrame, String)]): Boolean =
+    art.admitAll(reqs.map { case (ids, deltaId) =>
+      val col0 = ids.columns.head
+      deltaId -> ((next: File) =>
+        ids.select(col(col0).cast("long").as("id")).distinct()
+          .coalesce(1)
+          .write.mode("append")
+          .parquet(new File(next, Table).getAbsolutePath))
+    }, tables)
+
+  /** The current version's tombstone set as a `(id)` frame, if any.
+    * Standalone pointer read — readers pairing tombstones with TABLE
+    * paths must derive both from one `snapshot` ([[fromSnapshot]])
+    * instead, or a concurrent purge yields pre-purge tables with no
+    * filter.
+    */
   def loadTombstones(spark: SparkSession,
       art: VersionedArtifact): Option[DataFrame] =
     art.extraPath(Table).map(d => spark.read.parquet(d.getAbsolutePath))
+
+  /** The tombstone frame out of an already-resolved version snapshot —
+    * the same pointer read that resolved the table paths.
+    */
+  def fromSnapshot(spark: SparkSession,
+      snap: graft.streaming.ArtifactSnapshot): Option[DataFrame] =
+    snap.extra.map(d => spark.read.parquet(d.getAbsolutePath))
+
+  /** |tombstone rows| / |`idTable` rows| for the current version, both
+    * sides from ONE snapshot — the auto-purge policy's trigger metric.
+    * Parquet-footer counts only (a bare count answers from row-group
+    * metadata), no data pages read. The numerator counts sidecar ROWS:
+    * an id tombstoned under two deltaIds counts twice — a small
+    * overcount that only makes purge fire EARLIER, never miss. 0 with
+    * no sidecar; an empty id table with live tombstones reads as 1
+    * (purge overdue by definition).
+    */
+  def ratio(spark: SparkSession, art: VersionedArtifact,
+      idTable: String): Double = {
+    val snap = art.snapshot(Seq(idTable), Table)
+    fromSnapshot(spark, snap) match {
+      case None => 0.0
+      case Some(t) =>
+        val corpus = spark.read.parquet(snap.paths(idTable)).count()
+        if (corpus == 0L) 1.0 else t.count().toDouble / corpus
+    }
+  }
 
   /** The 5-digit bucket names holding tombstoned rows in a table
     * bucketed BY its id column — the same `pmod(murmur3, n)` the

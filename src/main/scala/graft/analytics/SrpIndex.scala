@@ -254,6 +254,19 @@ object SrpIndex {
       deltaId: String): Boolean =
     IndexTombstones.delete(artifact(indexDir), Tables, ids, deltaId)
 
+  /** [[delete]] for a batch of requests in ONE version bump — the
+    * takedown-drain seat (see [[IndexTombstones.deleteAll]]).
+    */
+  def deleteAll(spark: SparkSession, indexDir: String,
+      reqs: Seq[(DataFrame, String)]): Boolean =
+    IndexTombstones.deleteAll(artifact(indexDir), Tables, reqs)
+
+  /** |tombstones| / |indexed vectors| — the auto-purge trigger metric;
+    * see [[IndexTombstones.ratio]].
+    */
+  def tombstoneRatio(spark: SparkSession, indexDir: String): Double =
+    IndexTombstones.ratio(spark, artifact(indexDir), "vectors")
+
   /** PHYSICAL tombstone removal — see [[DedupIndex.purge]]. */
   def purge(spark: SparkSession, indexDir: String): Boolean = {
     val art = artifact(indexDir)
@@ -324,14 +337,15 @@ object SrpIndex {
 
   def load(spark: SparkSession, indexDir: String): Loaded = {
     loadRuns.incrementAndGet()
-    // shape + layout resolved from the artifact BEFORE the path
-    // snapshot: both come from the same current version under the
-    // single-writer contract, and every delta MUST band with the
-    // corpus's build shape
-    val meta = artifact(indexDir).meta
+    // shape, layout, table paths, AND the tombstone sidecar all resolve
+    // against ONE pointer read (a purge racing independent reads would
+    // pair pre-purge tables with a dropped sidecar), and every delta
+    // MUST band with the corpus's build shape
+    val snap = artifact(indexDir).snapshot(Tables, IndexTombstones.Table)
+    val meta = snap.meta
     val shape = shapeOfMeta(meta)
-    val paths = artifact(indexDir).snapshotPaths(Tables)
-    val tomb = IndexTombstones.loadTombstones(spark, artifact(indexDir))
+    val paths = snap.paths
+    val tomb = IndexTombstones.fromSnapshot(spark, snap)
     if (!IndexLayout.isBucketed(meta))
       Loaded(spark.read.parquet(paths("vectors")),
         spark.read.parquet(paths("bands")), shape, tombstones = tomb)

@@ -25,6 +25,19 @@ final case class IngestVec(vec_id: Long, embedding: Seq[Float])
   * from the checkpoint is the alternative seat. Probe-only streams
   * (no `admitId`) may use the queue too when the stream is the
   * artifact's designated writer.
+  *
+  * DURABILITY — the queue is in-memory ONLY: a request enqueued but
+  * not yet drained is silently lost if the process crashes or the
+  * stream fails. An APPLIED delete is crash-safe (the tombstone set
+  * and its `deltaId` commit in one pointer swap; a re-request
+  * re-applies as a no-op), but the undelivered window is the caller's
+  * to close — for a compliance-grade takedown, durably record the
+  * request on your side and RE-REQUEST until the `deltaId` shows up
+  * in the artifact's applied-delta ledger (the acknowledgement
+  * check: `DedupIndex.appliedDeltas(indexDir)` / `SrpIndex
+  * .appliedDeltas` / `ContainIndex.appliedDeltas` — one small file
+  * read). Re-requesting an already-applied deltaId costs one queue
+  * node and a ledger lookup, nothing else.
   */
 final class TakedownQueue {
   private val q =
@@ -153,22 +166,23 @@ object IngestDedup {
         sink(admissionShape(pairs, "corpus_id", "new_id", ids), batchId)
         maintain(admitId, compactEvery, batchId,
           nonEmpty = admitId.isDefined && !df.isEmpty,
-          append = d => {
-            graft.analytics.SrpIndex.append(spark, df, indexDir, d)
-            ()
-          },
-          compact = () => {
-            graft.analytics.SrpIndex.compact(spark, indexDir, compactMaxFiles)
-            ()
-          },
-          prune = () => graft.analytics.SrpIndex.prune(spark, indexDir),
+          append = d =>
+            graft.analytics.SrpIndex.append(spark, df, indexDir, d),
+          compact = () =>
+            graft.analytics.SrpIndex.compact(spark, indexDir,
+              compactMaxFiles) > 0,
+          prune = keep =>
+            graft.analytics.SrpIndex.prune(spark, indexDir, keep),
           takedowns = takedowns,
-          delete = (ids, d) => {
+          deleteAll = reqs => {
             import spark.implicits._
-            graft.analytics.SrpIndex.delete(spark, indexDir,
-              ids.toDF("vec_id"), d)
-            ()
-          })
+            graft.analytics.SrpIndex.deleteAll(spark, indexDir,
+              reqs.map { case (ids, d) => ids.toDF("vec_id") -> d })
+          },
+          tombstoneRatio = () =>
+            graft.analytics.SrpIndex.tombstoneRatio(spark, indexDir),
+          purge = () => graft.analytics.SrpIndex.purge(spark, indexDir),
+          purgeRatioConf = purgeRatioOf(spark))
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -213,22 +227,23 @@ object IngestDedup {
         sink(admissionShape(pairs, "corpus_id", "new_id", ids), batchId)
         maintain(admitId, compactEvery, batchId,
           nonEmpty = admitId.isDefined && !df.isEmpty,
-          append = d => {
-            graft.analytics.DedupIndex.append(spark, df, indexDir, d)
-            ()
-          },
-          compact = () => {
-            graft.analytics.DedupIndex.compact(spark, indexDir, compactMaxFiles)
-            ()
-          },
-          prune = () => graft.analytics.DedupIndex.prune(spark, indexDir),
+          append = d =>
+            graft.analytics.DedupIndex.append(spark, df, indexDir, d),
+          compact = () =>
+            graft.analytics.DedupIndex.compact(spark, indexDir,
+              compactMaxFiles) > 0,
+          prune = keep =>
+            graft.analytics.DedupIndex.prune(spark, indexDir, keep),
           takedowns = takedowns,
-          delete = (ids, d) => {
+          deleteAll = reqs => {
             import spark.implicits._
-            graft.analytics.DedupIndex.delete(spark, indexDir,
-              ids.toDF("doc_id"), d)
-            ()
-          })
+            graft.analytics.DedupIndex.deleteAll(spark, indexDir,
+              reqs.map { case (ids, d) => ids.toDF("doc_id") -> d })
+          },
+          tombstoneRatio = () =>
+            graft.analytics.DedupIndex.tombstoneRatio(spark, indexDir),
+          purge = () => graft.analytics.DedupIndex.purge(spark, indexDir),
+          purgeRatioConf = purgeRatioOf(spark))
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -273,22 +288,23 @@ object IngestDedup {
         sink(admissionShape(pairs, "id_a", "id_b", ids), batchId)
         maintain(admitId, compactEvery, batchId,
           nonEmpty = admitId.isDefined && !df.isEmpty,
-          append = d => {
-            graft.analytics.ContainIndex.append(spark, df, indexDir, d)
-            ()
-          },
-          compact = () => {
-            graft.analytics.ContainIndex.compact(spark, indexDir, compactMaxFiles)
-            ()
-          },
-          prune = () => graft.analytics.ContainIndex.prune(spark, indexDir),
+          append = d =>
+            graft.analytics.ContainIndex.append(spark, df, indexDir, d),
+          compact = () =>
+            graft.analytics.ContainIndex.compact(spark, indexDir,
+              compactMaxFiles) > 0,
+          prune = keep =>
+            graft.analytics.ContainIndex.prune(spark, indexDir, keep),
           takedowns = takedowns,
-          delete = (ids, d) => {
+          deleteAll = reqs => {
             import spark.implicits._
-            graft.analytics.ContainIndex.delete(spark, indexDir,
-              ids.toDF("doc_id"), d)
-            ()
-          })
+            graft.analytics.ContainIndex.deleteAll(spark, indexDir,
+              reqs.map { case (ids, d) => ids.toDF("doc_id") -> d })
+          },
+          tombstoneRatio = () =>
+            graft.analytics.ContainIndex.tombstoneRatio(spark, indexDir),
+          purge = () => graft.analytics.ContainIndex.purge(spark, indexDir),
+          purgeRatioConf = purgeRatioOf(spark))
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -338,48 +354,85 @@ object IngestDedup {
   /** The per-batch artifact maintenance the admitting faces share:
     * admit the (non-empty — an empty batch must not move the pointer
     * and force a cache re-materialization for nothing) batch under
-    * `"<admitId>-<batchId>"`, prune old versions (keep = 2 — exactly
-    * the reader-grace window the one-batch cache staleness needs),
-    * then compact every `compactEvery` batches (the single-writer
-    * seat; the bucket-relative threshold makes it a skip until real
-    * accrual), so a long-running admitting stream's version count,
-    * disk, and catalog entries stay bounded.
+    * `"<admitId>-<batchId>"`, compact every `compactEvery` batches
+    * (the single-writer seat; the bucket-relative threshold makes it a
+    * skip until real accrual), drain queued takedowns, and prune — so
+    * a long-running admitting stream's version count, disk, and
+    * catalog entries stay bounded.
     *
-    * ORDER MATTERS: prune runs BEFORE compact. A compacting batch
-    * otherwise creates two versions (append → v+1, compact → v+2)
-    * before prune(keep = 2) runs, deleting version v — the version
-    * THIS batch's probe read and whose frames the [[VersionedCache]]
-    * still pins: an evicted cached partition recomputing from the
-    * deleted files (or a caller-held lazy pairs frame) would hit
-    * FileNotFoundException. Prune-first keeps v through the batch
-    * that probed it; it is deleted one batch later, after the cache
-    * has moved off it — the documented one-version reader grace. Disk
-    * holds at most three versions transiently on a compacting batch.
+    * READER GRACE, the invariant every step here must respect: the
+    * version THIS batch's probe read (call it v) must survive the
+    * batch. The [[VersionedCache]] still pins v's frames — an evicted
+    * cached partition recomputing from deleted files (or a caller-held
+    * lazy pairs frame) would hit FileNotFoundException. The mechanism:
+    * every pointer bump this batch ACTUALLY performs is counted (a
+    * replayed append and a below-threshold compact return false — no
+    * pointer move, no count), and ONE prune runs at the end with
+    * `keep = bumps + 1`: all versions this batch created, plus v.
+    * Version v is then dropped one batch LATER, by that batch's prune,
+    * after the cache has moved off it. A fixed-keep prune after each
+    * step (the previous design) broke exactly here: an admitting batch
+    * that also drained a takedown bumped twice after its prune and
+    * deleted v (r16 ADVICE) — and a drain of N requests bumped N
+    * times, outrunning ANY fixed keep, which is why the drain now
+    * folds all requests into ONE [[graft.analytics.IndexTombstones
+    * .deleteAll]] version. Disk transiently holds at most
+    * bumps + 1 ≤ 5 versions (append + compact + drain + auto-purge).
+    *
+    * TAKEDOWNS drain AFTER the batch's admission, from the same writer
+    * thread — the only seat that cannot trip the single-writer check —
+    * and regardless of batch emptiness (a takedown must not wait on
+    * data).
+    *
+    * AUTO-PURGE (the lakehouse-standard policy): after a drain applies
+    * fresh tombstones, if |tombstones| / |corpus| has crossed
+    * `spark.graft.index.purge.ratio` (default 0.05; set ≤ 0 or `off`
+    * to disable), the PHYSICAL purge fires right here at the
+    * maintenance seat — without it a delete-heavy stream accretes
+    * tombstones and pays the probe-side anti-join forever, and the
+    * compliance story stays "logical until someone remembers". The
+    * ratio check is two parquet-footer counts, paid only on a draining
+    * batch (never per batch); purge itself is priced at
+    * O(affected buckets) for id-bucketed tables ([[graft.analytics
+    * .IndexTombstones]]).
     */
   private def maintain(admitId: Option[String], compactEvery: Int,
-      batchId: Long, nonEmpty: Boolean, append: String => Unit,
-      compact: () => Unit, prune: () => Unit,
+      batchId: Long, nonEmpty: Boolean, append: String => Boolean,
+      compact: () => Boolean, prune: Int => Unit,
       takedowns: Option[TakedownQueue] = None,
-      delete: (Seq[Long], String) => Unit = (_, _) => ()): Unit = {
+      deleteAll: Seq[(Seq[Long], String)] => Boolean = _ => false,
+      tombstoneRatio: () => Double = () => 0.0,
+      purge: () => Boolean = () => false,
+      purgeRatioConf: Option[Double] = None): Unit = {
+    var bumps = 0
     admitId.foreach { id =>
       if (nonEmpty) {
-        append(s"$id-$batchId")
-        prune()
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) compact()
+        if (append(s"$id-$batchId")) bumps += 1
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+          compact()) bumps += 1
       }
     }
-    // takedowns drain AFTER the batch's admission, from the same writer
-    // thread — the only seat that cannot trip the single-writer check —
-    // and regardless of batch emptiness (a takedown must not wait on
-    // data). prune() after keeps versions bounded on delete-heavy runs.
     takedowns.foreach { tq =>
       val reqs = tq.drain()
-      if (reqs.nonEmpty) {
-        reqs.foreach { case (ids, d) => delete(ids, d) }
-        prune()
+      if (reqs.nonEmpty && deleteAll(reqs)) {
+        bumps += 1
+        if (purgeRatioConf.exists(r => tombstoneRatio() >= r) && purge())
+          bumps += 1
       }
     }
+    if (bumps > 0) prune(bumps + 1)
   }
+
+  /** The auto-purge threshold from session conf — `None` disables
+    * (value ≤ 0 or the literal `off`). See [[maintain]].
+    */
+  private[streaming] def purgeRatioOf(
+      spark: org.apache.spark.sql.SparkSession): Option[Double] =
+    spark.conf.getOption("spark.graft.index.purge.ratio")
+      .getOrElse("0.05") match {
+      case "off" => None
+      case s => scala.util.Try(s.toDouble).toOption.filter(_ > 0)
+    }
 
   /** CACHE-IF-FITS: the frames a face's [[VersionedCache]] persists —
     * ALL of them while the artifact fits the session's storage budget,

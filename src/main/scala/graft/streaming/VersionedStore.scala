@@ -125,6 +125,14 @@ private[graft] object VersionedStore {
   }
 }
 
+/** One-pointer-read view of an artifact version: build meta, table
+  * paths, and the (optional) sidecar dir, all from the SAME version —
+  * what [[VersionedArtifact.snapshot]] hands a reader so no concurrent
+  * lifecycle step can mix versions across its fields.
+  */
+private[graft] final case class ArtifactSnapshot(meta: Map[String, String],
+    paths: Map[String, String], extra: Option[File])
+
 /** The versioned-ARTIFACT lifecycle shared by the durable index stores
   * ([[graft.analytics.DedupIndex]], [[graft.analytics.ContainIndex]]):
   * immutable `v{N}/<table>` parquet dirs behind the atomic `_CURRENT`
@@ -165,13 +173,31 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     * lifecycle carries but the family doesn't list in its `Tables` —
     * e.g. the tombstone set), if present. Resolved against one pointer
     * read like [[snapshotPaths]]; callers needing sidecar + tables from
-    * the SAME snapshot should resolve the version dir once via
-    * snapshotPaths and derive (single-writer contract makes the races
-    * benign for the sidecars' semantics: tombstones only ever filter).
+    * the SAME version must use [[snapshot]] instead — two independent
+    * pointer reads can straddle a PURGE, pairing pre-purge table paths
+    * (deleted rows present) with an already-dropped sidecar (no
+    * filter), transiently resurfacing deleted pairs.
     */
   def extraPath(name: String): Option[File] = {
     val f = new File(requireDir, name)
     if (f.isDirectory) Some(f) else None
+  }
+
+  /** Everything a reader needs — meta, table paths, and the sidecar —
+    * resolved against ONE pointer read, so no lifecycle step (admission,
+    * compaction, purge) can hand a load a mixed version. The per-field
+    * accessors ([[meta]]/[[snapshotPaths]]/[[extraPath]]) each re-read
+    * the pointer; a purge swapping between a table read and a sidecar
+    * read would serve pre-purge tables WITHOUT their tombstone filter —
+    * the one sidecar race that is NOT benign.
+    */
+  def snapshot(tables: Seq[String], extraName: String): ArtifactSnapshot = {
+    val cur = requireDir
+    val extra = new File(cur, extraName)
+    ArtifactSnapshot(
+      meta = readMeta(cur),
+      paths = tables.map(t => t -> new File(cur, t).toString).toMap,
+      extra = if (extra.isDirectory) Some(extra) else None)
   }
 
   /** Hard-link every SIDECAR directory of `cur` (a subdir not in
@@ -275,22 +301,46 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     * newlines would break the very idempotence this records — rejected.
     */
   def admit(deltaId: String, tables: Seq[String],
-      write: File => Unit): Boolean = {
-    require(!deltaId.contains('\n') && deltaId.nonEmpty,
-      s"deltaId must be non-empty and newline-free: ${deltaId.take(40)}")
+      write: File => Unit): Boolean =
+    admitAll(Seq(deltaId -> write), tables)
+
+  /** [[admit]] for a BATCH of deltas in ONE version bump: each
+    * not-yet-applied delta's `write` runs into the same new version dir,
+    * all their ids are recorded together, one pointer swap commits.
+    * Already-applied ids are skipped individually, so a retried mixed
+    * batch applies exactly the fresh remainder — the per-delta
+    * idempotence contract is unchanged, only the version-bump count
+    * differs. This is what lets a takedown drain of N requests cost one
+    * version instead of N (the reader-grace prune after the drain then
+    * has a FIXED number of in-batch versions to keep — see
+    * `IngestDedup.maintain`). Returns false iff every delta was already
+    * applied (no version was created).
+    */
+  def admitAll(deltas: Seq[(String, File => Unit)],
+      tables: Seq[String]): Boolean = {
+    deltas.foreach { case (deltaId, _) =>
+      require(!deltaId.contains('\n') && deltaId.nonEmpty,
+        s"deltaId must be non-empty and newline-free: ${deltaId.take(40)}")
+    }
     val curV = currentVersion.getOrElse(
       throw new IllegalStateException(s"no artifact at $indexDir — build first"))
     val cur = versionDir(curV)
     val applied = readDeltas(cur)
-    if (applied.contains(deltaId)) false
+    // in-batch duplicate deltaIds collapse to the FIRST occurrence, the
+    // same winner a sequential one-at-a-time application would pick
+    val fresh = deltas.filterNot { case (id, _) => applied.contains(id) }
+      .foldLeft(Vector.empty[(String, File => Unit)]) { (acc, d) =>
+        if (acc.exists(_._1 == d._1)) acc else acc :+ d
+      }
+    if (fresh.isEmpty) false
     else {
       val next = versionDir(curV + 1)
       VersionedStore.clearStale(next)
       tables.foreach(t =>
         VersionedStore.linkTree(new File(cur, t), new File(next, t)))
       linkExtras(cur, next, tables)
-      write(next)
-      writeDeltas(next, applied + deltaId)
+      fresh.foreach { case (_, write) => write(next) }
+      writeDeltas(next, applied ++ fresh.map(_._1))
       writeMeta(next, readMeta(cur))
       // tripwire, not a lock: a concurrent admission moved the pointer —
       // swapping now would orphan its delta, so fail loudly instead

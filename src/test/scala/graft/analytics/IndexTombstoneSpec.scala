@@ -107,6 +107,51 @@ class IndexTombstoneSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), "purge lost the bucketed layout")
   }
 
+  test("deleteAll: N requests fold into ONE version bump; applied " +
+      "deltaIds skip individually on a retried mixed batch") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-tomb-fold").toString
+    val corpus = docs.filter($"doc_id" % 5 =!= 4)
+    DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    val before = pairSet(DedupIndex.probe(spark, idx, delta))
+    val ids = before.map(_._1).toSeq.sorted
+    assert(ids.size >= 2, "fixture must yield two corpus-side pair ids")
+    val v0 = DedupIndex.currentVersion(idx).get
+
+    // two queued requests fold into ONE version — the drain shape that
+    // keeps the post-drain reader-grace prune bounded
+    assert(DedupIndex.deleteAll(spark, idx, Seq(
+      Seq(ids(0)).toDF("doc_id") -> "td-fold-1",
+      Seq(ids(1)).toDF("doc_id") -> "td-fold-2")))
+    assert(DedupIndex.currentVersion(idx).contains(v0 + 1),
+      "a folded two-request delete must bump the version exactly once")
+    val after = pairSet(DedupIndex.probe(spark, idx, delta))
+    assert(after === before.filterNot(p =>
+      Set(ids(0), ids(1)).contains(p._1) ||
+        Set(ids(0), ids(1)).contains(p._2)),
+      "both folded requests must filter the probe")
+
+    // retried MIXED batch: td-fold-2 already applied (skipped), td-fold-3
+    // fresh (applied) — one bump, fresh remainder only
+    assert(DedupIndex.deleteAll(spark, idx, Seq(
+      Seq(ids(1)).toDF("doc_id") -> "td-fold-2",
+      Seq(ids(0)).toDF("doc_id") -> "td-fold-3")))
+    assert(DedupIndex.currentVersion(idx).contains(v0 + 2))
+    assert(DedupIndex.appliedDeltas(idx)
+      .intersect(Set("td-fold-1", "td-fold-2", "td-fold-3")).size == 3,
+      "the applied-delta ledger (the takedown acknowledgement check) " +
+        "must carry every folded deltaId")
+
+    // fully-applied retry: no version is created at all
+    assert(!DedupIndex.deleteAll(spark, idx, Seq(
+      Seq(ids(0)).toDF("doc_id") -> "td-fold-1",
+      Seq(ids(1)).toDF("doc_id") -> "td-fold-3")))
+    assert(DedupIndex.currentVersion(idx).contains(v0 + 2),
+      "an all-applied retry must not move the pointer")
+  }
+
   test("embedding: delete filters the SRP probe, purge removes") {
     import spark.implicits._
     val vecs = graft.GraftSession.table(spark, dir, "embeddings")

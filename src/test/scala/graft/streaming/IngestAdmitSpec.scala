@@ -295,6 +295,130 @@ class IngestAdmitSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("takedown drain reader grace: the version this batch's probe " +
+      "read survives a batch that appends AND drains two requests " +
+      "(folded into one version bump)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-grace-idx").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    val tq = new TakedownQueue
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[IngestDoc]
+    val prevRatio = spark.conf.getOption("spark.graft.index.purge.ratio")
+    // auto-purge off: this test pins the prune arithmetic and a fired
+    // purge would add its own (legitimate) bump
+    spark.conf.set("spark.graft.index.purge.ratio", "off")
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-grace-ck").toString,
+      admitId = Some("grace"), takedowns = Some(tq)) { (pairs, batchId) =>
+        pairs.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), batchId)))
+      }
+    try {
+      input.addData(delta); q.processAllAvailable()
+      val matched = got.filter(_._3 == 0L).map(_._1).distinct.sorted
+      assert(matched.nonEmpty, "fixture must contain cross-split pairs")
+      // the version batch 1's probe will read (batch 0's admission)
+      val vProbed = graft.analytics.DedupIndex.currentVersion(idx).get
+      // two requests under distinct deltaIds — the pre-fix design
+      // bumped once per request and its fixed-keep prune then deleted
+      // the probed version within the same batch (r16 ADVICE)
+      tq.request(Seq(matched.head), "grace-td-1")
+      tq.request(Seq(matched.last), "grace-td-2")
+      val b1 = delta.map(d => d.copy(doc_id = d.doc_id + 990000000L))
+      input.addData(b1); q.processAllAvailable()
+      assert(tq.isEmpty, "the loop did not drain the takedown queue")
+      // batch 1 bumped exactly twice: its append + ONE folded delete
+      assert(graft.analytics.DedupIndex.currentVersion(idx)
+        .contains(vProbed + 2),
+        "a two-request drain must fold into one version bump")
+      assert(new java.io.File(idx, s"v$vProbed").isDirectory,
+        "reader grace violated: the version batch 1's probe read was " +
+          "pruned within the batch that read it")
+      // the next (drain-free) batch's prune drops it — versions bounded
+      val b2 = delta.map(d => d.copy(doc_id = d.doc_id + 995000000L))
+      input.addData(b2); q.processAllAvailable()
+      assert(q.isActive)
+      val versions = new java.io.File(idx).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      assert(versions <= 2,
+        s"steady state must return to keep=2 (found $versions versions)")
+    } finally {
+      q.stop()
+      prevRatio.fold(spark.conf.unset("spark.graft.index.purge.ratio"))(
+        spark.conf.set("spark.graft.index.purge.ratio", _))
+    }
+  }
+
+  test("auto-purge: a drain crossing spark.graft.index.purge.ratio " +
+      "fires the physical purge from the writer seat — sidecar dropped, " +
+      "rows gone, probe output unchanged, stream alive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-apurge-idx").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    val tq = new TakedownQueue
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[IngestDoc]
+    val prevRatio = spark.conf.getOption("spark.graft.index.purge.ratio")
+    // any tombstone at all crosses this threshold
+    spark.conf.set("spark.graft.index.purge.ratio", "0.001")
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-apurge-ck").toString,
+      admitId = Some("apurge"), takedowns = Some(tq)) { (pairs, batchId) =>
+        pairs.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), batchId)))
+      }
+    try {
+      input.addData(delta); q.processAllAvailable()
+      val matched = got.filter(_._3 == 0L).map(_._1).distinct.sorted
+      assert(matched.nonEmpty, "fixture must contain cross-split pairs")
+      val dropId = matched.head
+      tq.request(Seq(dropId), "apurge-td-1")
+      val b1 = delta.map(d => d.copy(doc_id = d.doc_id + 990000000L))
+      input.addData(b1); q.processAllAvailable()
+      assert(tq.isEmpty, "the loop did not drain the takedown queue")
+      // purge fired at the maintenance seat: the CURRENT version holds
+      // no tombstone sidecar and the rows are physically gone
+      val cur = graft.analytics.DedupIndex.currentVersion(idx).get
+      val ver = new java.io.File(idx, s"v$cur")
+      assert(!new java.io.File(ver, "tombstones").exists(),
+        "auto-purge did not drop the tombstone sidecar")
+      val sigIds = spark.read.parquet(
+        new java.io.File(ver, "signatures").getAbsolutePath)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(!sigIds.contains(dropId),
+        "auto-purge left the tombstoned row in signatures")
+      // the probe stays filtered (now physically, not logically)
+      val b2 = delta.map(d => d.copy(doc_id = d.doc_id + 995000000L))
+      input.addData(b2); q.processAllAvailable()
+      val batch2 = got.filter(_._3 == 2L)
+      assert(batch2.nonEmpty, "batch 2 must still report surviving pairs")
+      assert(batch2.forall(_._1 != dropId),
+        s"batch 2 reported pairs against the purged corpus id $dropId")
+      assert(q.isActive, "auto-purge tripped the single-writer check")
+    } finally {
+      q.stop()
+      prevRatio.fold(spark.conf.unset("spark.graft.index.purge.ratio"))(
+        spark.conf.set("spark.graft.index.purge.ratio", _))
+    }
+  }
+
   test("containment and embedding faces admit with the same contract") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
