@@ -166,8 +166,8 @@ object Bench {
       "q_dedup_incremental256" -> "durable-index consumer (own 32x8/256-shaped artifact, fingerprint+shape keyed; cold pass 1 pays its build)",
       "q_dedup_embedding_incremental_wide" -> "durable-index consumer (own Wide-shaped SrpIndex artifact; cold pass 1 pays its build)",
       "q_dedup_embedding_wide_planted" -> "durable-index consumer (own full-corpus Wide SrpIndex artifact; cold pass 1 pays its build; delta = planted near-dup copies)",
-      "q_dedup_simhash" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash agg+bands)",
-      "q_dedup_simhash64" -> "dedup-chain member (reuses prebuilt shingles; cold: simhash64 agg+bands)",
+      "q_dedup_simhash" -> "dedup-chain member (reads the durable sketch table; its one-pass dual-sketch build rides chain_build)",
+      "q_dedup_simhash64" -> "dedup-chain member (reads the durable sketch table; build rides chain_build)",
       "q_neighbor_topk" -> "dedup-chain member (reuses prebuilt pair set)",
       "q_knn_ivf_kmeans" -> "ANN index consumer (trains coarse k-means only if no memo/artifact)",
       "q_knn_pq" -> "ANN index consumer (trains PQ books only if no memo/artifact)",

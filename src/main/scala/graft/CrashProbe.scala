@@ -1,0 +1,49 @@
+package graft
+
+/** Child-JVM fault injector for the crash-recovery rehearsal
+  * (`CrashRecoverySpec` forks this main): opens the artifact at
+  * `args(1)` and runs ONE lifecycle step, installing `Runtime.halt(137)`
+  * at the [[graft.streaming.Faults]] point named by `args(2)` — halt is
+  * the SIGKILL equivalent (no stack unwinding, no finally blocks, no
+  * shutdown hooks), so the parent observes a genuinely dead process
+  * whose last on-disk state is a torn next-version dir with the
+  * pointer still on the committed version. Exit codes: 137 = halted at
+  * the requested point (the rehearsal's success path); 0 = the step
+  * completed WITHOUT reaching the point — the spec fails on that,
+  * because a rehearsal that didn't crash proved nothing.
+  *
+  *   runMain graft.CrashProbe compact <indexDir> compact.table.signatures
+  *   runMain graft.CrashProbe purge   <indexDir> purge.precommit
+  *   runMain graft.CrashProbe admit   <indexDir> admit.precommit
+  */
+object CrashProbe {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val idx = args(1)
+    val point = args(2)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-crashprobe")
+    spark.sparkContext.setLogLevel("WARN")
+    graft.streaming.Faults.handler = p =>
+      if (p == point) {
+        System.err.println(s"[crashprobe] halting at $p")
+        Runtime.getRuntime.halt(137)
+      }
+    mode match {
+      case "compact" =>
+        // maxFiles = 0: threshold collapses to the bucket floor, so any
+        // admission accrual forces the rewrite (same as the specs)
+        graft.analytics.DedupIndex.compact(spark, idx, maxFiles = 0)
+      case "purge" =>
+        graft.analytics.DedupIndex.purge(spark, idx)
+      case "admit" =>
+        import spark.implicits._
+        graft.analytics.DedupIndex.delete(spark, idx,
+          Seq(1L).toDF("doc_id"), "crash-admit-td")
+      case other => sys.error(s"unknown mode $other")
+    }
+    // reaching here means the injection point never fired
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -342,6 +342,10 @@ object DedupQueries {
     */
   def buildChain(spark: SparkSession, dir: String): Unit = {
     qDedupMinhashLsh(spark, dir).count()
+    // the simhash sketch table is chain state too (shared by the 32- and
+    // 60-bit faces): building it here keeps the one-time cost in the
+    // chain_build row instead of landing on whichever consumer runs first
+    simhashSketches(spark, dir).count()
     ()
   }
 
@@ -1127,19 +1131,51 @@ object DedupQueries {
     * pairs; bucket-mates scale with near-dup density instead). At larger
     * corpora widen the sketch (64-bit, 16-bit bands) — same plan shape.
     */
+  /** BOTH simhash sketches (32-bit and 60-bit), one row per doc, as a
+    * durable chain table — computed in ONE pass over the shingle chain
+    * (a single ObjectHashAggregate carrying two
+    * `TypedImperativeAggregate`s with map-side partial merge). The
+    * sketch is 1 row/doc, so materializing it turns every simhash
+    * consumer from "shuffle the full multi-million-row shingle set,
+    * then aggregate" (the per-run tax the r16 verdict flagged:
+    * q_dedup_simhash 0.195 → ~0.43 s after the shingle chain moved
+    * from a doc_id-partitioned heap cache to parquet, whose read
+    * loses the partitioning and re-shuffles per run) into "read a
+    * corpus-cardinality parquet and band-join it". Same architecture
+    * as the minhash pair chain and the ANN artifacts: sketches are
+    * standing-index state, sessions load them, they don't re-derive
+    * them — at 100 TB re-simhashing the corpus per query was never
+    * the plan.
+    */
+  private def simhashSketches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    chainTable(spark, dir, "simhash") {
+      docShingles(spark, dir)
+        .select($"doc_id", $"hp",
+          ($"hp" % lit(1073741824L) +
+            ($"hp2" % lit(1073741824L)) * lit(1073741824L)).as("h60"))
+        .groupBy($"doc_id")
+        .agg(expr("graft_simhash32(hp)").as("sim32"),
+          expr("graft_simhash60(h60)").as("sim60"))
+    }
+  }
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     // docShingles is distinct on SHINGLE STRINGS before hashing (exactly
     // the oracle's set semantics — the bit-majority REQUIRES the set);
-    // `hp` is the Karp–Rabin kernel's hash of each distinct shingle
-    // ONE custom aggregate ([[graft.functions.SimHash32]]) instead of 32
-    // sum(CASE …) columns — collapses the Janino-heavy wide plan into a
-    // single ObjectHashAggregate with map-side partial merge
-    val sim = docShingles(spark, dir).groupBy($"doc_id")
-      .agg(expr("graft_simhash32(hp)").as("sim"))
-      // persisted: both self-join sides scan it; cache output partitioning
-      // (doc_id from the groupBy) also feeds the band shuffle cheaply
+    // the sketch itself loads from the durable chain ([[simhashSketches]]
+    // — corpus-cardinality); persisted because BOTH self-join sides scan
+    // it. The repartition is load-bearing: the sketch parquet is ONE
+    // small file, so without it the scan is a single split and the
+    // whole explode→join→partial-distinct pipeline (the multi-million
+    // candidate mass) runs on ONE task — measured 1.2–2.2 s vs ~0.3 s
+    // 32-way; the shuffle being repartitioned is 1 row/doc, noise
+    val sim = simhashSketches(spark, dir)
+      .select($"doc_id", $"sim32".as("sim"))
+      .repartition(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sim.select($"doc_id", $"sim",
       explode(array((0 until 4).map(b =>
@@ -1192,12 +1228,12 @@ object DedupQueries {
     val width = 60 / bands
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    val sim = docShingles(spark, dir)
-      .select($"doc_id",
-        ($"hp" % lit(1073741824L) +
-          ($"hp2" % lit(1073741824L)) * lit(1073741824L)).as("h60"))
-      .groupBy($"doc_id")
-      .agg(expr("graft_simhash60(h60)").as("sim"))
+    // repartition: single-file sketch scan → 32-way pipeline (see
+    // [[qDedupSimhash]])
+    val sim = simhashSketches(spark, dir)
+      .select($"doc_id", $"sim60".as("sim"))
+      .repartition(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sim.select($"doc_id", $"sim",
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -125,6 +125,21 @@ private[graft] object VersionedStore {
   }
 }
 
+/** Test-only fault injection for the crash-recovery rehearsals
+  * (`CrashRecoverySpec` / `graft.CrashProbe`): [[inject]] points sit
+  * between a lifecycle transaction's data writes and its pointer
+  * commit — the window where a SIGKILL leaves a torn next-version dir.
+  * Production never sets [[handler]]; the default is a no-op and the
+  * call is a single volatile read. The rehearsal forks a CHILD JVM
+  * that installs `Runtime.halt` at a chosen point (halt = the SIGKILL
+  * equivalent: no unwinding, no finally, no shutdown hooks) so the
+  * PARENT can assert recovery from a real dead-process state.
+  */
+private[graft] object Faults {
+  @volatile var handler: String => Unit = _ => ()
+  @inline def inject(point: String): Unit = handler(point)
+}
+
 /** One-pointer-read view of an artifact version: build meta, table
   * paths, and the (optional) sidecar dir, all from the SAME version —
   * what [[VersionedArtifact.snapshot]] hands a reader so no concurrent
@@ -340,6 +355,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
         VersionedStore.linkTree(new File(cur, t), new File(next, t)))
       linkExtras(cur, next, tables)
       fresh.foreach { case (_, write) => write(next) }
+      Faults.inject("admit.precommit")
       writeDeltas(next, applied ++ fresh.map(_._1))
       writeMeta(next, readMeta(cur))
       // tripwire, not a lock: a concurrent admission moved the pointer —
@@ -484,7 +500,9 @@ private[graft] final class VersionedArtifact(indexDir: String) {
           keep.foreach(f => Files.createLink(
             new File(tgt, f.getName).toPath, f.toPath))
         }
+        Faults.inject(s"compact.table.$t")
       }
+      Faults.inject("compact.precommit")
       writeDeltas(next, readDeltas(cur))
       writeMeta(next, readMeta(cur))
       require(currentVersion.contains(curV),
@@ -557,7 +575,9 @@ private[graft] final class VersionedArtifact(indexDir: String) {
         keep.foreach(f => Files.createLink(
           new File(tgt, f.getName).toPath, f.toPath))
       }
+      Faults.inject(s"purge.table.$t")
     }
+    Faults.inject("purge.precommit")
     writeDeltas(next, readDeltas(cur))
     writeMeta(next, readMeta(cur))
     require(currentVersion.contains(curV),

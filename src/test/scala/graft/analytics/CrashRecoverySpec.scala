@@ -1,0 +1,174 @@
+package graft.analytics
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+
+/** CRASH-RECOVERY rehearsal of the artifact lifecycle with a REAL dead
+  * process (r16 verdict #3): a forked child JVM runs a compacting /
+  * purging step and `Runtime.halt(137)`s at a [[graft.streaming.Faults]]
+  * injection point between the data writes and the pointer commit —
+  * the SIGKILL window. The parent then asserts, against a never-crashed
+  * CONTROL copy of the same artifact:
+  *
+  *   1. POINTER INTEGRITY — the crash left `_CURRENT` on the committed
+  *      version; the torn next-version dir is invisible to readers
+  *      (probe output unchanged, applied-delta ledger intact).
+  *   2. RECOVERY — re-running the step in-process (the "restart")
+  *      clears the torn dir (`clearStale`) and commits; final table
+  *      content (row multisets), ledger, and probe output are
+  *      IDENTICAL to the control's.
+  *
+  * Crash points chosen for the messiest states: `compact.table
+  * .signatures` (first table rewritten into vNext, second not — a
+  * partial table set) and `purge.precommit` (every table rewritten,
+  * sidecar dropped from vNext, pointer not swapped). Together with the
+  * admission-replay specs (`IngestAdmitSpec`), this completes the
+  * at-least-once story for the index lifecycle: every transaction
+  * either committed atomically or left a state the next attempt
+  * rebuilds from scratch.
+  */
+class CrashRecoverySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = {
+    import spark.implicits._
+    graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+  }
+
+  private def rows(idx: String, table: String): Seq[String] = {
+    val cur = graft.analytics.DedupIndex.currentVersion(idx).get
+    spark.read.parquet(new File(new File(idx, s"v$cur"), table)
+      .getAbsolutePath).collect().map(_.toString).toSeq.sorted
+  }
+
+  private def probeSet(idx: String,
+      delta: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    DedupIndex.probe(spark, idx, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = Paths.get(src); val d = Paths.get(dst)
+    Files.walk(s).iterator().asScala.foreach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+  }
+
+  /** Fork `graft.CrashProbe` with this JVM's classpath and module opens;
+    * returns the exit code. 137 = halted at the injection point.
+    */
+  private def fork(mode: String, idx: String, point: String): Int = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    // reconstruct --add-opens pairs however the launcher passed them
+    // (two args or one --add-opens=… arg) — Spark on JDK 17 needs them
+    val opens = in.sliding(2).collect {
+      case List("--add-opens", v) => List("--add-opens", v)
+    }.flatten.toList ++ in.filter(_.startsWith("--add-opens="))
+    val cmd = List(javaBin) ++ opens ++ List(
+      "-Xmx3g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.CrashProbe", mode, idx, point)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val rc = p.waitFor()
+    info(s"[fork $mode@$point] rc=$rc " +
+      out.linesIterator.toSeq.takeRight(3).mkString(" | "))
+    rc
+  }
+
+  test("SIGKILL mid-compact and mid-purge: pointer integrity, torn-dir " +
+      "invisibility, and restart parity with a never-crashed control") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-crash-idx").toString
+    val corpus = docs.filter($"doc_id" % 5 =!= 4)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
+    // accrual so compact has something to fold; tombstones so purge
+    // has something to drop
+    val seed = corpus.orderBy($"doc_id").limit(1).collect().head.getString(1)
+    assert(DedupIndex.append(spark,
+      Seq((700001L, seed)).toDF("doc_id", "text"), idx, "crash-delta-1"))
+    val dropIds = probeSet(idx, delta).map(_._1).toSeq.sorted.take(2)
+    assert(dropIds.nonEmpty, "fixture must contain cross-split pairs")
+    assert(DedupIndex.delete(spark, idx, dropIds.toDF("doc_id"), "crash-td"))
+    val probePre = probeSet(idx, delta)
+    val deltasPre = DedupIndex.appliedDeltas(idx)
+    val vPre = DedupIndex.currentVersion(idx).get
+
+    // CONTROL: the same artifact, compact + purge without any crash
+    val control = Files.createTempDirectory("graft-crash-ctl").toString
+    new File(control).delete()
+    copyDir(idx, control)
+    assert(DedupIndex.compact(spark, control, maxFiles = 0) > 0)
+    assert(DedupIndex.purge(spark, control))
+    val ctlSig = rows(control, "signatures")
+    val ctlBands = rows(control, "bands")
+    val ctlDeltas = DedupIndex.appliedDeltas(control)
+    val ctlProbe = probeSet(control, delta)
+
+    // CRASH 1: halt after the FIRST table (signatures) is rewritten
+    // into vNext, before bands and before any commit metadata
+    assert(fork("compact", idx, "compact.table.signatures") == 137,
+      "child must halt at the injection point (0 = point never fired)")
+    assert(DedupIndex.currentVersion(idx).contains(vPre),
+      "crash moved the pointer — swap must be the last step")
+    assert(probeSet(idx, delta) === probePre,
+      "torn compact dir visible to readers")
+    assert(DedupIndex.appliedDeltas(idx) === deltasPre)
+    // RESTART: the retried compact clears the torn dir and commits
+    assert(DedupIndex.compact(spark, idx, maxFiles = 0) > 0)
+    assert(DedupIndex.currentVersion(idx).contains(vPre + 1))
+    assert(probeSet(idx, delta) === probePre,
+      "recovered compact changed probe output")
+
+    // CRASH 2: halt after EVERY purge table is rewritten, pre-commit
+    assert(fork("purge", idx, "purge.precommit") == 137,
+      "child must halt at the injection point (0 = point never fired)")
+    assert(DedupIndex.currentVersion(idx).contains(vPre + 1),
+      "crash moved the pointer — swap must be the last step")
+    assert(probeSet(idx, delta) === probePre,
+      "torn purge dir visible to readers (tombstone filter lost)")
+    // RESTART: the retried purge commits
+    assert(DedupIndex.purge(spark, idx))
+
+    // FINAL PARITY with the never-crashed control: identical table
+    // multisets, ledger, and probe output
+    assert(rows(idx, "signatures") === ctlSig,
+      "post-recovery signatures differ from the never-crashed control")
+    assert(rows(idx, "bands") === ctlBands,
+      "post-recovery bands differ from the never-crashed control")
+    assert(DedupIndex.appliedDeltas(idx) === ctlDeltas)
+    assert(probeSet(idx, delta) === ctlProbe)
+    assert(ctlProbe === probePre, "purge changed probe output")
+  }
+
+  test("SIGKILL mid-admission (takedown delete, pre-commit): the deltaId " +
+      "is NOT recorded, so the caller's re-request applies") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-crash-admit").toString
+    DedupIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx,
+      DedupIndex.Shape.Oracle)
+    val vPre = DedupIndex.currentVersion(idx).get
+    assert(fork("admit", idx, "admit.precommit") == 137)
+    assert(DedupIndex.currentVersion(idx).contains(vPre))
+    assert(!DedupIndex.appliedDeltas(idx).contains("crash-admit-td"),
+      "a crashed admission must not appear applied — the ledger IS the " +
+        "takedown acknowledgement check")
+    // the re-request (the documented caller contract) applies cleanly
+    assert(DedupIndex.delete(spark, idx, Seq(1L).toDF("doc_id"),
+      "crash-admit-td"))
+    assert(DedupIndex.appliedDeltas(idx).contains("crash-admit-td"))
+  }
+}
