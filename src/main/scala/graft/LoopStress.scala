@@ -42,6 +42,9 @@ object LoopStress {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "graft-loopstress")
     import spark.implicits._
+    // the contain/embed faces use graft_* kernels (sorted_and_count,
+    // srp_sig, …) that the oracled entry points normally register
+    graft.functions.VectorFunctions.register(spark)
 
     val t0 = System.nanoTime()
     val bigDir = java.nio.file.Files
@@ -88,8 +91,7 @@ object LoopStress {
         val delta = vecs.filter(isDelta).as[IngestVec]
           .collect().sortBy(_.vec_id).toSeq
         run[IngestVec](spark, copies, nBatches, delta,
-          () => graft.analytics.SrpIndex.build(spark, corpus, idx,
-            graft.analytics.DedupQueries.Srp.Narrow),
+          () => graft.analytics.SrpIndex.build(spark, corpus, idx),
           () => graft.analytics.SrpIndex.artifactBytes(idx),
           (in, ck, admit, sink) => IngestDedup.dedupIngestEmbeddings(
             in, idx, ck, admitId = admit,

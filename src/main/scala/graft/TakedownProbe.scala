@@ -43,6 +43,9 @@ object TakedownProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "graft-takedown")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // srp/contain faces use graft_* kernels the oracled entry points
+    // normally register
+    graft.functions.VectorFunctions.register(spark)
 
     def timed[A](f: => A): (A, Double) = {
       val t = System.nanoTime(); val a = f
@@ -72,8 +75,7 @@ object TakedownProbe {
     val delta = src.filter(isDelta)
 
     def build(): Unit = family match {
-      case "srp" => graft.analytics.SrpIndex.build(spark, corpus, idx,
-        graft.analytics.DedupQueries.Srp.Narrow)
+      case "srp" => graft.analytics.SrpIndex.build(spark, corpus, idx)
       case "contain" => graft.analytics.ContainIndex.build(spark, corpus, idx)
       case _ => graft.analytics.DedupIndex.build(spark, corpus, idx)
     }

@@ -181,17 +181,25 @@ object ContainIndex {
   private def writeBucketed(family: String, sh: DataFrame,
       dfForRank: DataFrame, ver: File, meta: Map[String, String],
       overwrite: Boolean): Unit = {
-    val r = DedupQueries.containRanked(sh, dfForRank)
-    if (overwrite)
-      IndexLayout.writeInto(dfForRank, family, "df", ver,
-        IndexLayout.specOf(meta, "df"), overwrite)
-    IndexLayout.writeInto(r.select(col("hx"), col("doc_id")), family,
-      "tokens", ver, IndexLayout.specOf(meta, "tokens"), overwrite)
-    IndexLayout.writeInto(
-      DedupQueries.containPrefix(r).select(col("hx"), col("doc_id")),
-      family, "prefix", ver, IndexLayout.specOf(meta, "prefix"), overwrite)
-    IndexLayout.writeInto(setsOf(sh), family, "sets", ver,
-      IndexLayout.specOf(meta, "sets"), overwrite)
+    val r0 = DedupQueries.containRanked(sh, dfForRank)
+    // append path: r is DELTA-sized — persist it so the tokens and
+    // prefix writes don't each re-pay the df-rank scan (two corpus-df
+    // passes per admission, 2 × 16.7 s at the 100× rehearsal's 60 M-row
+    // df). Build keeps the lazy form: its r is corpus-sized.
+    val r = if (overwrite) r0
+      else r0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (overwrite)
+        IndexLayout.writeInto(dfForRank, family, "df", ver,
+          IndexLayout.specOf(meta, "df"), overwrite)
+      IndexLayout.writeInto(r.select(col("hx"), col("doc_id")), family,
+        "tokens", ver, IndexLayout.specOf(meta, "tokens"), overwrite)
+      IndexLayout.writeInto(
+        DedupQueries.containPrefix(r).select(col("hx"), col("doc_id")),
+        family, "prefix", ver, IndexLayout.specOf(meta, "prefix"), overwrite)
+      IndexLayout.writeInto(setsOf(sh), family, "sets", ver,
+        IndexLayout.specOf(meta, "sets"), overwrite)
+    } finally if (!overwrite) { r.unpersist(); () }
   }
 
   /** ADMIT a delta (probe-then-admit lifecycle): true if admitted, false
@@ -206,27 +214,40 @@ object ContainIndex {
       deltaId: String): Boolean = {
     val meta = artifact(indexDir).meta
     val corpusDfPath = artifact(indexDir).tablePath("df")
+    // rank against the DELTA-SHRUNK frozen df — the same trick the
+    // micro probe uses (`probeRaw`'s dfForRank): containRanked's left
+    // join cannot broadcast its preserved side, so handing it the full
+    // df table exchange+sorts the corpus's token statistics on EVERY
+    // admission — at the 100× rehearsal's 60 M-row (498 MB) df that was
+    // 16.7 s per pass, twice per append (tokens + prefix both derive
+    // from r). Shrinking first makes df STREAM once against the
+    // broadcast token set; the shrunk frame is delta-bounded and itself
+    // broadcastable. Semantically a no-op: the left join only ever
+    // matches the delta's own tokens, and unseen tokens coalesce to
+    // df 0 (rarest) either way.
+    def shrunk(sh: DataFrame): DataFrame =
+      broadcast(spark.read.parquet(corpusDfPath)
+        .join(broadcast(sh.select(col("hx")).distinct()), "hx"))
     if (!IndexLayout.isBucketed(meta))
       artifact(indexDir).admit(deltaId, Tables, { next =>
         val sh = shingled(docs).persist()
-        try {
-          val corpusDf = spark.read.parquet(corpusDfPath)
-          writePostings(DedupQueries.containRanked(sh, corpusDf), sh, next,
-            "append")
-        } finally { sh.unpersist(); () }
+        try
+          writePostings(DedupQueries.containRanked(sh, shrunk(sh)), sh,
+            next, "append")
+        finally { sh.unpersist(); () }
       })
     else {
       val family = IndexLayout.familyOf(indexDir)
       artifact(indexDir).admit(deltaId, Tables, { next =>
         val sh = shingled(docs).persist()
-        try {
+        try
           // frozen corpus df, read as plain parquet from the snapshot
           // path (bucket metadata is a read-side catalog concern; the
           // files are ordinary parquet) — df itself is NOT rewritten,
           // same frozen-df contract as the directory admit
-          writeBucketed(family, sh, spark.read.parquet(corpusDfPath),
-            next, meta, overwrite = false)
-        } finally { sh.unpersist(); () }
+          writeBucketed(family, sh, shrunk(sh), next, meta,
+            overwrite = false)
+        finally { sh.unpersist(); () }
       })
     }
   }
