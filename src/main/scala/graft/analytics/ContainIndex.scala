@@ -209,6 +209,21 @@ object ContainIndex {
     * precisely what keeps admission O(|delta|): a df rewrite would be a
     * corpus-sized job on every ingest. Re-freshen df with a periodic
     * [[build]] when probe cost drifts.
+    *
+    * KNOWN LIMIT — write fan-out is O(touched buckets), not O(|delta|):
+    * the bucketed writer emits one file per non-empty bucket per table,
+    * and a delta's tokens touch ~every bucket, so each admission writes
+    * ~3 × buckets files regardless of delta size (measured ~3–5 s of
+    * the admission wall at the 100× rehearsal's 64 buckets; the
+    * bucket-granular compaction folds the accrual back to ≤ 2 files per
+    * bucket). Fine while `compactEvery` keeps file counts bounded and
+    * buckets stay in the hundreds; at a 100 TB deployment's thousands
+    * of buckets the documented upgrade is L0 ACCRUAL — admissions write
+    * a handful of UNBUCKETED delta files per table (readers union them
+    * with the pruned bucketed base; they are delta-sized, so scanning
+    * them whole is free) and compaction alone folds them into buckets —
+    * the standard LSM/lakehouse shape, same trade as
+    * `VersionedArtifact.compactBucketed`'s geometric-chain note.
     */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
       deltaId: String): Boolean = {
