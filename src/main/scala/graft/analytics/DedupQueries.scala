@@ -412,9 +412,11 @@ object DedupQueries {
     val corpus = docs.filter(col("doc_id") % 5 =!= 4)
     if (!DedupIndex.hasCurrent(idx))
       DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
+    // the deltaId ENCODES the slice: a changed predicate must not no-op
+    // against an artifact that applied the old one under the same id
     DedupIndex.delete(spark, idx,
       corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
-      "takedown-0")
+      "takedown-mod7-3")
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
@@ -1090,7 +1092,7 @@ object DedupQueries {
       ContainIndex.build(spark, corpus, idx)
     ContainIndex.delete(spark, idx,
       corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
-      "takedown-0")
+      "takedown-mod7-3")
     ContainIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
@@ -1489,6 +1491,37 @@ object DedupQueries {
     SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
   }
 
+  /** [[qDedupEmbeddingIncremental]] after a TAKEDOWN — the embedding
+    * family's deletion face, completing the oracled takedown trio
+    * (dedup / containment / embedding): a deterministic slice of the
+    * indexed corpus (vec_id % 8 = 6 — chosen to intersect the pair
+    * mass at BOTH gate scales: drops 1 of sf0.01's 2 pairs and 2 of
+    * sf0.1's 21, so the row is non-vacuous everywhere) is tombstoned
+    * ([[SrpIndex.delete]], the [[IndexTombstones]] logical phase) and
+    * the probe must report exactly the pairs whose corpus side
+    * SURVIVES. Own artifact family (`srp-td`) so the shared `srp`
+    * artifact stays un-deleted; the delete runs unconditionally every
+    * time and converges by deltaId idempotence. Delta ids (% 5 = 4)
+    * are never in the tombstone set (it is drawn from the corpus
+    * slice), so the oracle's one-sided corpus exclusion is exact.
+    */
+  def qDedupEmbeddingTakedown(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = AnnIndex.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val idx = s"${SimilarityQueries.indexRoot}/srp-td-$fp"
+    val vecs = table(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val corpus = vecs.filter($"vec_id" % 5 =!= 4)
+    if (!SrpIndex.hasCurrent(idx))
+      SrpIndex.build(spark, corpus, idx, Srp.Narrow)
+    // the deltaId ENCODES the slice: a changed predicate must not no-op
+    // against an artifact that applied the old one under the same id
+    SrpIndex.delete(spark, idx,
+      corpus.filter($"vec_id" % 8 === 6).select($"vec_id"),
+      "takedown-mod8-6")
+    SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
+  }
+
   /** [[qDedupEmbeddingIncremental]] at the DEFAULT corpus-scale Wide
     * shape (8×16-bit, the [[SrpIndex.build]] default) — drives the
     * production SRP artifact path through the driver's hash gate. Own
@@ -1755,6 +1788,7 @@ object DedupQueries {
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "q_dedup_embedding_lsh64" -> qDedupEmbeddingLsh64,
     "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
+    "q_dedup_embedding_takedown" -> qDedupEmbeddingTakedown,
     "q_dedup_embedding_incremental_wide" -> qDedupEmbeddingIncrementalWide,
     "q_dedup_embedding_wide_planted" -> qDedupEmbeddingWidePlanted,
     "q_dedup_components" -> qDedupComponents,
@@ -2084,6 +2118,13 @@ object DedupQueries {
     "q_dedup_embedding_lsh64" -> embeddingLshOracle(Srp.Wide),
     "q_dedup_embedding_incremental" -> embeddingLshOracle(Srp.Narrow,
       joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
+      outA = "corpus_id", outB = "new_id"),
+    // takedown face: the corpus side additionally excludes the
+    // tombstoned vec_id % 8 = 6 slice (delta ids are % 5 = 4, never
+    // tombstoned, so the one-sided exclusion is exact)
+    "q_dedup_embedding_takedown" -> embeddingLshOracle(Srp.Narrow,
+      joinPred = "a.vec_id % 5 <> 4 AND a.vec_id % 8 <> 6 " +
+        "AND b.vec_id % 5 = 4",
       outA = "corpus_id", outB = "new_id"),
     "q_dedup_embedding_incremental_wide" -> embeddingLshOracle(Srp.Wide,
       joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
