@@ -204,6 +204,11 @@ private[graft] object IndexLayout {
     ()
   }
 
+  /** Default write-task count for the ADMISSION path — see
+    * [[writeInto]]; `spark.graft.index.append.tasks` overrides.
+    */
+  val AppendTasks = 8
+
   /** Bucketed write of one table into a version dir. `overwrite` is the
     * build/compact path (fresh external table over the dir); append is
     * the admission path (register, then append at the SAME modulus —
@@ -215,6 +220,21 @@ private[graft] object IndexLayout {
     * opens a file per bucket it holds rows for (tasks × buckets small
     * files per admission, the accrual [[graft.streaming
     * .VersionedArtifact.compact]] exists to pay down).
+    *
+    * The exchange's PARTITION COUNT differs by path. Hash-partitioning
+    * on the bucket id sends every bucket's rows to exactly ONE task at
+    * ANY partition count, so the one-file-per-bucket property is
+    * independent of parallelism — what the count buys is task
+    * scheduling/open overhead vs per-task work. Build/compact inputs
+    * are corpus-sized: full `spec.buckets`-way parallelism. Admissions
+    * are micro-batches by contract, where one task PER BUCKET is pure
+    * scheduling overhead that scales with the corpus's bucket count,
+    * not the batch (the 100× rehearsal's 3-table containment admission
+    * scheduled 192 tasks to write a 125-doc delta): they write with
+    * [[AppendTasks]] tasks (conf `spark.graft.index.append.tasks`),
+    * each emitting the files of ~buckets/tasks buckets. File COUNT per
+    * admission is still O(touched buckets) — that ceiling is the
+    * documented L0-accrual upgrade (`ContainIndex.append`).
     */
   def writeInto(df: DataFrame, family: String, table: String,
       verDir: File, spec: TableSpec, overwrite: Boolean): Unit = {
@@ -224,7 +244,12 @@ private[graft] object IndexLayout {
     if (overwrite) spark.sql(s"DROP TABLE IF EXISTS $name")
     else { register(spark, family, table, tableDir, spec); () }
     val bucketId = pmod(hash(spec.by.map(col): _*), lit(spec.buckets))
-    val w = df.repartition(spec.buckets, bucketId)
+    val parts =
+      if (overwrite) spec.buckets
+      else math.min(spec.buckets, math.max(1,
+        spark.conf.getOption("spark.graft.index.append.tasks")
+          .map(_.toInt).getOrElse(AppendTasks)))
+    val w = df.repartition(parts, bucketId)
       .write.mode(if (overwrite) "overwrite" else "append")
       .format("parquet")
       .bucketBy(spec.buckets, spec.by.head, spec.by.tail: _*)
