@@ -552,4 +552,28 @@ class IngestAdmitSpec extends SparkSpec {
       "h:1" -> ((4 * gb, 4 * gb)), "h:2" -> ((4 * gb, 4 * gb))),
       "h") === 2 * gb)
   }
+
+  test("purgeRatioOf: default 0.05; explicit value honored; off / " +
+      "non-positive / garbage disable") {
+    val prev = spark.conf.getOption("spark.graft.index.purge.ratio")
+    def set(v: Option[String]): Unit =
+      v.fold(spark.conf.unset("spark.graft.index.purge.ratio"))(
+        spark.conf.set("spark.graft.index.purge.ratio", _))
+    try {
+      set(None)
+      assert(IngestDedup.purgeRatioOf(spark) === Some(0.05))
+      set(Some("0.01"))
+      assert(IngestDedup.purgeRatioOf(spark) === Some(0.01))
+      set(Some("off"))
+      assert(IngestDedup.purgeRatioOf(spark) === None)
+      set(Some("0"))
+      assert(IngestDedup.purgeRatioOf(spark) === None)
+      set(Some("-1"))
+      assert(IngestDedup.purgeRatioOf(spark) === None)
+      // a typo must not crash the maintenance seat mid-stream — it
+      // degrades to disabled (purge stays manual)
+      set(Some("five percent"))
+      assert(IngestDedup.purgeRatioOf(spark) === None)
+    } finally set(prev)
+  }
 }
