@@ -166,6 +166,7 @@ object Bench {
       "q_dedup_incremental256" -> "durable-index consumer (own 32x8/256-shaped artifact, fingerprint+shape keyed; cold pass 1 pays its build)",
       "q_dedup_embedding_incremental_wide" -> "durable-index consumer (own Wide-shaped SrpIndex artifact; cold pass 1 pays its build)",
       "q_dedup_embedding_takedown" -> "durable-index consumer (own srp-td artifact; the delete converges by deltaId idempotence)",
+      "q_dedup_purge" -> "durable-index consumer (own dedup-purge artifact; delete+purge converge — cold pass 1 pays build+purge, later runs no-op both)",
       "q_dedup_embedding_wide_planted" -> "durable-index consumer (own full-corpus Wide SrpIndex artifact; cold pass 1 pays its build; delta = planted near-dup copies)",
       "q_dedup_simhash" -> "dedup-chain member (reads the durable sketch table; its one-pass dual-sketch build rides chain_build)",
       "q_dedup_simhash64" -> "dedup-chain member (reads the durable sketch table; build rides chain_build)",

@@ -420,6 +420,30 @@ object DedupQueries {
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
+  /** [[qDedupIncrementalTakedown]] driven through the PHYSICAL phase:
+    * same tombstoned slice, but the face also runs [[DedupIndex.purge]]
+    * before probing — so the driver's hash gate pins the whole
+    * two-phase contract end to end (rows physically rewritten out,
+    * sidecar dropped, bucket-selective carry, deltas preserved) against
+    * the same exact DuckDB answer as the logical face: purge must be
+    * INVISIBLE to readers. Converges across re-runs: the delete no-ops
+    * by deltaId (the ledger survives the purge — that is the point),
+    * and a purge with no live tombstones returns false without a
+    * version bump. Own artifact family (`dedup-purge`).
+    */
+  def qDedupPurge(spark: SparkSession, dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "dedup-purge")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    if (!DedupIndex.hasCurrent(idx))
+      DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
+    DedupIndex.delete(spark, idx,
+      corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+      "takedown-mod7-3")
+    DedupIndex.purge(spark, idx)
+    DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
   /** [[qDedupIncremental]] at the DEFAULT corpus-scale artifact shape
     * (32×8/256, [[DedupIndex.Shape.Corpus]]) — the face that drives the
     * production build path through the driver's hash gate rather than
@@ -1781,6 +1805,7 @@ object DedupQueries {
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_incremental_takedown" -> qDedupIncrementalTakedown,
+    "q_dedup_purge" -> qDedupPurge,
     "q_dedup_incremental256" -> qDedupIncremental256,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
@@ -2043,6 +2068,12 @@ object DedupQueries {
     // tombstoned doc_id % 7 = 3 slice (delta ids are % 5 = 4, never
     // tombstoned, so the one-sided exclusion is exact)
     "q_dedup_incremental_takedown" ->
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND a.doc_id % 7 <> 3 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    // the PHYSICAL phase must be reader-invisible: same exact answer as
+    // the logical takedown face
+    "q_dedup_purge" ->
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND a.doc_id % 7 <> 3 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
