@@ -1,74 +1,25 @@
 package graft
 object Bench {
 
-  /** Prevents the JIT from eliding the sentinel loops; printed once at
-    * suite end so the value is observably live.
+  /** The sentinel pair lives in [[HostSentinels]] since round 18 (the
+    * probe mains carry it too — a measurement record without its own
+    * idleness proof was the r17 verdict's remaining attribution gap);
+    * the semantics and values here are unchanged from the round-17
+    * record. When query rows read high while sentinel rows sit in the
+    * idle band, the slowdown is in the plans; when the sentinels read
+    * high too, the HOST was loaded and the run is contaminated — what
+    * makes the run of record SELF-attributing (r15 68.0 s / r16
+    * 74.93 s were out of band vs same-code idle triples with the
+    * slowdown diffuse across untouched trivial plans — host contention
+    * — but the record itself couldn't prove it).
     */
-  @volatile private var blackhole: Long = 0L
+  private def cpuSentinel(): Double = HostSentinels.cpu()
 
-  /** Fixed-work PURE-CPU sentinel (zero Spark, zero allocation): 2^28
-    * splitmix64 mixes on one thread. Its wall time depends ONLY on this
-    * process's share of one core — so when a bench run's query rows read
-    * high while its sentinel rows sit in the idle band, the slowdown is
-    * in the plans; when the sentinels read high too, the HOST was loaded
-    * and the run is contaminated. This is what makes the run of record
-    * SELF-attributing: two consecutive official runs (r15 68.0 s, r16
-    * 74.93 s) were out of band vs same-code idle triples (54.9–61.5 s)
-    * with the slowdown diffuse across untouched trivial plans — the
-    * signature of host contention — but the record itself couldn't
-    * prove it.
-    */
-  private def cpuSentinel(): Double = {
-    val t0 = System.nanoTime()
-    var x = 0x9E3779B97F4A7C15L
-    var acc = 0L
-    var i = 0
-    while (i < (1 << 28)) {
-      x += 0x9E3779B97F4A7C15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      acc ^= z ^ (z >>> 31)
-      i += 1
-    }
-    blackhole ^= acc
-    (System.nanoTime() - t0) / 1e9
-  }
+  private def memSentinel(arr: Array[Long]): Double = HostSentinels.mem(arr)
 
-  /** Fixed-work MEMORY-BANDWIDTH sentinel: 8 sequential sweeps over a
-    * 128 MiB long array (≫ LLC, so every sweep streams from DRAM —
-    * ~1 GiB of traffic). Catches the contention the CPU sentinel can't:
-    * a co-tenant saturating memory bandwidth or pushing this process's
-    * pages to the host's slow tier (measured round 5: cold re-reads at
-    * ~50 MB/s under host-side swap). The array allocates and
-    * first-touches ONCE, untimed, at suite start.
-    */
-  private def memSentinel(arr: Array[Long]): Double = {
-    val t0 = System.nanoTime()
-    var s = 0L
-    var sweep = 0
-    while (sweep < 8) {
-      var i = 0
-      while (i < arr.length) { s += arr(i); i += 1 }
-      sweep += 1
-    }
-    blackhole ^= s
-    (System.nanoTime() - t0) / 1e9
-  }
+  private def loadavg(): String = HostSentinels.loadavg()
 
-  private def loadavg(): String =
-    try new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/loadavg")),
-      java.nio.charset.StandardCharsets.UTF_8).trim
-    catch { case _: Throwable => "" }
-
-  private def memAvailableKb(): Long =
-    try new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/meminfo")),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .linesIterator.find(_.startsWith("MemAvailable:"))
-      .map(_.split("\\s+")(1).toLong).getOrElse(-1L)
-    catch { case _: Throwable => -1L }
+  private def memAvailableKb(): Long = HostSentinels.memAvailableKb()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -274,7 +225,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadavg()
     val memAvailEnd = memAvailableKb()
-    System.err.println(s"[bench] blackhole=$blackhole")  // sentinels live
+    System.err.println(
+      s"[bench] blackhole=${HostSentinels.blackhole}")  // sentinels live
     def secArr(xs: Seq[Double]) = xs.map(v =>
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
       .mkString("[", ",", "]")

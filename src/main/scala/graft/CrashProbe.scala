@@ -15,12 +15,22 @@ package graft
   *   runMain graft.CrashProbe compact <indexDir> compact.table.signatures
   *   runMain graft.CrashProbe purge   <indexDir> purge.precommit
   *   runMain graft.CrashProbe admit   <indexDir> admit.precommit
+  *   runMain graft.CrashProbe journal-request <journalDir> <id,id,…> <deltaId>
+  *     (no injection point: journals the takedown request and halts
+  *     immediately after `request` returns — the enqueue-to-drain
+  *     window the journal exists to survive; no Spark session needed)
   */
 object CrashProbe {
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val idx = args(1)
     val point = args(2)
+    if (mode == "journal-request") {
+      new graft.streaming.TakedownQueue(Some(idx))
+        .request(point.split(',').map(_.trim.toLong).toSeq, args(3))
+      System.err.println("[crashprobe] halting after journaled request")
+      Runtime.getRuntime.halt(137)
+    }
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-crashprobe")
     spark.sparkContext.setLogLevel("WARN")

@@ -196,6 +196,11 @@ object TakedownProbe {
         org.apache.spark.sql.streaming.StreamingQuery)(
       implicit enc: org.apache.spark.sql.Encoder[T],
       sqlCtx: org.apache.spark.sql.SQLContext): Seq[Double] = {
+    // the caller prints walls(0..2) as admit / drain / post batches — with
+    // fewer than 3 delta rows grouped() yields fewer batches and the print
+    // would die on an opaque IndexOutOfBounds instead of the real problem
+    require(delta.size >= 3,
+      s"stream leg needs >= 3 delta rows to form its 3 batches, got ${delta.size}")
     val thirds = delta.grouped((delta.size + 2) / 3).toSeq
     val input = MemoryStream[T]
     val ck = java.nio.file.Files

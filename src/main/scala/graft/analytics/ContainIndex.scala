@@ -53,6 +53,14 @@ object ContainIndex {
 
   private val Tables = Seq("tokens", "prefix", "sets", "df")
 
+  /** Distinct-token ceiling for [[append]]'s broadcast df-shrink: 4 M
+    * 8-byte hashes ≈ 32 MB on the wire (plus the shrunk df rows they
+    * key, the same order) — comfortably inside Spark's broadcast limits
+    * with headroom, far past any micro-batch. Above it the shrink joins
+    * shuffle instead of broadcasting.
+    */
+  private val MaxBroadcastTokens = 1L << 22
+
   /** Corpus-build counter — see [[DedupIndex.buildRuns]]. */
   val buildRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -240,9 +248,20 @@ object ContainIndex {
     // broadcastable. Semantically a no-op: the left join only ever
     // matches the delta's own tokens, and unseen tokens coalesce to
     // df 0 (rarest) either way.
-    def shrunk(sh: DataFrame): DataFrame =
-      broadcast(spark.read.parquet(corpusDfPath)
-        .join(broadcast(sh.select(col("hx")).distinct()), "hx"))
+    // The hints are GATED on the delta's distinct-token count: admission
+    // deltas are micro-batches by contract, but append is also a public
+    // batch API, and a large delta's token set (or the shrunk df it keys)
+    // can exceed the broadcast/driver limit — past the gate both joins
+    // fall back to shuffles, trading the per-admission speedup for an
+    // admission that still completes. The count is one delta-sized job
+    // against the caller-persisted shingle frame.
+    def shrunk(sh: DataFrame): DataFrame = {
+      val toks = sh.select(col("hx")).distinct()
+      val corpusDf = spark.read.parquet(corpusDfPath)
+      if (toks.count() <= MaxBroadcastTokens)
+        broadcast(corpusDf.join(broadcast(toks), "hx"))
+      else corpusDf.join(toks, "hx")
+    }
     if (!IndexLayout.isBucketed(meta))
       artifact(indexDir).admit(deltaId, Tables, { next =>
         val sh = shingled(docs).persist()
@@ -342,8 +361,17 @@ object ContainIndex {
     * an efficiency-only drift by the prefix filter's order-independence
     * — the same frozen-df argument [[append]] rests on. Re-freshen with
     * a periodic [[build]].
+    *
+    * `budget` > 0 slices the purge at ≤ budget buckets per call (see
+    * [[graft.streaming.VersionedArtifact.purgeVersionBudgeted]]) —
+    * THIS face is why the budget exists: `tokens`/`prefix` are
+    * token-keyed and rewrite whole, the O(corpus-table) pause that
+    * stalled the admitting stream at the 100× rehearsal. Bucketed
+    * layout only; the plain directory layout (parity fallback, never
+    * the corpus-scale path) always purges in one call.
     */
-  def purge(spark: SparkSession, indexDir: String): Boolean = {
+  def purge(spark: SparkSession, indexDir: String,
+      budget: Int = 0): Boolean = {
     val art = artifact(indexDir)
     IndexTombstones.loadTombstones(spark, art) match {
       case None => false
@@ -370,8 +398,8 @@ object ContainIndex {
             if (spec.by != Seq("doc_id")) None
             else Some(IndexTombstones.affectedBuckets(t, spec.buckets))
           }
-          art.purgeVersionSelective(rewriteTables, Seq("df"),
-              Set(IndexTombstones.Table), affectedOf) {
+          art.purgeVersionBudgeted(rewriteTables, Seq("df"),
+              Set(IndexTombstones.Table), affectedOf, budget) {
             (table, files, tgt) =>
               IndexLayout.writeInto(
                 spark.read.parquet(files.map(_.getAbsolutePath): _*)
@@ -379,10 +407,18 @@ object ContainIndex {
                 family, table, tgt.getParentFile,
                 IndexLayout.specOf(meta, table), overwrite = true)
           }
+          ()
         }
         true
     }
   }
+
+  /** Whether a budget-sliced [[purge]] is mid-flight — what the
+    * maintenance seat polls per batch so a started purge runs to
+    * completion (see `IngestDedup.maintain`).
+    */
+  def purgePending(indexDir: String): Boolean =
+    artifact(indexDir).purgePending
 
   /** Probe with a `(doc_id, text)` delta frame: ordered containment
     * pairs (id_a contained-in id_b, ≥ 0.9) with exactly one side in the

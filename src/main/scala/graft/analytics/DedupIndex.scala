@@ -358,9 +358,13 @@ object DedupIndex {
     * tombstoned docs' rows and drop the sidecar, one pointer swap.
     * O(table) by design — the compliance backstop behind the logical
     * filter, not the hot path ([[IndexTombstones]]). False if there is
-    * nothing to purge.
+    * nothing to purge. `budget` > 0 slices the bucketed-layout purge at
+    * ≤ budget buckets per call (the in-stream auto-purge's stall bound
+    * — see [[graft.streaming.VersionedArtifact.purgeVersionBudgeted]]);
+    * the directory layout always purges whole.
     */
-  def purge(spark: SparkSession, indexDir: String): Boolean = {
+  def purge(spark: SparkSession, indexDir: String,
+      budget: Int = 0): Boolean = {
     val art = artifact(indexDir)
     IndexTombstones.loadTombstones(spark, art) match {
       case None => false
@@ -388,8 +392,8 @@ object DedupIndex {
             if (spec.by != Seq("doc_id")) None
             else Some(IndexTombstones.affectedBuckets(t, spec.buckets))
           }
-          art.purgeVersionSelective(Tables, Nil,
-              Set(IndexTombstones.Table), affectedOf) {
+          art.purgeVersionBudgeted(Tables, Nil,
+              Set(IndexTombstones.Table), affectedOf, budget) {
             (table, files, tgt) =>
               IndexLayout.writeInto(
                 spark.read.parquet(files.map(_.getAbsolutePath): _*)
@@ -397,10 +401,17 @@ object DedupIndex {
                 family, table, tgt.getParentFile,
                 IndexLayout.specOf(meta, table), overwrite = true)
           }
+          ()
         }
         true
     }
   }
+
+  /** Whether a budget-sliced [[purge]] is mid-flight — polled per batch
+    * by the maintenance seat (see `IngestDedup.maintain`).
+    */
+  def purgePending(indexDir: String): Boolean =
+    artifact(indexDir).purgePending
 
   /** Probe the index with a `(doc_id, text)` delta frame: verified
     * near-dup pairs (corpus_id, new_id, jaccard ≥ 0.8) between the delta

@@ -63,7 +63,7 @@ object GraphQueries {
     val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select($"node", (lit(1.0) / $"n_nodes").as("rank"))
-    for (_ <- 1 to 10) {
+    for (i <- 1 to 10) {
       // join by column NAME (rank spine renamed to src): edges/nodes/ranks
       // share lineage, so dataset-qualified refs trip the ambiguous
       // self-join check
@@ -76,6 +76,13 @@ object GraphQueries {
         .select($"node",
           (lit(0.15) / $"n_nodes" +
             lit(0.85) * coalesce($"contrib", lit(0.0))).as("rank"))
+      // truncate the iterative lineage every 4 rounds: the unrolled plan
+      // otherwise deepens by a join+agg per iteration, and analysis/codegen
+      // over the full 10-step tree dominates the wall at small node counts
+      // (and would overflow it outright at higher iteration counts or real
+      // graph sizes). The rank frame is |nodes| rows — materializing it is
+      // the cheap side of the trade at any scale.
+      if (i % 4 == 0 && i < 10) ranks = ranks.localCheckpoint()
     }
     ranks
   }

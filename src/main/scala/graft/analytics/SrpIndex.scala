@@ -267,8 +267,11 @@ object SrpIndex {
   def tombstoneRatio(spark: SparkSession, indexDir: String): Double =
     IndexTombstones.ratio(spark, artifact(indexDir), "vectors")
 
-  /** PHYSICAL tombstone removal — see [[DedupIndex.purge]]. */
-  def purge(spark: SparkSession, indexDir: String): Boolean = {
+  /** PHYSICAL tombstone removal — see [[DedupIndex.purge]]; `budget`
+    * slices the bucketed purge (≤ budget buckets per call).
+    */
+  def purge(spark: SparkSession, indexDir: String,
+      budget: Int = 0): Boolean = {
     val art = artifact(indexDir)
     IndexTombstones.loadTombstones(spark, art) match {
       case None => false
@@ -293,8 +296,8 @@ object SrpIndex {
             if (spec.by != Seq("vec_id")) None
             else Some(IndexTombstones.affectedBuckets(t, spec.buckets))
           }
-          art.purgeVersionSelective(Tables, Nil,
-              Set(IndexTombstones.Table), affectedOf) {
+          art.purgeVersionBudgeted(Tables, Nil,
+              Set(IndexTombstones.Table), affectedOf, budget) {
             (table, files, tgt) =>
               IndexLayout.writeInto(
                 spark.read.parquet(files.map(_.getAbsolutePath): _*)
@@ -302,10 +305,17 @@ object SrpIndex {
                 family, table, tgt.getParentFile,
                 IndexLayout.specOf(meta, table), overwrite = true)
           }
+          ()
         }
         true
     }
   }
+
+  /** Whether a budget-sliced [[purge]] is mid-flight — polled per batch
+    * by the maintenance seat (see `IngestDedup.maintain`).
+    */
+  def purgePending(indexDir: String): Boolean =
+    artifact(indexDir).purgePending
 
   /** Probe with a `(vec_id, embedding)` delta frame: verified near-dup
     * pairs (corpus_id, new_id, cos ≥ 0.46) between the delta and the

@@ -26,27 +26,92 @@ final case class IngestVec(vec_id: Long, embedding: Seq[Float])
   * (no `admitId`) may use the queue too when the stream is the
   * artifact's designated writer.
   *
-  * DURABILITY — the queue is in-memory ONLY: a request enqueued but
-  * not yet drained is silently lost if the process crashes or the
-  * stream fails. An APPLIED delete is crash-safe (the tombstone set
-  * and its `deltaId` commit in one pointer swap; a re-request
-  * re-applies as a no-op), but the undelivered window is the caller's
-  * to close — for a compliance-grade takedown, durably record the
-  * request on your side and RE-REQUEST until the `deltaId` shows up
-  * in the artifact's applied-delta ledger (the acknowledgement
-  * check: `DedupIndex.appliedDeltas(indexDir)` / `SrpIndex
+  * DURABILITY — two modes. The default (no `journalDir`) is in-memory
+  * ONLY: a request enqueued but not yet drained is silently lost if
+  * the process crashes or the stream fails. An APPLIED delete is
+  * crash-safe either way (the tombstone set and its `deltaId` commit
+  * in one pointer swap; a re-request re-applies as a no-op), but in
+  * the in-memory mode the undelivered window is the caller's to
+  * close — durably record the request on your side and RE-REQUEST
+  * until the `deltaId` shows up in the artifact's applied-delta
+  * ledger (`DedupIndex.appliedDeltas(indexDir)` / `SrpIndex
   * .appliedDeltas` / `ContainIndex.appliedDeltas` — one small file
-  * read). Re-requesting an already-applied deltaId costs one queue
-  * node and a ledger lookup, nothing else.
+  * read; re-requesting an applied deltaId costs one queue node and a
+  * ledger lookup).
+  *
+  * With a JOURNAL (`journalDir` — conventionally a `_takedown_journal`
+  * dir next to the artifact; underscore names never collide with the
+  * artifact's `v*` versions), the engine closes that window itself:
+  * [[request]] persists the entry (tmp-write + fsync + atomic move,
+  * one small file per request) BEFORE enqueueing, a NEW queue over the
+  * same dir re-enqueues every still-journaled entry at construction
+  * (so a restarted stream drains requests its predecessor crashed
+  * holding, with no caller re-request), and the maintenance loop
+  * truncates an entry only AFTER its drain's delete transaction
+  * committed — a crash between the two replays the entry, which the
+  * deltaId ledger then no-ops. The journal directory itself is not
+  * fsynced (Java offers no portable dir sync), so the entry's
+  * durability is that of the filesystem's metadata journaling — the
+  * same contract as the artifact pointer swap.
   */
-final class TakedownQueue {
+final class TakedownQueue(journalDir: Option[String] = None) {
   private val q =
     new java.util.concurrent.ConcurrentLinkedQueue[(Seq[Long], String)]()
 
-  /** Enqueue ids for deletion under `deltaId` (the caller's idempotence
-    * key — namespace it like a stream id, e.g. `takedown-<n>`).
+  private val journal: Option[java.io.File] =
+    journalDir.map(d => new java.io.File(d))
+
+  journal.foreach { d =>
+    d.mkdirs()
+    // replay: undrained entries from a previous process, oldest first
+    // (order is cosmetic — every entry becomes a tombstone admission
+    // keyed by its own deltaId)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".req"))
+      .sortBy(_.getName)
+      .foreach { f =>
+        val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+        lines.headOption.filter(_.nonEmpty).foreach { deltaId =>
+          q.add((lines.tail.filter(_.nonEmpty).map(_.toLong), deltaId))
+        }
+      }
+  }
+
+  /** Entry file name: the deltaId's SHA-256 (deltaIds are caller
+    * strings — unsafe as file names; the hash is stable across
+    * processes so [[markApplied]] finds the entry to truncate).
     */
-  def request(ids: Seq[Long], deltaId: String): Unit = { q.add((ids, deltaId)); () }
+  private def entryFile(d: java.io.File, deltaId: String): java.io.File =
+    new java.io.File(d, java.security.MessageDigest.getInstance("SHA-256")
+      .digest(deltaId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(16).map(b => f"${b & 0xff}%02x").mkString + ".req")
+
+  /** Enqueue ids for deletion under `deltaId` (the caller's idempotence
+    * key — namespace it like a stream id, e.g. `takedown-<n>`). With a
+    * journal, the entry is durable before this returns.
+    */
+  def request(ids: Seq[Long], deltaId: String): Unit = {
+    journal.foreach { d =>
+      val tgt = entryFile(d, deltaId)
+      val tmp = new java.io.File(d, tgt.getName + ".tmp")
+      val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(
+          (deltaId +: ids.map(_.toString)).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      java.nio.file.Files.move(tmp.toPath, tgt.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    q.add((ids, deltaId))
+    ()
+  }
 
   def isEmpty: Boolean = q.isEmpty
 
@@ -56,6 +121,19 @@ final class TakedownQueue {
     while (e != null) { b += e; e = q.poll() }
     b.result()
   }
+
+  /** Truncate the journaled entries of a drained batch — called by the
+    * maintenance seat AFTER the delete transaction committed (a crash
+    * before this replays the entries; the ledger no-ops them). No-op
+    * without a journal.
+    */
+  private[streaming] def markApplied(reqs: Seq[(Seq[Long], String)]): Unit =
+    journal.foreach { d =>
+      reqs.foreach { case (_, deltaId) =>
+        java.nio.file.Files.deleteIfExists(entryFile(d, deltaId).toPath)
+        ()
+      }
+    }
 }
 
 /** Streaming ingest dedup — "dedup the firehose against the lake": each
@@ -181,8 +259,11 @@ object IngestDedup {
           },
           tombstoneRatio = () =>
             graft.analytics.SrpIndex.tombstoneRatio(spark, indexDir),
-          purge = () => graft.analytics.SrpIndex.purge(spark, indexDir),
-          purgeRatioConf = purgeRatioOf(spark))
+          purge = () => graft.analytics.SrpIndex.purge(spark, indexDir,
+            purgeBudgetOf(spark)),
+          purgeRatioConf = purgeRatioOf(spark),
+          purgePending = () =>
+            graft.analytics.SrpIndex.purgePending(indexDir))
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -242,8 +323,11 @@ object IngestDedup {
           },
           tombstoneRatio = () =>
             graft.analytics.DedupIndex.tombstoneRatio(spark, indexDir),
-          purge = () => graft.analytics.DedupIndex.purge(spark, indexDir),
-          purgeRatioConf = purgeRatioOf(spark))
+          purge = () => graft.analytics.DedupIndex.purge(spark, indexDir,
+            purgeBudgetOf(spark)),
+          purgeRatioConf = purgeRatioOf(spark),
+          purgePending = () =>
+            graft.analytics.DedupIndex.purgePending(indexDir))
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -303,8 +387,11 @@ object IngestDedup {
           },
           tombstoneRatio = () =>
             graft.analytics.ContainIndex.tombstoneRatio(spark, indexDir),
-          purge = () => graft.analytics.ContainIndex.purge(spark, indexDir),
-          purgeRatioConf = purgeRatioOf(spark))
+          purge = () => graft.analytics.ContainIndex.purge(spark, indexDir,
+            purgeBudgetOf(spark)),
+          purgeRatioConf = purgeRatioOf(spark),
+          purgePending = () =>
+            graft.analytics.ContainIndex.purgePending(indexDir))
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -384,17 +471,32 @@ object IngestDedup {
     * and regardless of batch emptiness (a takedown must not wait on
     * data).
     *
-    * AUTO-PURGE (the lakehouse-standard policy): after a drain applies
-    * fresh tombstones, if |tombstones| / |corpus| has crossed
+    * AUTO-PURGE (the lakehouse-standard policy): after a drain, if
+    * |tombstones| / |corpus| has crossed
     * `spark.graft.index.purge.ratio` (default 0.05; set ≤ 0 or `off`
     * to disable), the PHYSICAL purge fires right here at the
     * maintenance seat — without it a delete-heavy stream accretes
     * tombstones and pays the probe-side anti-join forever, and the
     * compliance story stays "logical until someone remembers". The
-    * ratio check is two parquet-footer counts, paid only on a draining
-    * batch (never per batch); purge itself is priced at
-    * O(affected buckets) for id-bucketed tables ([[graft.analytics
-    * .IndexTombstones]]).
+    * policy is evaluated whenever requests ARRIVED, not only when they
+    * applied fresh: a crash between a drain's delete commit and its
+    * purge leaves the ratio above threshold, and the replayed
+    * re-request is a deleteAll no-op that must still fire the overdue
+    * purge (r17 ADVICE). The ratio check is two parquet-footer counts,
+    * paid only on a draining batch (never per batch).
+    *
+    * The purge itself is BUDGET-SLICED (`spark.graft.index.purge
+    * .budget`, buckets per slice, default [[DefaultPurgeBudget]]; ≤ 0 =
+    * unlimited): each firing rewrites at most one budget's worth of
+    * buckets and the sidecar drops only when the last slice commits —
+    * so a purge of the whole-rewrite token/band tables cannot stall the
+    * admitting stream for an O(corpus-table) pause (the 31-vs-11 s
+    * batch the 100× containment rehearsal measured before the budget
+    * existed). Once a sliced purge has started, every subsequent batch
+    * runs one slice until it completes — checked via the cheap
+    * `purgePending` marker, independent of further takedowns arriving
+    * (a half-done purge must not wait for the next delete), and
+    * regardless of the ratio still clearing the threshold.
     */
   private def maintain(admitId: Option[String], compactEvery: Int,
       batchId: Long, nonEmpty: Boolean, append: String => Boolean,
@@ -403,7 +505,8 @@ object IngestDedup {
       deleteAll: Seq[(Seq[Long], String)] => Boolean = _ => false,
       tombstoneRatio: () => Double = () => 0.0,
       purge: () => Boolean = () => false,
-      purgeRatioConf: Option[Double] = None): Unit = {
+      purgeRatioConf: Option[Double] = None,
+      purgePending: () => Boolean = () => false): Unit = {
     var bumps = 0
     admitId.foreach { id =>
       if (nonEmpty) {
@@ -414,24 +517,57 @@ object IngestDedup {
     }
     takedowns.foreach { tq =>
       val reqs = tq.drain()
-      if (reqs.nonEmpty && deleteAll(reqs)) {
-        bumps += 1
-        if (purgeRatioConf.exists(r => tombstoneRatio() >= r) && purge())
-          bumps += 1
+      if (reqs.nonEmpty && deleteAll(reqs)) bumps += 1
+      // the delete transaction is committed (or was already in the
+      // ledger): truncate the drained entries' journal records — a
+      // crash BEFORE this line replays them, and the deltaId ledger
+      // no-ops the replay
+      if (reqs.nonEmpty) tq.markApplied(reqs)
+      if ((reqs.nonEmpty &&
+            purgeRatioConf.exists(r => tombstoneRatio() >= r)) ||
+          purgePending()) {
+        if (purge()) bumps += 1
       }
     }
     if (bumps > 0) prune(bumps + 1)
   }
 
-  /** The auto-purge threshold from session conf — `None` disables
-    * (value ≤ 0 or the literal `off`). See [[maintain]].
+  /** Default bucket budget per auto-purge slice — sized so one slice's
+    * rewrite (~budget × the 32 MB bucket target) stays the same order
+    * as a plain admitting batch instead of an O(corpus-table) pause.
+    * `spark.graft.index.purge.budget` overrides; ≤ 0 = unlimited (the
+    * pre-r18 one-call purge).
     */
+  val DefaultPurgeBudget = 8
+
+  private[streaming] def purgeBudgetOf(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.index.purge.budget")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(DefaultPurgeBudget)
+
+  /** The auto-purge threshold from session conf — `None` disables
+    * (value ≤ 0 or the literal `off`). See [[maintain]]. An UNPARSEABLE
+    * value (a typo like "5%") also degrades to disabled — the physical
+    * purge is a compliance backstop, so that silent off-switch warns
+    * once per distinct bad value instead of saying nothing.
+    */
+  private val warnedPurgeRatios =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[streaming] def purgeRatioOf(
       spark: org.apache.spark.sql.SparkSession): Option[Double] =
     spark.conf.getOption("spark.graft.index.purge.ratio")
       .getOrElse("0.05") match {
       case "off" => None
-      case s => scala.util.Try(s.toDouble).toOption.filter(_ > 0)
+      case s =>
+        val parsed = scala.util.Try(s.toDouble).toOption
+        if (parsed.isEmpty && warnedPurgeRatios.add(s))
+          System.err.println(
+            s"[graft] WARN spark.graft.index.purge.ratio='$s' is not a " +
+              "number — auto-purge is DISABLED (use 'off' to disable " +
+              "intentionally)")
+        parsed.filter(_ > 0)
     }
 
   /** CACHE-IF-FITS: the frames a face's [[VersionedCache]] persists —

@@ -283,6 +283,78 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       }.toMap
   }
 
+  /** PURGE PROGRESS (`_purge.txt` inside a version dir) — the state of a
+    * BUDGET-SLICED physical purge ([[purgeVersionBudgeted]]): line 1 is
+    * the tombstone-set fingerprint the progress applies to (the sorted
+    * sidecar part-file names — the sidecar is append-only and
+    * link-carried, so names identify the set), the rest are
+    * `table/bucket` slices already rewritten against that set. Carried
+    * verbatim through [[admitAll]]/[[compact]]/[[compactBucketed]] (a
+    * sliced purge must survive interleaved admissions); a NEW tombstone
+    * admission changes the fingerprint and the next slice RESTARTS from
+    * zero — re-rewriting an already-clean bucket is a correct no-op,
+    * just not free, and the alternative (finishing against the old set,
+    * then dropping a sidecar that gained rows) would leave the new
+    * tombstones' rows physically present forever. Written only by a
+    * non-final slice; the completing slice drops it with the sidecar.
+    */
+  private val PurgeFile = "_purge.txt"
+
+  /** Whether a budget-sliced purge is mid-flight on the current version
+    * — one pointer read + one file check; what a maintenance seat polls
+    * per batch so a started purge runs to completion even if takedowns
+    * stop arriving.
+    */
+  def purgePending: Boolean =
+    currentDir.exists(d => new File(d, PurgeFile).exists())
+
+  private def readPurge(ver: File): Option[(String, Set[String])] = {
+    val f = new File(ver, PurgeFile)
+    if (!f.exists()) None
+    else {
+      val lines = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).split("\n", -1).toSeq
+      lines.headOption.map(fp => fp -> lines.tail.filter(_.nonEmpty).toSet)
+    }
+  }
+
+  private def writePurge(ver: File, fp: String, done: Set[String]): Unit = {
+    Files.write(new File(ver, PurgeFile).toPath,
+      (fp +: done.toSeq.sorted).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def carryPurge(cur: File, next: File): Unit = {
+    val f = new File(cur, PurgeFile)
+    if (f.exists()) {
+      Files.copy(f.toPath, new File(next, PurgeFile).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  private def purgeFingerprint(cur: File, extras: Set[String]): String =
+    extras.toSeq.sorted.flatMap { e =>
+      Option(new File(cur, e).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => s"$e/${f.getName}").sorted
+    }.mkString(",")
+
+  /** A table's data files inside a version: top-level parquet parts plus
+    * any under its `_l0` accrual subdir (underscore-prefixed so table
+    * reads skip it — see `IndexLayout`'s L0 notes). Lifecycle steps that
+    * rewrite or fold table content must enumerate through here, or L0
+    * rows silently escape the rewrite.
+    */
+  private[streaming] def tableFiles(cur: File, t: String): Seq[File] = {
+    def parts(d: File): Seq[File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    val dir = new File(cur, t)
+    parts(dir) ++ parts(new File(dir, "_l0"))
+  }
+
   private def writeMeta(ver: File, m: Map[String, String]): Unit =
     if (m.nonEmpty) {
       require(m.forall { case (k, v) =>
@@ -358,6 +430,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       Faults.inject("admit.precommit")
       writeDeltas(next, applied ++ fresh.map(_._1))
       writeMeta(next, readMeta(cur))
+      carryPurge(cur, next)
       // tripwire, not a lock: a concurrent admission moved the pointer —
       // swapping now would orphan its delta, so fail loudly instead
       require(currentVersion.contains(curV),
@@ -413,6 +486,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       fat.foreach(t => rewrite(new File(cur, t).toString, new File(next, t)))
       writeDeltas(next, readDeltas(cur))
       writeMeta(next, readMeta(cur))
+      carryPurge(cur, next)
       require(currentVersion.contains(curV),
         s"concurrent admission detected at $indexDir (version moved past " +
           s"$curV) — the artifact requires a single writer")
@@ -505,6 +579,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       Faults.inject("compact.precommit")
       writeDeltas(next, readDeltas(cur))
       writeMeta(next, readMeta(cur))
+      carryPurge(cur, next)
       require(currentVersion.contains(curV),
         s"concurrent admission detected at $indexDir (version moved past " +
           s"$curV) — the artifact requires a single writer")
@@ -544,46 +619,112 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     * whole table (band/posting tables, where deleted rows spread across
     * all buckets by construction). A file whose name carries no bucket
     * id joins the rewrite set — rewriting is always correct.
+    * Unbudgeted: everything pending rewrites in this one call.
     */
   def purgeVersionSelective(rewriteTables: Seq[String],
       linkTables: Seq[String], dropExtras: Set[String],
       affected: String => Option[Set[String]])(
       rewrite: (String, Seq[File], File) => Unit): Unit = {
+    purgeVersionBudgeted(rewriteTables, linkTables, dropExtras, affected,
+      budget = 0)(rewrite)
+    ()
+  }
+
+  /** [[purgeVersionSelective]] under a BUCKET BUDGET — what keeps the
+    * auto-purge from stalling the admitting stream it runs inside
+    * (r17 verdict #1: the contain face's token-keyed tables rewrite
+    * whole, 31.2 s vs an 11.4 s plain-admit batch at the 100×
+    * rehearsal the moment the ratio tripped). Each call commits ONE
+    * version in which at most `budget` bucket-slices of the pending
+    * rewrite work fold (anti-joined by the caller's `rewrite`) while
+    * everything else — including pending-but-not-selected buckets —
+    * hard-links; `_purge.txt` records the slices done so the next call
+    * continues instead of repeating. The slice that exhausts the
+    * pending set is the FINAL one: it drops `dropExtras` (the sidecar)
+    * and writes no progress file. `budget <= 0` = unlimited (the whole
+    * purge in one call). Returns true iff this call COMPLETED the
+    * purge.
+    *
+    * Correctness while sliced: the sidecar stays until the final slice,
+    * so every probe keeps its logical tombstone filter — a half-purged
+    * artifact answers identically to an unpurged one. The work list is
+    * keyed by FILE-NAME bucket ids, so a whole-rewrite table (`affected
+    * = None`) slices naturally at bucket granularity; files without a
+    * bucket id (L0 accrual) form a per-table `raw` slice. Two priced
+    * edges: (1) a new tombstone admission mid-purge changes the
+    * fingerprint and restarts the progress (see `_purge.txt` notes);
+    * (2) rows ADMITTED mid-purge into an already-done slice are
+    * post-tombstone data and do not rewrite — a caller re-admitting an
+    * id it has taken down, before the purge completes, keeps that copy
+    * physically (it still reads as deleted until the sidecar drops, and
+    * a re-delete purges it).
+    */
+  def purgeVersionBudgeted(rewriteTables: Seq[String],
+      linkTables: Seq[String], dropExtras: Set[String],
+      affected: String => Option[Set[String]], budget: Int)(
+      rewrite: (String, Seq[File], File) => Unit): Boolean = {
     val curV = currentVersion.getOrElse(
       throw new IllegalStateException(s"no artifact at $indexDir — build first"))
     val cur = versionDir(curV)
+    val fp = purgeFingerprint(cur, dropExtras)
+    val done: Set[String] = readPurge(cur) match {
+      case Some((f, d)) if f == fp => d
+      case _ => Set.empty
+    }
+    val bucketId = "_(\\d{5})\\.".r
+    // pending slices in deterministic (table, bucket) order: bucket-named
+    // file groups needing a rewrite, plus a "raw" group for files whose
+    // names carry no bucket id
+    val pending: Seq[(String, String, Seq[File])] = for {
+      t <- rewriteTables
+      aff = affected(t)
+      (slice, fs) <- tableFiles(cur, t)
+        .groupBy(f => bucketId.findFirstMatchIn(f.getName).map(_.group(1)))
+        .toSeq.flatMap {
+          case (None, fs) => Seq("raw" -> fs)
+          case (Some(b), fs) =>
+            if (aff.forall(_.contains(b))) Seq(b -> fs) else Nil
+        }.sortBy(_._1)
+      if !done.contains(s"$t/$slice")
+    } yield (t, slice, fs)
+    val take = if (budget <= 0) pending else pending.take(budget)
+    val isFinal = take.size == pending.size
     val next = versionDir(curV + 1)
     VersionedStore.clearStale(next)
     linkTables.foreach(t =>
       VersionedStore.linkTree(new File(cur, t), new File(next, t)))
-    linkExtras(cur, next, rewriteTables ++ linkTables, dropExtras)
-    val bucketId = "_(\\d{5})\\.".r
+    linkExtras(cur, next, rewriteTables ++ linkTables,
+      if (isFinal) dropExtras else Set.empty)
     rewriteTables.foreach { t =>
-      val files = Option(new File(cur, t).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
-      val (keep, fold) = affected(t) match {
-        case None => (Seq.empty[File], files)
-        case Some(buckets) => files.partition(f =>
-          bucketId.findFirstMatchIn(f.getName)
-            .exists(m => !buckets.contains(m.group(1))))
-      }
+      val fold = take.filter(_._1 == t).flatMap(_._3)
+      val tDir = new File(cur, t)
       val tgt = new File(next, t)
-      if (fold.isEmpty) VersionedStore.linkTree(new File(cur, t), tgt)
+      if (fold.isEmpty) VersionedStore.linkTree(tDir, tgt)
       else {
+        val foldSet = fold.map(_.getAbsolutePath).toSet
         rewrite(t, fold, tgt)
-        keep.foreach(f => Files.createLink(
-          new File(tgt, f.getName).toPath, f.toPath))
+        // keep everything not folded, preserving sub-paths (an L0 file
+        // keeps its _l0/ placement so later slices still enumerate it)
+        tableFiles(cur, t)
+          .filterNot(f => foldSet.contains(f.getAbsolutePath))
+          .foreach { f =>
+            val dst = tgt.toPath.resolve(tDir.toPath.relativize(f.toPath))
+            Files.createDirectories(dst.getParent)
+            Files.createLink(dst, f.toPath)
+          }
       }
       Faults.inject(s"purge.table.$t")
     }
     Faults.inject("purge.precommit")
     writeDeltas(next, readDeltas(cur))
     writeMeta(next, readMeta(cur))
+    if (!isFinal)
+      writePurge(next, fp, done ++ take.map { case (t, b, _) => s"$t/$b" })
     require(currentVersion.contains(curV),
       s"concurrent admission detected at $indexDir (version moved past " +
         s"$curV) — the artifact requires a single writer")
     VersionedStore.swapPointer(indexDir, curV + 1)
+    isFinal
   }
 
   /** Drop versions older than the newest `keep`; returns the dropped

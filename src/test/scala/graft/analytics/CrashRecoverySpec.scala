@@ -64,7 +64,8 @@ class CrashRecoverySpec extends SparkSpec {
   /** Fork `graft.CrashProbe` with this JVM's classpath and module opens;
     * returns the exit code. 137 = halted at the injection point.
     */
-  private def fork(mode: String, idx: String, point: String): Int = {
+  private def fork(mode: String, idx: String, point: String,
+      extra: String*): Int = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val in = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toList
@@ -77,7 +78,7 @@ class CrashRecoverySpec extends SparkSpec {
       "-Xmx3g", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.CrashProbe", mode, idx, point)
+      "graft.CrashProbe", mode, idx, point) ++ extra
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(true)
     val p = pb.start()
@@ -152,6 +153,52 @@ class CrashRecoverySpec extends SparkSpec {
     assert(DedupIndex.appliedDeltas(idx) === ctlDeltas)
     assert(probeSet(idx, delta) === ctlProbe)
     assert(ctlProbe === probePre, "purge changed probe output")
+  }
+
+  test("SIGKILL between a JOURNALED enqueue and its drain: the restarted " +
+      "stream applies the takedown with NO caller re-request") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("graft-crash-journal").toString
+    DedupIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx,
+      DedupIndex.Shape.Oracle)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    val matched = probeSet(idx, delta).map(_._1).toSeq.sorted
+    assert(matched.nonEmpty, "fixture must contain cross-split pairs")
+    val dropId = matched.head
+    val jd = new File(idx, "_takedown_journal").getAbsolutePath
+
+    // the "previous process" journals the request and dies before any
+    // stream could drain it — a REAL dead process, not a simulated one
+    assert(fork("journal-request", jd, s"$dropId", "crash-journal-td")
+        == 137,
+      "child must halt right after the journaled request")
+    assert(Option(new File(jd).listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".req")),
+      "the crashed process must leave its journaled entry behind")
+
+    // RESTART: a fresh queue over the same journal replays the entry and
+    // the stream drains it — nobody calls request again
+    val tq = new graft.streaming.TakedownQueue(Some(jd))
+    assert(!tq.isEmpty, "the journal entry must replay on construction")
+    val rows = delta.as[graft.streaming.IngestDoc].collect()
+      .sortBy(_.doc_id).toSeq
+    val input = MemoryStream[graft.streaming.IngestDoc]
+    val q = graft.streaming.IngestDedup.dedupIngestFromIndex(input.toDS(),
+      idx, Files.createTempDirectory("graft-crash-journal-ck").toString,
+      admitId = Some("cjstream"), takedowns = Some(tq)) { (pairs, _) =>
+        pairs.count(); ()
+      }
+    try { input.addData(rows); q.processAllAvailable() } finally q.stop()
+    assert(DedupIndex.appliedDeltas(idx).contains("crash-journal-td"),
+      "the replayed takedown must reach the applied-delta ledger")
+    assert(!Option(new File(jd).listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".req")),
+      "the drained entry must truncate from the journal")
+    assert(probeSet(idx, delta).forall(p =>
+      p._1 != dropId && p._2 != dropId),
+      "the journaled takedown must filter probes after the restart drain")
   }
 
   test("SIGKILL mid-admission (takedown delete, pre-commit): the deltaId " +
