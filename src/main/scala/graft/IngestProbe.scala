@@ -82,11 +82,16 @@ object IngestProbe {
       times
     }
 
+    // self-attribution: every reported leg carries a HostSentinels pair
+    // (in-band sentinels = the number is the code's; high = the host's)
+    val sent = new HostSentinels.Warmed
+
     def report(face: String, scale: String, times: Seq[Double],
         matches: Long): Unit =
       println(f"[ingestprobe] $face%-12s $scale%3s: batch1=${times.head}%.2f s " +
         f"steady=${times.tail.map(t => f"$t%.2f").mkString("/")} s " +
-        f"(median ${median(times.tail)}%.2f) matches=$matches")
+        f"(median ${median(times.tail)}%.2f) matches=$matches" +
+        s"  [${sent.line()}]")
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2)

@@ -101,7 +101,13 @@ object LoopStress {
     spark.stop()
   }
 
-  /** Build the artifact, then the two legs — shared across faces. */
+  /** Build the artifact, then the two legs — shared across faces. Every
+    * printed measurement carries a [[HostSentinels]] pair: the contain
+    * 100× probe-only median ranged 3.69–7.89 s on unchanged code across
+    * r17 runs and SCALE.md could only attribute the swing to host
+    * slow-tier reads by circumstance — now the record proves (or
+    * indicts) the host itself.
+    */
   private def run[T](spark: SparkSession, copies: Int, nBatches: Int,
       delta: Seq[T],
       build: () => Unit,
@@ -110,6 +116,7 @@ object LoopStress {
         (DataFrame, Long) => Unit) => StreamingQuery)(
       implicit enc: Encoder[T]): Unit = {
     implicit val sqlCtx = spark.sqlContext
+    val sent = new HostSentinels.Warmed
     // the SAME natural delta at every copy count (copy 0 is verbatim)
     val batches = (0 until nBatches).map(k => delta.iterator.zipWithIndex
       .filter(_._2 % nBatches == k).map(_._1).toSeq)
@@ -117,7 +124,8 @@ object LoopStress {
     def timedBuild(): Unit = {
       val t = System.nanoTime()
       build()
-      println(f"[loopstress] index build=${(System.nanoTime() - t) / 1e9}%.1f s")
+      println(f"[loopstress] index build=${(System.nanoTime() - t) / 1e9}%.1f s" +
+        s"  [${sent.line()}]")
     }
     timedBuild()
 
@@ -168,7 +176,7 @@ object LoopStress {
         f"(${results.tail.map(r => f"${r._1}%.2f").mkString("/")}) " +
         f"matches=${results.map(_._2).sum} " +
         f"selected=${results.map(_._3).distinct.mkString(",")} " +
-        f"cached=$cached")
+        f"cached=$cached  [${sent.line()}]")
     }
 
     leg("probe", admit = false)

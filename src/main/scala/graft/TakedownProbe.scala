@@ -25,9 +25,15 @@ import graft.streaming.{IngestDedup, IngestDoc, IngestVec, TakedownQueue}
   *      carries as links (frozen-df contract).
   *   4. PURGE UNDER A RUNNING STREAM: an admitting stream with a
   *      [[TakedownQueue]] and the auto-purge threshold floored — the
-  *      batch that drains the takedown carries delete + purge from the
-  *      writer seat; its wall is printed next to a plain admitting
-  *      batch's.
+  *      batch that drains the takedown carries delete + ONE budgeted
+  *      purge slice from the writer seat, and every following batch
+  *      continues a slice until the sidecar drops; each batch's wall
+  *      prints next to the plain admitting batch's (the r18 acceptance
+  *      bar: no batch ~2× over its plain-admit neighbor).
+  *
+  * Every measured leg prints a [[HostSentinels]] pair — the record
+  * attributes its own noise (in-band sentinels = the number is the
+  * code's; high sentinels = the host was loaded), same as `Bench`.
   *
   *   sbt "runMain graft.TakedownProbe /root/testdata/sf0.1 10 16 dedup"
   *   (sfDir, corpus copies, deleted ids, family: dedup|srp|contain)
@@ -46,6 +52,7 @@ object TakedownProbe {
     // srp/contain faces use graft_* kernels the oracled entry points
     // normally register
     graft.functions.VectorFunctions.register(spark)
+    val sent = new HostSentinels.Warmed
 
     def timed[A](f: => A): (A, Double) = {
       val t = System.nanoTime(); val a = f
@@ -102,7 +109,7 @@ object TakedownProbe {
 
     val (_, buildS) = timed(build())
     println(f"[takedown] $family ${copies}x build=$buildS%.1f s " +
-      f"($artifactMb%.0f MB)")
+      f"($artifactMb%.0f MB)  [${sent.line()}]")
 
     val (before, probe0S) = timed(probe().count())
 
@@ -118,7 +125,7 @@ object TakedownProbe {
     val (after, probe1S) = timed(probe().count())
     println(f"[takedown] delete($nDelete ids)=$delS%.2f s; probe " +
       f"before=$probe0S%.2f s ($before pairs) after=$probe1S%.2f s " +
-      f"($after pairs)")
+      f"($after pairs)  [${sent.line()}]")
 
     def tableFiles(ver: File, t: String): Seq[File] =
       Option(new File(ver, t).listFiles()).getOrElse(Array.empty)
@@ -144,54 +151,72 @@ object TakedownProbe {
     }
     val (afterPurge, probe2S) = timed(probe().count())
     println(f"[takedown] purge wall=$purgeS%.1f s; probe after " +
-      f"purge=$probe2S%.2f s ($afterPurge pairs, must equal $after)")
+      f"purge=$probe2S%.2f s ($afterPurge pairs, must equal $after)  " +
+      s"[${sent.line()}]")
 
     // leg 4: purge ON A RUNNING STREAM — rebuild (clean artifact, no
     // tombstones), floor the auto-purge threshold, admit one batch,
-    // queue a takedown, and time the draining batch (delete + purge at
-    // the writer seat) against the plain admitting batch before it
+    // queue a takedown, and time the draining batch (delete + one
+    // BUDGETED purge slice at the writer seat) against the plain
+    // admitting batch before it; then keep admitting small id-shifted
+    // batches, each continuing one slice, until the sidecar drops
     build()
     spark.conf.set("spark.graft.index.purge.ratio", "0.0000001")
     val tq = new TakedownQueue
     val half = nDelete / 2 max 1
     val dropIds = matched.limit(half).collect().map(_.getLong(0)).toSeq
+    def purgePending(): Boolean = family match {
+      case "srp" => graft.analytics.SrpIndex.purgePending(idx)
+      case "contain" => graft.analytics.ContainIndex.purgePending(idx)
+      case _ => graft.analytics.DedupIndex.purgePending(idx)
+    }
     def batchWalls(): Seq[Double] = family match {
       case "srp" =>
         val b = delta.select(col(idCol), col("embedding")).as[IngestVec]
           .collect().sortBy(_.vec_id).toSeq
-        runStream[IngestVec](b, tq, dropIds,
+        runStream[IngestVec](b, tq, dropIds, purgePending _,
+          (v, s) => v.copy(vec_id = v.vec_id + s),
           (in, ck) => IngestDedup.dedupIngestEmbeddings(in, idx, ck,
             admitId = Some("td-stream"), takedowns = Some(tq))(
             (p, _) => { p.count(); () }))
       case "contain" =>
         val b = delta.select(col(idCol), col("text")).as[IngestDoc]
           .collect().sortBy(_.doc_id).toSeq
-        runStream[IngestDoc](b, tq, dropIds,
+        runStream[IngestDoc](b, tq, dropIds, purgePending _,
+          (d, s) => d.copy(doc_id = d.doc_id + s),
           (in, ck) => IngestDedup.dedupIngestContainment(in, idx, ck,
             admitId = Some("td-stream"), takedowns = Some(tq))(
             (p, _) => { p.count(); () }))
       case _ =>
         val b = delta.select(col(idCol), col("text")).as[IngestDoc]
           .collect().sortBy(_.doc_id).toSeq
-        runStream[IngestDoc](b, tq, dropIds,
+        runStream[IngestDoc](b, tq, dropIds, purgePending _,
+          (d, s) => d.copy(doc_id = d.doc_id + s),
           (in, ck) => IngestDedup.dedupIngestFromIndex(in, idx, ck,
             admitId = Some("td-stream"), takedowns = Some(tq))(
             (p, _) => { p.count(); () }))
     }
     val walls = batchWalls()
     val sidecarGone = !new File(currentVer(), "tombstones").exists()
+    val cont = walls.drop(3)
     println(f"[takedown] stream: admit batch=${walls(0)}%.2f s, " +
-      f"admit+drain+auto-purge batch=${walls(1)}%.2f s, " +
-      f"post batch=${walls(2)}%.2f s, sidecar dropped=$sidecarGone")
+      f"admit+drain+slice batch=${walls(1)}%.2f s, " +
+      f"post batch=${walls(2)}%.2f s, " +
+      s"continuation slices=${cont.size} " +
+      s"(${cont.map(w => f"$w%.2f").mkString("/")}), " +
+      f"max/admit ratio=${walls.tail.max / walls(0)}%.2f, " +
+      s"sidecar dropped=$sidecarGone  [${sent.line()}]")
     spark.stop()
   }
 
-  /** Three batches: plain admit, admit + drained takedown (auto-purge
-    * fires — threshold floored by the caller), plain admit again.
-    * Returns the three batch walls.
+  /** Batches: plain admit, admit + drained takedown (budgeted auto-purge
+    * fires its first slice — threshold floored by the caller), plain
+    * admit, then small continuation batches (id-shifted by `shift`)
+    * while a sliced purge is pending, capped. Returns every batch wall.
     */
   private def runStream[T](delta: Seq[T], tq: TakedownQueue,
-      dropIds: Seq[Long],
+      dropIds: Seq[Long], purgePending: () => Boolean,
+      shift: (T, Long) => T,
       open: (org.apache.spark.sql.Dataset[T], String) =>
         org.apache.spark.sql.streaming.StreamingQuery)(
       implicit enc: org.apache.spark.sql.Encoder[T],
@@ -207,11 +232,25 @@ object TakedownProbe {
       .createTempDirectory("graft-takedown-ck").toString
     val q = open(input.toDS(), ck)
     val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
-    try thirds.zipWithIndex.foreach { case (b, i) =>
-      if (i == 1) tq.request(dropIds, "takedown-stream-1")
+    def feed(b: Seq[T]): Unit = {
       val t = System.nanoTime()
       input.addData(b); q.processAllAvailable()
       walls += (System.nanoTime() - t) / 1e9
+    }
+    try {
+      thirds.zipWithIndex.foreach { case (b, i) =>
+        if (i == 1) tq.request(dropIds, "takedown-stream-1")
+        feed(b)
+      }
+      // continuation: the sliced purge advances one slice per batch; a
+      // quiet stream would stall it, so keep small admissions coming
+      // (id-shifted — re-sending ids would admit duplicate rows). Cap
+      // well past any plausible slice count so a bug can't loop forever.
+      var k = 0
+      while (purgePending() && k < 64) {
+        k += 1
+        feed(delta.take(8).map(shift(_, 995000000L + 10000L * k)))
+      }
     } finally q.stop()
     walls.toSeq
   }

@@ -176,38 +176,29 @@ object ContainIndex {
             n(shRows * 9L), Seq("doc_id"), Seq("doc_id"),
             setsOf(sh).schema.toDDL))
         artifact(indexDir).build({ next =>
-          writeBucketed(family, sh, dfFrame, next, meta,
-            overwrite = true)
+          writeBucketed(family, sh, dfFrame, next, meta)
         }, buildMeta = meta)
       } finally { sh.unpersist(); dfFrame.unpersist(); () }
     }
   }
 
-  /** The bucketed-layout write of all four tables — shared by the build
-    * (fresh df) and the admission (frozen corpus df) paths.
+  /** The bucketed-layout BUILD write of all four tables (fresh df).
+    * Admissions no longer route here — they append `sets` at the bucket
+    * modulus and write `tokens`/`prefix` as L0 accrual ([[append]]).
     */
   private def writeBucketed(family: String, sh: DataFrame,
-      dfForRank: DataFrame, ver: File, meta: Map[String, String],
-      overwrite: Boolean): Unit = {
-    val r0 = DedupQueries.containRanked(sh, dfForRank)
-    // append path: r is DELTA-sized — persist it so the tokens and
-    // prefix writes don't each re-pay the df-rank scan (two corpus-df
-    // passes per admission, 2 × 16.7 s at the 100× rehearsal's 60 M-row
-    // df). Build keeps the lazy form: its r is corpus-sized.
-    val r = if (overwrite) r0
-      else r0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (overwrite)
-        IndexLayout.writeInto(dfForRank, family, "df", ver,
-          IndexLayout.specOf(meta, "df"), overwrite)
-      IndexLayout.writeInto(r.select(col("hx"), col("doc_id")), family,
-        "tokens", ver, IndexLayout.specOf(meta, "tokens"), overwrite)
-      IndexLayout.writeInto(
-        DedupQueries.containPrefix(r).select(col("hx"), col("doc_id")),
-        family, "prefix", ver, IndexLayout.specOf(meta, "prefix"), overwrite)
-      IndexLayout.writeInto(setsOf(sh), family, "sets", ver,
-        IndexLayout.specOf(meta, "sets"), overwrite)
-    } finally if (!overwrite) { r.unpersist(); () }
+      dfForRank: DataFrame, ver: File, meta: Map[String, String]): Unit = {
+    val r = DedupQueries.containRanked(sh, dfForRank)
+    IndexLayout.writeInto(dfForRank, family, "df", ver,
+      IndexLayout.specOf(meta, "df"), overwrite = true)
+    IndexLayout.writeInto(r.select(col("hx"), col("doc_id")), family,
+      "tokens", ver, IndexLayout.specOf(meta, "tokens"), overwrite = true)
+    IndexLayout.writeInto(
+      DedupQueries.containPrefix(r).select(col("hx"), col("doc_id")),
+      family, "prefix", ver, IndexLayout.specOf(meta, "prefix"),
+      overwrite = true)
+    IndexLayout.writeInto(setsOf(sh), family, "sets", ver,
+      IndexLayout.specOf(meta, "sets"), overwrite = true)
   }
 
   /** ADMIT a delta (probe-then-admit lifecycle): true if admitted, false
@@ -218,20 +209,22 @@ object ContainIndex {
     * corpus-sized job on every ingest. Re-freshen df with a periodic
     * [[build]] when probe cost drifts.
     *
-    * KNOWN LIMIT — write fan-out is O(touched buckets), not O(|delta|):
-    * the bucketed writer emits one file per non-empty bucket per table,
-    * and a delta's tokens touch ~every bucket, so each admission writes
-    * ~3 × buckets files regardless of delta size (measured ~3–5 s of
-    * the admission wall at the 100× rehearsal's 64 buckets; the
-    * bucket-granular compaction folds the accrual back to ≤ 2 files per
-    * bucket). Fine while `compactEvery` keeps file counts bounded and
-    * buckets stay in the hundreds; at a 100 TB deployment's thousands
-    * of buckets the documented upgrade is L0 ACCRUAL — admissions write
-    * a handful of UNBUCKETED delta files per table (readers union them
-    * with the pruned bucketed base; they are delta-sized, so scanning
-    * them whole is free) and compaction alone folds them into buckets —
-    * the standard LSM/lakehouse shape, same trade as
-    * `VersionedArtifact.compactBucketed`'s geometric-chain note.
+    * WRITE SHAPE (bucketed layout) — L0 ACCRUAL, the standard
+    * LSM/lakehouse trade: `tokens`/`prefix` delta rows land as a fixed
+    * handful of UNBUCKETED parquet files under the table's `_l0` subdir
+    * (`spark.graft.index.append.tasks` files each, default 8 —
+    * underscore dirs are invisible to the registered bucketed table, so
+    * the base files' bucket contract holds), and `sets` appends at the
+    * bucket modulus (its rows touch ≤ |delta| buckets — already
+    * delta-bounded). Per-admission file count is therefore independent
+    * of the corpus's bucket count — the pre-r18 bucketed append wrote
+    * one file per touched bucket per table (~3 × buckets ≈ 192
+    * files/batch at the 100× rehearsal's 64 buckets, and the admission
+    * bottleneck at a 100 TB deployment's thousands of buckets). Probes
+    * read L0 as a separate delta-sized leg unioned AFTER the base joins
+    * (base pruning intact — see `probeRaw.overCorpus`);
+    * `compactBucketed` counts L0 toward the accrual threshold and folds
+    * it into the buckets, so `compactEvery` bounds the L0 leg's size.
     */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
       deltaId: String): Boolean = {
@@ -274,14 +267,28 @@ object ContainIndex {
       val family = IndexLayout.familyOf(indexDir)
       artifact(indexDir).admit(deltaId, Tables, { next =>
         val sh = shingled(docs).persist()
-        try
+        try {
           // frozen corpus df, read as plain parquet from the snapshot
           // path (bucket metadata is a read-side catalog concern; the
           // files are ordinary parquet) — df itself is NOT rewritten,
-          // same frozen-df contract as the directory admit
-          writeBucketed(family, sh, shrunk(sh), next, meta,
-            overwrite = false)
-        finally { sh.unpersist(); () }
+          // same frozen-df contract as the directory admit. r is
+          // DELTA-sized — persist it so tokens and prefix don't each
+          // re-pay the df-rank scan (two corpus-df passes per
+          // admission, 2 × 16.7 s at the 100× rehearsal's 60 M-row df)
+          val r = DedupQueries.containRanked(sh, shrunk(sh))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val tasks = IndexLayout.appendTasks(spark)
+            def l0(df: DataFrame, table: String): Unit =
+              df.repartition(tasks).write.mode("append")
+                .parquet(new File(new File(next, table), "_l0").toString)
+            l0(r.select(col("hx"), col("doc_id")), "tokens")
+            l0(DedupQueries.containPrefix(r)
+              .select(col("hx"), col("doc_id")), "prefix")
+            IndexLayout.writeInto(setsOf(sh), family, "sets", next,
+              IndexLayout.specOf(meta, "sets"), overwrite = false)
+          } finally { r.unpersist(); () }
+        } finally { sh.unpersist(); () }
       })
     }
   }
@@ -442,7 +449,17 @@ object ContainIndex {
   final case class Loaded(tokens: DataFrame, prefix: DataFrame,
       sets: DataFrame, df: DataFrame, bucketed: Boolean = false,
       private[graft] val buckets: Map[String, Int] = Map.empty,
-      private[graft] val tombstones: Option[DataFrame] = None)
+      private[graft] val tombstones: Option[DataFrame] = None,
+      private[graft] val l0Tokens: Option[DataFrame] = None,
+      private[graft] val l0Prefix: Option[DataFrame] = None) {
+
+    /** Every L0 frame present — what the streaming cache persists next
+      * to the base frames (delta-sized; pinning them is cheaper than
+      * one lake read per batch).
+      */
+    private[graft] def l0Frames: Seq[DataFrame] =
+      l0Tokens.toSeq ++ l0Prefix.toSeq
+  }
 
   /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
   val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
@@ -464,11 +481,24 @@ object ContainIndex {
       val family = IndexLayout.familyOf(indexDir)
       def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
         spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
+      // L0 accrual: admission appends live as plain parquet under the
+      // table's `_l0` subdir (underscore-prefixed — the registered
+      // bucketed table's listing skips it, so the bucket contract of
+      // the base files is never polluted); probes read them as a
+      // separate delta-sized leg ([[probeLoaded]]) until compaction
+      // folds them into buckets
+      def l0(t: String): Option[DataFrame] = {
+        val d = new File(paths(t), "_l0")
+        val hasParts = Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (hasParts) Some(spark.read.parquet(d.getAbsolutePath)) else None
+      }
       Loaded(tbl("tokens"), tbl("prefix"), tbl("sets"), tbl("df"),
         bucketed = true,
         buckets = Tables.map(t =>
           t -> IndexLayout.specOf(meta, t).buckets).toMap,
-        tombstones = tomb)
+        tombstones = tomb,
+        l0Tokens = l0("tokens"), l0Prefix = l0("prefix"))
     }
   }
 
@@ -561,14 +591,30 @@ object ContainIndex {
     val deltaPrefix = DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
     val deltaTokens = r.select(col("hx"), col("doc_id"))
-    val rawNewInOld = side(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
-      .join(loaded.tokens.withColumnRenamed("doc_id", "id_b"), "hx")
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val rawOldInNew = loaded.prefix.withColumnRenamed("doc_id", "id_a")
-      .join(side(deltaTokens.withColumnRenamed("doc_id", "id_b")), "hx")
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // L0 leg: candidates join the bucketed BASE and the delta-sized L0
+    // accrual SEPARATELY and union RESULTS — unioning the inputs would
+    // erase the base table's bucket partitioning (and with it the
+    // in-place batch joins and the micro probes' bucket pruning) for
+    // the price of a few small files. A corpus doc's postings live
+    // wholly in one leg (admissions append whole docs to L0; compaction
+    // folds all of L0 at once), so the union introduces no cross-leg
+    // duplicate pairs; the existing per-direction distincts are
+    // unchanged either way.
+    def overCorpus(base: DataFrame, l0: Option[DataFrame])(
+        leg: DataFrame => DataFrame): DataFrame =
+      l0.fold(leg(base))(d => leg(base).unionByName(leg(d)))
+    val rawNewInOld = overCorpus(loaded.tokens, loaded.l0Tokens) { c =>
+      side(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
+        .join(c.withColumnRenamed("doc_id", "id_b"), "hx")
+        .where(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }
+    val rawOldInNew = overCorpus(loaded.prefix, loaded.l0Prefix) { c =>
+      c.withColumnRenamed("doc_id", "id_a")
+        .join(side(deltaTokens.withColumnRenamed("doc_id", "id_b")), "hx")
+        .where(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }
     if (micro)
       // split per direction, distinct per direction: each verify side is
       // unique by construction, so with the delta broadcast the corpus
@@ -656,17 +702,27 @@ object ContainIndex {
     val deltaPrefix = DedupQueries.containPrefix(r)
       .select(col("hx"), col("doc_id"))
     val deltaTokens = r.select(col("hx"), col("doc_id"))
-    val n2o = broadcast(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
-      .join(pruneHx(loaded.tokens, "tokens")
-        .withColumnRenamed("doc_id", "id_b"), "hx")
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val o2n = pruneHx(loaded.prefix, "prefix")
-      .withColumnRenamed("doc_id", "id_a")
-      .join(broadcast(deltaTokens.withColumnRenamed("doc_id", "id_b")),
-        "hx")
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // L0 leg per direction (see probeRaw's overCorpus): the base scan
+    // keeps its INSET bucket pruning; the L0 files are delta-sized and
+    // scan whole — the equi-join restricts them the same way
+    def withL0(base: DataFrame, l0: Option[DataFrame])(
+        leg: DataFrame => DataFrame): DataFrame =
+      l0.fold(leg(base))(d => leg(base).unionByName(leg(d)))
+    val n2o = withL0(pruneHx(loaded.tokens, "tokens"), loaded.l0Tokens) {
+      c =>
+        broadcast(deltaPrefix.withColumnRenamed("doc_id", "id_a"))
+          .join(c.withColumnRenamed("doc_id", "id_b"), "hx")
+          .where(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b"))
+    }.distinct()
+    val o2n = withL0(pruneHx(loaded.prefix, "prefix"), loaded.l0Prefix) {
+      c =>
+        c.withColumnRenamed("doc_id", "id_a")
+          .join(broadcast(deltaTokens.withColumnRenamed("doc_id", "id_b")),
+            "hx")
+          .where(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b"))
+    }.distinct()
     (n2o, o2n)
   }
 }

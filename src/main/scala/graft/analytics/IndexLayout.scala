@@ -209,6 +209,14 @@ private[graft] object IndexLayout {
     */
   val AppendTasks = 8
 
+  /** The session's admission write-task count ([[AppendTasks]] unless
+    * conf-overridden) — shared by the bucketed append exchange and the
+    * L0 accrual writes so one knob sizes both.
+    */
+  def appendTasks(spark: SparkSession): Int =
+    math.max(1, spark.conf.getOption("spark.graft.index.append.tasks")
+      .map(_.toInt).getOrElse(AppendTasks))
+
   /** Bucketed write of one table into a version dir. `overwrite` is the
     * build/compact path (fresh external table over the dir); append is
     * the admission path (register, then append at the SAME modulus —
@@ -246,9 +254,7 @@ private[graft] object IndexLayout {
     val bucketId = pmod(hash(spec.by.map(col): _*), lit(spec.buckets))
     val parts =
       if (overwrite) spec.buckets
-      else math.min(spec.buckets, math.max(1,
-        spark.conf.getOption("spark.graft.index.append.tasks")
-          .map(_.toInt).getOrElse(AppendTasks)))
+      else math.min(spec.buckets, appendTasks(spark))
     val w = df.repartition(parts, bucketId)
       .write.mode(if (overwrite) "overwrite" else "append")
       .format("parquet")

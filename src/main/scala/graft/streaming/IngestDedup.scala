@@ -359,7 +359,7 @@ object IngestDedup {
       (l: graft.analytics.ContainIndex.Loaded) =>
         cacheIfFits(spark, l.bucketed, admitting = admitId.isDefined,
           () => graft.analytics.ContainIndex.artifactBytes(indexDir),
-          Seq(l.tokens, l.prefix, l.sets, l.df)))
+          Seq(l.tokens, l.prefix, l.sets, l.df) ++ l.l0Frames))
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -543,9 +543,12 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     val curV = currentVersion.getOrElse(
       throw new IllegalStateException(s"no artifact at $indexDir — build first"))
     val cur = versionDir(curV)
-    def parquetFiles(t: String): Seq[File] =
-      Option(new File(cur, t).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    // tableFiles, not a top-level listing: L0 accrual files (no bucket
+    // id in the name — the `_l0` admission path) count toward the
+    // threshold and ALWAYS fold, so compaction is what migrates them
+    // into the bucketed base; the folded table's new dir simply has no
+    // `_l0` (fold files are consumed, keeps link top-level)
+    def parquetFiles(t: String): Seq[File] = tableFiles(cur, t)
     val fat = tables.filter(t => parquetFiles(t).size > threshold(t))
     if (fat.isEmpty) 0
     else {

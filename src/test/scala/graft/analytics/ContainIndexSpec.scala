@@ -108,13 +108,28 @@ class ContainIndexSpec extends SparkSpec {
     val before = ContainIndex.probe(spark, idx, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq.sorted
-    def files(t: String): Int =
-      new java.io.File(ContainIndex.tablePath(idx, t)).listFiles()
+    // TOTAL data files: bucketed base plus the L0 accrual subdir the
+    // admissions write (underscore-hidden from table reads, but real
+    // files compaction must count and consume)
+    def files(t: String): Int = {
+      def parts(d: java.io.File) =
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val dir = new java.io.File(ContainIndex.tablePath(idx, t))
+      parts(dir) + parts(new java.io.File(dir, "_l0"))
+    }
+    def l0Files(t: String): Int =
+      Option(new java.io.File(ContainIndex.tablePath(idx, t), "_l0")
+        .listFiles()).getOrElse(Array.empty[java.io.File])
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
     val filesBefore = files("tokens")
+    assert(l0Files("tokens") > 0,
+      "admissions must accrue as L0 files, not bucketed appends")
     assert(ContainIndex.compact(spark, idx, maxFiles = 1) > 0)
     assert(files("tokens") < filesBefore,
       s"compact did not shrink tokens: $filesBefore -> ${files("tokens")}")
+    assert(l0Files("tokens") === 0 && l0Files("prefix") === 0,
+      "compaction must fold the L0 accrual into the bucketed base")
     val after = ContainIndex.probe(spark, idx, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq.sorted
