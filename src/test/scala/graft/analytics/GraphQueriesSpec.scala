@@ -24,4 +24,35 @@ class GraphQueriesSpec extends SparkSpec {
     assert(nodes > 0 && out.select("node").distinct().count() == nodes)
     out.unpersist()
   }
+
+  test("lineage truncation past the checkpoint-free band is a semantic " +
+      "no-op and bounds the unrolled plan's depth") {
+    def ranks(truncate: Boolean): Map[Long, Double] =
+      GraphQueries.pagerank(spark, dir, iterations = 12,
+          truncate = Some(truncate))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = ranks(truncate = false)
+    val truncated = ranks(truncate = true)
+    assert(plain.keySet === truncated.keySet)
+    // exact-equality would pin double addition order across two runs;
+    // the oracle gate's 1e-9 tolerance is the cross-engine contract, so
+    // hold the intra-engine no-op to something far tighter
+    plain.foreach { case (node, r) =>
+      assert(math.abs(r - truncated(node)) < 1e-12,
+        s"truncation changed node $node: $r vs ${truncated(node)}")
+    }
+    // the truncated 12-iteration frame analyzes as a ~4-iteration tree
+    // (last checkpoint at i = 8): its plan text must be well under the
+    // untruncated unroll's
+    val planOf = (t: Boolean) => GraphQueries.pagerank(spark, dir,
+      iterations = 12, truncate = Some(t))
+      .queryExecution.analyzed.toString.length
+    assert(planOf(true) < planOf(false) / 2,
+      s"truncation did not bound the plan: ${planOf(true)} vs " +
+        s"${planOf(false)}")
+    // and the oracled default stays in the checkpoint-free band: 10
+    // iterations produce NO checkpoint boundary (the measured crossover
+    // — see GraphQueries.CheckpointFreeIters)
+    assert(GraphQueries.CheckpointFreeIters >= 10)
+  }
 }
