@@ -444,6 +444,37 @@ object DedupQueries {
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
+  /** [[qDedupPurge]] driven through the BUDGET-SLICED physical phase
+    * (round 18): the same tombstoned slice is purged ONE BUCKET PER
+    * CALL (`budget = 1`, the maximally-interleaved schedule) until the
+    * sidecar drops — so the driver's hash gate pins end to end that a
+    * sliced purge converges to the identical exact answer as the
+    * one-shot purge and the logical filter: readers can never tell
+    * which phase, or which slice, they read under. Re-runs converge:
+    * the delete no-ops by deltaId and a sidecar-free purge returns
+    * false on the first call; the final prune keeps the
+    * version-per-slice accrual bounded. Own artifact family
+    * (`dedup-psl`).
+    */
+  def qDedupPurgeSliced(spark: SparkSession, dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "dedup-psl")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    if (!DedupIndex.hasCurrent(idx))
+      DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
+    DedupIndex.delete(spark, idx,
+      corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+      "takedown-mod7-3")
+    var slices = 0
+    while (DedupIndex.purge(spark, idx, budget = 1)) {
+      slices += 1
+      require(slices <= 4096,
+        s"sliced purge did not converge at $idx — progress is not carrying")
+    }
+    DedupIndex.prune(spark, idx)
+    DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
   /** [[qDedupIncremental]] at the DEFAULT corpus-scale artifact shape
     * (32×8/256, [[DedupIndex.Shape.Corpus]]) — the face that drives the
     * production build path through the driver's hash gate rather than
@@ -1806,6 +1837,7 @@ object DedupQueries {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_incremental_takedown" -> qDedupIncrementalTakedown,
     "q_dedup_purge" -> qDedupPurge,
+    "q_dedup_purge_sliced" -> qDedupPurgeSliced,
     "q_dedup_incremental256" -> qDedupIncremental256,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
@@ -2074,6 +2106,12 @@ object DedupQueries {
     // the PHYSICAL phase must be reader-invisible: same exact answer as
     // the logical takedown face
     "q_dedup_purge" ->
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND a.doc_id % 7 <> 3 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    // ... and so must every SLICE of the budgeted purge: same exact
+    // answer again after a one-bucket-per-call purge ran to completion
+    "q_dedup_purge_sliced" ->
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND a.doc_id % 7 <> 3 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
