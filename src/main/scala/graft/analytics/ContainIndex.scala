@@ -278,13 +278,10 @@ object ContainIndex {
           val r = DedupQueries.containRanked(sh, shrunk(sh))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val tasks = IndexLayout.appendTasks(spark)
-            def l0(df: DataFrame, table: String): Unit =
-              df.repartition(tasks).write.mode("append")
-                .parquet(new File(new File(next, table), "_l0").toString)
-            l0(r.select(col("hx"), col("doc_id")), "tokens")
-            l0(DedupQueries.containPrefix(r)
-              .select(col("hx"), col("doc_id")), "prefix")
+            IndexLayout.l0Append(r.select(col("hx"), col("doc_id")),
+              next, "tokens")
+            IndexLayout.l0Append(DedupQueries.containPrefix(r)
+              .select(col("hx"), col("doc_id")), next, "prefix")
             IndexLayout.writeInto(setsOf(sh), family, "sets", next,
               IndexLayout.specOf(meta, "sets"), overwrite = false)
           } finally { r.unpersist(); () }
@@ -482,31 +479,16 @@ object ContainIndex {
       def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
         spark, family, t, new File(paths(t)), IndexLayout.specOf(meta, t)))
       // L0 accrual: admission appends live as plain parquet under the
-      // table's `_l0` subdir (underscore-prefixed — the registered
-      // bucketed table's listing skips it, so the bucket contract of
-      // the base files is never polluted); probes read them as a
-      // separate delta-sized leg ([[probeLoaded]]) until compaction
-      // folds them into buckets
-      // explicit FILE paths, not the `_l0` dir: Spark's hidden-path
-      // filter matches the underscore dir name and logs a spurious
-      // "All paths were ignored" warning per load before proceeding;
-      // leaf files are taken as-is. The file list pins at load time —
-      // exactly the version-pinned read semantics every loaded frame
-      // already has.
-      def l0(t: String): Option[DataFrame] = {
-        val parts = Option(new File(paths(t), "_l0").listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        if (parts.isEmpty) None
-        else Some(spark.read.parquet(
-          parts.map(_.getAbsolutePath).toIndexedSeq: _*))
-      }
+      // table's `_l0` subdir (see [[IndexLayout.l0Append]]); probes
+      // read them as a separate delta-sized leg ([[probeLoaded]]) until
+      // compaction folds them into buckets
       Loaded(tbl("tokens"), tbl("prefix"), tbl("sets"), tbl("df"),
         bucketed = true,
         buckets = Tables.map(t =>
           t -> IndexLayout.specOf(meta, t).buckets).toMap,
         tombstones = tomb,
-        l0Tokens = l0("tokens"), l0Prefix = l0("prefix"))
+        l0Tokens = IndexLayout.l0Frame(spark, paths("tokens")),
+        l0Prefix = IndexLayout.l0Frame(spark, paths("prefix")))
     }
   }
 

@@ -177,15 +177,21 @@ object DedupIndex {
     } finally { per.unpersist(); () }
   }
 
+  /** The bucketed-layout ADMISSION write: `signatures` appends at the
+    * bucket modulus (doc_id-keyed — a delta's rows touch ≤ |delta|
+    * buckets, already delta-bounded), `bands` lands as L0 accrual
+    * ([[IndexLayout.l0Append]]) — a delta's |delta| × bands band rows
+    * hash across ~EVERY bucket, so the modulus append wrote one file
+    * per bucket per admission, the fan-out that scales with the
+    * corpus's bucket count instead of the batch.
+    */
   private def writeTablesBucketed(family: String, docs: DataFrame,
-      ver: File, meta: Map[String, String], shape: Shape,
-      overwrite: Boolean): Unit = {
+      ver: File, meta: Map[String, String], shape: Shape): Unit = {
     val per = DedupQueries.signaturesOf(docs, shape.slots).persist()
     try {
       IndexLayout.writeInto(per, family, "signatures", ver,
-        IndexLayout.specOf(meta, "signatures"), overwrite)
-      IndexLayout.writeInto(bucketedBandFrame(per, shape), family, "bands",
-        ver, IndexLayout.specOf(meta, "bands"), overwrite)
+        IndexLayout.specOf(meta, "signatures"), overwrite = false)
+      IndexLayout.l0Append(bucketedBandFrame(per, shape), ver, "bands")
     } finally { per.unpersist(); () }
   }
 
@@ -250,10 +256,12 @@ object DedupIndex {
 
   /** ADMIT a delta (probe-then-admit lifecycle): true if admitted, false
     * if `deltaId` was already applied. O(|delta|) write — previous files
-    * carry as hard links, only the delta's part files are new (for the
-    * bucketed layout: one new file per touched bucket, at the modulus
-    * the artifact records). Signatures and bands at the shape the
-    * artifact records — never a caller choice.
+    * carry as hard links, only the delta's part files are new. On the
+    * bucketed layout: `signatures` appends at the modulus (≤ |delta|
+    * touched buckets), `bands` as L0 accrual (≤ appendTasks files,
+    * independent of the bucket count — [[writeTablesBucketed]]).
+    * Signatures and bands at the shape the artifact records — never a
+    * caller choice.
     */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
       deltaId: String): Boolean = {
@@ -265,8 +273,7 @@ object DedupIndex {
     else {
       val family = IndexLayout.familyOf(indexDir)
       artifact(indexDir).admit(deltaId, Tables,
-        writeTablesBucketed(family, docs, _, meta, shape,
-          overwrite = false))
+        writeTablesBucketed(family, docs, _, meta, shape))
     }
   }
 
@@ -436,7 +443,15 @@ object DedupIndex {
   final case class Loaded(signatures: DataFrame, bands: DataFrame,
       shape: Shape, bucketed: Boolean = false,
       private[graft] val buckets: Map[String, Int] = Map.empty,
-      private[graft] val tombstones: Option[DataFrame] = None)
+      private[graft] val tombstones: Option[DataFrame] = None,
+      private[graft] val l0Bands: Option[DataFrame] = None) {
+
+    /** Every L0 frame present — what the streaming cache persists next
+      * to the base frames (delta-sized; pinning them is cheaper than
+      * one lake read per batch).
+      */
+    private[graft] def l0Frames: Seq[DataFrame] = l0Bands.toSeq
+  }
 
   /** Artifact-load counter — see [[SrpIndex.loadRuns]]. */
   val loadRuns = new java.util.concurrent.atomic.AtomicLong(0)
@@ -462,7 +477,8 @@ object DedupIndex {
       Loaded(tbl("signatures"), tbl("bands"), shape, bucketed = true,
         buckets = Tables.map(t =>
           t -> IndexLayout.specOf(meta, t).buckets).toMap,
-        tombstones = tomb)
+        tombstones = tomb,
+        l0Bands = IndexLayout.l0Frame(spark, paths("bands")))
     }
   }
 
@@ -528,14 +544,24 @@ object DedupIndex {
       } else if (!micro || IndexLayout.isCached(loaded.bands)) {
         // batch probe, or the micro CACHED regime (1): lazy bk
         // equi-join; micro broadcasts the delta so the corpus side
-        // (bucketed scan or InMemoryRelation) streams exchange-free
+        // (bucketed scan or InMemoryRelation) streams exchange-free.
+        // L0 leg: join the bucketed BASE and the delta-sized L0 accrual
+        // SEPARATELY and union RESULTS — unioning the inputs would
+        // erase the base table's bucket partitioning (see
+        // ContainIndex.probeRaw's overCorpus); a corpus doc's band rows
+        // live wholly in one leg (admissions land whole in L0,
+        // compaction folds all of L0 at once), and the distinct after
+        // the union collapses duplicates either way
         val deltaBands = bucketedBandFrame(deltaPer, shape)
           .withColumnRenamed("doc_id", "id_b")
-        val corpusBands = loaded.bands.withColumnRenamed("doc_id", "id_a")
         val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
-        (deltaSide.join(corpusBands, Seq("bk"))
-          .where(col("id_a") =!= col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct(), loaded.signatures)
+        def leg(c: DataFrame): DataFrame =
+          deltaSide.join(c.withColumnRenamed("doc_id", "id_a"), Seq("bk"))
+            .where(col("id_a") =!= col("id_b"))
+            .select(col("id_a"), col("id_b"))
+        (loaded.l0Bands.fold(leg(loaded.bands))(d =>
+          leg(loaded.bands).unionByName(leg(d))).distinct(),
+          loaded.signatures)
       } else {
         // uncached micro, regimes (2)/(3): ONE eager candidate job
         // ([[microCandidates]] — corpus band read pruned where the key
@@ -574,12 +600,20 @@ object DedupIndex {
     import spark.implicits._
     val deltaBandRows = bucketedBandFrame(deltaPer, loaded.shape)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val corpus = IndexLayout.pruned(
+    val deltaSide = broadcast(deltaBandRows.toDF("bk", "id_b"))
+    // L0 leg (see probeLoaded): the base scan keeps its INSET bucket
+    // pruning; the L0 files are delta-sized and scan whole — the
+    // equi-join restricts them the same way
+    val base = IndexLayout.pruned(
       loaded.bands.withColumnRenamed("doc_id", "id_a"), "bk",
       deltaBandRows.map(_._1).distinct,
       loaded.buckets.getOrElse("bands", Int.MaxValue))
-    broadcast(deltaBandRows.toDF("bk", "id_b")).join(corpus, Seq("bk"))
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    def leg(c: DataFrame): DataFrame =
+      deltaSide.join(c, Seq("bk"))
+        .where(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    loaded.l0Bands.fold(leg(base))(d =>
+      leg(base).unionByName(leg(d.withColumnRenamed("doc_id", "id_a"))))
+      .distinct()
   }
 }

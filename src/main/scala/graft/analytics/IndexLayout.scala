@@ -241,8 +241,10 @@ private[graft] object IndexLayout {
     * scheduled 192 tasks to write a 125-doc delta): they write with
     * [[AppendTasks]] tasks (conf `spark.graft.index.append.tasks`),
     * each emitting the files of ~buckets/tasks buckets. File COUNT per
-    * admission is still O(touched buckets) — that ceiling is the
-    * documented L0-accrual upgrade (`ContainIndex.append`).
+    * admission is still O(touched buckets) — fine for the id-keyed
+    * tables whose deltas touch ≤ |delta| buckets (`sets`, `signatures`,
+    * `vectors`); the band/posting tables whose delta rows spread over
+    * ~every bucket admit through [[l0Append]] instead.
     */
   def writeInto(df: DataFrame, family: String, table: String,
       verDir: File, spec: TableSpec, overwrite: Boolean): Unit = {
@@ -262,5 +264,40 @@ private[graft] object IndexLayout {
       .sortBy(spec.sort.head, spec.sort.tail: _*)
     (if (overwrite) w.option("path", tableDir.getAbsolutePath) else w)
       .saveAsTable(name)
+  }
+
+  /** L0 ACCRUAL admission write — the standard LSM/lakehouse trade the
+    * containment face pioneered (r18), shared by every index family's
+    * high-fan-out table: the delta's rows land as ≤ [[appendTasks]]
+    * UNBUCKETED parquet files under the table's `_l0` subdir
+    * (underscore dirs are invisible to the registered bucketed table's
+    * listing, so the base files' bucket contract holds), instead of one
+    * file per touched bucket at the table's modulus. Per-admission file
+    * count is therefore independent of the corpus's bucket count — the
+    * ceiling that made admission the bottleneck at a 100 TB
+    * deployment's thousands of buckets. Probes read L0 as a separate
+    * delta-sized leg ([[l0Frame]]) unioned AFTER the base joins (base
+    * pruning intact); `compactBucketed` counts L0 toward the accrual
+    * threshold and folds it into the buckets; the budgeted purge's
+    * `raw` slice rewrites it.
+    */
+  def l0Append(df: DataFrame, verDir: File, table: String): Unit =
+    df.repartition(appendTasks(df.sparkSession)).write.mode("append")
+      .parquet(new File(new File(verDir, table), "_l0").toString)
+
+  /** A table's L0 accrual as one frame (None when no accrual): explicit
+    * FILE paths, not the `_l0` dir — Spark's hidden-path filter matches
+    * the underscore dir name and logs a spurious "All paths were
+    * ignored" warning per load before proceeding; leaf files are taken
+    * as-is. The file list pins at call time — exactly the
+    * version-pinned read semantics every loaded frame already has.
+    */
+  def l0Frame(spark: SparkSession, tableDir: String): Option[DataFrame] = {
+    val parts = Option(new File(tableDir, "_l0").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(
+      parts.map(_.getAbsolutePath).toIndexedSeq: _*))
   }
 }

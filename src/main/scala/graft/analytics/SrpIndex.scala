@@ -115,16 +115,21 @@ object SrpIndex {
     } finally { v.unpersist(); () }
   }
 
+  /** The bucketed-layout ADMISSION write: `vectors` appends at the
+    * bucket modulus (vec_id-keyed — ≤ |delta| touched buckets),
+    * `bands` as L0 accrual ([[IndexLayout.l0Append]]) — a delta's
+    * |delta| × bands band rows hash across ~every bucket, so the
+    * modulus append wrote one file per bucket per admission.
+    */
   private def writeTablesBucketed(spark: SparkSession, family: String,
       vecs: DataFrame, ver: File, meta: Map[String, String],
-      shape: DedupQueries.SrpShape, overwrite: Boolean): Unit = {
+      shape: DedupQueries.SrpShape): Unit = {
     val v = DedupQueries.srpVectorsOf(spark, vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       IndexLayout.writeInto(v, family, "vectors", ver,
-        IndexLayout.specOf(meta, "vectors"), overwrite)
-      IndexLayout.writeInto(bucketedBandsOf(spark, v, shape), family,
-        "bands", ver, IndexLayout.specOf(meta, "bands"), overwrite)
+        IndexLayout.specOf(meta, "vectors"), overwrite = false)
+      IndexLayout.l0Append(bucketedBandsOf(spark, v, shape), ver, "bands")
     } finally { v.unpersist(); () }
   }
 
@@ -197,7 +202,7 @@ object SrpIndex {
     else
       artifact(indexDir).admit(deltaId, Tables,
         writeTablesBucketed(spark, IndexLayout.familyOf(indexDir), vecs,
-          _, meta, shape, overwrite = false))
+          _, meta, shape))
   }
 
   /** Drop versions older than the newest `keep` — see
@@ -337,7 +342,15 @@ object SrpIndex {
       private[graft] val shape: DedupQueries.SrpShape,
       bucketed: Boolean = false,
       private[graft] val buckets: Map[String, Int] = Map.empty,
-      private[graft] val tombstones: Option[DataFrame] = None)
+      private[graft] val tombstones: Option[DataFrame] = None,
+      private[graft] val l0Bands: Option[DataFrame] = None) {
+
+    /** Every L0 frame present — what the streaming cache persists next
+      * to the base frames (delta-sized; pinning them is cheaper than
+      * one lake read per batch).
+      */
+    private[graft] def l0Frames: Seq[DataFrame] = l0Bands.toSeq
+  }
 
   /** Artifact-load counter — the [[buildRuns]]-style observability hook:
     * lets `IngestDedupSpec` prove a multi-batch ingest stream resolved
@@ -366,7 +379,8 @@ object SrpIndex {
       Loaded(tbl("vectors"), tbl("bands"), shape, bucketed = true,
         buckets = Tables.map(t =>
           t -> IndexLayout.specOf(meta, t).buckets).toMap,
-        tombstones = tomb)
+        tombstones = tomb,
+        l0Bands = IndexLayout.l0Frame(spark, paths("bands")))
     }
   }
 
@@ -408,14 +422,20 @@ object SrpIndex {
       } else if (!micro || IndexLayout.isCached(loaded.bands)) {
         // batch probe, or the micro CACHED regime: lazy bk equi-join;
         // micro broadcasts the delta so the corpus side streams — see
-        // DedupIndex.probeLoaded's three-regime design comment
+        // DedupIndex.probeLoaded's three-regime design comment. L0 leg:
+        // join base and accrual separately, union RESULTS (see
+        // DedupIndex.probeLoaded — unioning the inputs would erase the
+        // base table's bucket partitioning)
         val deltaBands = bucketedBandsOf(spark, deltaV, loaded.shape)
           .withColumnRenamed("vec_id", "id_b")
-        val corpusBands = loaded.bands.withColumnRenamed("vec_id", "id_a")
         val deltaSide = if (micro) broadcast(deltaBands) else deltaBands
-        (deltaSide.join(corpusBands, Seq("bk"))
-          .where(col("id_a") =!= col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct(), loaded.vectors)
+        def leg(c: DataFrame): DataFrame =
+          deltaSide.join(c.withColumnRenamed("vec_id", "id_a"), Seq("bk"))
+            .where(col("id_a") =!= col("id_b"))
+            .select(col("id_a"), col("id_b"))
+        (loaded.l0Bands.fold(leg(loaded.bands))(d =>
+          leg(loaded.bands).unionByName(leg(d))).distinct(),
+          loaded.vectors)
       } else {
         // uncached micro: one eager candidate job (band scan pruned
         // where the key count clears the bucket count), candidates
@@ -454,12 +474,19 @@ object SrpIndex {
     import spark.implicits._
     val deltaBandRows = bucketedBandsOf(spark, deltaV, loaded.shape)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val corpus = IndexLayout.pruned(
+    val deltaSide = broadcast(deltaBandRows.toDF("bk", "id_b"))
+    // L0 leg (see DedupIndex.microCandidates): the base scan keeps its
+    // INSET bucket pruning; the L0 files are delta-sized and scan whole
+    val base = IndexLayout.pruned(
       loaded.bands.withColumnRenamed("vec_id", "id_a"), "bk",
       deltaBandRows.map(_._1).distinct,
       loaded.buckets.getOrElse("bands", Int.MaxValue))
-    broadcast(deltaBandRows.toDF("bk", "id_b")).join(corpus, Seq("bk"))
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    def leg(c: DataFrame): DataFrame =
+      deltaSide.join(c, Seq("bk"))
+        .where(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    loaded.l0Bands.fold(leg(base))(d =>
+      leg(base).unionByName(leg(d.withColumnRenamed("vec_id", "id_a"))))
+      .distinct()
   }
 }

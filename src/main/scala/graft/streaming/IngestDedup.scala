@@ -227,7 +227,7 @@ object IngestDedup {
       (l: graft.analytics.SrpIndex.Loaded) =>
         cacheIfFits(spark, l.bucketed, admitting = admitId.isDefined,
           () => graft.analytics.SrpIndex.artifactBytes(indexDir),
-          Seq(l.vectors, l.bands)))
+          Seq(l.vectors, l.bands) ++ l.l0Frames))
     // eager first load: a missing/corrupt index must throw HERE,
     // synchronously, not as an async batch-0 failure the caller's error
     // handling never sees (and a failed start() then has real cache
@@ -295,7 +295,7 @@ object IngestDedup {
       (l: graft.analytics.DedupIndex.Loaded) =>
         cacheIfFits(spark, l.bucketed, admitting = admitId.isDefined,
           () => graft.analytics.DedupIndex.artifactBytes(indexDir),
-          Seq(l.signatures, l.bands)))
+          Seq(l.signatures, l.bands) ++ l.l0Frames))
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)

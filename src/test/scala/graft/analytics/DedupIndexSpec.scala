@@ -131,8 +131,9 @@ class DedupIndexSpec extends SparkSpec {
       "re-probe lost genuine cross-corpus pairs")
   }
 
-  test("compact: file count drops, probe multiset and applied deltas " +
-      "unchanged, retried delta still a no-op") {
+  test("compact: L0 accrual consumed to the per-bucket floor, probe " +
+      "multiset and applied deltas unchanged, retried delta still a " +
+      "no-op") {
     import spark.implicits._
     val docs = graft.GraftSession.table(spark, dir, "documents")
       .select($"doc_id", $"text")
@@ -155,12 +156,25 @@ class DedupIndexSpec extends SparkSpec {
     def files(t: String): Int =
       new java.io.File(DedupIndex.tablePath(idx, t)).listFiles()
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    val filesBefore = files("bands")
+    def l0Files(t: String): Int =
+      Option(new java.io.File(
+        new java.io.File(DedupIndex.tablePath(idx, t)), "_l0").listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // band admissions land as L0 accrual (IndexL0Spec pins the shape);
+    // the fold must CONSUME it into the bucketed base and land at the
+    // documented ≤ 2-files-per-bucket floor (base + merged accrual)
+    assert(l0Files("bands") > 0,
+      "admissions must land band rows as L0 accrual")
     // low threshold so the spec-sized index qualifies as fat
     assert(DedupIndex.compact(spark, idx, maxFiles = 1) > 0,
       "build+admit must leave at least one table past 1 file")
-    assert(files("bands") < filesBefore,
-      s"compact did not shrink bands: $filesBefore -> ${files("bands")}")
+    assert(l0Files("bands") === 0,
+      "compaction must consume the bands L0 accrual")
+    val bandBuckets = DedupIndex.load(spark, idx).buckets("bands")
+    assert(files("bands") <= 2 * bandBuckets,
+      s"bands past the 2-files/bucket floor: ${files("bands")} files, " +
+        s"$bandBuckets buckets")
     val after = DedupIndex.probe(spark, idx, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq.sorted

@@ -99,15 +99,14 @@ class SrpIndexSpec extends SparkSpec {
       "re-probe emitted self-pairs for already-admitted vectors")
   }
 
-  test("compact: file count drops, probe multiset and deltas unchanged") {
+  test("compact: L0 accrual consumed to the per-bucket floor, probe " +
+      "multiset and deltas unchanged") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-srp-idx3")
       .toString
     SrpIndex.build(spark, vecs.filter($"vec_id" % 5 < 3), idx)
     assert(SrpIndex.append(spark, vecs.filter($"vec_id" % 5 === 3), idx,
       "day1"))
-    // two admissions: the bucket-granular fold's floor is base + merged
-    // (2 files/bucket), so one accrual file per bucket cannot shrink
     assert(SrpIndex.append(spark,
       vecs.filter($"vec_id" % 5 === 3)
         .select(($"vec_id" + 500000L).as("vec_id"), $"embedding"),
@@ -119,9 +118,22 @@ class SrpIndexSpec extends SparkSpec {
     def files(t: String): Int =
       new java.io.File(SrpIndex.tablePath(idx, t)).listFiles()
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    val fat = files("bands")
+    def l0Files(t: String): Int =
+      Option(new java.io.File(new java.io.File(SrpIndex.tablePath(idx, t)),
+        "_l0").listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // band admissions land as L0 accrual (IndexL0Spec pins the shape);
+    // the fold must CONSUME it into the bucketed base and land at the
+    // documented ≤ 2-files-per-bucket floor (base + merged accrual)
+    assert(l0Files("bands") > 0,
+      "admissions must land band rows as L0 accrual")
     assert(SrpIndex.compact(spark, idx, maxFiles = 1) > 0)
-    assert(files("bands") < fat)
+    assert(l0Files("bands") === 0,
+      "compaction must consume the bands L0 accrual")
+    val bandBuckets = SrpIndex.load(spark, idx).buckets("bands")
+    assert(files("bands") <= 2 * bandBuckets,
+      s"bands past the 2-files/bucket floor: ${files("bands")} files, " +
+        s"$bandBuckets buckets")
     val after = SrpIndex.probe(spark, idx, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq.sorted
