@@ -277,6 +277,16 @@ object DedupIndex {
     }
   }
 
+  /** The delta's (bk, doc_id) band frame at the ARTIFACT's recorded
+    * shape — measurement/observability hook (`FanoutProbe` counts the
+    * buckets a delta's band rows touch).
+    */
+  private[graft] def deltaBandFrame(spark: SparkSession,
+      indexDir: String, docs: DataFrame): DataFrame = {
+    val shape = shapeOfMeta(artifact(indexDir).meta)
+    bucketedBandFrame(DedupQueries.signaturesOf(docs, shape.slots), shape)
+  }
+
   /** Drop index versions older than the newest `keep` (default 2: a
     * reader holding the previous version's paths — a lazy probe frame,
     * the ingest stream's cached corpus — survives one admission; consume

@@ -205,6 +205,14 @@ object SrpIndex {
           _, meta, shape))
   }
 
+  /** The delta's (bk, vec_id) band frame at the ARTIFACT's recorded
+    * shape — measurement hook (see [[DedupIndex.deltaBandFrame]]).
+    */
+  private[graft] def deltaBandFrame(spark: SparkSession,
+      indexDir: String, vecs: DataFrame): DataFrame =
+    bucketedBandsOf(spark, DedupQueries.srpVectorsOf(spark, vecs),
+      shapeOf(indexDir))
+
   /** Drop versions older than the newest `keep` — see
     * [[DedupIndex.prune]]'s reader-grace + catalog-drop notes. */
   def prune(spark: SparkSession, indexDir: String, keep: Int = 2): Unit = {
