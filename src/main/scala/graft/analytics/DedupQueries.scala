@@ -395,6 +395,32 @@ object DedupQueries {
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
+  /** [[qDedupIncremental]] with the corpus indexed IN TWO STEPS — build
+    * over doc_id % 5 < 3, then ADMIT the % 5 = 3 slice through the
+    * production admission path ([[DedupIndex.append]]: signatures at
+    * the bucket modulus, bands as L0 accrual) — before the same
+    * % 5 = 4 delta probes it. The oracle is [[qDedupIncremental]]'s
+    * EXACT same answer: per-doc minhash banding is deterministic, so a
+    * corpus indexed incrementally carries identical band content, and
+    * the probe's base+L0 union legs must surface the admitted docs'
+    * pairs bit-exactly. This puts the ADMISSION write path — and the
+    * L0 read path on its other side — inside the driver's oracle gate
+    * (the incremental faces oracle build+probe only; `IndexL0Spec`
+    * pins the file shape, this row pins the VALUES every round). The
+    * deltaId-idempotent admit makes replays no-ops on a resolved
+    * artifact.
+    */
+  def qDedupAdmitted(spark: SparkSession, dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "dedup-admitted")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!DedupIndex.hasCurrent(idx))
+      DedupIndex.build(spark, docs.filter(col("doc_id") % 5 < 3), idx,
+        DedupIndex.Shape.Oracle)
+    DedupIndex.append(spark, docs.filter(col("doc_id") % 5 === 3), idx,
+      "admitted-day1")
+    DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
   /** [[qDedupIncremental]] after a TAKEDOWN: a deterministic slice of
     * the indexed corpus (doc_id % 7 = 3) is tombstoned
     * ([[DedupIndex.delete]] — the [[IndexTombstones]] logical phase),
@@ -1131,6 +1157,29 @@ object DedupQueries {
     ContainIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
+  /** [[qDedupContainmentIncremental]] with the corpus indexed in TWO
+    * steps — build over doc_id % 5 < 3, then ADMIT the % 5 = 3 slice
+    * ([[ContainIndex.append]]: frozen-df prefix ranking, tokens/prefix
+    * as L0 accrual, sets at the modulus) — same oracle, same exact
+    * answer: the prefix pigeonhole is ORDER-INDEPENDENT (any
+    * ⌊n/10⌋+1 distinct shingles of a contained doc hit the index), so
+    * ranking the admitted slice's prefixes by the build-time df instead
+    * of the full-corpus df can cost candidate efficiency, never recall,
+    * and the verify is exact containment either way. The one oracled
+    * row that drives the containment ADMISSION path (incl. both L0
+    * probe legs) every round.
+    */
+  def qDedupContainmentAdmitted(spark: SparkSession,
+      dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "contain-admitted")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!ContainIndex.hasCurrent(idx))
+      ContainIndex.build(spark, docs.filter(col("doc_id") % 5 < 3), idx)
+    ContainIndex.append(spark, docs.filter(col("doc_id") % 5 === 3), idx,
+      "admitted-day1")
+    ContainIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
   /** [[qDedupContainmentIncremental]] after a TAKEDOWN of the corpus's
     * doc_id % 7 = 3 slice — deletion under the ASYMMETRIC two-direction
     * probe (a tombstoned corpus doc must vanish from pairs whether it
@@ -1546,6 +1595,30 @@ object DedupQueries {
     SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
   }
 
+  /** [[qDedupEmbeddingIncremental]] with the corpus indexed in TWO
+    * steps — build over vec_id % 5 < 3, then ADMIT the % 5 = 3 slice
+    * ([[SrpIndex.append]]: vectors at the modulus, bands as L0
+    * accrual) — same oracle, same bit-exact answer: SRP banding is
+    * deterministic per vector at the recorded shape, so the two-step
+    * corpus carries identical band content and the probe's base+L0
+    * union legs must reproduce the one-shot build's pairs. The
+    * embedding member of the oracled ADMISSION trio (see
+    * [[qDedupAdmitted]]).
+    */
+  def qDedupEmbeddingAdmitted(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = AnnIndex.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val idx = s"${SimilarityQueries.indexRoot}/srp-admitted-$fp"
+    val vecs = table(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    if (!SrpIndex.hasCurrent(idx))
+      SrpIndex.build(spark, vecs.filter($"vec_id" % 5 < 3), idx,
+        Srp.Narrow)
+    SrpIndex.append(spark, vecs.filter($"vec_id" % 5 === 3), idx,
+      "admitted-day1")
+    SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
+  }
+
   /** [[qDedupEmbeddingIncremental]] after a TAKEDOWN — the embedding
     * family's deletion face, completing the oracled takedown trio
     * (dedup / containment / embedding): a deterministic slice of the
@@ -1835,6 +1908,7 @@ object DedupQueries {
     "q_neighbor_topk" -> qNeighborTopk,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_dedup_admitted" -> qDedupAdmitted,
     "q_dedup_incremental_takedown" -> qDedupIncrementalTakedown,
     "q_dedup_purge" -> qDedupPurge,
     "q_dedup_purge_sliced" -> qDedupPurgeSliced,
@@ -1845,6 +1919,7 @@ object DedupQueries {
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "q_dedup_embedding_lsh64" -> qDedupEmbeddingLsh64,
     "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
+    "q_dedup_embedding_admitted" -> qDedupEmbeddingAdmitted,
     "q_dedup_embedding_takedown" -> qDedupEmbeddingTakedown,
     "q_dedup_embedding_incremental_wide" -> qDedupEmbeddingIncrementalWide,
     "q_dedup_embedding_wide_planted" -> qDedupEmbeddingWidePlanted,
@@ -1852,6 +1927,7 @@ object DedupQueries {
     "q_dedup_components_star" -> qDedupComponentsStar,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_containment_incremental" -> qDedupContainmentIncremental,
+    "q_dedup_containment_admitted" -> qDedupContainmentAdmitted,
     "q_dedup_containment_takedown" -> qDedupContainmentTakedown,
     "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_dedup_keeper_quality" -> qDedupKeeperQuality
@@ -2096,6 +2172,13 @@ object DedupQueries {
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    // admitted face: build(% 5 < 3) + append(% 5 = 3) must hash-equal
+    // the one-shot build over % 5 <> 4 — banding is per-doc
+    // deterministic, so the oracle is qDedupIncremental's verbatim
+    "q_dedup_admitted" ->
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
     // takedown face: the corpus side additionally excludes the
     // tombstoned doc_id % 7 = 3 slice (delta ids are % 5 = 4, never
     // tombstoned, so the one-sided exclusion is exact)
@@ -2188,6 +2271,11 @@ object DedupQueries {
     "q_dedup_embedding_incremental" -> embeddingLshOracle(Srp.Narrow,
       joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
       outA = "corpus_id", outB = "new_id"),
+    // admitted face: two-step indexing carries identical band content
+    // (deterministic SRP banding), so the oracle is the incremental's
+    "q_dedup_embedding_admitted" -> embeddingLshOracle(Srp.Narrow,
+      joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
+      outA = "corpus_id", outB = "new_id"),
     // takedown face: the corpus side additionally excludes the
     // tombstoned vec_id % 8 = 6 slice (delta ids are % 5 = 4, never
     // tombstoned, so the one-sided exclusion is exact)
@@ -2212,6 +2300,11 @@ object DedupQueries {
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
     "q_dedup_containment" -> duckContainPairs("a.doc_id <> b.doc_id"),
     "q_dedup_containment_incremental" -> duckContainPairs(
+      "a.doc_id <> b.doc_id AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))"),
+    // admitted face: prefix exactness is order-independent (pigeonhole
+    // holds for ANY prefix choice), so two-step indexing answers the
+    // same exact containment oracle as the incremental face
+    "q_dedup_containment_admitted" -> duckContainPairs(
       "a.doc_id <> b.doc_id AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))"),
     // takedown face: either side that is a corpus doc (% 5 <> 4) in the
     // tombstoned % 7 = 3 slice is excluded — the probe filters BOTH pair
