@@ -7,7 +7,9 @@ import graft.SparkSpec
 /** The PRODUCTION-LAYOUT proof for the oracled incremental faces: every
   * driver-hash-checked incremental query (`q_dedup_incremental`,
   * `q_dedup_incremental256`, `q_dedup_containment_incremental`,
-  * `q_dedup_embedding_incremental`, `q_dedup_embedding_incremental_wide`)
+  * `q_dedup_embedding_incremental`, `q_dedup_embedding_incremental_wide`,
+  * and the admitted trio `q_dedup_admitted` /
+  * `q_dedup_containment_admitted` / `q_dedup_embedding_admitted`)
   * builds its durable artifact at the BUCKETED build default and its
   * executed probe plan reads the bucketed external tables — so the
   * driver's green rows prove the 100 TB layout end-to-end, not a
@@ -66,6 +68,24 @@ class OracledFacesBucketedSpec extends SparkSpec {
       assertBucketedPlan(
         DedupQueries.qDedupContainmentIncremental(spark, dir), root,
         "q_dedup_containment_incremental")
+    }
+  }
+
+  test("the admitted trio (build + L0 admission) probes bucketed " +
+      "artifacts") {
+    withFreshRoot("dedupadm") { root =>
+      assertBucketedPlan(DedupQueries.qDedupAdmitted(spark, dir), root,
+        "q_dedup_admitted")
+    }
+    withFreshRoot("containadm") { root =>
+      assertBucketedPlan(
+        DedupQueries.qDedupContainmentAdmitted(spark, dir), root,
+        "q_dedup_containment_admitted")
+    }
+    withFreshRoot("srpadm") { root =>
+      assertBucketedPlan(
+        DedupQueries.qDedupEmbeddingAdmitted(spark, dir), root,
+        "q_dedup_embedding_admitted")
     }
   }
 
