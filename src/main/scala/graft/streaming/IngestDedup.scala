@@ -227,7 +227,11 @@ object IngestDedup {
       (l: graft.analytics.SrpIndex.Loaded) =>
         cacheIfFits(spark, l.bucketed, admitting = admitId.isDefined,
           () => graft.analytics.SrpIndex.artifactBytes(indexDir),
-          Seq(l.vectors, l.bands) ++ l.l0Frames))
+          Seq(l.vectors, l.bands) ++ l.l0Frames),
+      purgePending = () => graft.analytics.SrpIndex.purgePending(indexDir),
+      appliedDeltas = () =>
+        graft.analytics.SrpIndex.appliedDeltas(indexDir))
+    val purgeGrace = new java.util.concurrent.atomic.AtomicInteger(0)
     // eager first load: a missing/corrupt index must throw HERE,
     // synchronously, not as an async batch-0 failure the caller's error
     // handling never sees (and a failed start() then has real cache
@@ -263,7 +267,8 @@ object IngestDedup {
             purgeBudgetOf(spark)),
           purgeRatioConf = purgeRatioOf(spark),
           purgePending = () =>
-            graft.analytics.SrpIndex.purgePending(indexDir))
+            graft.analytics.SrpIndex.purgePending(indexDir),
+          purgeGrace = purgeGrace)
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -295,7 +300,12 @@ object IngestDedup {
       (l: graft.analytics.DedupIndex.Loaded) =>
         cacheIfFits(spark, l.bucketed, admitting = admitId.isDefined,
           () => graft.analytics.DedupIndex.artifactBytes(indexDir),
-          Seq(l.signatures, l.bands) ++ l.l0Frames))
+          Seq(l.signatures, l.bands) ++ l.l0Frames),
+      purgePending = () =>
+        graft.analytics.DedupIndex.purgePending(indexDir),
+      appliedDeltas = () =>
+        graft.analytics.DedupIndex.appliedDeltas(indexDir))
+    val purgeGrace = new java.util.concurrent.atomic.AtomicInteger(0)
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -327,7 +337,8 @@ object IngestDedup {
             purgeBudgetOf(spark)),
           purgeRatioConf = purgeRatioOf(spark),
           purgePending = () =>
-            graft.analytics.DedupIndex.purgePending(indexDir))
+            graft.analytics.DedupIndex.purgePending(indexDir),
+          purgeGrace = purgeGrace)
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -359,7 +370,12 @@ object IngestDedup {
       (l: graft.analytics.ContainIndex.Loaded) =>
         cacheIfFits(spark, l.bucketed, admitting = admitId.isDefined,
           () => graft.analytics.ContainIndex.artifactBytes(indexDir),
-          Seq(l.tokens, l.prefix, l.sets, l.df) ++ l.l0Frames))
+          Seq(l.tokens, l.prefix, l.sets, l.df) ++ l.l0Frames),
+      purgePending = () =>
+        graft.analytics.ContainIndex.purgePending(indexDir),
+      appliedDeltas = () =>
+        graft.analytics.ContainIndex.appliedDeltas(indexDir))
+    val purgeGrace = new java.util.concurrent.atomic.AtomicInteger(0)
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -391,7 +407,8 @@ object IngestDedup {
             purgeBudgetOf(spark)),
           purgeRatioConf = purgeRatioOf(spark),
           purgePending = () =>
-            graft.analytics.ContainIndex.purgePending(indexDir))
+            graft.analytics.ContainIndex.purgePending(indexDir),
+          purgeGrace = purgeGrace)
       }
       .start()
     withCacheLifecycle(spark, start, cache)
@@ -464,7 +481,12 @@ object IngestDedup {
     * times, outrunning ANY fixed keep, which is why the drain now
     * folds all requests into ONE [[graft.analytics.IndexTombstones
     * .deleteAll]] version. Disk transiently holds at most
-    * bumps + 1 ≤ 5 versions (append + compact + drain + auto-purge).
+    * bumps + 1 ≤ 5 versions (append + compact + drain + auto-purge) —
+    * EXCEPT while a budget-sliced purge is mid-flight, when the whole
+    * slice chain retains (purge-grace prune below: readers skip the
+    * per-slice reloads and stay pinned on the pre-chain version;
+    * hard links make the chain cost only its rewritten buckets, and it
+    * drops one batch after the purge completes).
     *
     * TAKEDOWNS drain AFTER the batch's admission, from the same writer
     * thread — the only seat that cannot trip the single-writer check —
@@ -506,7 +528,9 @@ object IngestDedup {
       tombstoneRatio: () => Double = () => 0.0,
       purge: () => Boolean = () => false,
       purgeRatioConf: Option[Double] = None,
-      purgePending: () => Boolean = () => false): Unit = {
+      purgePending: () => Boolean = () => false,
+      purgeGrace: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger(0)): Unit = {
     var bumps = 0
     admitId.foreach { id =>
       if (nonEmpty) {
@@ -529,7 +553,29 @@ object IngestDedup {
         if (purge()) bumps += 1
       }
     }
-    if (bumps > 0) prune(bumps + 1)
+    // PURGE-GRACE PRUNE: while a budget-sliced purge is mid-flight,
+    // readers skip the slice-by-slice reloads ([[VersionedCache]]'s
+    // purge-equivalence skip) and stay pinned on the version they read
+    // BEFORE the chain began — so the whole chain of purge-slice
+    // versions must survive, not just this batch's bumps. The chain is
+    // hard-link-cheap on disk (each slice duplicates only its rewritten
+    // buckets) and bounded by ceil(buckets/budget) slices.
+    // `purgeGrace` (one counter per stream — the caller owns it)
+    // accumulates the chain's bumps; the COMPLETION batch still retains
+    // the chain (readers reload on their next poll, which may come
+    // after this batch's prune), and the batch AFTER completion drops
+    // it — the same one-batch reader grace every bump already has.
+    val wasActive = purgeGrace.get > 0
+    val active = purgePending()
+    if (active || wasActive) {
+      purgeGrace.addAndGet(bumps)
+      // guard like the plain branch's bumps > 0: a pure READER stream
+      // (admitId=None, no takedown seat) observing someone ELSE's
+      // purge has bumps=0 and an empty chain — prune(1) here would
+      // delete the very versions its cache is pinned on
+      if (purgeGrace.get > 0) prune(purgeGrace.get + 1)
+      if (!active) purgeGrace.set(0)
+    } else if (bumps > 0) prune(bumps + 1)
   }
 
   /** Default bucket budget per auto-purge slice — sized so one slice's
@@ -666,27 +712,63 @@ object IngestDedup {
     * re-read the cache exists to avoid). `IngestDedupSpec` pins both
     * halves: one load across same-version batches, and a
     * post-admission batch matching against the admitted doc.
+    * `PurgeEquivalenceSpec` pins the third: version bumps from a
+    * mid-flight budget-sliced purge do NOT reload (the skip in `get()`
+    * below — the answers are bit-identical by the purge contract), so
+    * a reader pays one reload per takedown and one per purge
+    * COMPLETION, never one per slice.
     */
-  private final class VersionedCache[L](
+  private[streaming] final class VersionedCache[L](
       currentVersion: () => Option[Long],
       load: () => L,
-      frames: L => Seq[DataFrame]) {
-    private var state: Option[(Option[Long], L, Seq[DataFrame])] = None
+      frames: L => Seq[DataFrame],
+      purgePending: () => Boolean = () => false,
+      appliedDeltas: () => Set[String] = () => Set.empty) {
+    private var state: Option[(Option[Long], L, Seq[DataFrame], Set[String])] =
+      None
     def get(): L = synchronized {
       val v = currentVersion()
       state match {
-        case Some((sv, l, _)) if sv == v => l
+        case Some((sv, l, _, _)) if sv == v => l
+        // PURGE-EQUIVALENCE SKIP: a budget-sliced purge bumps the
+        // version once per slice, but every slice is reader-invisible
+        // by the purge contract (the sidecar — and with it the logical
+        // probe filter — holds until the final slice, and the rewrite
+        // only drops rows the filter already hides). A reader that
+        // reloaded per slice would re-materialize a corpus-sized cache
+        // ceil(buckets/budget) times for bit-identical answers. So:
+        // while a purge is MID-FLIGHT and no admission or takedown
+        // landed since this cache pinned (appliedDeltas unchanged —
+        // takedowns admit deltaIds too, so a new tombstone whose filter
+        // MUST apply always reloads), adopt the new version number and
+        // keep serving the pinned frames. The final slice drops the
+        // sidecar and the progress marker (purgePending turns false),
+        // so completion reloads exactly once. The writer retains the
+        // whole pinned-version chain while the purge is pending
+        // ([[maintain]]'s purge-grace prune), so the pinned files
+        // survive the skip window.
+        case Some((_, l, fs, pinned))
+            if purgePending() && appliedDeltas() == pinned =>
+          state = Some((v, l, fs, pinned))
+          l
         case prev =>
-          prev.foreach { case (_, _, fs) => fs.foreach(_.unpersist()) }
+          prev.foreach { case (_, _, fs, _) => fs.foreach(_.unpersist()) }
+          // pin the delta set BEFORE load: a concurrent admission
+          // between the two reads then makes the pin OLDER than the
+          // loaded frames — the skip-check's inequality reloads (one
+          // wasted reload, safe). Pinning after load could record a
+          // delta the frames don't carry, and the skip would then serve
+          // stale frames for the length of a purge.
+          val pinned = appliedDeltas()
           val l = load()
           val fs = frames(l)
           fs.foreach(_.persist())
-          state = Some((v, l, fs))
+          state = Some((v, l, fs, pinned))
           l
       }
     }
     def release(): Unit = synchronized {
-      state.foreach { case (_, _, fs) => fs.foreach(_.unpersist()) }
+      state.foreach { case (_, _, fs, _) => fs.foreach(_.unpersist()) }
       state = None
     }
   }

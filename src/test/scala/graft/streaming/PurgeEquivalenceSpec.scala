@@ -1,0 +1,200 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** PURGE-EQUIVALENCE for readers (r18): a budget-sliced purge bumps the
+  * artifact version once per slice, but every slice is reader-invisible
+  * by the purge contract (sidecar + logical filter hold until the final
+  * slice; the rewrite drops only rows the filter already hides). A
+  * cached reader that reloaded per slice would re-materialize a
+  * corpus-sized cache ceil(buckets/budget) times for bit-identical
+  * answers — at 100 TB, the dominant cost of a compliance purge would
+  * be paid by every READER, not the writer. Pinned here:
+  *
+  *   1. CACHE SEMANTICS (unit, stub thunks): same version → no load;
+  *      purge-pending bump with unchanged deltas → version adopted, NO
+  *      load; any bump that changed appliedDeltas (admission OR new
+  *      takedown — its filter must apply) → load; completion (pending
+  *      false) → load.
+  *   2. READER STREAM (integration): a probe-only cached reader over a
+  *      text artifact pays exactly THREE loads across a takedown + a
+  *      multi-slice purge + completion — one initial, one for the
+  *      takedown, one at completion; zero per slice — with pairs
+  *      correctly filtered in every batch.
+  *   3. WRITER RETENTION: while its sliced purge is mid-flight, the
+  *      admitting stream's prune keeps the whole slice chain (readers
+  *      are pinned on the pre-chain version), and the chain drops one
+  *      batch after completion.
+  */
+class PurgeEquivalenceSpec extends SparkSpec {
+
+  test("cache semantics: purge-pending bumps with unchanged deltas " +
+      "adopt the version without reloading; deltas changes and " +
+      "completion reload") {
+    var version: Option[Long] = Some(0L)
+    var pending = false
+    var deltas = Set.empty[String]
+    var loads = 0
+    val cache = new IngestDedup.VersionedCache[String](
+      () => version, () => { loads += 1; s"load$loads" }, _ => Seq.empty,
+      () => pending, () => deltas)
+    assert(cache.get() === "load1" && cache.get() === "load1" && loads === 1)
+    // takedown admission: version + deltas move together -> reload
+    version = Some(1L); deltas = Set("td-1")
+    assert(cache.get() === "load2" && loads === 2)
+    // sliced purge: bumps with pending=true and unchanged deltas -> skip
+    pending = true
+    version = Some(2L)
+    assert(cache.get() === "load2" && loads === 2, "slice bump reloaded")
+    version = Some(3L)
+    assert(cache.get() === "load2" && loads === 2, "slice bump reloaded")
+    // completion: pending drops -> exactly one reload
+    pending = false; version = Some(4L)
+    assert(cache.get() === "load3" && loads === 3)
+    // an admission DURING a later purge must reload (its docs must be
+    // probed against), pending or not
+    pending = true; version = Some(5L); deltas = Set("td-1", "day-9")
+    assert(cache.get() === "load4" && loads === 4)
+  }
+
+  test("a probe-only cached reader pays one reload for the takedown and " +
+      "one at purge completion - none per slice - with pairs filtered " +
+      "throughout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-peq-idx").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[IngestDoc]
+    val loads0 = graft.analytics.DedupIndex.loadRuns.get()
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-peq-ck").toString) {
+        (pairs, batchId) =>
+          pairs.collect().foreach(r =>
+            got += ((r.getLong(0), r.getLong(1), batchId)))
+      }
+    def loads() = graft.analytics.DedupIndex.loadRuns.get() - loads0
+    def feed(b: Seq[IngestDoc]): Unit = {
+      input.addData(b); q.processAllAvailable()
+    }
+    try {
+      assert(loads() === 1, "eager first load")
+      feed(delta)
+      assert(loads() === 1, "same-version batch must not reload")
+      val matched = got.filter(_._3 == 0L).map(_._1).distinct.sorted
+      assert(matched.nonEmpty, "fixture must contain cross-split pairs")
+      val dropId = matched.head
+      // out-of-band takedown (reader stream is not the writer): the
+      // deltas change, so the NEXT batch reloads and probes filtered
+      assert(graft.analytics.DedupIndex.delete(spark, idx,
+        Seq(dropId).toDF("doc_id"), "peq-td"))
+      feed(delta)
+      assert(loads() === 2, "takedown must reload (its filter applies)")
+      assert(got.filter(_._3 == 1L).forall(p =>
+        p._1 != dropId && p._2 != dropId), "takedown filter missing")
+      // out-of-band sliced purge: every slice bumps the version; the
+      // reader batches between slices must NOT reload
+      assert(graft.analytics.DedupIndex.purge(spark, idx, budget = 1))
+      var slices = 1
+      while (graft.analytics.DedupIndex.purgePending(idx) && slices < 64) {
+        feed(delta)
+        assert(loads() === 2,
+          s"reader reloaded on purge slice $slices — equivalence skip " +
+            "broken")
+        assert(graft.analytics.DedupIndex.purge(spark, idx, budget = 1))
+        slices += 1
+      }
+      assert(slices >= 2,
+        "whole purge fit one slice — fixture pins nothing")
+      // completion: exactly one reload, same filtered answer
+      feed(delta)
+      assert(loads() === 3, "purge completion must reload exactly once")
+      val last = got.filter(_._3 == got.map(_._3).max)
+      assert(last.nonEmpty && last.forall(p =>
+        p._1 != dropId && p._2 != dropId))
+    } finally q.stop()
+  }
+
+  test("writer retention: the admitting stream keeps the whole slice " +
+      "chain while its purge is pending, and drops it one batch after " +
+      "completion") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-peqw-idx").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    val tq = new TakedownQueue
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[IngestDoc]
+    val prevRatio = spark.conf.getOption("spark.graft.index.purge.ratio")
+    val prevBudget = spark.conf.getOption("spark.graft.index.purge.budget")
+    spark.conf.set("spark.graft.index.purge.ratio", "0.001")
+    spark.conf.set("spark.graft.index.purge.budget", "1")
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-peqw-ck").toString,
+      admitId = Some("peqw"), takedowns = Some(tq)) { (pairs, batchId) =>
+        pairs.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), batchId)))
+      }
+    def verDirs(): Set[Long] = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.stripPrefix("v").toLong).toSet
+    try {
+      input.addData(delta); q.processAllAvailable()
+      val matched = got.filter(_._3 == 0L).map(_._1).distinct.sorted
+      assert(matched.nonEmpty, "fixture must contain cross-split pairs")
+      // vPre: the version a reader pinned BEFORE the purge chain
+      val vPre = graft.analytics.DedupIndex.currentVersion(idx).get
+      tq.request(Seq(matched.head), "peqw-td")
+      val b1 = delta.map(d => d.copy(doc_id = d.doc_id + 990000000L))
+      input.addData(b1); q.processAllAvailable()
+      assert(graft.analytics.DedupIndex.purgePending(idx),
+        "budget=1 must leave the purge pending after the drain batch")
+      // mid-chain: vPre must still be on disk (readers are pinned there)
+      var batch = 1
+      while (graft.analytics.DedupIndex.purgePending(idx) && batch < 8) {
+        assert(verDirs().contains(vPre),
+          s"pre-chain version v$vPre pruned mid-purge (batch $batch) — " +
+            "readers skipping slice reloads would lose their files")
+        batch += 1
+        val bn = delta.take(4)
+          .map(d => d.copy(doc_id = d.doc_id + 990000000L * batch))
+        input.addData(bn); q.processAllAvailable()
+      }
+      assert(!graft.analytics.DedupIndex.purgePending(idx),
+        s"purge still pending after $batch batches")
+      // the completion batch retains the chain one more batch
+      assert(verDirs().contains(vPre),
+        "completion batch must retain the chain (readers reload on " +
+          "their NEXT poll)")
+      batch += 1
+      input.addData(delta.take(4)
+        .map(d => d.copy(doc_id = d.doc_id + 990000000L * batch)))
+      q.processAllAvailable()
+      assert(!verDirs().contains(vPre),
+        "the batch after completion must drop the chain (disk bounded)")
+      assert(q.isActive)
+    } finally {
+      q.stop()
+      prevRatio.fold(spark.conf.unset("spark.graft.index.purge.ratio"))(
+        spark.conf.set("spark.graft.index.purge.ratio", _))
+      prevBudget.fold(spark.conf.unset("spark.graft.index.purge.budget"))(
+        spark.conf.set("spark.graft.index.purge.budget", _))
+    }
+  }
+}
