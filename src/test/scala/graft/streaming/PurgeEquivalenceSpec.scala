@@ -124,6 +124,95 @@ class PurgeEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the embed and contain faces wire the same skip: a probe-only " +
+      "reader on each pays zero reloads per slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+
+    // embed face
+    val vecs = graft.GraftSession.table(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val sIdx = java.nio.file.Files
+      .createTempDirectory("graft-peq-srp").toString
+    graft.analytics.SrpIndex.build(spark,
+      vecs.filter($"vec_id" % 5 =!= 4), sIdx,
+      graft.analytics.DedupQueries.Srp.Narrow)
+    val vDelta = vecs.filter($"vec_id" % 5 === 4)
+      .as[IngestVec].collect().sortBy(_.vec_id).toSeq
+    val vIn = MemoryStream[IngestVec]
+    val vLoads0 = graft.analytics.SrpIndex.loadRuns.get()
+    val vq = IngestDedup.dedupIngestEmbeddings(vIn.toDS(), sIdx,
+      java.nio.file.Files.createTempDirectory("graft-peq-sck").toString) {
+        (p, _) => p.count(); ()
+      }
+    def vLoads() = graft.analytics.SrpIndex.loadRuns.get() - vLoads0
+    try {
+      vIn.addData(vDelta); vq.processAllAvailable()
+      assert(vLoads() === 1)
+      val anyId = vecs.filter($"vec_id" % 5 =!= 4)
+        .select($"vec_id").orderBy($"vec_id").limit(1)
+        .collect().head.getLong(0)
+      assert(graft.analytics.SrpIndex.delete(spark, sIdx,
+        Seq(anyId).toDF("vec_id"), "peq-srp-td"))
+      vIn.addData(vDelta); vq.processAllAvailable()
+      assert(vLoads() === 2, "embed face: takedown must reload")
+      assert(graft.analytics.SrpIndex.purge(spark, sIdx, budget = 1))
+      var slices = 1
+      while (graft.analytics.SrpIndex.purgePending(sIdx) && slices < 64) {
+        vIn.addData(vDelta); vq.processAllAvailable()
+        assert(vLoads() === 2,
+          s"embed face reloaded on purge slice $slices")
+        assert(graft.analytics.SrpIndex.purge(spark, sIdx, budget = 1))
+        slices += 1
+      }
+      assert(slices >= 2, "embed purge fit one slice — pins nothing")
+      vIn.addData(vDelta); vq.processAllAvailable()
+      assert(vLoads() === 3, "embed face: completion must reload once")
+    } finally vq.stop()
+
+    // contain face
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val cIdx = java.nio.file.Files
+      .createTempDirectory("graft-peq-contain").toString
+    graft.analytics.ContainIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), cIdx)
+    val cDelta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    val cIn = MemoryStream[IngestDoc]
+    val cLoads0 = graft.analytics.ContainIndex.loadRuns.get()
+    val cq = IngestDedup.dedupIngestContainment(cIn.toDS(), cIdx,
+      java.nio.file.Files.createTempDirectory("graft-peq-cck").toString) {
+        (p, _) => p.count(); ()
+      }
+    def cLoads() = graft.analytics.ContainIndex.loadRuns.get() - cLoads0
+    try {
+      cIn.addData(cDelta); cq.processAllAvailable()
+      assert(cLoads() === 1)
+      val anyDoc = docs.filter($"doc_id" % 5 =!= 4)
+        .select($"doc_id").orderBy($"doc_id").limit(1)
+        .collect().head.getLong(0)
+      assert(graft.analytics.ContainIndex.delete(spark, cIdx,
+        Seq(anyDoc).toDF("doc_id"), "peq-c-td"))
+      cIn.addData(cDelta); cq.processAllAvailable()
+      assert(cLoads() === 2, "contain face: takedown must reload")
+      assert(graft.analytics.ContainIndex.purge(spark, cIdx, budget = 1))
+      var cSlices = 1
+      while (graft.analytics.ContainIndex.purgePending(cIdx) &&
+          cSlices < 64) {
+        cIn.addData(cDelta); cq.processAllAvailable()
+        assert(cLoads() === 2,
+          s"contain face reloaded on purge slice $cSlices")
+        assert(graft.analytics.ContainIndex.purge(spark, cIdx, budget = 1))
+        cSlices += 1
+      }
+      assert(cSlices >= 2, "contain purge fit one slice — pins nothing")
+      cIn.addData(cDelta); cq.processAllAvailable()
+      assert(cLoads() === 3, "contain face: completion must reload once")
+    } finally cq.stop()
+  }
+
   test("writer retention: the admitting stream keeps the whole slice " +
       "chain while its purge is pending, and drops it one batch after " +
       "completion") {
