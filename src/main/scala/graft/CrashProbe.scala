@@ -14,6 +14,7 @@ package graft
   *
   *   runMain graft.CrashProbe compact <indexDir> compact.table.signatures
   *   runMain graft.CrashProbe purge   <indexDir> purge.precommit
+  *   runMain graft.CrashProbe purge-slice <indexDir> purge.precommit
   *   runMain graft.CrashProbe admit   <indexDir> admit.precommit
   *   runMain graft.CrashProbe journal-request <journalDir> <id,id,…> <deltaId>
   *     (no injection point: journals the takedown request and halts
@@ -46,6 +47,11 @@ object CrashProbe {
         graft.analytics.DedupIndex.compact(spark, idx, maxFiles = 0)
       case "purge" =>
         graft.analytics.DedupIndex.purge(spark, idx)
+      case "purge-slice" =>
+        // ONE budget=1 slice — the spec commits earlier slices
+        // in-process first, so the halt lands MID-CHAIN: committed
+        // version carries _purge.txt progress, sidecar still up
+        graft.analytics.DedupIndex.purge(spark, idx, budget = 1)
       case "admit" =>
         import spark.implicits._
         graft.analytics.DedupIndex.delete(spark, idx,

@@ -155,6 +155,91 @@ class CrashRecoverySpec extends SparkSpec {
     assert(ctlProbe === probePre, "purge changed probe output")
   }
 
+  test("SIGKILL mid-CHAIN of a budget-sliced purge: committed slice " +
+      "progress survives the crash, the resumed purge redoes no " +
+      "committed slice, and parity with a never-crashed control holds") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-crash-slice").toString
+    val corpus = docs.filter($"doc_id" % 5 =!= 4)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    DedupIndex.build(spark, corpus, idx, DedupIndex.Shape.Oracle)
+    val dropIds = probeSet(idx, delta).map(_._1).toSeq.sorted.take(2)
+    assert(dropIds.nonEmpty, "fixture must contain cross-split pairs")
+    assert(DedupIndex.delete(spark, idx, dropIds.toDF("doc_id"),
+      "slice-td"))
+    val probePre = probeSet(idx, delta)
+
+    // CONTROL: the same artifact, sliced to completion without a crash
+    val control = Files.createTempDirectory("graft-crash-slice-c").toString
+    new File(control).delete()
+    copyDir(idx, control)
+    var guard = 0
+    while ({ assert(DedupIndex.purge(spark, control, budget = 1))
+      guard += 1
+      DedupIndex.purgePending(control) && guard < 64 }) ()
+    assert(guard >= 2 && guard < 64,
+      s"fixture must take >= 2 slices (took $guard)")
+    val ctlSig = rows(control, "signatures")
+    val ctlBands = rows(control, "bands")
+    val ctlProbe = probeSet(control, delta)
+
+    // slice 1 commits in-process; record what it REWROTE (non-link vs
+    // the pre-purge version) so the recovery can prove no redone work
+    val vPre = DedupIndex.currentVersion(idx).get
+    assert(DedupIndex.purge(spark, idx, budget = 1))
+    assert(DedupIndex.purgePending(idx),
+      "whole purge fit one slice — mid-chain crash pins nothing")
+    val vS1 = DedupIndex.currentVersion(idx).get
+    def tableFiles(v: Long, t: String): Map[String, File] = {
+      def files(d: File): Seq[File] = Option(d.listFiles())
+        .getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val tDir = new File(new File(idx, s"v$v"), t)
+      (files(tDir) ++ files(new File(tDir, "_l0")))
+        .map(f => s"$t/${f.getName}" -> f).toMap
+    }
+    val tables = Seq("signatures", "bands")
+    val preFiles = tables.flatMap(tableFiles(vPre, _)).toMap
+    val slice1Rewrote = tables.flatMap(tableFiles(vS1, _)).filter {
+      case (rel, f) => !preFiles.get(rel).exists(old =>
+        Files.isSameFile(f.toPath, old.toPath))
+    }
+    assert(slice1Rewrote.nonEmpty, "slice 1 rewrote nothing — fixture " +
+      "too weak to pin no-redone-work")
+
+    // CRASH during slice 2, pre-commit
+    assert(fork("purge-slice", idx, "purge.precommit") == 137,
+      "child must halt at the injection point (0 = point never fired)")
+    assert(DedupIndex.currentVersion(idx).contains(vS1),
+      "crash moved the pointer — swap must be the last step")
+    assert(new File(new File(idx, s"v$vS1"), "_purge.txt").exists(),
+      "slice-1 progress lost to the crash")
+    assert(new File(new File(idx, s"v$vS1"), "tombstones").isDirectory,
+      "sidecar must survive a mid-chain crash (logical filter intact)")
+    assert(probeSet(idx, delta) === probePre,
+      "torn slice visible to readers")
+
+    // RESUME: budget=1 to completion; committed slice-1 files must
+    // carry as hard links through every later slice — nothing redone
+    guard = 0
+    while ({ assert(DedupIndex.purge(spark, idx, budget = 1))
+      guard += 1
+      DedupIndex.purgePending(idx) && guard < 64 }) ()
+    val vFinal = DedupIndex.currentVersion(idx).get
+    val finalFiles = tables.flatMap(tableFiles(vFinal, _)).toMap
+    for ((rel, f) <- slice1Rewrote) {
+      val carried = finalFiles.get(rel)
+      assert(carried.exists(c => Files.isSameFile(c.toPath, f.toPath)),
+        s"slice-1 output $rel was redone after the crash")
+    }
+    assert(rows(idx, "signatures") === ctlSig,
+      "post-recovery signatures differ from the never-crashed control")
+    assert(rows(idx, "bands") === ctlBands,
+      "post-recovery bands differ from the never-crashed control")
+    assert(probeSet(idx, delta) === ctlProbe)
+    assert(ctlProbe === probePre, "sliced purge changed probe output")
+  }
+
   test("SIGKILL between a JOURNALED enqueue and its drain: the restarted " +
       "stream applies the takedown with NO caller re-request") {
     import spark.implicits._
