@@ -231,7 +231,9 @@ object IngestDedup {
       purgePending = () => graft.analytics.SrpIndex.purgePending(indexDir),
       appliedDeltas = () =>
         graft.analytics.SrpIndex.appliedDeltas(indexDir))
-    val purgeGrace = new java.util.concurrent.atomic.AtomicInteger(0)
+    val purgeGrace = new java.util.concurrent.atomic.AtomicInteger(
+      purgeGraceSeed(indexDir,
+        graft.analytics.SrpIndex.purgePending(indexDir)))
     // eager first load: a missing/corrupt index must throw HERE,
     // synchronously, not as an async batch-0 failure the caller's error
     // handling never sees (and a failed start() then has real cache
@@ -305,7 +307,9 @@ object IngestDedup {
         graft.analytics.DedupIndex.purgePending(indexDir),
       appliedDeltas = () =>
         graft.analytics.DedupIndex.appliedDeltas(indexDir))
-    val purgeGrace = new java.util.concurrent.atomic.AtomicInteger(0)
+    val purgeGrace = new java.util.concurrent.atomic.AtomicInteger(
+      purgeGraceSeed(indexDir,
+        graft.analytics.DedupIndex.purgePending(indexDir)))
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -375,7 +379,9 @@ object IngestDedup {
         graft.analytics.ContainIndex.purgePending(indexDir),
       appliedDeltas = () =>
         graft.analytics.ContainIndex.appliedDeltas(indexDir))
-    val purgeGrace = new java.util.concurrent.atomic.AtomicInteger(0)
+    val purgeGrace = new java.util.concurrent.atomic.AtomicInteger(
+      purgeGraceSeed(indexDir,
+        graft.analytics.ContainIndex.purgePending(indexDir)))
     cache.get()  // eager first load: fail fast, see the embedding face
     val start = () => docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -577,6 +583,21 @@ object IngestDedup {
       if (!active) purgeGrace.set(0)
     } else if (bumps > 0) prune(bumps + 1)
   }
+
+  /** Purge-grace seed for a stream STARTING while a sliced purge is
+    * already mid-flight: the previous writer's in-memory chain count
+    * died with its process, but surviving READER sessions may still be
+    * pinned on the chain's base (their purge-equivalence skip never
+    * reloaded) — so until this purge completes, treat EVERY version on
+    * disk as chain and retain it. Bounded by what the crashed writer's
+    * own grace prune already kept; hard links make it cheap. 0 when no
+    * purge is pending (the normal start).
+    */
+  private def purgeGraceSeed(indexDir: String, pending: Boolean): Int =
+    if (!pending) 0
+    else math.max(0, Option(new java.io.File(indexDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isDirectory && f.getName.startsWith("v")) - 1)
 
   /** Default bucket budget per auto-purge slice — sized so one slice's
     * rewrite (~budget × the 32 MB bucket target) stays the same order

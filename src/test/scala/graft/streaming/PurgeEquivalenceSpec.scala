@@ -286,4 +286,83 @@ class PurgeEquivalenceSpec extends SparkSpec {
         spark.conf.set("spark.graft.index.purge.budget", _))
     }
   }
+
+  test("writer restart mid-chain: the new stream re-seeds its grace " +
+      "from disk, so surviving readers' pinned chain base is retained " +
+      "until the resumed purge completes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-peqr-idx").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    val prevRatio = spark.conf.getOption("spark.graft.index.purge.ratio")
+    val prevBudget = spark.conf.getOption("spark.graft.index.purge.budget")
+    spark.conf.set("spark.graft.index.purge.ratio", "0.001")
+    spark.conf.set("spark.graft.index.purge.budget", "1")
+    def verDirs(): Set[Long] = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.stripPrefix("v").toLong).toSet
+    def openStream(tag: String, tq: TakedownQueue) = {
+      val input = MemoryStream[IngestDoc]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+        java.nio.file.Files.createTempDirectory(s"graft-peqr-$tag").toString,
+        admitId = Some(s"peqr-$tag"), takedowns = Some(tq)) { (pairs, _) =>
+          pairs.collect().foreach(r => got += ((r.getLong(0), r.getLong(1))))
+        }
+      (input, got, q)
+    }
+    val tq1 = new TakedownQueue
+    val (in1, got1, q1) = openStream("a", tq1)
+    try {
+      in1.addData(delta); q1.processAllAvailable()
+      val matched = got1.map(_._1).distinct.sorted
+      assert(matched.nonEmpty, "fixture must contain cross-split pairs")
+      val vPre = graft.analytics.DedupIndex.currentVersion(idx).get
+      tq1.request(Seq(matched.head), "peqr-td")
+      in1.addData(delta.map(d => d.copy(doc_id = d.doc_id + 990000000L)))
+      q1.processAllAvailable()
+      assert(graft.analytics.DedupIndex.purgePending(idx),
+        "budget=1 must leave the purge pending after the drain batch")
+      // "crash": the writer stops mid-chain; its in-memory grace dies
+      q1.stop()
+      assert(verDirs().contains(vPre))
+      // restarted writer (fresh checkpoint + fresh TakedownQueue): its
+      // seeded grace must keep vPre through the resumed slices
+      val (in2, _, q2) = openStream("b", new TakedownQueue)
+      try {
+        var batch = 1
+        while (graft.analytics.DedupIndex.purgePending(idx) && batch < 10) {
+          assert(verDirs().contains(vPre),
+            s"restarted writer pruned the chain base v$vPre mid-purge " +
+              s"(batch $batch) — the on-disk grace seed is broken")
+          in2.addData(delta.take(4)
+            .map(d => d.copy(doc_id = d.doc_id + 991000000L * batch)))
+          q2.processAllAvailable()
+          batch += 1
+        }
+        assert(!graft.analytics.DedupIndex.purgePending(idx),
+          s"purge still pending after $batch restarted batches")
+        // completion batch retained the chain; the next drops it
+        assert(verDirs().contains(vPre))
+        in2.addData(delta.take(4)
+          .map(d => d.copy(doc_id = d.doc_id + 999000000L)))
+        q2.processAllAvailable()
+        assert(!verDirs().contains(vPre),
+          "the batch after completion must drop the chain")
+      } finally q2.stop()
+    } finally {
+      q1.stop()
+      prevRatio.fold(spark.conf.unset("spark.graft.index.purge.ratio"))(
+        spark.conf.set("spark.graft.index.purge.ratio", _))
+      prevBudget.fold(spark.conf.unset("spark.graft.index.purge.budget"))(
+        spark.conf.set("spark.graft.index.purge.budget", _))
+    }
+  }
 }
