@@ -16,10 +16,13 @@ package graft
   *   runMain graft.CrashProbe purge   <indexDir> purge.precommit
   *   runMain graft.CrashProbe purge-slice <indexDir> purge.precommit
   *   runMain graft.CrashProbe admit   <indexDir> admit.precommit
-  *   runMain graft.CrashProbe journal-request <journalDir> <id,id,…> <deltaId>
-  *     (no injection point: journals the takedown request and halts
-  *     immediately after `request` returns — the enqueue-to-drain
-  *     window the journal exists to survive; no Spark session needed)
+  *   runMain graft.CrashProbe journal-request <indexDir> <id,id,…> <deltaId>
+  *     (no injection point: opens the DEFAULT-wired admitting stream —
+  *     plain `new TakedownQueue()`, no journalDir anywhere — so the
+  *     stream attaches `<indexDir>/_takedown_journal` itself, then
+  *     requests the takedown and halts immediately after `request`
+  *     returns: the enqueue-to-drain window the default journal exists
+  *     to survive)
   */
 object CrashProbe {
   def main(args: Array[String]): Unit = {
@@ -27,8 +30,22 @@ object CrashProbe {
     val idx = args(1)
     val point = args(2)
     if (mode == "journal-request") {
-      new graft.streaming.TakedownQueue(Some(idx))
-        .request(point.split(',').map(_.trim.toLong).toSeq, args(3))
+      val spark = GraftSession.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-crashprobe")
+      spark.sparkContext.setLogLevel("WARN")
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.IngestDoc]
+      val tq = new graft.streaming.TakedownQueue()
+      val q = graft.streaming.IngestDedup.dedupIngestFromIndex(
+        input.toDS(), idx,
+        java.nio.file.Files.createTempDirectory("crashprobe-jck").toString,
+        admitId = Some("cjprev"), takedowns = Some(tq)) { (p, _) =>
+          p.count(); ()
+        }
+      require(q.isActive)
+      tq.request(point.split(',').map(_.trim.toLong).toSeq, args(3))
       System.err.println("[crashprobe] halting after journaled request")
       Runtime.getRuntime.halt(137)
     }

@@ -62,29 +62,55 @@ object IngestProbe {
       (0 until Batches).map(k => all.iterator.zipWithIndex
         .filter(_._2 % Batches == k).map(_._1).toSeq)
 
+    // self-attribution: every reported leg carries a HostSentinels pair
+    // (in-band sentinels = the number is the code's; high = the host's)
+    val sent = new HostSentinels.Warmed
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+
+    /** A mid-leg batch wall this many × the leg's RUNNING median fires
+      * an immediate sentinel pair (r18 verdict #3): the 6–12× one-batch
+      * spikes the embed probe leg showed are invisible to leg-BOUNDARY
+      * sentinels (the stall is over before the leg ends), and a
+      * per-batch pair would cost more than the batches. Event-triggered
+      * costs zero in the steady state and stamps the offending batch
+      * with its own attribution line.
+      */
+    val SpikeFactor = 3.0
+
     /** Drive `startQ`'s stream with `Batches` equal slices, timing each
       * processAllAvailable; returns per-batch seconds (matches are
-      * accumulated by the caller's sink counter).
+      * accumulated by the caller's sink counter). `label` names the leg
+      * in spike lines.
       */
-    def drive[A: org.apache.spark.sql.Encoder](all: Array[A],
+    def drive[A: org.apache.spark.sql.Encoder](all: Array[A], label: String,
         startQ: MemoryStream[A] => org.apache.spark.sql.streaming
           .StreamingQuery): Seq[Double] = {
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[A]
       val q = startQ(input)
+      val done = scala.collection.mutable.ArrayBuffer.empty[Double]
       val times = try {
         slices(all).map { b =>
           val t0 = System.nanoTime()
           input.addData(b); q.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          // batch 1 pays the load/cache materialization by design, so
+          // the spike baseline starts once ≥ 2 steady batches completed
+          if (done.size >= 2) {
+            val med = median(done.tail.toSeq)
+            if (t > SpikeFactor * med)
+              println(f"[ingestprobe] SPIKE $label batch=${done.size + 1} " +
+                f"$t%.2f s vs running-median $med%.2f s  [${sent.line()}]")
+          }
+          done += t
+          t
         }
       } finally q.stop()
       times
     }
-
-    // self-attribution: every reported leg carries a HostSentinels pair
-    // (in-band sentinels = the number is the code's; high = the host's)
-    val sent = new HostSentinels.Warmed
 
     def report(face: String, scale: String, times: Seq[Double],
         matches: Long): Unit =
@@ -92,10 +118,6 @@ object IngestProbe {
         f"steady=${times.tail.map(t => f"$t%.2f").mkString("/")} s " +
         f"(median ${median(times.tail)}%.2f) matches=$matches" +
         s"  [${sent.line()}]")
-
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
-    }
 
     def ckpt(tag: String): String = java.nio.file.Files
       .createTempDirectory(s"graft-ingestprobe-$tag").toString
@@ -146,12 +168,14 @@ object IngestProbe {
           org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       n.set(0)
       report(face, tag,
-        drive[A](all, in => startQ(in, ckpt(s"$face-$tag"), false, "")),
+        drive[A](all, s"$face-$tag",
+          in => startQ(in, ckpt(s"$face-$tag"), false, "")),
         n.get())
       n.set(0)
       spark.conf.set("spark.graft.index.cache.maxBytes", "0")
       try report(face, s"$tag-u",
-        drive[A](all, in => startQ(in, ckpt(s"$face-$tag-u"), false, "")),
+        drive[A](all, s"$face-$tag-u",
+          in => startQ(in, ckpt(s"$face-$tag-u"), false, "")),
         n.get())
       finally spark.conf.unset("spark.graft.index.cache.maxBytes")
       // admitting legs: each is a NEW stream (fresh checkpoint, batch
@@ -159,7 +183,7 @@ object IngestProbe {
       // admitId — the txnAppId contract the faces document
       n.set(0)
       report(face, s"$tag-a",
-        drive[A](all,
+        drive[A](all, s"$face-$tag-a",
           in => startQ(in, ckpt(s"$face-$tag-a"), true, s"$face-$tag-a")),
         n.get())
       // uncached + admitting (`…-ua`): per-admission reload is
@@ -173,7 +197,7 @@ object IngestProbe {
       n.set(0)
       spark.conf.set("spark.graft.index.cache.maxBytes", "0")
       try report(face, s"$tag-ua",
-        drive[A](all,
+        drive[A](all, s"$face-$tag-ua",
           in => startQ(in, ckpt(s"$face-$tag-ua"), true, s"$face-$tag-ua")),
         n.get())
       finally spark.conf.unset("spark.graft.index.cache.maxBytes")

@@ -278,10 +278,11 @@ object ContainIndex {
           val r = DedupQueries.containRanked(sh, shrunk(sh))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            IndexLayout.l0Append(r.select(col("hx"), col("doc_id")),
-              next, "tokens")
-            IndexLayout.l0Append(DedupQueries.containPrefix(r)
-              .select(col("hx"), col("doc_id")), next, "prefix")
+            IndexLayout.fanoutAppend(r.select(col("hx"), col("doc_id")),
+              family, "tokens", next, IndexLayout.specOf(meta, "tokens"))
+            IndexLayout.fanoutAppend(DedupQueries.containPrefix(r)
+              .select(col("hx"), col("doc_id")), family, "prefix", next,
+              IndexLayout.specOf(meta, "prefix"))
             IndexLayout.writeInto(setsOf(sh), family, "sets", next,
               IndexLayout.specOf(meta, "sets"), overwrite = false)
           } finally { r.unpersist(); () }

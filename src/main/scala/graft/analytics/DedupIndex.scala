@@ -191,7 +191,8 @@ object DedupIndex {
     try {
       IndexLayout.writeInto(per, family, "signatures", ver,
         IndexLayout.specOf(meta, "signatures"), overwrite = false)
-      IndexLayout.l0Append(bucketedBandFrame(per, shape), ver, "bands")
+      IndexLayout.fanoutAppend(bucketedBandFrame(per, shape), family,
+        "bands", ver, IndexLayout.specOf(meta, "bands"))
     } finally { per.unpersist(); () }
   }
 

@@ -285,6 +285,40 @@ private[graft] object IndexLayout {
     df.repartition(appendTasks(df.sparkSession)).write.mode("append")
       .parquet(new File(new File(verDir, table), "_l0").toString)
 
+  /** L0 cutover factor: a high-fan-out table admits through [[l0Append]]
+    * only when its bucket count exceeds `factor × appendTasks` —
+    * below that the modulus append's file fan-out is already bounded
+    * and cheap, while the L0 probe leg costs real per-batch jobs
+    * (r18 measured +0.4–0.6 s/admit at 64/16 buckets, where L0 saved
+    * nothing; the 8-vs-~1000-file win appears at ~1024 buckets —
+    * `FanoutProbe`). Default 16 (with the default 8 append tasks: L0
+    * past 128 buckets ≈ 4 GB tables at the 32 MB/bucket sizing).
+    * `spark.graft.index.l0.cutover` overrides; ≤ 0 = ALWAYS L0 (the
+    * r18 behavior — what the L0-shape specs pin).
+    */
+  val L0CutoverFactor = 16
+
+  def l0CutoverFactor(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.index.l0.cutover")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(L0CutoverFactor)
+
+  /** ADAPTIVE admission write for a band/posting table (the tables whose
+    * delta rows hash across ~every bucket): [[l0Append]] past the
+    * [[L0CutoverFactor]] cutover, the bucketed modulus append below it.
+    * Correctness is identical on both sides — probes union the L0 leg
+    * only when L0 files exist ([[l0Frame]] is None otherwise), and
+    * compaction/purge enumerate both layouts (`tableFiles`).
+    */
+  def fanoutAppend(df: DataFrame, family: String, table: String,
+      verDir: File, spec: TableSpec): Unit = {
+    val spark = df.sparkSession
+    val cutover = l0CutoverFactor(spark)
+    if (cutover <= 0 || spec.buckets > cutover.toLong * appendTasks(spark))
+      l0Append(df, verDir, table)
+    else writeInto(df, family, table, verDir, spec, overwrite = false)
+  }
+
   /** A table's L0 accrual as one frame (None when no accrual): explicit
     * FILE paths, not the `_l0` dir — Spark's hidden-path filter matches
     * the underscore dir name and logs a spurious "All paths were

@@ -129,7 +129,8 @@ object SrpIndex {
     try {
       IndexLayout.writeInto(v, family, "vectors", ver,
         IndexLayout.specOf(meta, "vectors"), overwrite = false)
-      IndexLayout.l0Append(bucketedBandsOf(spark, v, shape), ver, "bands")
+      IndexLayout.fanoutAppend(bucketedBandsOf(spark, v, shape), family,
+        "bands", ver, IndexLayout.specOf(meta, "bands"))
     } finally { v.unpersist(); () }
   }
 

@@ -26,9 +26,15 @@ final case class IngestVec(vec_id: Long, embedding: Seq[Float])
   * (no `admitId`) may use the queue too when the stream is the
   * artifact's designated writer.
   *
-  * DURABILITY — two modes. The default (no `journalDir`) is in-memory
-  * ONLY: a request enqueued but not yet drained is silently lost if
-  * the process crashes or the stream fails. An APPLIED delete is
+  * DURABILITY — journaled by DEFAULT at the writer seat (r18 verdict
+  * #4): a queue handed to an admitting face without an explicit
+  * `journalDir` gets the artifact-default journal
+  * (`<indexDir>/_takedown_journal`) attached at stream construction
+  * ([[attachDefaultJournal]]), so a compliance request on the default
+  * wiring survives a crash of the process that enqueued it. Opt OUT
+  * with `durable = false` — then the queue is in-memory ONLY: a
+  * request enqueued but not yet drained is silently lost if the
+  * process crashes or the stream fails. An APPLIED delete is
   * crash-safe either way (the tombstone set and its `deltaId` commit
   * in one pointer swap; a re-request re-applies as a no-op), but in
   * the in-memory mode the undelivered window is the caller's to
@@ -54,29 +60,64 @@ final case class IngestVec(vec_id: Long, embedding: Seq[Float])
   * durability is that of the filesystem's metadata journaling — the
   * same contract as the artifact pointer swap.
   */
-final class TakedownQueue(journalDir: Option[String] = None) {
+final class TakedownQueue(journalDir: Option[String] = None,
+    durable: Boolean = true) {
   private val q =
     new java.util.concurrent.ConcurrentLinkedQueue[(Seq[Long], String)]()
 
-  private val journal: Option[java.io.File] =
-    journalDir.map(d => new java.io.File(d))
+  @volatile private var journal: Option[java.io.File] = None
 
-  journal.foreach { d =>
+  journalDir.map(d => new java.io.File(d)).foreach { d =>
+    replay(d, except = Set.empty)
+    journal = Some(d)
+  }
+
+  /** Replay: undrained entries from a previous process, oldest first
+    * (order is cosmetic — every entry becomes a tombstone admission
+    * keyed by its own deltaId). `except` skips deltaIds already held in
+    * memory (the attach-after-request path would otherwise re-enqueue
+    * entries this process just journaled).
+    */
+  private def replay(d: java.io.File, except: Set[String]): Unit = {
     d.mkdirs()
-    // replay: undrained entries from a previous process, oldest first
-    // (order is cosmetic — every entry becomes a tombstone admission
-    // keyed by its own deltaId)
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".req"))
       .sortBy(_.getName)
       .foreach { f =>
         val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-        lines.headOption.filter(_.nonEmpty).foreach { deltaId =>
-          q.add((lines.tail.filter(_.nonEmpty).map(_.toLong), deltaId))
-        }
+        lines.headOption.filter(id => id.nonEmpty && !except.contains(id))
+          .foreach { deltaId =>
+            q.add((lines.tail.filter(_.nonEmpty).map(_.toLong), deltaId))
+          }
       }
   }
+
+  /** Attach the artifact-default journal (`<indexDir>/_takedown_journal`
+    * — underscore-named, so it never collides with `v*` version dirs)
+    * when none is attached yet. Called by the faces at stream
+    * construction whenever the stream is handed this queue — the writer
+    * seat is durable BY DEFAULT (r18 verdict #4); an explicit
+    * `journalDir` wins, and `durable = false` opts back into the
+    * in-memory mode. Entries already enqueued in this process are
+    * journaled here (a request racing the stream start stays durable);
+    * entries a crashed predecessor journaled replay into the queue.
+    */
+  private[streaming] def attachDefaultJournal(indexDir: String): Unit =
+    synchronized {
+      if (durable && journal.isEmpty) {
+        val d = new java.io.File(indexDir, TakedownQueue.DefaultJournalName)
+        d.mkdirs()
+        val held = {
+          val b = Set.newBuilder[String]
+          q.forEach(e => b += e._2)
+          b.result()
+        }
+        q.forEach(e => persistEntry(d, e._1, e._2))
+        replay(d, except = held)
+        journal = Some(d)
+      }
+    }
 
   /** Entry file name: the deltaId's SHA-256 (deltaIds are caller
     * strings — unsafe as file names; the hash is stable across
@@ -87,28 +128,34 @@ final class TakedownQueue(journalDir: Option[String] = None) {
       .digest(deltaId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(16).map(b => f"${b & 0xff}%02x").mkString + ".req")
 
+  private def persistEntry(d: java.io.File, ids: Seq[Long],
+      deltaId: String): Unit = {
+    val tgt = entryFile(d, deltaId)
+    val tmp = new java.io.File(d, tgt.getName + ".tmp")
+    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        (deltaId +: ids.map(_.toString)).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
+    java.nio.file.Files.move(tmp.toPath, tgt.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Enqueue ids for deletion under `deltaId` (the caller's idempotence
     * key — namespace it like a stream id, e.g. `takedown-<n>`). With a
-    * journal, the entry is durable before this returns.
+    * journal, the entry is durable before this returns. Synchronized
+    * against [[attachDefaultJournal]] so a request racing the stream
+    * start is either journaled here or swept by the attach, never lost
+    * between the two.
     */
-  def request(ids: Seq[Long], deltaId: String): Unit = {
-    journal.foreach { d =>
-      val tgt = entryFile(d, deltaId)
-      val tmp = new java.io.File(d, tgt.getName + ".tmp")
-      val ch = java.nio.channels.FileChannel.open(tmp.toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-      try {
-        ch.write(java.nio.ByteBuffer.wrap(
-          (deltaId +: ids.map(_.toString)).mkString("\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        ch.force(true)
-      } finally ch.close()
-      java.nio.file.Files.move(tmp.toPath, tgt.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+  def request(ids: Seq[Long], deltaId: String): Unit = synchronized {
+    journal.foreach(persistEntry(_, ids, deltaId))
     q.add((ids, deltaId))
     ()
   }
@@ -134,6 +181,19 @@ final class TakedownQueue(journalDir: Option[String] = None) {
         ()
       }
     }
+}
+
+object TakedownQueue {
+  /** The artifact-default journal dir name — inside the index dir,
+    * underscore-prefixed like every artifact-internal name.
+    */
+  val DefaultJournalName = "_takedown_journal"
+
+  /** An explicitly in-memory queue — the pre-r19 default. The
+    * undelivered-request window is then the CALLER's to close (see the
+    * class DURABILITY notes).
+    */
+  def inMemory(): TakedownQueue = new TakedownQueue(durable = false)
 }
 
 /** Streaming ingest dedup — "dedup the firehose against the lake": each
@@ -221,6 +281,7 @@ object IngestDedup {
       takedowns: Option[TakedownQueue] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = vecs.sparkSession
+    takedowns.foreach(_.attachDefaultJournal(indexDir))
     val cache = new VersionedCache(
       () => graft.analytics.SrpIndex.currentVersion(indexDir),
       () => graft.analytics.SrpIndex.load(spark, indexDir),
@@ -296,6 +357,7 @@ object IngestDedup {
       takedowns: Option[TakedownQueue] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
+    takedowns.foreach(_.attachDefaultJournal(indexDir))
     val cache = new VersionedCache(
       () => graft.analytics.DedupIndex.currentVersion(indexDir),
       () => graft.analytics.DedupIndex.load(spark, indexDir),
@@ -368,6 +430,7 @@ object IngestDedup {
       takedowns: Option[TakedownQueue] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
+    takedowns.foreach(_.attachDefaultJournal(indexDir))
     val cache = new VersionedCache(
       () => graft.analytics.ContainIndex.currentVersion(indexDir),
       () => graft.analytics.ContainIndex.load(spark, indexDir),
@@ -541,8 +604,20 @@ object IngestDedup {
     admitId.foreach { id =>
       if (nonEmpty) {
         if (append(s"$id-$batchId")) bumps += 1
+        // no compaction while a sliced purge is mid-flight: compaction
+        // folds L0 accrual into bucket-named files while the purge's
+        // done-slice progress is keyed by those very file names —
+        // tombstoned L0 rows (their `raw` slice sorts last, so it is
+        // pending for most of the chain) would land in already-done
+        // buckets that never rewrite again, leaking deleted rows
+        // physically past a "completed" purge (r18 ADVICE). The chain
+        // is bounded (ceil(buckets/budget) slices), so compaction just
+        // resumes on the first post-completion firing; callers
+        // invoking the index compact() OUT of band carry the same
+        // constraint (VersionedStore.compactBucketed resets the purge
+        // progress itself if they break it — correct, not free).
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
-          compact()) bumps += 1
+          !purgePending() && compact()) bumps += 1
       }
     }
     takedowns.foreach { tq =>
@@ -575,11 +650,18 @@ object IngestDedup {
     val active = purgePending()
     if (active || wasActive) {
       purgeGrace.addAndGet(bumps)
-      // guard like the plain branch's bumps > 0: a pure READER stream
-      // (admitId=None, no takedown seat) observing someone ELSE's
-      // purge has bumps=0 and an empty chain — prune(1) here would
-      // delete the very versions its cache is pinned on
-      if (purgeGrace.get > 0) prune(purgeGrace.get + 1)
+      // guard on THIS batch's bumps, like the plain branch: only a
+      // stream that moved the pointer this batch prunes. A pure READER
+      // (admitId=None, no takedown seat) observing someone ELSE's purge
+      // has bumps=0 ALWAYS — but a mid-chain start seeds its grace > 0
+      // (purgeGraceSeed), so a grace>0 guard would have it prune with a
+      // FIXED keep every batch while the writer's slices advance `cur`:
+      // prune drops v <= cur - keep, so after one slice it deletes the
+      // chain base other skip-pinned readers depend on, and after
+      // seed+1 slices its own pinned version (r18 ADVICE). With the
+      // bumps guard the reader never prunes; the single writer's grace
+      // grows in lockstep with exactly the versions it creates.
+      if (bumps > 0) prune(purgeGrace.get + 1)
       if (!active) purgeGrace.set(0)
     } else if (bumps > 0) prune(bumps + 1)
   }
@@ -784,7 +866,19 @@ object IngestDedup {
           val l = load()
           val fs = frames(l)
           fs.foreach(_.persist())
-          state = Some((v, l, fs, pinned))
+          // state key: re-read the version AFTER load — a purge slice
+          // committing between this call's currentVersion() read and
+          // the load would otherwise record the OLDER v while the
+          // frames are the newer version's, forcing a second full
+          // reload (and corpus-sized re-persist) on the next poll (r18
+          // ADVICE). Adopt the post-load version only when no CONTENT
+          // delta landed during the load (appliedDeltas unchanged —
+          // then any version advance was purge slices / compaction,
+          // bit-identical by contract); if a delta DID land, keep the
+          // pre-load v so the next poll's inequality reloads rather
+          // than serving frames that may predate the delta.
+          val v2 = if (appliedDeltas() == pinned) currentVersion() else v
+          state = Some((v2, l, fs, pinned))
           l
       }
     }

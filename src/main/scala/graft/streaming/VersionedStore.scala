@@ -123,6 +123,117 @@ private[graft] object VersionedStore {
     Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
     x.delete(); ()
   }
+
+  // ----------------------------------------------------------------------
+  // MANIFEST CARRIER — the object-store face of the carry step. The hard
+  // link is this repo's local-FS carrier; Delta/Iceberg carry unchanged
+  // data files as MANIFEST REFERENCES instead, because object stores have
+  // no links. The header's claim that the merge contract survives that
+  // swap is PROVEN by `ManifestCarrierSpec`: every `VersionedArtifact`
+  // transaction runs behind the carrier seam below, and an artifact whose
+  // `_meta.txt` records `carrier=manifest` carries untouched files as
+  // `_carry.txt` entries (`rel<TAB>physicalPath`, always resolved to the
+  // PHYSICAL file — references never chain) with ZERO data copied or
+  // linked. Reads and lifecycle enumerations resolve through
+  // [[logicalFiles]]; prune becomes reference-counted GC ([[pruneVacuum]]
+  // — a dropped version deletes only files no retained manifest
+  // references, the table-format VACUUM semantics, because unlike links
+  // a reference does not keep bytes alive). The index FAMILIES stay on
+  // the link carrier locally (their bucketed catalog registration is
+  // LOCATION-based; at a real object-store deployment the whole artifact
+  // swaps to a table format that supplies both manifest and bucket
+  // metadata) — the seam proves the LIFECYCLE (idempotent admission,
+  // bucket-granular compaction, budget-sliced purge, reader-grace prune)
+  // is carrier-independent, which is the contract the swap relies on.
+  // ----------------------------------------------------------------------
+
+  /** Per-version carry manifest: `rel<TAB>physicalAbsPath` lines, written
+    * once per transaction before the pointer swap (atomic with the
+    * version dir's contents, like every `_`-file here).
+    */
+  val CarryManifest = "_carry.txt"
+
+  def readCarry(ver: File): Map[String, File] = {
+    val f = new File(ver, CarryManifest)
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").filter(_.contains('\t')).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> new File(line.substring(i + 1))
+      }.toMap
+  }
+
+  def writeCarry(ver: File, entries: Map[String, File]): Unit = {
+    Files.write(new File(ver, CarryManifest).toPath,
+      entries.toSeq.sortBy(_._1)
+        .map { case (rel, p) => s"$rel\t${p.getAbsolutePath}" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** The LOGICAL files of a version under `relDir` (a table name, an
+    * extra/sidecar name, or `""` for everything): physical files present
+    * in the dir plus manifest-carried references, each as
+    * `(rel-path-under-version-dir, physical file)`. The carrier-aware
+    * cousin of a directory listing — every lifecycle enumeration and
+    * every manifest-artifact read resolves through here.
+    */
+  def logicalFiles(ver: File, relDir: String): Seq[(String, File)] = {
+    def walk(f: File, rel: String): Seq[(String, File)] =
+      if (f.isFile) {
+        if (f.getName == CarryManifest) Nil else Seq(rel -> f)
+      } else Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+    val root = if (relDir.isEmpty) ver else new File(ver, relDir)
+    val phys = walk(root, relDir)
+    val carried = readCarry(ver).toSeq.filter { case (rel, _) =>
+      relDir.isEmpty || rel == relDir || rel.startsWith(relDir + "/")
+    }
+    phys ++ carried
+  }
+
+  /** Top-level LOGICAL directory names of a version (physical subdirs
+    * plus the first path segment of manifest entries) — what the extras
+    * carry must enumerate: a sidecar carried by reference has no
+    * physical subdir in the referencing version.
+    */
+  def logicalTopDirs(ver: File): Set[String] =
+    Option(ver.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet ++
+      readCarry(ver).keysIterator.collect {
+        case rel if rel.contains('/') => rel.substring(0, rel.indexOf('/'))
+      }
+
+  /** Reference-counted prune for MANIFEST-carried artifacts (the VACUUM
+    * semantics of the table formats): a reference, unlike a hard link,
+    * does not keep bytes alive — so dropping a version dir wholesale
+    * would strand every retained manifest that references its files.
+    * Deletes, from each dropped version, only the files NO retained
+    * version references (its metadata `_`-files always delete); dirs
+    * that still hold referenced files survive partially and shrink as
+    * later prunes release them. Returns dropped version ids.
+    */
+  def pruneVacuum(dir: String, keep: Int): Seq[Long] =
+    currentVersion(dir).toSeq.flatMap { cur =>
+      val d = new File(dir)
+      val vers = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toLong)
+          .toOption.map(f -> _))
+      val (drop, kept) = vers.partition { case (_, v) => v <= cur - keep }
+      val referenced: Set[String] = kept
+        .flatMap { case (f, _) => readCarry(f).values }
+        .map(_.getCanonicalPath).toSet
+      drop.map { case (f, v) => rmUnreferenced(f, referenced); v }.toSeq
+    }
+
+  private def rmUnreferenced(x: File, referenced: Set[String]): Unit = {
+    if (x.isDirectory)
+      Option(x.listFiles()).getOrElse(Array.empty)
+        .foreach(rmUnreferenced(_, referenced))
+    if (x.isFile && !referenced.contains(x.getCanonicalPath)) { x.delete(); () }
+    else if (x.isDirectory) { x.delete(); () } // succeeds only when empty
+  }
 }
 
 /** Test-only fault injection for the crash-recovery rehearsals
@@ -147,6 +258,59 @@ private[graft] object Faults {
   */
 private[graft] final case class ArtifactSnapshot(meta: Map[String, String],
     paths: Map[String, String], extra: Option[File])
+
+private[graft] object VersionedArtifact {
+  /** `_meta.txt` carrier selector: absent = hard-link carry (the local
+    * default every index family uses); `manifest` = `_carry.txt`
+    * references with vacuum-style prune (see the MANIFEST CARRIER notes
+    * in [[VersionedStore]]). Recorded at build and carried like every
+    * meta key, so the choice is per-artifact and permanent.
+    */
+  val CarrierKey = "carrier"
+  val ManifestValue = "manifest"
+  val ManifestMeta: Map[String, String] = Map(CarrierKey -> ManifestValue)
+}
+
+/** One transaction's carry of untouched files from `cur` into `next` —
+  * hard links (default: eager, one link per [[file]]) or manifest
+  * entries (`carrier=manifest`: accumulated, written once by
+  * [[commit]] before the pointer swap). `rel` paths are relative to
+  * the VERSION dir and preserve sub-placement (`tbl/_l0/part…` stays
+  * under `_l0`); `phys` is always the PHYSICAL file, so references
+  * never chain across versions.
+  */
+private final class Carry(cur: File, next: File, manifest: Boolean) {
+  private val entries =
+    scala.collection.mutable.LinkedHashMap.empty[String, File]
+
+  def file(rel: String, phys: File): Unit =
+    if (manifest) { entries.put(rel, phys); () }
+    else {
+      val dst = next.toPath.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.createLink(dst, phys.toPath)
+      ()
+    }
+
+  /** Carry every logical file under `relDir`. For the link carrier the
+    * root dir materializes even when empty (layout parity with the
+    * pre-seam `linkTree`, whose mkdirs some loaders rely on — an empty
+    * table dir must still exist for `spark.read.parquet`). Returns the
+    * number of files carried.
+    */
+  def tree(relDir: String): Int = {
+    if (!manifest && new File(cur, relDir).isDirectory) {
+      new File(next, relDir).mkdirs(); ()
+    }
+    val es = VersionedStore.logicalFiles(cur, relDir)
+    es.foreach { case (rel, phys) => file(rel, phys) }
+    es.size
+  }
+
+  def commit(): Unit =
+    if (manifest && entries.nonEmpty)
+      VersionedStore.writeCarry(next, entries.toMap)
+}
 
 /** The versioned-ARTIFACT lifecycle shared by the durable index stores
   * ([[graft.analytics.DedupIndex]], [[graft.analytics.ContainIndex]]):
@@ -215,18 +379,31 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       extra = if (extra.isDirectory) Some(extra) else None)
   }
 
-  /** Hard-link every SIDECAR directory of `cur` (a subdir not in
+  /** Whether this artifact carries by MANIFEST ([[VersionedArtifact
+    * .CarrierKey]] in the version's meta) — read per transaction from
+    * the version it starts from, so the choice rides the artifact like
+    * every other build parameter.
+    */
+  private def isManifest(ver: File): Boolean =
+    readMeta(ver).get(VersionedArtifact.CarrierKey)
+      .contains(VersionedArtifact.ManifestValue)
+
+  private def carryOf(cur: File, next: File): Carry =
+    new Carry(cur, next, isManifest(cur))
+
+  /** Carry every SIDECAR directory of `cur` (a LOGICAL subdir not in
     * `tables`, e.g. `tombstones`) into `next` unless already there —
     * so lifecycle steps that enumerate only the family's tables still
     * carry table-shaped extras. Called by [[admit]]/[[compact]]/
-    * [[compactBucketed]]; [[purgeVersion]] takes a drop-list instead.
+    * [[compactBucketed]]; [[purgeVersionBudgeted]] takes a drop-list.
+    * Logical enumeration: under the manifest carrier a sidecar carried
+    * by reference has no physical subdir in `cur`.
     */
-  private def linkExtras(cur: File, next: File,
+  private def carryExtras(carry: Carry, cur: File, next: File,
       tables: Seq[String], drop: Set[String] = Set.empty): Unit =
-    Option(cur.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && !tables.contains(d.getName) &&
-        !drop.contains(d.getName) && !new File(next, d.getName).exists())
-      .foreach(d => VersionedStore.linkTree(d, new File(next, d.getName)))
+    (VersionedStore.logicalTopDirs(cur) -- tables -- drop)
+      .filterNot(n => new File(next, n).exists())
+      .foreach(n => carry.tree(n))
 
   def tablePath(table: String): String =
     new File(requireDir, table).toString
@@ -241,7 +418,13 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     def walk(f: File): Long =
       if (f.isFile) { if (f.getName.startsWith("_")) 0L else f.length }
       else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-    currentDir.map(walk).getOrElse(0L)
+    currentDir.map { cur =>
+      // manifest-carried bytes live in older version dirs — count the
+      // referenced physical files too, or the cache-if-fits budget would
+      // see a near-empty artifact
+      walk(cur) + VersionedStore.readCarry(cur).values
+        .map(f => if (f.isFile) f.length else 0L).sum
+    }.getOrElse(0L)
   }
 
   def appliedDeltas: Set[String] =
@@ -334,26 +517,49 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     }
   }
 
+  /** Clear a carried `_purge.txt`'s done-slice set (fingerprint kept) in
+    * `next` — the purge restarts from slice zero against the same
+    * tombstone set. Called when a lifecycle step moved rows ACROSS slice
+    * keys mid-purge (compaction folding bucket-id-less L0 files into
+    * bucket-named outputs): tombstoned rows from a still-pending slice
+    * would otherwise land in already-done buckets that never rewrite
+    * again, and the final slice would drop the sidecar with those rows
+    * physically present forever. Re-rewriting already-clean buckets is a
+    * correct no-op, just not free — the admitting loop avoids the cost
+    * by not compacting mid-purge at all (`IngestDedup.maintain`); this
+    * reset is the correctness backstop for out-of-band compact() calls.
+    */
+  private def resetPurgeProgress(next: File): Unit =
+    readPurge(next).foreach { case (fp, done) =>
+      if (done.nonEmpty) writePurge(next, fp, Set.empty)
+    }
+
   private def purgeFingerprint(cur: File, extras: Set[String]): String =
     extras.toSeq.sorted.flatMap { e =>
-      Option(new File(cur, e).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(f => s"$e/${f.getName}").sorted
+      VersionedStore.logicalFiles(cur, e).map(_._1)
+        .filter(_.endsWith(".parquet")).sorted
     }.mkString(",")
 
-  /** A table's data files inside a version: top-level parquet parts plus
-    * any under its `_l0` accrual subdir (underscore-prefixed so table
-    * reads skip it — see `IndexLayout`'s L0 notes). Lifecycle steps that
-    * rewrite or fold table content must enumerate through here, or L0
-    * rows silently escape the rewrite.
+  /** A table's data files inside a version as `(rel, physical)` pairs:
+    * top-level parquet parts plus any under its `_l0` accrual subdir
+    * (underscore-prefixed so table reads skip it — see `IndexLayout`'s
+    * L0 notes), resolved through the carry manifest when the artifact
+    * carries by reference. Lifecycle steps that rewrite or fold table
+    * content must enumerate through here, or L0 rows (and
+    * manifest-carried rows) silently escape the rewrite.
     */
-  private[streaming] def tableFiles(cur: File, t: String): Seq[File] = {
-    def parts(d: File): Seq[File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
-    val dir = new File(cur, t)
-    parts(dir) ++ parts(new File(dir, "_l0"))
-  }
+  private[streaming] def tableEntries(cur: File,
+      t: String): Seq[(String, File)] =
+    VersionedStore.logicalFiles(cur, t).filter { case (rel, _) =>
+      rel.endsWith(".parquet") && {
+        val sub = rel.stripPrefix(t + "/")
+        !sub.contains('/') ||
+          (sub.startsWith("_l0/") && sub.count(_ == '/') == 1)
+      }
+    }
+
+  private[streaming] def tableFiles(cur: File, t: String): Seq[File] =
+    tableEntries(cur, t).map(_._2)
 
   private def writeMeta(ver: File, m: Map[String, String]): Unit =
     if (m.nonEmpty) {
@@ -423,14 +629,15 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     else {
       val next = versionDir(curV + 1)
       VersionedStore.clearStale(next)
-      tables.foreach(t =>
-        VersionedStore.linkTree(new File(cur, t), new File(next, t)))
-      linkExtras(cur, next, tables)
+      val carry = carryOf(cur, next)
+      tables.foreach(t => carry.tree(t))
+      carryExtras(carry, cur, next, tables)
       fresh.foreach { case (_, write) => write(next) }
       Faults.inject("admit.precommit")
       writeDeltas(next, applied ++ fresh.map(_._1))
       writeMeta(next, readMeta(cur))
       carryPurge(cur, next)
+      carry.commit()
       // tripwire, not a lock: a concurrent admission moved the pointer —
       // swapping now would orphan its delta, so fail loudly instead
       require(currentVersion.contains(curV),
@@ -472,6 +679,12 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     val curV = currentVersion.getOrElse(
       throw new IllegalStateException(s"no artifact at $indexDir — build first"))
     val cur = versionDir(curV)
+    // table-GRANULAR compaction hands the caller a source DIRECTORY to
+    // re-read, which a manifest-carried table does not have — the
+    // bucketed (file-list) compact below is the carrier-complete path
+    require(!isManifest(cur),
+      "table-granular compact() reads whole table dirs — a manifest-" +
+        "carried artifact must use compactBucketed (file-list rewrites)")
     def parquetCount(t: String): Int =
       Option(new File(cur, t).listFiles()).getOrElse(Array.empty)
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -480,13 +693,14 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     else {
       val next = versionDir(curV + 1)
       VersionedStore.clearStale(next)
-      tables.filterNot(fat.contains).foreach(t =>
-        VersionedStore.linkTree(new File(cur, t), new File(next, t)))
-      linkExtras(cur, next, tables)
+      val carry = carryOf(cur, next)
+      tables.filterNot(fat.contains).foreach(t => carry.tree(t))
+      carryExtras(carry, cur, next, tables)
       fat.foreach(t => rewrite(new File(cur, t).toString, new File(next, t)))
       writeDeltas(next, readDeltas(cur))
       writeMeta(next, readMeta(cur))
       carryPurge(cur, next)
+      carry.commit()
       require(currentVersion.contains(curV),
         s"concurrent admission detected at $indexDir (version moved past " +
           s"$curV) — the artifact requires a single writer")
@@ -543,39 +757,45 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     val curV = currentVersion.getOrElse(
       throw new IllegalStateException(s"no artifact at $indexDir — build first"))
     val cur = versionDir(curV)
-    // tableFiles, not a top-level listing: L0 accrual files (no bucket
+    // tableEntries, not a top-level listing: L0 accrual files (no bucket
     // id in the name — the `_l0` admission path) count toward the
     // threshold and ALWAYS fold, so compaction is what migrates them
     // into the bucketed base; the folded table's new dir simply has no
-    // `_l0` (fold files are consumed, keeps link top-level)
-    def parquetFiles(t: String): Seq[File] = tableFiles(cur, t)
-    val fat = tables.filter(t => parquetFiles(t).size > threshold(t))
+    // `_l0` (fold files are consumed, keeps carry top-level)
+    val fat = tables.filter(t => tableEntries(cur, t).size > threshold(t))
     if (fat.isEmpty) 0
     else {
       val next = versionDir(curV + 1)
       VersionedStore.clearStale(next)
-      tables.filterNot(fat.contains).foreach(t =>
-        VersionedStore.linkTree(new File(cur, t), new File(next, t)))
-      linkExtras(cur, next, tables)
+      val carry = carryOf(cur, next)
+      tables.filterNot(fat.contains).foreach(t => carry.tree(t))
+      carryExtras(carry, cur, next, tables)
       val bucketId = "_(\\d{5})\\.".r
+      // rows moving ACROSS purge-slice keys? folding a bucket-id-less
+      // file (L0 accrual / unparseable) re-buckets its rows under NEW
+      // file names, invalidating a mid-flight purge's done-slice
+      // progress — tracked here, reset below after the carry
+      var foldedUnbucketed = false
       fat.foreach { t =>
-        val (keep, fold) = parquetFiles(t)
-          .groupBy(f => bucketId.findFirstMatchIn(f.getName).map(_.group(1)))
+        val (keep, fold) = tableEntries(cur, t)
+          .groupBy { case (_, f) =>
+            bucketId.findFirstMatchIn(f.getName).map(_.group(1)) }
           .toSeq.map {
-            case (None, fs) => (Seq.empty[File], fs) // unparseable: rewrite
-            case (Some(_), fs) if fs.size == 1 => (fs, Seq.empty[File])
+            case (None, fs) => // unparseable: rewrite
+              foldedUnbucketed = true
+              (Seq.empty[(String, File)], fs)
+            case (Some(_), fs) if fs.size == 1 =>
+              (fs, Seq.empty[(String, File)])
             case (Some(_), fs) =>
-              val sorted = fs.sortBy(-_.length)
-              if (sorted.head.length >= sorted.tail.map(_.length).sum)
+              val sorted = fs.sortBy(-_._2.length)
+              if (sorted.head._2.length >= sorted.tail.map(_._2.length).sum)
                 (Seq(sorted.head), sorted.tail) // minor: fold the accrual
-              else (Seq.empty[File], sorted)    // major: fold the bucket
+              else (Seq.empty[(String, File)], sorted) // major: whole bucket
           }.unzip match { case (k, f) => (k.flatten, f.flatten) }
-        val tgt = new File(next, t)
-        if (fold.isEmpty) VersionedStore.linkTree(new File(cur, t), tgt)
+        if (fold.isEmpty) carry.tree(t)
         else {
-          rewrite(t, fold, tgt)
-          keep.foreach(f => Files.createLink(
-            new File(tgt, f.getName).toPath, f.toPath))
+          rewrite(t, fold.map(_._2), new File(next, t))
+          keep.foreach { case (rel, phys) => carry.file(rel, phys) }
         }
         Faults.inject(s"compact.table.$t")
       }
@@ -583,6 +803,8 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       writeDeltas(next, readDeltas(cur))
       writeMeta(next, readMeta(cur))
       carryPurge(cur, next)
+      if (foldedUnbucketed) resetPurgeProgress(next)
+      carry.commit()
       require(currentVersion.contains(curV),
         s"concurrent admission detected at $indexDir (version moved past " +
           s"$curV) — the artifact requires a single writer")
@@ -678,11 +900,12 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     // pending slices in deterministic (table, bucket) order: bucket-named
     // file groups needing a rewrite, plus a "raw" group for files whose
     // names carry no bucket id
-    val pending: Seq[(String, String, Seq[File])] = for {
+    val pending: Seq[(String, String, Seq[(String, File)])] = for {
       t <- rewriteTables
       aff = affected(t)
-      (slice, fs) <- tableFiles(cur, t)
-        .groupBy(f => bucketId.findFirstMatchIn(f.getName).map(_.group(1)))
+      (slice, fs) <- tableEntries(cur, t)
+        .groupBy { case (_, f) =>
+          bucketId.findFirstMatchIn(f.getName).map(_.group(1)) }
         .toSeq.flatMap {
           case (None, fs) => Seq("raw" -> fs)
           case (Some(b), fs) =>
@@ -694,27 +917,21 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     val isFinal = take.size == pending.size
     val next = versionDir(curV + 1)
     VersionedStore.clearStale(next)
-    linkTables.foreach(t =>
-      VersionedStore.linkTree(new File(cur, t), new File(next, t)))
-    linkExtras(cur, next, rewriteTables ++ linkTables,
+    val carry = carryOf(cur, next)
+    linkTables.foreach(t => carry.tree(t))
+    carryExtras(carry, cur, next, rewriteTables ++ linkTables,
       if (isFinal) dropExtras else Set.empty)
     rewriteTables.foreach { t =>
       val fold = take.filter(_._1 == t).flatMap(_._3)
-      val tDir = new File(cur, t)
-      val tgt = new File(next, t)
-      if (fold.isEmpty) VersionedStore.linkTree(tDir, tgt)
+      if (fold.isEmpty) carry.tree(t)
       else {
-        val foldSet = fold.map(_.getAbsolutePath).toSet
-        rewrite(t, fold, tgt)
+        val foldSet = fold.map(_._1).toSet
+        rewrite(t, fold.map(_._2), new File(next, t))
         // keep everything not folded, preserving sub-paths (an L0 file
         // keeps its _l0/ placement so later slices still enumerate it)
-        tableFiles(cur, t)
-          .filterNot(f => foldSet.contains(f.getAbsolutePath))
-          .foreach { f =>
-            val dst = tgt.toPath.resolve(tDir.toPath.relativize(f.toPath))
-            Files.createDirectories(dst.getParent)
-            Files.createLink(dst, f.toPath)
-          }
+        tableEntries(cur, t)
+          .filterNot { case (rel, _) => foldSet.contains(rel) }
+          .foreach { case (rel, phys) => carry.file(rel, phys) }
       }
       Faults.inject(s"purge.table.$t")
     }
@@ -723,6 +940,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     writeMeta(next, readMeta(cur))
     if (!isFinal)
       writePurge(next, fp, done ++ take.map { case (t, b, _) => s"$t/$b" })
+    carry.commit()
     require(currentVersion.contains(curV),
       s"concurrent admission detected at $indexDir (version moved past " +
         s"$curV) — the artifact requires a single writer")
@@ -731,7 +949,12 @@ private[graft] final class VersionedArtifact(indexDir: String) {
   }
 
   /** Drop versions older than the newest `keep`; returns the dropped
-    * version ids (see [[VersionedStore.prune]]).
+    * version ids (see [[VersionedStore.prune]]). Manifest-carried
+    * artifacts prune by REFERENCE COUNT ([[VersionedStore.pruneVacuum]])
+    * — a manifest entry, unlike a hard link, does not keep bytes alive,
+    * so a wholesale dir delete would strand retained versions' refs.
     */
-  def prune(keep: Int = 2): Seq[Long] = VersionedStore.prune(indexDir, keep)
+  def prune(keep: Int = 2): Seq[Long] =
+    if (currentDir.exists(isManifest)) VersionedStore.pruneVacuum(indexDir, keep)
+    else VersionedStore.prune(indexDir, keep)
 }

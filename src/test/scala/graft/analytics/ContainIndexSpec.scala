@@ -11,7 +11,20 @@ import graft.SparkSpec
   * order-independence property of the prefix pigeonhole, exercised
   * end-to-end.
   */
-class ContainIndexSpec extends SparkSpec {
+class ContainIndexSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // These tests pin the L0-accrual admission SHAPE, which the adaptive
+  // cutover (IndexLayout.fanoutAppend) only selects past ~128 buckets —
+  // force it so fixture-sized artifacts admit through L0 regardless
+  override def beforeEach(): Unit = {
+    super.beforeEach()
+    spark.conf.set("spark.graft.index.l0.cutover", "0")
+  }
+  override def afterEach(): Unit = {
+    spark.conf.unset("spark.graft.index.l0.cutover")
+    super.afterEach()
+  }
+
 
   private val dir = "/root/testdata/sf0.001"
 

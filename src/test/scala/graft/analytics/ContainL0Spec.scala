@@ -22,7 +22,20 @@ import graft.SparkSpec
   *   4. PURGE REACHES L0 — tombstoned rows sitting in L0 files are
   *      physically gone after purge (the `raw` slice).
   */
-class ContainL0Spec extends SparkSpec {
+class ContainL0Spec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // These tests pin the L0-accrual admission SHAPE, which the adaptive
+  // cutover (IndexLayout.fanoutAppend) only selects past ~128 buckets —
+  // force it so fixture-sized artifacts admit through L0 regardless
+  override def beforeEach(): Unit = {
+    super.beforeEach()
+    spark.conf.set("spark.graft.index.l0.cutover", "0")
+  }
+  override def afterEach(): Unit = {
+    spark.conf.unset("spark.graft.index.l0.cutover")
+    super.afterEach()
+  }
+
 
   private val dir = "/root/testdata/sf0.001"
 

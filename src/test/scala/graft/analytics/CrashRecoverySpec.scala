@@ -252,21 +252,25 @@ class CrashRecoverySpec extends SparkSpec {
     val matched = probeSet(idx, delta).map(_._1).toSeq.sorted
     assert(matched.nonEmpty, "fixture must contain cross-split pairs")
     val dropId = matched.head
-    val jd = new File(idx, "_takedown_journal").getAbsolutePath
+    val jd = new File(idx, graft.streaming.TakedownQueue.DefaultJournalName)
+      .getAbsolutePath
 
-    // the "previous process" journals the request and dies before any
-    // stream could drain it — a REAL dead process, not a simulated one
-    assert(fork("journal-request", jd, s"$dropId", "crash-journal-td")
+    // the "previous process" runs the DEFAULT wiring — no journalDir
+    // anywhere; the stream attaches the artifact-default journal — then
+    // dies before any batch could drain its request (a REAL dead
+    // process, not a simulated one)
+    assert(fork("journal-request", idx, s"$dropId", "crash-journal-td")
         == 137,
       "child must halt right after the journaled request")
     assert(Option(new File(jd).listFiles()).getOrElse(Array.empty)
       .exists(_.getName.endsWith(".req")),
-      "the crashed process must leave its journaled entry behind")
+      "the crashed process must leave its journaled entry behind — " +
+        "the writer seat is supposed to be durable BY DEFAULT")
 
-    // RESTART: a fresh queue over the same journal replays the entry and
-    // the stream drains it — nobody calls request again
-    val tq = new graft.streaming.TakedownQueue(Some(jd))
-    assert(!tq.isEmpty, "the journal entry must replay on construction")
+    // RESTART, still default-wired: constructing the stream attaches
+    // the journal and replays the entry; the stream drains it — nobody
+    // calls request again
+    val tq = new graft.streaming.TakedownQueue()
     val rows = delta.as[graft.streaming.IngestDoc].collect()
       .sortBy(_.doc_id).toSeq
     val input = MemoryStream[graft.streaming.IngestDoc]
@@ -275,7 +279,11 @@ class CrashRecoverySpec extends SparkSpec {
       admitId = Some("cjstream"), takedowns = Some(tq)) { (pairs, _) =>
         pairs.count(); ()
       }
-    try { input.addData(rows); q.processAllAvailable() } finally q.stop()
+    try {
+      assert(!tq.isEmpty,
+        "the journal entry must replay at the default attach")
+      input.addData(rows); q.processAllAvailable()
+    } finally q.stop()
     assert(DedupIndex.appliedDeltas(idx).contains("crash-journal-td"),
       "the replayed takedown must reach the applied-delta ledger")
     assert(!Option(new File(jd).listFiles()).getOrElse(Array.empty)

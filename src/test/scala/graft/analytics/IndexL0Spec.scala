@@ -30,7 +30,20 @@ import graft.SparkSpec
   * every probe is GUARANTEED cross-L0 pairs (identical text/vector ⇒
   * jaccard/cos 1.0) — the fixture cannot silently weaken.
   */
-class IndexL0Spec extends SparkSpec {
+class IndexL0Spec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // These tests pin the L0-accrual admission SHAPE, which the adaptive
+  // cutover (IndexLayout.fanoutAppend) only selects past ~128 buckets —
+  // force it so fixture-sized artifacts admit through L0 regardless
+  override def beforeEach(): Unit = {
+    super.beforeEach()
+    spark.conf.set("spark.graft.index.l0.cutover", "0")
+  }
+  override def afterEach(): Unit = {
+    spark.conf.unset("spark.graft.index.l0.cutover")
+    super.afterEach()
+  }
+
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -194,5 +207,38 @@ class IndexL0Spec extends SparkSpec {
     }
     assert(pairSet(SrpIndex.probe(spark, idx, delta)) ===
       before.filterNot(p => p._1 == dropId || p._2 == dropId))
+  }
+
+  test("MODULUS side of the adaptive cutover: below cutover×appendTasks " +
+      "buckets an admission appends at the modulus (no L0), and the " +
+      "probe still reaches the admitted docs") {
+    import spark.implicits._
+    // the suite's beforeEach forces cutover=0 (always L0); this test
+    // pins the OTHER side of the gate — the default factor (16 × 8
+    // append tasks = 128) leaves a 64-bucket artifact on the modulus
+    spark.conf.set("spark.graft.index.l0.cutover",
+      IndexLayout.L0CutoverFactor.toString)
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-l0-cutover").toString
+    DedupIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx,
+      shape = DedupIndex.Shape.Oracle, bucketed = true, buckets = 64)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    val bandsDir = new File(DedupIndex.tablePath(idx, "bands"))
+    val baseNames = parquetNames(bandsDir)
+    assert(DedupIndex.append(spark,
+      delta.select(($"doc_id" + 500000L).as("doc_id"), $"text"),
+      idx, "cut-day1"))
+    val afterDir = new File(DedupIndex.tablePath(idx, "bands"))
+    assert(parquetNames(new File(afterDir, "_l0")).isEmpty,
+      "below the cutover the admission must NOT write L0 accrual")
+    assert(parquetNames(afterDir).size > baseNames.size,
+      "the modulus append must add bucket-named files")
+    assert(DedupIndex.load(spark, idx).l0Bands.isEmpty,
+      "no L0 leg should load below the cutover")
+    val pairs = pairSet(DedupIndex.probe(spark, idx, delta))
+    assert(pairs.exists(p => p._1 >= 500000L),
+      "no probe pair reaches the modulus-admitted docs")
   }
 }

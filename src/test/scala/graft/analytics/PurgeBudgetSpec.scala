@@ -25,7 +25,20 @@ import graft.SparkSpec
   *      the fingerprint; the purge restarts and BOTH tombstone sets are
   *      physically gone at completion.
   */
-class PurgeBudgetSpec extends SparkSpec {
+class PurgeBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // These tests pin the L0-accrual admission SHAPE, which the adaptive
+  // cutover (IndexLayout.fanoutAppend) only selects past ~128 buckets —
+  // force it so fixture-sized artifacts admit through L0 regardless
+  override def beforeEach(): Unit = {
+    super.beforeEach()
+    spark.conf.set("spark.graft.index.l0.cutover", "0")
+  }
+  override def afterEach(): Unit = {
+    spark.conf.unset("spark.graft.index.l0.cutover")
+    super.afterEach()
+  }
+
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -141,6 +154,78 @@ class PurgeBudgetSpec extends SparkSpec {
     // the artifact stays a normal citizen: bucketed probes, no-op purge
     assert(!ContainIndex.purge(spark, idx), "purge with no tombstones fired")
     assert(pairSet(ContainIndex.probe(spark, idx, delta)) === after)
+  }
+
+  test("dedup: an out-of-band compaction folding L0 mid-purge RESTARTS " +
+      "the progress — tombstoned L0 rows re-bucketed into already-done " +
+      "buckets are still physically gone at completion") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-pbudget-compact").toString
+    DedupIndex.build(spark, docs.filter($"doc_id" % 5 =!= 4), idx,
+      DedupIndex.Shape.Oracle)
+    // admit a delta: its band rows land in bands/_l0 (the L0 accrual
+    // path), covered by the purge's LAST-sorting bands/raw slice
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    assert(DedupIndex.append(spark, delta, idx, "pbc-adm"))
+    val v1 = currentVerDir(idx)
+    assert(dataFiles(v1, "bands").exists(
+      _.getParentFile.getName == "_l0"),
+      "fixture must admit through the L0 path or this pins nothing")
+    // tombstone an ADMITTED doc — its band rows sit in L0
+    val dropId = delta.select($"doc_id").orderBy($"doc_id").limit(1)
+      .collect().head.getLong(0)
+    assert(DedupIndex.delete(spark, idx, Seq(dropId).toDF("doc_id"),
+      "pbc-td"))
+    def purgeLines(): Seq[String] = {
+      val f = new File(currentVerDir(idx), "_purge.txt")
+      if (!f.exists()) Nil
+      else new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+        .tail.filter(_.nonEmpty)
+    }
+    // slice until at least one NUMBERED bands bucket is done while
+    // bands/raw is still pending — the r18-ADVICE leak window.
+    // (purgePending is false until the FIRST slice commits a progress
+    // file, so fire one slice before polling it.)
+    assert(DedupIndex.purge(spark, idx, budget = 1))
+    var guard = 1
+    while (DedupIndex.purgePending(idx) &&
+        !purgeLines().exists(l => l.startsWith("bands/") &&
+          l != "bands/raw")) {
+      assert(DedupIndex.purge(spark, idx, budget = 1))
+      guard += 1
+      assert(guard < 64, "never reached a done bands bucket")
+    }
+    assert(DedupIndex.purgePending(idx) &&
+      !purgeLines().contains("bands/raw"),
+      "fixture must leave bands/raw pending with a bands bucket done " +
+        "or the leak window closes before the compaction")
+    // the out-of-band compaction: folds bands/_l0 (tombstoned rows
+    // included) into bucket-named files — some in already-done buckets
+    assert(DedupIndex.compact(spark, idx, maxFiles = 0) > 0,
+      "compaction must fire (L0 accrual present)")
+    assert(DedupIndex.purgePending(idx),
+      "compaction must carry the purge marker")
+    assert(purgeLines().isEmpty,
+      "compaction folding L0 must CLEAR the done-slice progress — " +
+        "done buckets now hold re-bucketed tombstoned rows")
+    guard = 0
+    while (DedupIndex.purgePending(idx)) {
+      assert(DedupIndex.purge(spark, idx, budget = 1))
+      guard += 1
+      assert(guard < 128, "restarted purge did not converge")
+    }
+    val ver = currentVerDir(idx)
+    assert(!new File(ver, IndexTombstones.Table).exists())
+    for (t <- Seq("signatures", "bands")) {
+      val ids = spark.read.parquet(
+        dataFiles(ver, t).map(_.getAbsolutePath): _*)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(dropId),
+        s"$t still physically holds the tombstoned doc after a " +
+          "completed purge — the mid-purge compaction leaked it")
+    }
   }
 
   test("dedup: a NEW tombstone admitted mid-purge restarts the progress " +

@@ -59,6 +59,108 @@ class PurgeEquivalenceSpec extends SparkSpec {
     assert(cache.get() === "load4" && loads === 4)
   }
 
+  test("cache semantics: a purge-completion commit DURING the reload " +
+      "records the post-load version (no second reload); a content " +
+      "delta during the load keeps the pre-load key (reloads next poll)") {
+    var version: Option[Long] = Some(0L)
+    var pending = false
+    var deltas = Set.empty[String]
+    var loads = 0
+    var onLoad: () => Unit = () => ()
+    val cache = new IngestDedup.VersionedCache[String](
+      () => version, () => { loads += 1; onLoad(); s"load$loads" },
+      _ => Seq.empty, () => pending, () => deltas)
+    assert(cache.get() === "load1" && loads === 1)
+    // the r18-ADVICE race: the final purge slice commits between the
+    // poll's currentVersion() read and the load — the frames loaded are
+    // the NEWER version's, so the newer version is the right state key
+    version = Some(5L); pending = true
+    deltas = Set("td-1")   // the takedown that started the purge
+    onLoad = () => { version = Some(6L); pending = false }
+    assert(cache.get() === "load2" && loads === 2)
+    onLoad = () => ()
+    assert(cache.get() === "load2" && loads === 2,
+      "recording the pre-load version forced a wasted second reload")
+    // a CONTENT delta landing during the load must NOT be adopted: the
+    // loaded frames may predate it, so the key stays pre-load and the
+    // next poll's inequality reloads
+    version = Some(7L); deltas = Set("td-1", "day-1")
+    onLoad = () => { version = Some(8L); deltas = Set("td-1", "day-1", "day-2") }
+    assert(cache.get() === "load3" && loads === 3)
+    onLoad = () => ()
+    assert(cache.get() === "load4" && loads === 4,
+      "a delta landing during the load was adopted without its frames")
+  }
+
+  test("a probe-only reader STARTED mid-chain never prunes: every " +
+      "version on disk survives the out-of-band writer's slices") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-peqm-idx").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    // out-of-band takedown + first purge slice: the reader will START
+    // with the chain already mid-flight, so its grace SEEDS nonzero
+    val dropId = docs.filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id").orderBy($"doc_id").limit(1)
+      .collect().head.getLong(0)
+    assert(graft.analytics.DedupIndex.delete(spark, idx,
+      Seq(dropId).toDF("doc_id"), "peqm-td"))
+    assert(graft.analytics.DedupIndex.purge(spark, idx, budget = 1))
+    assert(graft.analytics.DedupIndex.purgePending(idx),
+      "fixture must need more than one slice at budget = 1")
+    def verDirs(): Set[Long] = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.stripPrefix("v").toLong).toSet
+    val dirs0 = verDirs()
+    val vPin = graft.analytics.DedupIndex.currentVersion(idx).get
+    val input = MemoryStream[IngestDoc]
+    val loads0 = graft.analytics.DedupIndex.loadRuns.get()
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-peqm-ck").toString) {
+        (pairs, _) => pairs.count(); ()
+      }
+    def loads() = graft.analytics.DedupIndex.loadRuns.get() - loads0
+    try {
+      input.addData(delta); q.processAllAvailable()
+      assert(loads() === 1)
+      // a reader seeded mid-chain has bumps=0 forever — it must never
+      // prune. Pre-fix it pruned with a FIXED keep (seed+1) while the
+      // writer's slices advanced cur, deleting the chain base after one
+      // slice and its own pinned version after seed+1 (r18 ADVICE).
+      var slices = 1
+      while (graft.analytics.DedupIndex.purgePending(idx) && slices < 64) {
+        assert(graft.analytics.DedupIndex.purge(spark, idx, budget = 1))
+        slices += 1
+        // feed + assert only while STILL mid-chain: the completing
+        // slice's next batch correctly reloads (pending turned false)
+        if (graft.analytics.DedupIndex.purgePending(idx)) {
+          input.addData(delta.take(4)); q.processAllAvailable()
+          assert(dirs0.subsetOf(verDirs()),
+            s"reader pruned ${dirs0 -- verDirs()} after slice $slices — " +
+              "pure readers must never prune")
+          assert(loads() === 1,
+            s"reader reloaded on purge slice $slices")
+        }
+      }
+      assert(slices >= 2, "purge fit one slice — the mid-chain window " +
+        "pins nothing")
+      assert(verDirs().contains(vPin),
+        "the reader's own pinned version was deleted mid-chain")
+      // completion: the reader reloads once and keeps answering
+      input.addData(delta); q.processAllAvailable()
+      assert(loads() === 2, "completion must reload exactly once")
+      input.addData(delta.take(4)); q.processAllAvailable()
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
   test("a probe-only cached reader pays one reload for the takedown and " +
       "one at purge completion - none per slice - with pairs filtered " +
       "throughout") {

@@ -57,6 +57,65 @@ class TakedownJournalSpec extends SparkSpec {
       "a truncated journal must replay nothing")
   }
 
+  test("DEFAULT wiring is durable: the admitting stream attaches the " +
+      "artifact journal to a plain queue — pre-start requests are " +
+      "swept in, post-start requests persist, inMemory() opts out") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-journal-def-idx").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+      .as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+    val jd = new File(idx, TakedownQueue.DefaultJournalName).getAbsolutePath
+
+    // a request enqueued BEFORE the stream exists (in-memory at that
+    // point) must be swept into the journal by the attach
+    val tq = new TakedownQueue()
+    tq.request(Seq(1L), "jdef-pre")
+    assert(reqFiles(jd).isEmpty, "no journal before any stream attaches")
+    val input = MemoryStream[IngestDoc]
+    val q = IngestDedup.dedupIngestFromIndex(input.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-jdef-ck").toString,
+      admitId = Some("jdef"), takedowns = Some(tq)) { (pairs, _) =>
+        pairs.count(); ()
+      }
+    try {
+      assert(reqFiles(jd).size === 1,
+        "the attach must sweep the pre-start request into the journal")
+      // a post-start request persists before request() returns
+      tq.request(Seq(2L), "jdef-post")
+      assert(reqFiles(jd).size === 2,
+        "a post-attach request must journal at request time")
+      input.addData(delta.take(4)); q.processAllAvailable()
+      assert(tq.isEmpty && reqFiles(jd).isEmpty,
+        "the drain must truncate both journaled entries")
+      assert(graft.analytics.DedupIndex.appliedDeltas(idx)
+        .contains("jdef-pre") &&
+        graft.analytics.DedupIndex.appliedDeltas(idx).contains("jdef-post"))
+    } finally q.stop()
+
+    // opt-out: an inMemory() queue never touches the journal dir
+    val tq2 = TakedownQueue.inMemory()
+    val input2 = MemoryStream[IngestDoc]
+    val q2 = IngestDedup.dedupIngestFromIndex(input2.toDS(), idx,
+      java.nio.file.Files.createTempDirectory("graft-jdef-ck2").toString,
+      admitId = Some("jdef2"), takedowns = Some(tq2)) { (pairs, _) =>
+        pairs.count(); ()
+      }
+    try {
+      tq2.request(Seq(3L), "jdef-mem")
+      assert(reqFiles(jd).isEmpty,
+        "inMemory() must stay in-memory — no journal entries")
+      input2.addData(delta.take(4)); q2.processAllAvailable()
+      assert(tq2.isEmpty)
+    } finally q2.stop()
+  }
+
   test("an admitting stream drains a REPLAYED journal entry with no " +
       "re-request: ledger acknowledged, probe filtered, journal truncated") {
     implicit val sqlCtx = spark.sqlContext
