@@ -421,6 +421,32 @@ object DedupQueries {
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
 
+  /** [[qDedupAdmitted]] driven through COMPACTION: the two-step
+    * build + admit is FOLDED ([[DedupIndex.compact]] — the
+    * bucket-granular minor/major fold of
+    * `VersionedArtifact.compactBucketed`, consuming the admission
+    * accrual whichever side of the L0 cutover wrote it) before the
+    * probe, so the driver's hash gate pins compaction's multiset
+    * invariance against the same exact DuckDB answer every round
+    * (`DedupIndexSpec` pins it at spec level; this row makes it an
+    * oracle). `maxFiles = 0` keeps the threshold at the bucket floor,
+    * so the fold FIRES on every run — deliberately: the row prices
+    * admit + fold + probe as one maintained-artifact cycle, and a
+    * re-run stays deterministic because the fold preserves the row
+    * multiset and the re-admit no-ops by deltaId.
+    */
+  def qDedupCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val idx = artifactDir(spark, dir, "dedup-compacted")
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!DedupIndex.hasCurrent(idx))
+      DedupIndex.build(spark, docs.filter(col("doc_id") % 5 < 3), idx,
+        DedupIndex.Shape.Oracle)
+    DedupIndex.append(spark, docs.filter(col("doc_id") % 5 === 3), idx,
+      "compacted-day1")
+    DedupIndex.compact(spark, idx, maxFiles = 0)
+    DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
+  }
+
   /** [[qDedupIncremental]] after a TAKEDOWN: a deterministic slice of
     * the indexed corpus (doc_id % 7 = 3) is tombstoned
     * ([[DedupIndex.delete]] — the [[IndexTombstones]] logical phase),
@@ -1909,6 +1935,7 @@ object DedupQueries {
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_admitted" -> qDedupAdmitted,
+    "q_dedup_compacted" -> qDedupCompacted,
     "q_dedup_incremental_takedown" -> qDedupIncrementalTakedown,
     "q_dedup_purge" -> qDedupPurge,
     "q_dedup_purge_sliced" -> qDedupPurgeSliced,
@@ -2176,6 +2203,12 @@ object DedupQueries {
     // the one-shot build over % 5 <> 4 — banding is per-doc
     // deterministic, so the oracle is qDedupIncremental's verbatim
     "q_dedup_admitted" ->
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    // compacted face: build + admit + bucket-granular FOLD must still
+    // hash-equal the one-shot build — compaction is multiset-invariant
+    "q_dedup_compacted" ->
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
