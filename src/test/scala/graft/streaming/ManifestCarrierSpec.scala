@@ -205,4 +205,42 @@ class ManifestCarrierSpec extends SparkSpec {
     assert(man === link,
       "manifest-carrier checkpoints diverge from the link carrier")
   }
+
+  test("a transaction torn before its manifest commits is invisible and " +
+      "the retry converges — the manifest path recovers through the " +
+      "same clearStale/pointer contract as links") {
+    val idx = Files.createTempDirectory("graft-mcar-crash").toString
+    val art = new VersionedArtifact(idx)
+    val base = (0L until 50L)
+    art.build({ ver =>
+      writeParquet(base, new File(ver, "alpha/base_00000.parquet"))
+    }, buildMeta = VersionedArtifact.ManifestMeta)
+    val s0 = readAll(idx, "alpha")
+    // fault at admit.precommit: carried refs are accumulated in memory
+    // but _carry.txt is written AFTER this point — the torn next dir
+    // has the delta's physical file and NO manifest, the worst state
+    Faults.handler = p =>
+      if (p == "admit.precommit") throw new RuntimeException("torn")
+    try {
+      intercept[RuntimeException] {
+        art.admit("d1", Seq("alpha"), { ver =>
+          writeParquet(50L until 60L, new File(ver, "alpha/d1.parquet"))
+        })
+      }
+    } finally Faults.handler = _ => ()
+    // pointer still on v0; reads unaffected; delta not recorded
+    assert(VersionedStore.currentVersion(idx).contains(0L))
+    assert(readAll(idx, "alpha") === s0,
+      "a torn manifest transaction leaked into reads")
+    assert(!art.appliedDeltas.contains("d1"))
+    // retry: clearStale wipes the torn dir (stale physical delta file
+    // AND any partial metadata), the re-run commits with full content
+    assert(art.admit("d1", Seq("alpha"), { ver =>
+      writeParquet(50L until 60L, new File(ver, "alpha/d1.parquet"))
+    }))
+    assert(readAll(idx, "alpha") === (0L until 60L).toSeq,
+      "the retried manifest admission lost rows")
+    assert(VersionedStore.readCarry(verDir(idx)).size === 1,
+      "the retried admission must carry the base by reference")
+  }
 }
