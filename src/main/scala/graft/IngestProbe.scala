@@ -92,24 +92,25 @@ object IngestProbe {
       val input = MemoryStream[A]
       val q = startQ(input)
       val done = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val times = try {
-        slices(all).map { b =>
+      try {
+        slices(all).foreach { b =>
           val t0 = System.nanoTime()
           input.addData(b); q.processAllAvailable()
           val t = (System.nanoTime() - t0) / 1e9
           // batch 1 pays the load/cache materialization by design, so
-          // the spike baseline starts once ≥ 2 steady batches completed
-          if (done.size >= 2) {
+          // the spike baseline starts once ≥ 2 STEADY batches (i.e. 3
+          // completed total) back the running median — a single-sample
+          // median would fire spuriously off one fast batch
+          if (done.size >= 3) {
             val med = median(done.tail.toSeq)
             if (t > SpikeFactor * med)
               println(f"[ingestprobe] SPIKE $label batch=${done.size + 1} " +
                 f"$t%.2f s vs running-median $med%.2f s  [${sent.line()}]")
           }
           done += t
-          t
         }
       } finally q.stop()
-      times
+      done.toSeq
     }
 
     def report(face: String, scale: String, times: Seq[Double],

@@ -102,11 +102,18 @@ final class TakedownQueue(journalDir: Option[String] = None,
     * in-memory mode. Entries already enqueued in this process are
     * journaled here (a request racing the stream start stays durable);
     * entries a crashed predecessor journaled replay into the queue.
+    *
+    * ONE ARTIFACT PER QUEUE: a queue shared by streams over two
+    * DIFFERENT artifacts would journal every request under whichever
+    * artifact attached first — a restart of only the other artifact's
+    * stream would then replay nothing, silently losing the request
+    * (the exact window the journal closes). A second default attach
+    * for a different index dir is therefore a LOUD error, not a no-op.
     */
   private[streaming] def attachDefaultJournal(indexDir: String): Unit =
     synchronized {
+      val d = new java.io.File(indexDir, TakedownQueue.DefaultJournalName)
       if (durable && journal.isEmpty) {
-        val d = new java.io.File(indexDir, TakedownQueue.DefaultJournalName)
         d.mkdirs()
         val held = {
           val b = Set.newBuilder[String]
@@ -116,8 +123,16 @@ final class TakedownQueue(journalDir: Option[String] = None,
         q.forEach(e => persistEntry(d, e._1, e._2))
         replay(d, except = held)
         journal = Some(d)
-      }
+        attachedDefault = Some(d.getAbsolutePath)
+      } else if (durable && attachedDefault.exists(_ != d.getAbsolutePath))
+        throw new IllegalStateException(
+          s"TakedownQueue is already journaled at ${attachedDefault.get} — " +
+            s"one queue serves ONE artifact (a shared queue would journal " +
+            s"requests under the wrong index); create a separate queue " +
+            s"for $indexDir")
     }
+
+  @volatile private var attachedDefault: Option[String] = None
 
   /** Entry file name: the deltaId's SHA-256 (deltaIds are caller
     * strings — unsafe as file names; the hash is stable across
@@ -863,21 +878,26 @@ object IngestDedup {
           // delta the frames don't carry, and the skip would then serve
           // stale frames for the length of a purge.
           val pinned = appliedDeltas()
+          // state key: re-read the version right BEFORE load — a purge
+          // slice committing between this call's first currentVersion()
+          // read and here (the r18-ADVICE race) would otherwise record
+          // the OLDER v while load() resolves the pointer to the newer
+          // version, forcing a wasted corpus-sized reload on the next
+          // poll. Adopt the re-read version ONLY when the pointer did
+          // not move across the load window (vPre == vPost): then the
+          // frames are provably vPre's. A commit DURING the load (an
+          // admission, a compaction fold, a further slice) keeps the
+          // original v — conservative reload next poll — because
+          // adopting it would key OLD frames under the NEW version and
+          // suppress the reload the writer's one-batch prune grace
+          // depends on: the pinned frames' files get pruned while the
+          // key says current, and an evicted/uncached partition then
+          // recomputes from deleted files (r19 review).
+          val vPre = currentVersion()
           val l = load()
           val fs = frames(l)
           fs.foreach(_.persist())
-          // state key: re-read the version AFTER load — a purge slice
-          // committing between this call's currentVersion() read and
-          // the load would otherwise record the OLDER v while the
-          // frames are the newer version's, forcing a second full
-          // reload (and corpus-sized re-persist) on the next poll (r18
-          // ADVICE). Adopt the post-load version only when no CONTENT
-          // delta landed during the load (appliedDeltas unchanged —
-          // then any version advance was purge slices / compaction,
-          // bit-identical by contract); if a delta DID land, keep the
-          // pre-load v so the next poll's inequality reloads rather
-          // than serving frames that may predate the delta.
-          val v2 = if (appliedDeltas() == pinned) currentVersion() else v
+          val v2 = if (currentVersion() == vPre) vPre else v
           state = Some((v2, l, fs, pinned))
           l
       }

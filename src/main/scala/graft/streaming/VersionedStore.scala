@@ -224,7 +224,14 @@ private[graft] object VersionedStore {
       val referenced: Set[String] = kept
         .flatMap { case (f, _) => readCarry(f).values }
         .map(_.getCanonicalPath).toSet
-      drop.map { case (f, v) => rmUnreferenced(f, referenced); v }.toSeq
+      // report a version as dropped only when its dir is FULLY gone —
+      // a partially-surviving husk (files still referenced by retained
+      // manifests) would otherwise be re-reported on every later prune,
+      // and callers act on the ids (catalog deregistration, metrics)
+      drop.flatMap { case (f, v) =>
+        rmUnreferenced(f, referenced)
+        if (f.exists()) None else Some(v)
+      }.toSeq
     }
 
   private def rmUnreferenced(x: File, referenced: Set[String]): Unit = {
@@ -342,9 +349,27 @@ private[graft] final class VersionedArtifact(indexDir: String) {
   private def requireDir: File = currentDir.getOrElse(
     throw new IllegalStateException(s"no artifact at $indexDir — build first"))
 
+  /** The dir-path accessors below hand readers PHYSICAL directories —
+    * correct for the link carrier only. A manifest-carried artifact's
+    * tables are partly (or wholly) `_carry.txt` references with no
+    * physical file in the current dir, so a dir-based read would
+    * SILENTLY return incomplete rows (and a referenced-away sidecar
+    * would silently drop its tombstone filter). Fail loudly instead:
+    * manifest readers resolve through [[VersionedStore.logicalFiles]]
+    * (the family loaders are link-carrier only by design — see the
+    * MANIFEST CARRIER notes).
+    */
+  private def requireDirReads(cur: File): File = {
+    require(!isManifest(cur),
+      s"manifest-carried artifact at $indexDir: directory-path reads " +
+        "would silently miss carried files — resolve through " +
+        "VersionedStore.logicalFiles")
+    cur
+  }
+
   /** All `tables` paths resolved against ONE pointer read. */
   def snapshotPaths(tables: Seq[String]): Map[String, String] = {
-    val cur = requireDir
+    val cur = requireDirReads(requireDir)
     tables.map(t => t -> new File(cur, t).toString).toMap
   }
 
@@ -358,7 +383,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     * filter), transiently resurfacing deleted pairs.
     */
   def extraPath(name: String): Option[File] = {
-    val f = new File(requireDir, name)
+    val f = new File(requireDirReads(requireDir), name)
     if (f.isDirectory) Some(f) else None
   }
 
@@ -371,7 +396,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     * the one sidecar race that is NOT benign.
     */
   def snapshot(tables: Seq[String], extraName: String): ArtifactSnapshot = {
-    val cur = requireDir
+    val cur = requireDirReads(requireDir)
     val extra = new File(cur, extraName)
     ArtifactSnapshot(
       meta = readMeta(cur),
@@ -406,7 +431,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       .foreach(n => carry.tree(n))
 
   def tablePath(table: String): String =
-    new File(requireDir, table).toString
+    new File(requireDirReads(requireDir), table).toString
 
   /** Total data bytes behind the CURRENT version (every table's part
     * files; hard-linked carries count at their real length). One

@@ -206,6 +206,22 @@ class ManifestCarrierSpec extends SparkSpec {
       "manifest-carrier checkpoints diverge from the link carrier")
   }
 
+  test("directory-path readers fail LOUDLY on a manifest artifact: a " +
+      "silent dir read would miss carried files (and a referenced-away " +
+      "sidecar would silently drop its tombstone filter)") {
+    val idx = Files.createTempDirectory("graft-mcar-guard").toString
+    val art = new VersionedArtifact(idx)
+    art.build({ ver =>
+      writeParquet(0L until 10L, new File(ver, "alpha/base_00000.parquet"))
+    }, buildMeta = VersionedArtifact.ManifestMeta)
+    intercept[IllegalArgumentException] { art.snapshotPaths(Seq("alpha")) }
+    intercept[IllegalArgumentException] { art.snapshot(Seq("alpha"), "t") }
+    intercept[IllegalArgumentException] { art.extraPath("tombstones") }
+    intercept[IllegalArgumentException] { art.tablePath("alpha") }
+    // the logical resolver is the supported read seam
+    assert(readAll(idx, "alpha") === (0L until 10L).toSeq)
+  }
+
   test("a transaction torn before its manifest commits is invisible and " +
       "the retry converges — the manifest path recovers through the " +
       "same clearStale/pointer contract as links") {

@@ -59,37 +59,42 @@ class PurgeEquivalenceSpec extends SparkSpec {
     assert(cache.get() === "load4" && loads === 4)
   }
 
-  test("cache semantics: a purge-completion commit DURING the reload " +
-      "records the post-load version (no second reload); a content " +
-      "delta during the load keeps the pre-load key (reloads next poll)") {
+  test("cache semantics: a purge-completion commit BEFORE the load is " +
+      "keyed at the version the load resolves (no second reload); ANY " +
+      "commit DURING the load keeps the pre-load key (reloads next poll)") {
     var version: Option[Long] = Some(0L)
-    var pending = false
     var deltas = Set.empty[String]
     var loads = 0
     var onLoad: () => Unit = () => ()
+    var pendingF: () => Boolean = () => false
     val cache = new IngestDedup.VersionedCache[String](
       () => version, () => { loads += 1; onLoad(); s"load$loads" },
-      _ => Seq.empty, () => pending, () => deltas)
+      _ => Seq.empty, () => pendingF(), () => deltas)
     assert(cache.get() === "load1" && loads === 1)
-    // the r18-ADVICE race: the final purge slice commits between the
-    // poll's currentVersion() read and the load — the frames loaded are
-    // the NEWER version's, so the newer version is the right state key
-    version = Some(5L); pending = true
-    deltas = Set("td-1")   // the takedown that started the purge
-    onLoad = () => { version = Some(6L); pending = false }
+    deltas = Set("td-1"); version = Some(1L) // the takedown -> reload
     assert(cache.get() === "load2" && loads === 2)
-    onLoad = () => ()
-    assert(cache.get() === "load2" && loads === 2,
-      "recording the pre-load version forced a wasted second reload")
-    // a CONTENT delta landing during the load must NOT be adopted: the
-    // loaded frames may predate it, so the key stays pre-load and the
-    // next poll's inequality reloads
-    version = Some(7L); deltas = Set("td-1", "day-1")
-    onLoad = () => { version = Some(8L); deltas = Set("td-1", "day-1", "day-2") }
+    // the r18-ADVICE race: the FINAL purge slice commits between the
+    // poll's currentVersion() read and the purgePending() read — the
+    // load that follows resolves the NEW pointer, so the new version
+    // is the right key and the next poll must NOT reload again
+    version = Some(5L)
+    pendingF = () => { version = Some(6L); false } // completion mid-poll
     assert(cache.get() === "load3" && loads === 3)
+    pendingF = () => false
+    assert(cache.get() === "load3" && loads === 3,
+      "keying the pre-load version forced a wasted second reload")
+    // ANY commit landing DURING the load (admission, compaction fold,
+    // another slice) must NOT be adopted: the loaded frames may belong
+    // to the older version, and keying them under the new version
+    // would suppress the reload the writer's prune grace depends on
+    // (stale frames over soon-pruned files). Conservative: keep the
+    // pre-load key, reload next poll.
+    version = Some(7L); deltas = Set("td-1", "day-1")
+    onLoad = () => { version = Some(8L) }
+    assert(cache.get() === "load4" && loads === 4)
     onLoad = () => ()
-    assert(cache.get() === "load4" && loads === 4,
-      "a delta landing during the load was adopted without its frames")
+    assert(cache.get() === "load5" && loads === 5,
+      "a commit during the load was adopted without its frames")
   }
 
   test("a probe-only reader STARTED mid-chain never prunes: every " +

@@ -99,6 +99,22 @@ class TakedownJournalSpec extends SparkSpec {
         graft.analytics.DedupIndex.appliedDeltas(idx).contains("jdef-post"))
     } finally q.stop()
 
+    // ONE artifact per queue: a second stream over a DIFFERENT index
+    // dir handing the same queue must fail loudly at construction —
+    // its requests would journal (and replay) under the wrong artifact
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft-journal-def-idx2").toString
+    graft.analytics.DedupIndex.build(spark,
+      docs.filter($"doc_id" % 5 =!= 4), idx2)
+    val inX = MemoryStream[IngestDoc]
+    intercept[IllegalStateException] {
+      IngestDedup.dedupIngestFromIndex(inX.toDS(), idx2,
+        java.nio.file.Files.createTempDirectory("graft-jdef-ckx").toString,
+        admitId = Some("jdefX"), takedowns = Some(tq)) { (p, _) =>
+          p.count(); ()
+        }
+    }
+
     // opt-out: an inMemory() queue never touches the journal dir
     val tq2 = TakedownQueue.inMemory()
     val input2 = MemoryStream[IngestDoc]
