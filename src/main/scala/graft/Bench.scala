@@ -185,7 +185,23 @@ object Bench {
       if (needContain)
         timedBuild(p, "contain_build", "shared 16-char shingle cache build")(
           graft.analytics.DedupQueries.buildContainChain(spark, sfDir))
+      // MID-pass sentinel (r19): a pass-boundary pair can read in-band
+      // while a slow-memory-tier gradient inflates the pass's middle
+      // uniformly (observed: median ×1.28 over untouched rows with all
+      // boundary sentinels in band). One extra pair halfway doubles the
+      // sampling for ~0.5 s/pass; it rides the same arrays, so the
+      // record's sentinel lists read [p1, p1.5, p2, …] at `passes` > 1.
+      val mid = selected.length / 2
+      var i = 0
       selected.foreach { case (name, fn) =>
+        if (i == mid && selected.length >= 8) {
+          val mcs = cpuSentinel(); val mms = memSentinel(memArr)
+          cpuSentinels += mcs; memSentinels += mms
+          System.err.println(
+            f"[bench] pass $p mid sentinel_cpu $mcs%.3f s  " +
+              f"sentinel_mem $mms%.3f s  loadavg ${loadavg()}")
+        }
+        i += 1
         val t0 = System.nanoTime()
         val ok =
           try { outRows(name) = fn(spark, sfDir).count(); true }
