@@ -17,6 +17,8 @@ object Bench {
 
   private def memSentinel(arr: Array[Long]): Double = HostSentinels.mem(arr)
 
+  private def ioSentinel(): Double = HostSentinels.io(HostSentinels.ioDir)
+
   private def loadavg(): String = HostSentinels.loadavg()
 
   private def memAvailableKb(): Long = HostSentinels.memAvailableKb()
@@ -80,11 +82,12 @@ object Bench {
     // path), and one untimed run of each sentinel pays JIT compilation
     // so pass-1 values measure the host, not the compiler
     val memArr = Array.tabulate(16 << 20)(_.toLong)
-    cpuSentinel(); memSentinel(memArr)
+    cpuSentinel(); memSentinel(memArr); ioSentinel()
     val loadStart = loadavg()
     val memAvailStart = memAvailableKb()
     val cpuSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     val memSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     // chain attribution: queries sharing the dedup chain (docShingles →
     // minhash → LSH → verify) previously charged the whole cold build to
     // whichever member ran FIRST in name order, which made that row swing
@@ -174,11 +177,11 @@ object Bench {
       // sentinel pair at the top of EVERY pass: a stall window that
       // spans one pass (observed on this host) shows up in that pass's
       // sentinels, not just its query rows
-      val cs = cpuSentinel(); val ms = memSentinel(memArr)
-      cpuSentinels += cs; memSentinels += ms
+      val cs = cpuSentinel(); val ms = memSentinel(memArr); val is = ioSentinel()
+      cpuSentinels += cs; memSentinels += ms; ioSentinels += is
       System.err.println(
         f"[bench] pass $p sentinel_cpu $cs%.3f s  sentinel_mem $ms%.3f s  " +
-          s"loadavg ${loadavg()}")
+          f"sentinel_io $is%.3f s  loadavg ${loadavg()}")
       if (needChain)
         timedBuild(p, "chain_build", "shared dedup-chain build")(
           graft.analytics.DedupQueries.buildChain(spark, sfDir))
@@ -191,15 +194,21 @@ object Bench {
       // boundary sentinels in band). One extra pair halfway doubles the
       // sampling for ~0.5 s/pass; it rides the same arrays, so the
       // record's sentinel lists read [p1, p1.5, p2, …] at `passes` > 1.
+      // the >= 8 floor is gone (r19 verdict #4): a targeted
+      // SPARK_GRAFT_ONLY profiling run is exactly when the extra sample
+      // matters most; only a 1-query run (mid == 0 — the sample would
+      // duplicate the boundary pair) skips it.
       val mid = selected.length / 2
       var i = 0
       selected.foreach { case (name, fn) =>
-        if (i == mid && selected.length >= 8) {
+        if (i == mid && mid >= 1) {
           val mcs = cpuSentinel(); val mms = memSentinel(memArr)
-          cpuSentinels += mcs; memSentinels += mms
+          val mis = ioSentinel()
+          cpuSentinels += mcs; memSentinels += mms; ioSentinels += mis
           System.err.println(
             f"[bench] pass $p mid sentinel_cpu $mcs%.3f s  " +
-              f"sentinel_mem $mms%.3f s  loadavg ${loadavg()}")
+              f"sentinel_mem $mms%.3f s  sentinel_io $mis%.3f s  " +
+              s"loadavg ${loadavg()}")
         }
         i += 1
         val t0 = System.nanoTime()
@@ -254,6 +263,7 @@ object Bench {
     val sentinels =
       s""""sentinel_cpu":${secArr(cpuSentinels.toSeq)},""" +
         s""""sentinel_mem":${secArr(memSentinels.toSeq)},""" +
+        s""""sentinel_io":${secArr(ioSentinels.toSeq)},""" +
         s""""load_start":"$loadStart","load_end":"$loadEnd""""
     println(s"""{"queries":$qs,"sf":"$sfDir",$sentinels,"metric":"total","value":$total,"unit":"sec"}""")
     // self-emitted full report: the driver tail records only ~2000 chars
@@ -275,6 +285,7 @@ object Bench {
           s""""total_sec":${fmt(total)},""" +
           s""""sentinels":{"cpu_sec":${secArr(cpuSentinels.toSeq)},""" +
           s""""mem_sec":${secArr(memSentinels.toSeq)},""" +
+          s""""io_sec":${secArr(ioSentinels.toSeq)},""" +
           s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
           s""""mem_available_start_kb":$memAvailStart,""" +
           s""""mem_available_end_kb":$memAvailEnd},""" +

@@ -3,15 +3,18 @@ package graft
 /** Fixed-work HOST-IDLENESS sentinels, shared by every measurement main
   * (`Bench`, `LoopStress`, `TakedownProbe`, `IngestProbe`): zero-Spark
   * probes whose wall time depends only on this process's share of one
-  * core (cpu) and of memory bandwidth (mem). A measurement that prints
-  * its own in-band sentinel pair is SELF-attributing — an out-of-band
-  * query row next to in-band sentinels is the code's fault; next to
-  * high sentinels it's the host's (the contaminated-official-run
-  * failure mode r15/r16 hit, and the 3.69–7.89 s contain-probe swing
-  * SCALE.md could only attribute by circumstance). Idle bands, measured
-  * on this host (SCALE.md): cpu 0.26–0.45 s, mem 0.15–0.25 s steady
-  * (first samples after allocation can read lower while pages are
-  * freshly provisioned).
+  * core (cpu), of memory bandwidth (mem), and of the storage tier (io).
+  * A measurement that prints its own in-band sentinel triple is
+  * SELF-attributing — an out-of-band query row next to in-band
+  * sentinels is the code's fault; next to high sentinels it's the
+  * host's (the contaminated-official-run failure mode r15/r16 hit).
+  * The io leg is new in round 20: r18's damage was memory-tier and the
+  * pair caught it, but r19's official record carried four 2–8.5×
+  * fsync/small-file rows under fully in-band cpu/mem sentinels — the
+  * one noise class the pair cannot see. Idle bands, measured on this
+  * host (SCALE.md): cpu 0.26–0.45 s, mem 0.15–0.25 s steady (first
+  * samples after allocation can read lower while pages are freshly
+  * provisioned); io band is recorded in SCALE.md round 20.
   *
   * Lifted verbatim from `Bench` (round 17) so every record's sentinel
   * values stay comparable across rounds and mains.
@@ -61,6 +64,57 @@ object HostSentinels {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-work I/O sentinel: 32 small files × 128 KiB, each written and
+    * `force(true)`'d (fsync), then read back and deleted. This is the
+    * shape of the storage traffic the versioned-store rows emit (many
+    * small part files + an fsync'd commit per transaction) — and the one
+    * noise class the cpu/mem pair is BLIND to: the r19 official bench
+    * read 2–8.5× on exactly the fsync/small-file-heavy rows
+    * (`cdc_serving_state` 26.19 s vs 3.10 s in-band) while every
+    * cpu/mem sentinel sat in band. fsync latency on a contended or
+    * throttled I/O tier inflates 10–100×, so this leg self-attributes
+    * that class. The dir must live on the same filesystem the suite's
+    * temp tables use (java.io.tmpdir — one ext4 volume on this host).
+    */
+  def io(dir: java.nio.file.Path): Double = {
+    import java.nio.file.{Files, StandardOpenOption => O}
+    val t0 = System.nanoTime()
+    val buf = java.nio.ByteBuffer.allocate(128 << 10)
+    var s = 0L
+    var f = 0
+    while (f < 32) {
+      val p = dir.resolve(s"sentinel_$f.bin")
+      val ch = java.nio.channels.FileChannel.open(
+        p, O.CREATE, O.WRITE, O.TRUNCATE_EXISTING)
+      buf.clear(); buf.put(0, (f + 1).toByte)
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+      ch.close()
+      f += 1
+    }
+    f = 0
+    while (f < 32) {
+      val p = dir.resolve(s"sentinel_$f.bin")
+      val bytes = Files.readAllBytes(p)
+      s += bytes(0).toLong + bytes(bytes.length - 1).toLong + bytes.length
+      Files.delete(p)
+      f += 1
+    }
+    blackhole ^= s
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The shared per-process sentinel scratch dir (created lazily under
+    * java.io.tmpdir, removed on JVM exit). One dir per process keeps
+    * repeated samples comparable: the first sample pays the dir create,
+    * warmup in [[Warmed]] absorbs it.
+    */
+  lazy val ioDir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-io-sentinel")
+    d.toFile.deleteOnExit()
+    d
+  }
+
   def loadavg(): String =
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg")),
@@ -82,17 +136,17 @@ object HostSentinels {
     */
   final class Warmed {
     private val arr = Array.tabulate(16 << 20)(_.toLong)
-    cpu(); mem(arr)
+    cpu(); mem(arr); io(ioDir)
 
-    /** One (cpu_sec, mem_sec) sample. */
-    def sample(): (Double, Double) = (cpu(), mem(arr))
+    /** One (cpu_sec, mem_sec, io_sec) sample. */
+    def sample(): (Double, Double, Double) = (cpu(), mem(arr), io(ioDir))
 
     /** Sample and render the standard record fragment the probe mains
       * print next to each measured leg.
       */
     def line(): String = {
-      val (c, m) = sample()
-      f"sentinel_cpu=$c%.3f s sentinel_mem=$m%.3f s loadavg=${loadavg()}"
+      val (c, m, i) = sample()
+      f"sentinel_cpu=$c%.3f s sentinel_mem=$m%.3f s sentinel_io=$i%.3f s loadavg=${loadavg()}"
     }
   }
 }

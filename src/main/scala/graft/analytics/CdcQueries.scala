@@ -252,11 +252,12 @@ object CdcQueries {
         serving.merge(cached.filter($"batch_key" % 3 === b).drop("batch_key")
           .as[graft.model.MQEvent])
       }
-      // redeliver batch 1: versions + tombstones must make this a no-op
+      // redeliver batch 1: versions + tombstones must make this a no-op;
+      // the known-final merge folds the prune into its own transaction
+      // (one version walk, no separate pass — r19 verdict #3)
       serving.merge(cached.filter($"batch_key" % 3 === 1).drop("batch_key")
-        .as[graft.model.MQEvent])
+        .as[graft.model.MQEvent], pruneKeep = 1)
     } finally { cached.unpersist(); () }
-    serving.prune(keep = 1)
     serving.snapshot(spark)
       .select($"tbl", $"pk".cast("long").as("user_id"),
         get_json_object($"after_json", "$.event_id").cast("long")
@@ -321,9 +322,10 @@ object CdcQueries {
         serving.merge(envs
           .filter($"eventHeader.timestamp" > replayFrom &&
             $"batch_key" % 2 === k)
-          .drop("batch_key").as[graft.model.MQEvent])
+          .drop("batch_key").as[graft.model.MQEvent],
+          // known-final merge folds the prune (see cdcServingState)
+          pruneKeep = if (k == 1) 1 else 0)
       }
-      serving.prune(keep = 1)
       serving.snapshot(spark)
         .select($"tbl", $"pk".cast("long").as("user_id"),
           get_json_object($"after_json", "$.event_id").cast("long")
@@ -367,8 +369,7 @@ object CdcQueries {
     // partition, the rewrite collapses them, and the driver's hash gate
     // then pins compaction's multiset invariance (duplicates included)
     // every round — not just the spec
-    hist.compact(spark, maxFiles = 1)
-    hist.prune(keep = 1)
+    hist.compact(spark, maxFiles = 1, pruneKeep = 1)
     hist.history(spark)
       .select($"tbl", $"pk".cast("long").as("user_id"),
         $"ver_pos".as("event_id"), $"action",

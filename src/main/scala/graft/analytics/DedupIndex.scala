@@ -123,6 +123,29 @@ object DedupIndex {
     */
   val buildRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Carrier conf (`spark.graft.index.carrier`): `manifest` makes
+    * [[build]] record [[VersionedArtifact.ManifestMeta]] in the
+    * artifact, so every later lifecycle transaction carries untouched
+    * files as `_carry.txt` REFERENCES (zero links, zero copies — the
+    * object-store carry) and prune becomes reference-counted vacuum.
+    * Read at BUILD only; the choice then rides the artifact's meta like
+    * the band shape (a probe/admit never re-reads the conf). Reads of a
+    * manifest artifact resolve through [[graft.streaming
+    * .VersionedStore.logicalFiles]] ([[load]]'s manifest branch) as
+    * plain file-list parquet scans — the LOCATION-based bucketed
+    * catalog registration needs a physical dir, so manifest trades the
+    * exchange-free bucketed probe for carrier generality (at a real
+    * object-store deployment a table format supplies both). Default:
+    * absent = hard-link carry.
+    */
+  val CarrierConf = "spark.graft.index.carrier"
+
+  private def carrierMeta(spark: SparkSession): Map[String, String] =
+    if (spark.conf.getOption(CarrierConf)
+        .contains(VersionedArtifact.ManifestValue))
+      VersionedArtifact.ManifestMeta
+    else Map.empty
+
   /** Whether the artifact has a committed current version (a crashed
     * build leaves no pointer → reads as absent).
     */
@@ -216,6 +239,11 @@ object DedupIndex {
       shape: Shape = Shape.Corpus, bucketed: Boolean = true,
       buckets: Int = 0): Unit = {
     buildRuns.incrementAndGet()
+    val carrier = carrierMeta(spark)
+    require(bucketed || carrier.isEmpty,
+      "manifest carrier needs the bucketed layout: the directory " +
+        "layout's compact/purge re-read whole table DIRS, which a " +
+        "manifest-carried table does not have")
     val shapeMeta = Map("bands" -> shape.bands.toString,
       "rowsPerBand" -> shape.rowsPerBand.toString,
       "slots" -> shape.slots.toString)
@@ -239,7 +267,7 @@ object DedupIndex {
           else Bucketing.indexBuckets(spark,
             rows * (shape.slots * 8L + 2048L))
         val bands = bucketedBandFrame(per, shape)
-        val meta = shapeMeta +
+        val meta = shapeMeta ++ carrier +
           (IndexLayout.LayoutKey -> IndexLayout.BucketedValue) ++
           IndexLayout.metaFor("signatures", IndexLayout.TableSpec(sigN,
             Seq("doc_id"), Seq("doc_id"), per.schema.toDDL)) ++
@@ -469,6 +497,27 @@ object DedupIndex {
 
   def load(spark: SparkSession, indexDir: String): Loaded = {
     loadRuns.incrementAndGet()
+    val art = artifact(indexDir)
+    if (art.isManifestCurrent) {
+      // MANIFEST carrier: tables resolve as logical FILE lists (physical
+      // + carried references — a dir read would silently miss every
+      // carried file) and read as plain parquet scans. No catalog
+      // registration (LOCATION needs a physical dir), so the probe is
+      // the shuffling bk equi-join rather than the exchange-free
+      // bucketed scan; L0 accrual files fold into the same frame — the
+      // separate L0 leg exists only to preserve base bucket
+      // partitioning, which a file-list scan doesn't have. Same
+      // one-pointer-read contract as the link branch.
+      val snap = art.snapshotLogical(Tables, IndexTombstones.Table)
+      val meta = snap.meta
+      def read(t: String): DataFrame = spark.read.parquet(
+        snap.tableFiles(t).map(_._2.getAbsolutePath): _*)
+      return Loaded(read("signatures"), read("bands"), shapeOfMeta(meta),
+        bucketed = IndexLayout.isBucketed(meta),
+        buckets = Tables.map(t =>
+          t -> IndexLayout.specOf(meta, t).buckets).toMap,
+        tombstones = IndexTombstones.fromFiles(spark, snap.extraFiles))
+    }
     // shape, layout, table paths, AND the tombstone sidecar all resolve
     // against ONE pointer read: independent reads could straddle a
     // purge and pair pre-purge tables with a dropped sidecar —

@@ -410,16 +410,59 @@ object DedupQueries {
     * deltaId-idempotent admit makes replays no-ops on a resolved
     * artifact.
     */
-  def qDedupAdmitted(spark: SparkSession, dir: String): DataFrame = {
-    val idx = artifactDir(spark, dir, "dedup-admitted")
+  def qDedupAdmitted(spark: SparkSession, dir: String): DataFrame =
+    admittedFace(spark, dir, "dedup-admitted", "admitted-day1",
+      compactAfter = false)
+
+  /** The shared build(% 5 < 3) + admit(% 5 = 3) [+ fold] + probe(% 5 = 4)
+    * lifecycle behind [[qDedupAdmitted]]/[[qDedupCompacted]] and their
+    * manifest-carrier twins — one body so the four oracled rows cannot
+    * drift apart in anything but family name and carrier.
+    */
+  private def admittedFace(spark: SparkSession, dir: String, kind: String,
+      deltaId: String, compactAfter: Boolean): DataFrame = {
+    val idx = artifactDir(spark, dir, kind)
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
     if (!DedupIndex.hasCurrent(idx))
       DedupIndex.build(spark, docs.filter(col("doc_id") % 5 < 3), idx,
         DedupIndex.Shape.Oracle)
     DedupIndex.append(spark, docs.filter(col("doc_id") % 5 === 3), idx,
-      "admitted-day1")
+      deltaId)
+    if (compactAfter) DedupIndex.compact(spark, idx, maxFiles = 0)
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
+
+  /** Run `body` with the MANIFEST carrier conf set (restored after):
+    * builds inside record [[graft.streaming.VersionedArtifact
+    * .ManifestMeta]], so the whole lifecycle executes through
+    * `_carry.txt` reference resolution, logical file reads, and vacuum
+    * prune. The conf is read at BUILD only — an already-resolved
+    * artifact keeps whatever carrier its meta records.
+    */
+  private def withManifestCarrier[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption(DedupIndex.CarrierConf)
+    spark.conf.set(DedupIndex.CarrierConf,
+      graft.streaming.VersionedArtifact.ManifestValue)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(DedupIndex.CarrierConf, v)
+      case None => spark.conf.unset(DedupIndex.CarrierConf)
+    }
+  }
+
+  /** [[qDedupAdmitted]] on the MANIFEST carrier (own `dedup-adm-m`
+    * family): the admission lifecycle executed through `_carry.txt`
+    * references instead of hard links, against the SAME exact oracle —
+    * r19 proved the carrier seam at spec level (`ManifestCarrierSpec`);
+    * this row puts it inside the driver's hash gate every round (r19
+    * verdict #2: "no oracled row has ever executed through _carry.txt
+    * resolution").
+    */
+  def qDedupAdmittedManifest(spark: SparkSession, dir: String): DataFrame =
+    withManifestCarrier(spark) {
+      admittedFace(spark, dir, "dedup-adm-m", "admitted-day1",
+        compactAfter = false)
+    }
 
   /** [[qDedupAdmitted]] driven through COMPACTION: the two-step
     * build + admit is FOLDED ([[DedupIndex.compact]] — the
@@ -435,17 +478,21 @@ object DedupQueries {
     * re-run stays deterministic because the fold preserves the row
     * multiset and the re-admit no-ops by deltaId.
     */
-  def qDedupCompacted(spark: SparkSession, dir: String): DataFrame = {
-    val idx = artifactDir(spark, dir, "dedup-compacted")
-    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
-    if (!DedupIndex.hasCurrent(idx))
-      DedupIndex.build(spark, docs.filter(col("doc_id") % 5 < 3), idx,
-        DedupIndex.Shape.Oracle)
-    DedupIndex.append(spark, docs.filter(col("doc_id") % 5 === 3), idx,
-      "compacted-day1")
-    DedupIndex.compact(spark, idx, maxFiles = 0)
-    DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
-  }
+  def qDedupCompacted(spark: SparkSession, dir: String): DataFrame =
+    admittedFace(spark, dir, "dedup-compacted", "compacted-day1",
+      compactAfter = true)
+
+  /** [[qDedupCompacted]] on the MANIFEST carrier (own `dedup-cmp-m`
+    * family): admit + bucket-granular fold where the kept base files
+    * carry as `_carry.txt` references — the fold's "link the dominant
+    * file" optimization becomes "reference the dominant file", and the
+    * probe must still hash-equal the one-shot build's exact answer.
+    */
+  def qDedupCompactedManifest(spark: SparkSession, dir: String): DataFrame =
+    withManifestCarrier(spark) {
+      admittedFace(spark, dir, "dedup-cmp-m", "compacted-day1",
+        compactAfter = true)
+    }
 
   /** [[qDedupIncremental]] after a TAKEDOWN: a deterministic slice of
     * the indexed corpus (doc_id % 7 = 3) is tombstoned
@@ -508,8 +555,12 @@ object DedupQueries {
     * version-per-slice accrual bounded. Own artifact family
     * (`dedup-psl`).
     */
-  def qDedupPurgeSliced(spark: SparkSession, dir: String): DataFrame = {
-    val idx = artifactDir(spark, dir, "dedup-psl")
+  def qDedupPurgeSliced(spark: SparkSession, dir: String): DataFrame =
+    purgeSlicedFace(spark, dir, "dedup-psl")
+
+  private def purgeSlicedFace(spark: SparkSession, dir: String,
+      kind: String): DataFrame = {
+    val idx = artifactDir(spark, dir, kind)
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 5 =!= 4)
     if (!DedupIndex.hasCurrent(idx))
@@ -526,6 +577,20 @@ object DedupQueries {
     DedupIndex.prune(spark, idx)
     DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
+
+  /** [[qDedupPurgeSliced]] on the MANIFEST carrier (own `dedup-psl-m`
+    * family): delete + one-bucket-per-call budgeted purge + VACUUM prune
+    * ([[graft.streaming.VersionedStore.pruneVacuum]] — the reference-
+    * counted GC a reference carry requires, since unlike a hard link a
+    * reference does not keep bytes alive), probed against the same exact
+    * oracle as the link twin. This is the row that executes `pruneVacuum`
+    * under the hash gate.
+    */
+  def qDedupPurgeSlicedManifest(spark: SparkSession,
+      dir: String): DataFrame =
+    withManifestCarrier(spark) {
+      purgeSlicedFace(spark, dir, "dedup-psl-m")
+    }
 
   /** [[qDedupIncremental]] at the DEFAULT corpus-scale artifact shape
     * (32×8/256, [[DedupIndex.Shape.Corpus]]) — the face that drives the
@@ -1935,10 +2000,13 @@ object DedupQueries {
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_admitted" -> qDedupAdmitted,
+    "q_dedup_admitted_manifest" -> qDedupAdmittedManifest,
     "q_dedup_compacted" -> qDedupCompacted,
+    "q_dedup_compacted_manifest" -> qDedupCompactedManifest,
     "q_dedup_incremental_takedown" -> qDedupIncrementalTakedown,
     "q_dedup_purge" -> qDedupPurge,
     "q_dedup_purge_sliced" -> qDedupPurgeSliced,
+    "q_dedup_purge_sliced_manifest" -> qDedupPurgeSlicedManifest,
     "q_dedup_incremental256" -> qDedupIncremental256,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash64" -> qDedupSimhash64,
@@ -2206,9 +2274,19 @@ object DedupQueries {
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    // manifest-carrier twin: the SAME lifecycle through _carry.txt
+    // reference resolution must hash-equal the same exact answer
+    "q_dedup_admitted_manifest" ->
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
     // compacted face: build + admit + bucket-granular FOLD must still
     // hash-equal the one-shot build — compaction is multiset-invariant
     "q_dedup_compacted" ->
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    "q_dedup_compacted_manifest" ->
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
@@ -2228,6 +2306,11 @@ object DedupQueries {
     // ... and so must every SLICE of the budgeted purge: same exact
     // answer again after a one-bucket-per-call purge ran to completion
     "q_dedup_purge_sliced" ->
+      s"""WITH ${duckJaccardPairs("0.8",
+             "a.doc_id % 5 <> 4 AND a.doc_id % 7 <> 3 AND b.doc_id % 5 = 4")}
+         |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,
+    // manifest twin: sliced purge + VACUUM prune, same exact answer
+    "q_dedup_purge_sliced_manifest" ->
       s"""WITH ${duckJaccardPairs("0.8",
              "a.doc_id % 5 <> 4 AND a.doc_id % 7 <> 3 AND b.doc_id % 5 = 4")}
          |SELECT id_a AS corpus_id, id_b AS new_id, jaccard FROM pairs""".stripMargin,

@@ -83,7 +83,17 @@ private[graft] object IndexTombstones {
     */
   def loadTombstones(spark: SparkSession,
       art: VersionedArtifact): Option[DataFrame] =
-    art.extraPath(Table).map(d => spark.read.parquet(d.getAbsolutePath))
+    if (art.isManifestCurrent)
+      fromFiles(spark, art.snapshotLogical(Nil, Table).extraFiles)
+    else art.extraPath(Table).map(d => spark.read.parquet(d.getAbsolutePath))
+
+  /** The tombstone frame from an explicit parquet FILE list (the
+    * manifest carrier's resolution — a carried sidecar has no physical
+    * dir in the current version). None = no sidecar.
+    */
+  def fromFiles(spark: SparkSession, files: Seq[File]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(_.getAbsolutePath): _*))
 
   /** The tombstone frame out of an already-resolved version snapshot —
     * the same pointer read that resolved the table paths.
@@ -102,15 +112,25 @@ private[graft] object IndexTombstones {
     * (purge overdue by definition).
     */
   def ratio(spark: SparkSession, art: VersionedArtifact,
-      idTable: String): Double = {
-    val snap = art.snapshot(Seq(idTable), Table)
-    fromSnapshot(spark, snap) match {
-      case None => 0.0
-      case Some(t) =>
-        val corpus = spark.read.parquet(snap.paths(idTable)).count()
-        if (corpus == 0L) 1.0 else t.count().toDouble / corpus
+      idTable: String): Double =
+    if (art.isManifestCurrent) {
+      val snap = art.snapshotLogical(Seq(idTable), Table)
+      fromFiles(spark, snap.extraFiles) match {
+        case None => 0.0
+        case Some(t) =>
+          val corpus = fromFiles(spark,
+            snap.tableFiles(idTable).map(_._2)).map(_.count()).getOrElse(0L)
+          if (corpus == 0L) 1.0 else t.count().toDouble / corpus
+      }
+    } else {
+      val snap = art.snapshot(Seq(idTable), Table)
+      fromSnapshot(spark, snap) match {
+        case None => 0.0
+        case Some(t) =>
+          val corpus = spark.read.parquet(snap.paths(idTable)).count()
+          if (corpus == 0L) 1.0 else t.count().toDouble / corpus
+      }
     }
-  }
 
   /** The 5-digit bucket names holding tombstoned rows in a table
     * bucketed BY its id column — the same `pmod(murmur3, n)` the

@@ -293,23 +293,43 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
     * Tables without a configured pk are ignored (filter-first: they never
     * reach the shuffle).
     */
-  def merge(envelopes: Dataset[MQEvent]): Unit = {
+  def merge(envelopes: Dataset[MQEvent]): Unit =
+    merge(envelopes, pruneKeep = 0)
+
+  /** [[merge]] that also PRUNES old snapshot versions (`pruneKeep` > 0 =
+    * keep the newest that many) right after its pointer swap — what a
+    * caller running a known-final merge uses instead of a separate
+    * [[prune]] pass (one call, one version walk; the r19 plan audit's
+    * absolute-cost shave for the serving-state family, whose per-merge
+    * commit cost dominates its tiny data).
+    */
+  def merge(envelopes: Dataset[MQEvent], pruneKeep: Int): Unit = {
     val spark = envelopes.sparkSession
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val keyed = CdcKeyed.changes(envelopes, pkOf)
-      // three consumers (touched-table list, touched-bucket list, the
-      // merge union) — one compute
+      // two driver consumers (the fused stats/touched collect, the merge
+      // union) — one compute
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // driver-side touched-TABLE list first: bucket ids depend on the
-      // per-table counts, and (re)sizing decisions must be settled before
-      // any pkb is computed. Bounded by |tables|. The same pass carries
-      // per-table BATCH byte estimates (rows + json payload), so a
-      // brand-new table seeds at the count its FIRST batch asks for — a
-      // bootstrap()-sized initial load must not funnel a whole table
-      // through one bucket and then pay a second full rewrite when the
-      // next merge notices (the incoming batch was never consulted
-      // before).
+      val prev = currentVersion
+      val prevDir = prev.map(pv => new java.io.File(dir, s"v$pv"))
+      val legacy = prevDir.exists(isLegacy)
+      val stored = prevDir.flatMap(storedBuckets)
+      // a bucketed store with NO recorded counts was written by a
+      // revision that hashed with an unknowable constructor constant —
+      // re-bucket everything once, like the legacy-layout migration
+      val rebucketAll = legacy || (prev.isDefined && stored.isEmpty)
+      val prevCounts = stored.getOrElse(Map.empty[String, Int])
+      // ONE driver-side collect per merge (was two jobs — r19 plan
+      // audit: the family's cost is commit/small-job dominated, so a
+      // whole job per merge is real money): per-table row counts + byte
+      // estimates AND the touched-bucket set in the same aggregation.
+      // Bucket ids depend on the per-table counts, which are settled
+      // only AFTER the stats — so the set is computed under the
+      // PREVIOUS counts (constructor default for unrecorded tables) and
+      // recomputed below only for tables whose settled count moved
+      // (resize O(log growth), first batch of a new table): the steady
+      // state never pays the second job. Bounded by |tables| × buckets.
       // the estimate approximates ON-DISK bytes: raw json + per-row
       // overhead, divided by a nominal parquet+snappy factor of 3 —
       // sizing from raw bytes would over-bucket ~2-4x and the next
@@ -317,24 +337,17 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
       // rewrite of the table it just wrote (estimate and measurement
       // must live on the same scale for the 2x hysteresis to absorb
       // their disagreement)
-      val tblStats: Map[String, Long] = keyed.groupBy(col("tbl"))
+      val statRows = keyed.groupBy(col("tbl"))
         .agg(count(lit(1)).as("n"),
-          sum(length(col("after_json"))).as("jb"))
-        .collect().map { r =>
-          val json = if (r.isNullAt(2)) 0L else r.getLong(2)
-          r.getString(0) -> ((json + r.getLong(1) * 64L) / 3L)
-        }.toMap
+          sum(length(col("after_json"))).as("jb"),
+          collect_set(bucketColFor(prevCounts)).as("bks"))
+        .collect()
+      val tblStats: Map[String, Long] = statRows.map { r =>
+        val json = if (r.isNullAt(2)) 0L else r.getLong(2)
+        r.getString(0) -> ((json + r.getLong(1) * 64L) / 3L)
+      }.toMap
       val touchedTbls = tblStats.keys.toSeq
       if (touchedTbls.nonEmpty) {
-        val prev = currentVersion
-        val prevDir = prev.map(pv => new java.io.File(dir, s"v$pv"))
-        val legacy = prevDir.exists(isLegacy)
-        val stored = prevDir.flatMap(storedBuckets)
-        // a bucketed store with NO recorded counts was written by a
-        // revision that hashed with an unknowable constructor constant —
-        // re-bucket everything once, like the legacy-layout migration
-        val rebucketAll = legacy || (prev.isDefined && stored.isEmpty)
-        val prevCounts = stored.getOrElse(Map.empty[String, Int])
         // sizing inputs read sidecar-first: one file instead of a
         // full-tree walk per touched table per merge (ADVICE r13); a
         // pre-sidecar version walks once and is recorded below
@@ -391,12 +404,28 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
           }
         val counts = prevCounts ++ seeded ++ resized
         val pkbCol = bucketColFor(counts)
-        // touched (tbl, bucket) list under the settled counts — bounded
-        // by |tables| × buckets, never by row count
-        val touched = keyed.withColumn("pkb", pkbCol)
-          .select(col("tbl"), col("pkb")).distinct()
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        // touched (tbl, bucket) list under the SETTLED counts — bounded
+        // by |tables| × buckets, never by row count. The fused collect
+        // above computed the sets under the PREVIOUS counts, which equal
+        // the settled ones except for seeded/resized tables — recompute
+        // only those (and only when the list will be consulted at all:
+        // bootstrap and migration merges read the base whole)
+        lazy val touched: Map[String, Seq[Long]] = {
+          val changed = touchedTbls.filter(t =>
+            counts.getOrElse(t, buckets) != prevCounts.getOrElse(t, buckets))
+            .toSet
+          val stable: Map[String, Seq[Long]] = statRows.collect {
+            case r if !changed.contains(r.getString(0)) =>
+              r.getString(0) -> r.getSeq[Long](3)
+          }.toMap
+          val recomputed: Map[String, Seq[Long]] =
+            if (changed.isEmpty) Map.empty
+            else keyed.filter(col("tbl").isin(changed.toSeq: _*))
+              .select(col("tbl"), pkbCol.as("pkb")).distinct()
+              .collect().map(r => (r.getString(0), r.getLong(1)))
+              .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+          stable ++ recomputed
+        }
         // partition pruning: a DNF of (tbl = t AND pkb IN bs) over the
         // (tbl, pkb)-partitioned read — untouched tables' directories and
         // untouched BUCKETS of touched tables are never scanned. A store
@@ -445,8 +474,24 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         // every one of the agg's shuffle partitions writes its own file
         // into every bucket dir it holds rows for — tasks × buckets tiny
         // files per merge (measured 2.6× on the bench). One exchange on
-        // (tbl, pkb) → exactly one file per touched bucket.
-        next.repartition(col("tbl"), col("pkb"))
+        // (tbl, pkb) → exactly one file per touched bucket. The
+        // partition COUNT is capped by the number of distinct output
+        // groups (hash partitioning sends each group to one task at any
+        // count, so extra partitions are guaranteed-empty tasks that
+        // still pay scheduling + the commit protocol — on the ~1-bucket
+        // serving tables that was 32 task commits to write 8 files).
+        val outGroups = {
+          val perTable =
+            if (prev.isEmpty || rebucketAll)
+              touchedTbls.map(t => counts.getOrElse(t, buckets).toLong).sum
+            else touched.values.map(_.size.toLong).sum +
+              resized.map { case (t, n) => n.toLong }.sum
+          math.max(1L, perTable)
+        }
+        val outParts = math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          outGroups).toInt
+        next.repartition(outParts, col("tbl"), col("pkb"))
           .write.mode("overwrite").partitionBy("tbl", "pkb")
           .parquet(nextDir.toString)
         // PRE-link snapshot of the new version: it holds exactly the
@@ -501,6 +546,10 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         }.toMap)
         VersionedStore.swapPointer(dir, v)
       }
+      // folded prune (see the overload doc): after the swap, inside the
+      // same call — runs even when the batch touched nothing (the
+      // caller asked for a pruned store either way)
+      if (pruneKeep > 0) { VersionedStore.prune(dir, pruneKeep); () }
     } finally { keyed.unpersist(); () }
   }
 
@@ -698,32 +747,48 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
     * Returns the number of partitions rewritten.
     */
   def compact(spark: SparkSession, maxFiles: Int = 4): Int =
-      currentDir.orElse(adoptFlatLayout()) match {
-    case None => 0
-    case Some(cur) =>
-      // partition dir names carry Spark's path ESCAPING (space, '%', ':'
-      // → %xx); the `tbl` column holds the raw value, so the dir name
-      // must be unescaped before the isin filter or an escaped-name
-      // table would never match — compact would then write an empty
-      // version and leave the fat partition fat, forever
-      val fat = Option(cur.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
-        .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
-          .count(_.getName.endsWith(".parquet")) > maxFiles)
-        .map(d => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(d.getName.stripPrefix("tbl=")))
-      if (fat.isEmpty) 0
-      else {
-        val v = VersionedStore.currentVersion(logRoot).getOrElse(0L) + 1
-        val next = new java.io.File(logRoot, s"v$v")
-        spark.read.schema(CdcKeyed.schema).parquet(cur.toString)
-          .filter(col("tbl").isin(fat.toIndexedSeq: _*))
-          .repartition(col("tbl"))
-          .write.mode("overwrite").partitionBy("tbl").parquet(next.toString)
-        VersionedStore.linkUntouchedPartitions(cur, next)
-        VersionedStore.swapPointer(logRoot, v)
-        fat.length
-      }
+    compact(spark, maxFiles, pruneKeep = 0)
+
+  /** [[compact]] that also PRUNES old log versions after its pointer
+    * swap (`pruneKeep` > 0 = keep the newest that many) — one call, one
+    * version walk, for callers whose compact is the known-final
+    * transaction (the folded-prune pattern of
+    * [[CdcServingTable.merge]]).
+    */
+  def compact(spark: SparkSession, maxFiles: Int, pruneKeep: Int): Int = {
+    val rewritten = currentDir.orElse(adoptFlatLayout()) match {
+      case None => 0
+      case Some(cur) =>
+        // partition dir names carry Spark's path ESCAPING (space, '%', ':'
+        // → %xx); the `tbl` column holds the raw value, so the dir name
+        // must be unescaped before the isin filter or an escaped-name
+        // table would never match — compact would then write an empty
+        // version and leave the fat partition fat, forever
+        val fat = Option(cur.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith("tbl="))
+          .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet")) > maxFiles)
+          .map(d => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(d.getName.stripPrefix("tbl=")))
+        if (fat.isEmpty) 0
+        else {
+          val v = VersionedStore.currentVersion(logRoot).getOrElse(0L) + 1
+          val next = new java.io.File(logRoot, s"v$v")
+          spark.read.schema(CdcKeyed.schema).parquet(cur.toString)
+            .filter(col("tbl").isin(fat.toIndexedSeq: _*))
+            // one task per rewritten partition: hash-clustering on tbl
+            // sends each partition to one task at any count, and the
+            // default-count exchange schedules (partitions − fat) empty
+            // tasks that still pay the commit protocol
+            .repartition(fat.length, col("tbl"))
+            .write.mode("overwrite").partitionBy("tbl").parquet(next.toString)
+          VersionedStore.linkUntouchedPartitions(cur, next)
+          VersionedStore.swapPointer(logRoot, v)
+          fat.length
+        }
+    }
+    if (pruneKeep > 0) { VersionedStore.prune(logRoot, pruneKeep); () }
+    rewritten
   }
 
   /** Drop changelog versions older than the newest `keep` — the GC pair

@@ -84,12 +84,31 @@ final class TakedownQueue(journalDir: Option[String] = None,
       .filter(f => f.isFile && f.getName.endsWith(".req"))
       .sortBy(_.getName)
       .foreach { f =>
-        val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-        lines.headOption.filter(id => id.nonEmpty && !except.contains(id))
-          .foreach { deltaId =>
-            q.add((lines.tail.filter(_.nonEmpty).map(_.toLong), deltaId))
-          }
+        // a MALFORMED entry (truncated write that somehow survived the
+        // atomic-move protocol, bit rot, hand-editing) must not wedge
+        // every restart — replay runs at stream construction, so a
+        // single poisoned file would otherwise throw forever. Quarantine
+        // it (rename off the `.req` suffix, keep the bytes for forensics)
+        // with a loud warning and start clean; a WELL-FORMED entry that
+        // keeps failing downstream is the ledger's job, not replay's.
+        try {
+          val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+          val deltaId = lines.headOption.filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException("empty deltaId line"))
+          val ids = lines.tail.filter(_.nonEmpty).map(_.toLong)
+          if (!except.contains(deltaId)) { q.add((ids, deltaId)); () }
+        } catch {
+          case e: Exception =>
+            val qf = new java.io.File(d, f.getName + ".quarantined")
+            java.nio.file.Files.move(f.toPath, qf.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            System.err.println(
+              s"[takedown-journal] QUARANTINED corrupt entry ${f.getName} " +
+                s"-> ${qf.getName} (${e.getClass.getSimpleName}: " +
+                s"${e.getMessage}) — the request it carried is NOT " +
+                "enqueued; inspect and re-request if it was real")
+        }
       }
   }
 
@@ -123,16 +142,27 @@ final class TakedownQueue(journalDir: Option[String] = None,
         q.forEach(e => persistEntry(d, e._1, e._2))
         replay(d, except = held)
         journal = Some(d)
-        attachedDefault = Some(d.getAbsolutePath)
-      } else if (durable && attachedDefault.exists(_ != d.getAbsolutePath))
+        attachedArtifact = Some(d.getAbsolutePath)
+      } else if (durable && attachedArtifact.isEmpty)
+        // EXPLICIT-journal queue (journalDir at construction) attaching
+        // its first artifact: record it, so a second, different artifact
+        // trips the same wire — a restart replay of a shared explicit
+        // journal would apply one artifact's takedowns to the other,
+        // the exact hazard the default-attach tripwire describes.
+        attachedArtifact = Some(d.getAbsolutePath)
+      else if (durable && attachedArtifact.exists(_ != d.getAbsolutePath))
         throw new IllegalStateException(
-          s"TakedownQueue is already journaled at ${attachedDefault.get} — " +
+          s"TakedownQueue is already journaled for ${attachedArtifact.get} — " +
             s"one queue serves ONE artifact (a shared queue would journal " +
             s"requests under the wrong index); create a separate queue " +
             s"for $indexDir")
     }
 
-  @volatile private var attachedDefault: Option[String] = None
+  /** The `<indexDir>/_takedown_journal` path of the FIRST artifact this
+    * queue attached to — default or explicit-journal alike; the
+    * one-artifact-per-queue tripwire's witness.
+    */
+  @volatile private var attachedArtifact: Option[String] = None
 
   /** Entry file name: the deltaId's SHA-256 (deltaIds are caller
     * strings — unsafe as file names; the hash is stable across

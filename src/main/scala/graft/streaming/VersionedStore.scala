@@ -186,8 +186,13 @@ private[graft] object VersionedStore {
         .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
     val root = if (relDir.isEmpty) ver else new File(ver, relDir)
     val phys = walk(root, relDir)
+    // keyed by rel, PHYSICAL wins: a transaction that writes a physical
+    // file under a rel the manifest also carries (caller-controlled file
+    // names) must not surface both — readers would double-read the rows
+    val physRels = phys.iterator.map(_._1).toSet
     val carried = readCarry(ver).toSeq.filter { case (rel, _) =>
-      relDir.isEmpty || rel == relDir || rel.startsWith(relDir + "/")
+      (relDir.isEmpty || rel == relDir || rel.startsWith(relDir + "/")) &&
+        !physRels.contains(rel)
     }
     phys ++ carried
   }
@@ -266,6 +271,20 @@ private[graft] object Faults {
 private[graft] final case class ArtifactSnapshot(meta: Map[String, String],
     paths: Map[String, String], extra: Option[File])
 
+/** The carrier-independent cousin of [[ArtifactSnapshot]]: per-table
+  * LOGICAL file lists (physical files plus manifest-carried references,
+  * resolved through [[VersionedStore.logicalFiles]]) instead of
+  * directory paths — what a MANIFEST-carried artifact's readers load
+  * from (`spark.read.parquet(files*)`; a dir path would silently miss
+  * every carried file). `tableFiles` keeps the `(rel, physical)` pairs
+  * so callers can split sub-placements (the `_l0` accrual leg) without
+  * re-walking; `extraFiles` is the sidecar's parquet parts (empty = no
+  * sidecar). All fields from ONE pointer read, same contract as
+  * [[ArtifactSnapshot]].
+  */
+private[graft] final case class LogicalSnapshot(meta: Map[String, String],
+    tableFiles: Map[String, Seq[(String, File)]], extraFiles: Seq[File])
+
 private[graft] object VersionedArtifact {
   /** `_meta.txt` carrier selector: absent = hard-link carry (the local
     * default every index family uses); `manifest` = `_carry.txt`
@@ -306,10 +325,26 @@ private final class Carry(cur: File, next: File, manifest: Boolean) {
     * number of files carried.
     */
   def tree(relDir: String): Int = {
-    if (!manifest && new File(cur, relDir).isDirectory) {
-      new File(next, relDir).mkdirs(); ()
-    }
+    // unconditional, not gated on cur/relDir existing: the pre-seam
+    // linkTree always mkdirs'd the target, and dir-based loaders rely on
+    // an empty table dir existing (`spark.read.parquet` over a missing
+    // path throws) — a table absent in cur must still yield an empty dir
+    if (!manifest) { new File(next, relDir).mkdirs(); () }
     val es = VersionedStore.logicalFiles(cur, relDir)
+      // manifest carries skip Hadoop writer markers (`_SUCCESS`,
+      // hidden `.crc` siblings): no reader ever resolves them, a fresh
+      // write into the next version re-emits its own (a carried rel
+      // would collide with it — the double-entry hazard logicalFiles
+      // dedups), and at corpus scale they are a junk manifest entry per
+      // table per version that pruneVacuum would then keep alive. The
+      // link carrier keeps linking them — layout parity with pre-seam
+      // versions (an overwritten marker is 0-byte noise either way).
+      .filterNot { case (rel, _) =>
+        manifest && {
+          val base = rel.substring(rel.lastIndexOf('/') + 1)
+          base.startsWith(".") || base.startsWith("_SUCCESS")
+        }
+      }
     es.foreach { case (rel, phys) => file(rel, phys) }
     es.size
   }
@@ -404,6 +439,30 @@ private[graft] final class VersionedArtifact(indexDir: String) {
       extra = if (extra.isDirectory) Some(extra) else None)
   }
 
+  /** Whether the CURRENT version carries by manifest — the dispatch the
+    * carrier-aware readers ([[snapshotLogical]] vs [[snapshot]]) and
+    * tombstone loaders branch on. False with no version (a fresh build
+    * decides the carrier itself).
+    */
+  def isManifestCurrent: Boolean = currentDir.exists(isManifest)
+
+  /** Everything a MANIFEST-carried artifact's reader needs — meta,
+    * per-table logical `(rel, physical-file)` lists, and the sidecar's
+    * parquet parts — from ONE pointer read (the [[snapshot]] contract;
+    * independent reads could straddle a purge and pair pre-purge tables
+    * with a dropped sidecar). Works on the link carrier too (logical =
+    * physical there), so carrier-parity readers can use one code path.
+    */
+  def snapshotLogical(tables: Seq[String],
+      extraName: String): LogicalSnapshot = {
+    val cur = requireDir
+    LogicalSnapshot(
+      meta = readMeta(cur),
+      tableFiles = tables.map(t => t -> tableEntries(cur, t)).toMap,
+      extraFiles = VersionedStore.logicalFiles(cur, extraName)
+        .collect { case (rel, f) if rel.endsWith(".parquet") => f })
+  }
+
   /** Whether this artifact carries by MANIFEST ([[VersionedArtifact
     * .CarrierKey]] in the version's meta) — read per transaction from
     * the version it starts from, so the choice rides the artifact like
@@ -446,9 +505,14 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     currentDir.map { cur =>
       // manifest-carried bytes live in older version dirs — count the
       // referenced physical files too, or the cache-if-fits budget would
-      // see a near-empty artifact
-      walk(cur) + VersionedStore.readCarry(cur).values
-        .map(f => if (f.isFile) f.length else 0L).sum
+      // see a near-empty artifact. Same underscore-basename filter as the
+      // physical walk (a _SUCCESS marker carried into the manifest must
+      // not make the budget read differently across carriers).
+      walk(cur) + VersionedStore.readCarry(cur).toSeq
+        .map { case (rel, f) =>
+          val base = rel.substring(rel.lastIndexOf('/') + 1)
+          if (!base.startsWith("_") && f.isFile) f.length else 0L
+        }.sum
     }.getOrElse(0L)
   }
 

@@ -187,4 +187,84 @@ class TakedownJournalSpec extends SparkSpec {
     assert(new TakedownQueue(Some(jd)).isEmpty,
       "a second restart must replay nothing after the drain committed")
   }
+
+  test("a CORRUPT journal entry is quarantined at replay, never wedges " +
+      "the restart, and healthy entries still replay") {
+    val jd = java.nio.file.Files
+      .createTempDirectory("graft-journal-poison").toString
+    val tq = new TakedownQueue(Some(jd))
+    tq.request(Seq(21L), "poison-healthy")
+    // poison entries beside it: non-numeric id line, and an empty file —
+    // written with valid .req names, the way bit rot or hand-editing
+    // would leave them (the atomic-move protocol can't produce these,
+    // which is exactly why replay must not assume it)
+    java.nio.file.Files.write(new File(jd, "00deadbeef.req").toPath,
+      "poison-bad-ids\nnot-a-long\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(new File(jd, "00feedface.req").toPath,
+      Array.empty[Byte])
+
+    // a restart replays the healthy entry and quarantines both poisoned
+    // ones — a throwing replay would wedge EVERY restart forever
+    val tq2 = new TakedownQueue(Some(jd))
+    val replayed = tq2.drain()
+    assert(replayed.map(_._2) === Seq("poison-healthy"),
+      s"only the healthy entry must replay, got $replayed")
+    val names = Option(new File(jd).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSet
+    assert(names.contains("00deadbeef.req.quarantined") &&
+      names.contains("00feedface.req.quarantined"),
+      s"poisoned entries must quarantine in place (kept for forensics): $names")
+    assert(!names.exists(n => n.endsWith(".req") &&
+        (n.startsWith("00deadbeef") || n.startsWith("00feedface"))),
+      "quarantined entries must leave the .req namespace")
+    // ... and stay quarantined: the NEXT restart replays nothing new
+    assert(new TakedownQueue(Some(jd)).drain().map(_._2) ===
+      Seq("poison-healthy"))
+  }
+
+  test("EXPLICIT-journal queues get the same one-artifact tripwire: a " +
+      "second stream over a different artifact fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    def freshIdx(tag: String): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-journal-exp-$tag").toString
+      graft.analytics.DedupIndex.build(spark,
+        docs.filter($"doc_id" % 5 =!= 4), p)
+      p
+    }
+    val (idxA, idxB) = (freshIdx("a"), freshIdx("b"))
+    val jd = java.nio.file.Files
+      .createTempDirectory("graft-journal-exp-jd").toString
+    val tq = new TakedownQueue(Some(jd))
+    val inA = MemoryStream[IngestDoc]
+    val qA = IngestDedup.dedupIngestFromIndex(inA.toDS(), idxA,
+      java.nio.file.Files.createTempDirectory("graft-jexp-cka").toString,
+      admitId = Some("jexpA"), takedowns = Some(tq)) { (p, _) =>
+        p.count(); ()
+      }
+    try {
+      // same artifact again: fine (a restart re-attaches idempotently)
+      val inA2 = MemoryStream[IngestDoc]
+      val qA2 = IngestDedup.dedupIngestFromIndex(inA2.toDS(), idxA,
+        java.nio.file.Files.createTempDirectory("graft-jexp-cka2").toString,
+        admitId = Some("jexpA2"), takedowns = Some(tq)) { (p, _) =>
+          p.count(); ()
+        }
+      qA2.stop()
+      // DIFFERENT artifact: loud error — a shared explicit journal's
+      // restart replay would apply one artifact's takedowns to the other
+      val inB = MemoryStream[IngestDoc]
+      intercept[IllegalStateException] {
+        IngestDedup.dedupIngestFromIndex(inB.toDS(), idxB,
+          java.nio.file.Files.createTempDirectory("graft-jexp-ckb").toString,
+          admitId = Some("jexpB"), takedowns = Some(tq)) { (p, _) =>
+            p.count(); ()
+          }
+      }
+    } finally qA.stop()
+  }
 }
