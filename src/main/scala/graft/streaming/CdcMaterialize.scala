@@ -306,6 +306,14 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
   def merge(envelopes: Dataset[MQEvent], pruneKeep: Int): Unit = {
     val spark = envelopes.sparkSession
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    // phase timing for targeted profiling only (SPARK_GRAFT_MERGE_DEBUG)
+    val dbg = sys.env.contains("SPARK_GRAFT_MERGE_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(label: String): Unit = if (dbg) {
+      val t = System.nanoTime()
+      System.err.println(f"[merge] $label%-16s ${(t - t0) / 1e9}%7.3f s")
+      t0 = t
+    }
     val keyed = CdcKeyed.changes(envelopes, pkOf)
       // two driver consumers (the fused stats/touched collect, the merge
       // union) — one compute
@@ -342,6 +350,7 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
           sum(length(col("after_json"))).as("jb"),
           collect_set(bucketColFor(prevCounts)).as("bks"))
         .collect()
+      lap("stats-collect")
       val tblStats: Map[String, Long] = statRows.map { r =>
         val json = if (r.isNullAt(2)) 0L else r.getLong(2)
         r.getString(0) -> ((json + r.getLong(1) * 64L) / 3L)
@@ -435,6 +444,7 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         // migration would strand untouched rows in files the bucket-level
         // link step skips). A RESIZED table reads whole: its old pkb
         // values were hashed with the old modulus.
+        lap("settle-counts")
         val base = prev match {
           case None => raw(spark) // empty frame, storeSchema
           case Some(_) if rebucketAll => raw(spark) // full migration read
@@ -474,26 +484,16 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         // every one of the agg's shuffle partitions writes its own file
         // into every bucket dir it holds rows for — tasks × buckets tiny
         // files per merge (measured 2.6× on the bench). One exchange on
-        // (tbl, pkb) → exactly one file per touched bucket. The
-        // partition COUNT is capped by the number of distinct output
-        // groups (hash partitioning sends each group to one task at any
-        // count, so extra partitions are guaranteed-empty tasks that
-        // still pay scheduling + the commit protocol — on the ~1-bucket
-        // serving tables that was 32 task commits to write 8 files).
-        val outGroups = {
-          val perTable =
-            if (prev.isEmpty || rebucketAll)
-              touchedTbls.map(t => counts.getOrElse(t, buckets).toLong).sum
-            else touched.values.map(_.size.toLong).sum +
-              resized.map { case (t, n) => n.toLong }.sum
-          math.max(1L, perTable)
-        }
-        val outParts = math.min(
-          spark.sessionState.conf.numShufflePartitions.toLong,
-          outGroups).toInt
-        next.repartition(outParts, col("tbl"), col("pkb"))
+        // (tbl, pkb) → exactly one file per touched bucket. The COUNT
+        // stays at the session default deliberately: capping it at the
+        // output-group count was measured (r20) to COLLIDE groups under
+        // pmod(hash, groups) — ~1/3 of a 5-table bootstrap's groups
+        // shared a task and the big write ran ×2 slower — while the
+        // empty tasks the cap avoided commit in ~a millisecond each.
+        next.repartition(col("tbl"), col("pkb"))
           .write.mode("overwrite").partitionBy("tbl", "pkb")
           .parquet(nextDir.toString)
+        lap("write")
         // PRE-link snapshot of the new version: it holds exactly the
         // bucket dirs this merge rewrote (incl. conjunctive-pruning
         // over-reads — they were rewritten, so they belong in the
@@ -505,6 +505,7 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
             .map(d => ExternalCatalogUtils
               .unescapePathName(d.getName.stripPrefix("tbl=")) ->
               bucketDirBytes(d)).toMap
+        lap("rewrittenBytes")
         if (!rebucketAll) prevDir.foreach(pd =>
           VersionedStore.linkUntouchedTree(pd, nextDir,
             // a resized table is fully rewritten under its NEW modulus —
@@ -544,12 +545,13 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
             }
           t -> total
         }.toMap)
+        lap("link+sidecars")
         VersionedStore.swapPointer(dir, v)
       }
       // folded prune (see the overload doc): after the swap, inside the
       // same call — runs even when the batch touched nothing (the
       // caller asked for a pruned store either way)
-      if (pruneKeep > 0) { VersionedStore.prune(dir, pruneKeep); () }
+      if (pruneKeep > 0) { VersionedStore.prune(dir, pruneKeep); lap("prune") }
     } finally { keyed.unpersist(); () }
   }
 
@@ -776,11 +778,7 @@ final class CdcHistoryTable(dir: String, pkOf: Map[String, String]) {
           val next = new java.io.File(logRoot, s"v$v")
           spark.read.schema(CdcKeyed.schema).parquet(cur.toString)
             .filter(col("tbl").isin(fat.toIndexedSeq: _*))
-            // one task per rewritten partition: hash-clustering on tbl
-            // sends each partition to one task at any count, and the
-            // default-count exchange schedules (partitions − fat) empty
-            // tasks that still pay the commit protocol
-            .repartition(fat.length, col("tbl"))
+            .repartition(col("tbl"))
             .write.mode("overwrite").partitionBy("tbl").parquet(next.toString)
           VersionedStore.linkUntouchedPartitions(cur, next)
           VersionedStore.swapPointer(logRoot, v)
