@@ -125,6 +125,10 @@ object ContainIndex {
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
       bucketed: Boolean = true, buckets: Int = 0): Unit = {
     buildRuns.incrementAndGet()
+    // carrier conf, same contract as DedupIndex.build (bucketed-only)
+    val carrier = DedupIndex.carrierMetaOf(spark)
+    require(bucketed || carrier.isEmpty,
+      "manifest carrier needs the bucketed layout (see DedupIndex.build)")
     if (!bucketed)
       artifact(indexDir).build { next =>
         val sh = shingled(docs).persist()
@@ -163,7 +167,7 @@ object ContainIndex {
         // files really hold, or cross-session re-registration reads wrong
         val postingDDL = DedupQueries.containRanked(sh, dfFrame)
           .select(col("hx"), col("doc_id")).schema.toDDL
-        val meta = Map(
+        val meta = carrier ++ Map(
           IndexLayout.LayoutKey -> IndexLayout.BucketedValue) ++
           IndexLayout.metaFor("tokens", IndexLayout.TableSpec(
             postings("tokens"), Seq("hx"), Seq("hx"), postingDDL)) ++
@@ -228,8 +232,16 @@ object ContainIndex {
     */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String,
       deltaId: String): Boolean = {
-    val meta = artifact(indexDir).meta
-    val corpusDfPath = artifact(indexDir).tablePath("df")
+    val art = artifact(indexDir)
+    val meta = art.meta
+    // frozen corpus df, carrier-aware: a manifest artifact's df is
+    // partly (or wholly) carried references with no physical dir
+    def corpusDfFrame(): DataFrame =
+      if (art.isManifestCurrent)
+        spark.read.parquet(
+          art.snapshotLogical(Seq("df"), IndexTombstones.Table)
+            .tableFiles("df").map(_._2.getAbsolutePath): _*)
+      else spark.read.parquet(art.tablePath("df"))
     // rank against the DELTA-SHRUNK frozen df — the same trick the
     // micro probe uses (`probeRaw`'s dfForRank): containRanked's left
     // join cannot broadcast its preserved side, so handing it the full
@@ -250,7 +262,7 @@ object ContainIndex {
     // against the caller-persisted shingle frame.
     def shrunk(sh: DataFrame): DataFrame = {
       val toks = sh.select(col("hx")).distinct()
-      val corpusDf = spark.read.parquet(corpusDfPath)
+      val corpusDf = corpusDfFrame()
       if (toks.count() <= MaxBroadcastTokens)
         broadcast(corpusDf.join(broadcast(toks), "hx"))
       else corpusDf.join(toks, "hx")
@@ -464,6 +476,21 @@ object ContainIndex {
 
   def load(spark: SparkSession, indexDir: String): Loaded = {
     loadRuns.incrementAndGet()
+    val art = artifact(indexDir)
+    if (art.isManifestCurrent) {
+      // MANIFEST carrier: logical file-list reads, no catalog
+      // registration, L0 folded into the base frames — see
+      // DedupIndex.load's manifest branch for the full rationale.
+      val snap = art.snapshotLogical(Tables, IndexTombstones.Table)
+      val meta = snap.meta
+      def read(t: String): DataFrame = spark.read.parquet(
+        snap.tableFiles(t).map(_._2.getAbsolutePath): _*)
+      return Loaded(read("tokens"), read("prefix"), read("sets"),
+        read("df"), bucketed = IndexLayout.isBucketed(meta),
+        buckets = Tables.map(t =>
+          t -> IndexLayout.specOf(meta, t).buckets).toMap,
+        tombstones = IndexTombstones.fromFiles(spark, snap.extraFiles))
+    }
     // one pointer read for meta + table paths + sidecar: independent
     // reads could straddle a purge and serve pre-purge tables unfiltered
     val snap = artifact(indexDir).snapshot(Tables, IndexTombstones.Table)

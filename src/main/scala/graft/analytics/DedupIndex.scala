@@ -140,11 +140,18 @@ object DedupIndex {
     */
   val CarrierConf = "spark.graft.index.carrier"
 
-  private def carrierMeta(spark: SparkSession): Map[String, String] =
+  /** The conf's meta contribution — shared by all three index families'
+    * builds so the carrier choice cannot drift between them.
+    */
+  private[analytics] def carrierMetaOf(
+      spark: SparkSession): Map[String, String] =
     if (spark.conf.getOption(CarrierConf)
         .contains(VersionedArtifact.ManifestValue))
       VersionedArtifact.ManifestMeta
     else Map.empty
+
+  private def carrierMeta(spark: SparkSession): Map[String, String] =
+    carrierMetaOf(spark)
 
   /** Whether the artifact has a committed current version (a crashed
     * build leaves no pointer → reads as absent).

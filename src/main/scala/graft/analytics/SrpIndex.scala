@@ -147,6 +147,11 @@ object SrpIndex {
       shape: DedupQueries.SrpShape = DedupQueries.Srp.Wide,
       bucketed: Boolean = true, buckets: Int = 0): Unit = {
     buildRuns.incrementAndGet()
+    // carrier conf, same contract as DedupIndex.build: `manifest`
+    // records the reference carry in the artifact meta (bucketed-only)
+    val carrier = DedupIndex.carrierMetaOf(spark)
+    require(bucketed || carrier.isEmpty,
+      "manifest carrier needs the bucketed layout (see DedupIndex.build)")
     val shapeMeta = Map("bands" -> shape.bands.toString,
       "rowsPerBand" -> shape.rowsPerBand.toString)
     if (!bucketed)
@@ -172,7 +177,7 @@ object SrpIndex {
         val bN = if (buckets > 0) buckets
           else Bucketing.indexBuckets(spark, rows * shape.bands * 16L)
         val bands = bucketedBandsOf(spark, v, shape)
-        val meta = shapeMeta +
+        val meta = shapeMeta ++ carrier +
           (IndexLayout.LayoutKey -> IndexLayout.BucketedValue) ++
           IndexLayout.metaFor("vectors", IndexLayout.TableSpec(vN,
             Seq("vec_id"), Seq("vec_id"), v.schema.toDDL)) ++
@@ -369,6 +374,21 @@ object SrpIndex {
 
   def load(spark: SparkSession, indexDir: String): Loaded = {
     loadRuns.incrementAndGet()
+    val art = artifact(indexDir)
+    if (art.isManifestCurrent) {
+      // MANIFEST carrier: logical file-list reads, no catalog
+      // registration, L0 folded into the base frame — see
+      // DedupIndex.load's manifest branch for the full rationale.
+      val snap = art.snapshotLogical(Tables, IndexTombstones.Table)
+      val meta = snap.meta
+      def read(t: String): DataFrame = spark.read.parquet(
+        snap.tableFiles(t).map(_._2.getAbsolutePath): _*)
+      return Loaded(read("vectors"), read("bands"), shapeOfMeta(meta),
+        bucketed = IndexLayout.isBucketed(meta),
+        buckets = Tables.map(t =>
+          t -> IndexLayout.specOf(meta, t).buckets).toMap,
+        tombstones = IndexTombstones.fromFiles(spark, snap.extraFiles))
+    }
     // shape, layout, table paths, AND the tombstone sidecar all resolve
     // against ONE pointer read (a purge racing independent reads would
     // pair pre-purge tables with a dropped sidecar), and every delta

@@ -141,4 +141,44 @@ class DedupManifestCarrierSpec extends SparkSpec {
     assert(snap.extraFiles.isEmpty,
       "the completing purge slice must drop the tombstone sidecar")
   }
+
+  test("the OTHER two families run on the manifest carrier too: " +
+      "SrpIndex and ContainIndex build+admit+probe match their link " +
+      "twins pair-for-pair") {
+    import spark.implicits._
+    // SRP (embedding) family
+    val vecs = graft.GraftSession.table(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val (srpM, srpL) = (
+      java.nio.file.Files.createTempDirectory("graft-srp-m").toString,
+      java.nio.file.Files.createTempDirectory("graft-srp-l").toString)
+    withManifest {
+      SrpIndex.build(spark, vecs.filter($"vec_id" % 5 < 3), srpM)
+    }
+    assert(new graft.streaming.VersionedArtifact(srpM).isManifestCurrent)
+    SrpIndex.append(spark, vecs.filter($"vec_id" % 5 === 3), srpM, "d1")
+    SrpIndex.build(spark, vecs.filter($"vec_id" % 5 < 3), srpL)
+    SrpIndex.append(spark, vecs.filter($"vec_id" % 5 === 3), srpL, "d1")
+    val srpDelta = vecs.filter($"vec_id" % 5 === 4)
+    assert(pairs(SrpIndex.probe(spark, srpM, srpDelta)) ===
+      pairs(SrpIndex.probe(spark, srpL, srpDelta)),
+      "SRP carrier changed the probe answer")
+
+    // containment family
+    val (cM, cL) = (
+      java.nio.file.Files.createTempDirectory("graft-cont-m").toString,
+      java.nio.file.Files.createTempDirectory("graft-cont-l").toString)
+    withManifest {
+      ContainIndex.build(spark, docs.filter($"doc_id" % 5 < 3), cM)
+    }
+    assert(new graft.streaming.VersionedArtifact(cM).isManifestCurrent)
+    ContainIndex.append(spark, docs.filter($"doc_id" % 5 === 3), cM, "d1")
+    ContainIndex.build(spark, docs.filter($"doc_id" % 5 < 3), cL)
+    ContainIndex.append(spark, docs.filter($"doc_id" % 5 === 3), cL, "d1")
+    val cDelta = docs.filter($"doc_id" % 5 === 4)
+    val mP = pairs(ContainIndex.probe(spark, cM, cDelta))
+    assert(mP === pairs(ContainIndex.probe(spark, cL, cDelta)),
+      "containment carrier changed the probe answer")
+    assert(mP.nonEmpty, "fixture must produce containment pairs")
+  }
 }
