@@ -142,6 +142,58 @@ class DedupManifestCarrierSpec extends SparkSpec {
       "the completing purge slice must drop the tombstone sidecar")
   }
 
+  test("the STREAMING ingest seat runs on a manifest artifact: " +
+      "probe-then-admit across batches, vacuum prune keeps every " +
+      "surviving reference resolvable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-manifest-stream").toString
+    withManifest {
+      DedupIndex.build(spark, docs.filter(col("doc_id") % 5 =!= 4), idx)
+    }
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+      .as[graft.streaming.IngestDoc].collect().sortBy(_.doc_id)
+    val seed = delta.head
+    val copyId = 990000001L
+    val b0 = delta.take(delta.length / 2).toSeq
+    val b1 = graft.streaming.IngestDoc(copyId, seed.text) +:
+      delta.drop(delta.length / 2).toSeq
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Long)]()
+    val input = MemoryStream[graft.streaming.IngestDoc]
+    val q = graft.streaming.IngestDedup.dedupIngestFromIndex(input.toDS(),
+      idx, java.nio.file.Files
+        .createTempDirectory("graft-manifest-stream-ck").toString,
+      admitId = Some("mstream")) { (pairs, batchId) =>
+        pairs.collect().foreach(r =>
+          got.add((r.getLong(0), r.getLong(1), batchId)))
+      }
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val pairsGot = got.asScala.toSet
+    // growth + freshness across a MANIFEST admission: batch 1's copy
+    // of a batch-0 doc pairs against the admitted (reference-carried)
+    // corpus
+    assert(pairsGot.contains((seed.doc_id, copyId, 1L)),
+      s"batch 1 missed the planted copy over the manifest artifact: " +
+        s"$pairsGot")
+    val art = new graft.streaming.VersionedArtifact(idx)
+    assert(art.isManifestCurrent,
+      "admissions must keep the recorded carrier")
+    assert(DedupIndex.appliedDeltas(idx) === Set("mstream-0", "mstream-1"))
+    // the loop's reader-grace prune is VACUUM on this carrier: every
+    // logical file of the surviving current version must still resolve
+    val snap = art.snapshotLogical(Seq("signatures", "bands"), "tombstones")
+    snap.tableFiles.values.flatten.foreach { case (rel, f) =>
+      assert(f.isFile, s"dangling reference after in-loop vacuum: $rel -> $f")
+    }
+  }
+
   test("the OTHER two families run on the manifest carrier too: " +
       "SrpIndex and ContainIndex build+admit+probe match their link " +
       "twins pair-for-pair") {
