@@ -1261,8 +1261,12 @@ object DedupQueries {
     * probe legs) every round.
     */
   def qDedupContainmentAdmitted(spark: SparkSession,
-      dir: String): DataFrame = {
-    val idx = artifactDir(spark, dir, "contain-admitted")
+      dir: String): DataFrame =
+    containAdmittedFace(spark, dir, "contain-admitted")
+
+  private def containAdmittedFace(spark: SparkSession, dir: String,
+      kind: String): DataFrame = {
+    val idx = artifactDir(spark, dir, kind)
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
     if (!ContainIndex.hasCurrent(idx))
       ContainIndex.build(spark, docs.filter(col("doc_id") % 5 < 3), idx)
@@ -1270,6 +1274,18 @@ object DedupQueries {
       "admitted-day1")
     ContainIndex.probe(spark, idx, docs.filter(col("doc_id") % 5 === 4))
   }
+
+  /** [[qDedupContainmentAdmitted]] on the MANIFEST carrier (own
+    * `contain-adm-m` family) — with [[qDedupEmbeddingAdmittedManifest]]
+    * this puts ALL THREE families' manifest admissions under the
+    * driver's hash gate, not just the dedup family's (the spec pins
+    * parity; these rows pin the VALUES every round).
+    */
+  def qDedupContainmentAdmittedManifest(spark: SparkSession,
+      dir: String): DataFrame =
+    withManifestCarrier(spark) {
+      containAdmittedFace(spark, dir, "contain-adm-m")
+    }
 
   /** [[qDedupContainmentIncremental]] after a TAKEDOWN of the corpus's
     * doc_id % 7 = 3 slice — deletion under the ASYMMETRIC two-direction
@@ -1697,10 +1713,14 @@ object DedupQueries {
     * [[qDedupAdmitted]]).
     */
   def qDedupEmbeddingAdmitted(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    embeddingAdmittedFace(spark, dir, "srp-admitted")
+
+  private def embeddingAdmittedFace(spark: SparkSession, dir: String,
+      kind: String): DataFrame = {
     import spark.implicits._
     val fp = AnnIndex.sourceFingerprint(spark, s"$dir/embeddings.parquet")
-    val idx = s"${SimilarityQueries.indexRoot}/srp-admitted-$fp"
+    val idx = s"${SimilarityQueries.indexRoot}/$kind-$fp"
     val vecs = table(spark, dir, "embeddings").select($"vec_id", $"embedding")
     if (!SrpIndex.hasCurrent(idx))
       SrpIndex.build(spark, vecs.filter($"vec_id" % 5 < 3), idx,
@@ -1709,6 +1729,15 @@ object DedupQueries {
       "admitted-day1")
     SrpIndex.probe(spark, idx, vecs.filter($"vec_id" % 5 === 4))
   }
+
+  /** [[qDedupEmbeddingAdmitted]] on the MANIFEST carrier (own
+    * `srp-adm-m` family) — see [[qDedupContainmentAdmittedManifest]].
+    */
+  def qDedupEmbeddingAdmittedManifest(spark: SparkSession,
+      dir: String): DataFrame =
+    withManifestCarrier(spark) {
+      embeddingAdmittedFace(spark, dir, "srp-adm-m")
+    }
 
   /** [[qDedupEmbeddingIncremental]] after a TAKEDOWN — the embedding
     * family's deletion face, completing the oracled takedown trio
@@ -2015,6 +2044,7 @@ object DedupQueries {
     "q_dedup_embedding_lsh64" -> qDedupEmbeddingLsh64,
     "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
     "q_dedup_embedding_admitted" -> qDedupEmbeddingAdmitted,
+    "q_dedup_embedding_admitted_manifest" -> qDedupEmbeddingAdmittedManifest,
     "q_dedup_embedding_takedown" -> qDedupEmbeddingTakedown,
     "q_dedup_embedding_incremental_wide" -> qDedupEmbeddingIncrementalWide,
     "q_dedup_embedding_wide_planted" -> qDedupEmbeddingWidePlanted,
@@ -2023,6 +2053,8 @@ object DedupQueries {
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_containment_incremental" -> qDedupContainmentIncremental,
     "q_dedup_containment_admitted" -> qDedupContainmentAdmitted,
+    "q_dedup_containment_admitted_manifest" ->
+      qDedupContainmentAdmittedManifest,
     "q_dedup_containment_takedown" -> qDedupContainmentTakedown,
     "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_dedup_keeper_quality" -> qDedupKeeperQuality
@@ -2392,6 +2424,11 @@ object DedupQueries {
     "q_dedup_embedding_admitted" -> embeddingLshOracle(Srp.Narrow,
       joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
       outA = "corpus_id", outB = "new_id"),
+    // manifest twin: same lifecycle through _carry.txt resolution,
+    // same exact oracle
+    "q_dedup_embedding_admitted_manifest" -> embeddingLshOracle(Srp.Narrow,
+      joinPred = "a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4",
+      outA = "corpus_id", outB = "new_id"),
     // takedown face: the corpus side additionally excludes the
     // tombstoned vec_id % 8 = 6 slice (delta ids are % 5 = 4, never
     // tombstoned, so the one-sided exclusion is exact)
@@ -2421,6 +2458,10 @@ object DedupQueries {
     // holds for ANY prefix choice), so two-step indexing answers the
     // same exact containment oracle as the incremental face
     "q_dedup_containment_admitted" -> duckContainPairs(
+      "a.doc_id <> b.doc_id AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))"),
+    // manifest twin: same lifecycle through _carry.txt resolution,
+    // same exact oracle
+    "q_dedup_containment_admitted_manifest" -> duckContainPairs(
       "a.doc_id <> b.doc_id AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))"),
     // takedown face: either side that is a corpus doc (% 5 <> 4) in the
     // tombstoned % 7 = 3 slice is excluded — the probe filters BOTH pair
