@@ -146,6 +146,15 @@ object Bench {
     // 1.78 → 3.14 s with an unchanged plan (r12 verdict) — name the cost
     val needContain = selected.exists(_._1 == "q_dedup_containment")
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // per-row stall attribution (r20 verdict #4): when a query's pass
+    // time reads >2× its own min-so-far, the boundary/mid sampling
+    // cannot bracket the stall (observed: cdc_bootstrap_switchover
+    // 6.11 s ×2.1 with every triple in band) — so sample a sentinel
+    // triple IMMEDIATELY after the row and tag it, the `IngestProbe`
+    // trigger ported to the bench. The triple is untimed and fires only
+    // on stall rows, so clean runs pay nothing.
+    val stallProbes =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // a query that THROWS must not look like a fast success: record it as
     // -1 (never a plausible duration), print the failure to stderr, and
     // flip the process exit code — CORRECTNESS is the hard gate, but a
@@ -211,6 +220,7 @@ object Bench {
               s"loadavg ${loadavg()}")
         }
         i += 1
+        val prevBest = best.get(name)
         val t0 = System.nanoTime()
         val ok =
           try { outRows(name) = fn(spark, sfDir).count(); true }
@@ -220,6 +230,15 @@ object Bench {
             false
           }
         val t = (System.nanoTime() - t0) / 1e9
+        if (ok && prevBest.exists(b => t > 2 * b)) {
+          val scs = cpuSentinel(); val sms = memSentinel(memArr)
+          val sis = ioSentinel()
+          stallProbes(name) = (scs, sms, sis)
+          System.err.println(
+            f"[bench] pass $p STALL $name $t%.3f s (min ${prevBest.get}%.3f) " +
+              f"sentinel_cpu $scs%.3f s  sentinel_mem $sms%.3f s  " +
+              f"sentinel_io $sis%.3f s  loadavg ${loadavg()}")
+        }
         if (ok && t < best.getOrElse(name, Double.MaxValue)) best(name) = t
         // live progress on stderr (stdout stays the single JSON line the
         // driver records); lets a profiling run attribute wall time to the
@@ -260,8 +279,16 @@ object Bench {
     // attribute an out-of-band total to the host (sentinels high) or to
     // the code (sentinels in band) BY ITSELF. Idle band (SCALE.md):
     // sentinel_cpu and sentinel_mem per-pass values on an idle host.
+    // stall-probe triples ride the record only when a >2×-vs-own-min row
+    // fired one — a clean run's line is unchanged
+    val stallsJson =
+      if (stallProbes.isEmpty) ""
+      else stallProbes.map { case (n, (c, m, o)) =>
+        s""""$n":${secArr(Seq(c, m, o))}"""
+      }.mkString("\"stall_probes\":{", ",", "},")
     val sentinels =
-      s""""sentinel_cpu":${secArr(cpuSentinels.toSeq)},""" +
+      stallsJson +
+        s""""sentinel_cpu":${secArr(cpuSentinels.toSeq)},""" +
         s""""sentinel_mem":${secArr(memSentinels.toSeq)},""" +
         s""""sentinel_io":${secArr(ioSentinels.toSeq)},""" +
         s""""load_start":"$loadStart","load_end":"$loadEnd""""

@@ -78,30 +78,45 @@ object HostSentinels {
     */
   def io(dir: java.nio.file.Path): Double = {
     import java.nio.file.{Files, StandardOpenOption => O}
-    val t0 = System.nanoTime()
-    val buf = java.nio.ByteBuffer.allocate(128 << 10)
-    var s = 0L
-    var f = 0
-    while (f < 32) {
-      val p = dir.resolve(s"sentinel_$f.bin")
-      val ch = java.nio.channels.FileChannel.open(
-        p, O.CREATE, O.WRITE, O.TRUNCATE_EXISTING)
-      buf.clear(); buf.put(0, (f + 1).toByte)
-      while (buf.hasRemaining) ch.write(buf)
-      ch.force(true)
-      ch.close()
-      f += 1
+    // try/finally cleanup: deleteOnExit only removes EMPTY dirs, so an
+    // aborted sample (exception, kill between write and delete loops)
+    // would otherwise leak up to 4 MiB of sentinel files per process in
+    // java.io.tmpdir (r20 ADVICE). The happy path has already deleted
+    // every file, so the finally's deleteIfExists sweep is 32 no-op
+    // syscalls AFTER the timed region.
+    try {
+      val t0 = System.nanoTime()
+      val buf = java.nio.ByteBuffer.allocate(128 << 10)
+      var s = 0L
+      var f = 0
+      while (f < 32) {
+        val p = dir.resolve(s"sentinel_$f.bin")
+        val ch = java.nio.channels.FileChannel.open(
+          p, O.CREATE, O.WRITE, O.TRUNCATE_EXISTING)
+        buf.clear(); buf.put(0, (f + 1).toByte)
+        while (buf.hasRemaining) ch.write(buf)
+        ch.force(true)
+        ch.close()
+        f += 1
+      }
+      f = 0
+      while (f < 32) {
+        val p = dir.resolve(s"sentinel_$f.bin")
+        val bytes = Files.readAllBytes(p)
+        s += bytes(0).toLong + bytes(bytes.length - 1).toLong + bytes.length
+        Files.delete(p)
+        f += 1
+      }
+      blackhole ^= s
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      var f = 0
+      while (f < 32) {
+        try { Files.deleteIfExists(dir.resolve(s"sentinel_$f.bin")); () }
+        catch { case _: java.io.IOException => () }
+        f += 1
+      }
     }
-    f = 0
-    while (f < 32) {
-      val p = dir.resolve(s"sentinel_$f.bin")
-      val bytes = Files.readAllBytes(p)
-      s += bytes(0).toLong + bytes(bytes.length - 1).toLong + bytes.length
-      Files.delete(p)
-      f += 1
-    }
-    blackhole ^= s
-    (System.nanoTime() - t0) / 1e9
   }
 
   /** The shared per-process sentinel scratch dir (created lazily under

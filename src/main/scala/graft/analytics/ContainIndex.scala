@@ -313,6 +313,9 @@ object ContainIndex {
       val family = IndexLayout.familyOf(indexDir)
       dropped.foreach(v =>
         Tables.foreach(IndexLayout.deregister(spark, family, _, v)))
+      // manifest mounts are per-version metadata; drop them with the
+      // version (symlinks never keep bytes alive, so order is free)
+      dropped.foreach(IndexLayout.unmount(indexDir, _))
     }
   }
 
@@ -478,18 +481,25 @@ object ContainIndex {
     loadRuns.incrementAndGet()
     val art = artifact(indexDir)
     if (art.isManifestCurrent) {
-      // MANIFEST carrier: logical file-list reads, no catalog
-      // registration, L0 folded into the base frames — see
-      // DedupIndex.load's manifest branch for the full rationale.
+      // MANIFEST carrier: logical file lists MOUNTED and registered as
+      // the same external bucketed tables the link carrier gets — see
+      // DedupIndex.load's manifest branch and
+      // IndexLayout.mountManifest for the full rationale. Probe plans
+      // are carrier-identical (in-place corpus scans, L0 legs).
       val snap = art.snapshotLogical(Tables, IndexTombstones.Table)
       val meta = snap.meta
-      def read(t: String): DataFrame = spark.read.parquet(
-        snap.tableFiles(t).map(_._2.getAbsolutePath): _*)
-      return Loaded(read("tokens"), read("prefix"), read("sets"),
-        read("df"), bucketed = IndexLayout.isBucketed(meta),
+      val family = IndexLayout.familyOf(indexDir)
+      def mounted(t: String): File = IndexLayout.mountManifest(
+        indexDir, t, snap.version, snap.tableFiles(t))
+      def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
+        spark, family, t, mounted(t), IndexLayout.specOf(meta, t)))
+      return Loaded(tbl("tokens"), tbl("prefix"), tbl("sets"),
+        tbl("df"), bucketed = IndexLayout.isBucketed(meta),
         buckets = Tables.map(t =>
           t -> IndexLayout.specOf(meta, t).buckets).toMap,
-        tombstones = IndexTombstones.fromFiles(spark, snap.extraFiles))
+        tombstones = IndexTombstones.fromFiles(spark, snap.extraFiles),
+        l0Tokens = IndexLayout.l0Frame(spark, mounted("tokens").toString),
+        l0Prefix = IndexLayout.l0Frame(spark, mounted("prefix").toString))
     }
     // one pointer read for meta + table paths + sidecar: independent
     // reads could straddle a purge and serve pre-purge tables unfiltered

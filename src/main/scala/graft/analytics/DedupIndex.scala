@@ -131,11 +131,12 @@ object DedupIndex {
     * Read at BUILD only; the choice then rides the artifact's meta like
     * the band shape (a probe/admit never re-reads the conf). Reads of a
     * manifest artifact resolve through [[graft.streaming
-    * .VersionedStore.logicalFiles]] ([[load]]'s manifest branch) as
-    * plain file-list parquet scans — the LOCATION-based bucketed
-    * catalog registration needs a physical dir, so manifest trades the
-    * exchange-free bucketed probe for carrier generality (at a real
-    * object-store deployment a table format supplies both). Default:
+    * .VersionedStore.logicalFiles]] ([[load]]'s manifest branch) and
+    * MOUNT as per-version symlink trees registered with the same
+    * bucketed catalog entries as the link carrier
+    * ([[IndexLayout.mountManifest]] — the local stand-in for a table
+    * format's metadata layer), so probe plans are carrier-identical:
+    * in-place corpus scans, bucket pruning, L0 legs. Default:
     * absent = hard-link carry.
     */
   val CarrierConf = "spark.graft.index.carrier"
@@ -337,6 +338,9 @@ object DedupIndex {
       val family = IndexLayout.familyOf(indexDir)
       dropped.foreach(v =>
         Tables.foreach(IndexLayout.deregister(spark, family, _, v)))
+      // manifest mounts are per-version metadata; drop them with the
+      // version (symlinks never keep bytes alive, so order is free)
+      dropped.foreach(IndexLayout.unmount(indexDir, _))
     }
   }
 
@@ -508,22 +512,29 @@ object DedupIndex {
     if (art.isManifestCurrent) {
       // MANIFEST carrier: tables resolve as logical FILE lists (physical
       // + carried references — a dir read would silently miss every
-      // carried file) and read as plain parquet scans. No catalog
-      // registration (LOCATION needs a physical dir), so the probe is
-      // the shuffling bk equi-join rather than the exchange-free
-      // bucketed scan; L0 accrual files fold into the same frame — the
-      // separate L0 leg exists only to preserve base bucket
-      // partitioning, which a file-list scan doesn't have. Same
+      // carried file), then MOUNT as per-version symlink trees and
+      // register as the SAME external bucketed tables the link carrier
+      // gets ([[IndexLayout.mountManifest]] — the local stand-in for the
+      // table format's metadata layer at an object-store deployment).
+      // Probe plans are therefore carrier-IDENTICAL: bucket
+      // HashPartitioning reported (corpus side never re-shuffles — the
+      // r20 verdict's #1 scale gap), SelectedBucketsCount pruning
+      // available, L0 accrual read as its own delta-sized leg. Same
       // one-pointer-read contract as the link branch.
       val snap = art.snapshotLogical(Tables, IndexTombstones.Table)
       val meta = snap.meta
-      def read(t: String): DataFrame = spark.read.parquet(
-        snap.tableFiles(t).map(_._2.getAbsolutePath): _*)
-      return Loaded(read("signatures"), read("bands"), shapeOfMeta(meta),
+      val family = IndexLayout.familyOf(indexDir)
+      def mounted(t: String): File = IndexLayout.mountManifest(
+        indexDir, t, snap.version, snap.tableFiles(t))
+      def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
+        spark, family, t, mounted(t), IndexLayout.specOf(meta, t)))
+      val bandsDir = mounted("bands")
+      return Loaded(tbl("signatures"), tbl("bands"), shapeOfMeta(meta),
         bucketed = IndexLayout.isBucketed(meta),
         buckets = Tables.map(t =>
           t -> IndexLayout.specOf(meta, t).buckets).toMap,
-        tombstones = IndexTombstones.fromFiles(spark, snap.extraFiles))
+        tombstones = IndexTombstones.fromFiles(spark, snap.extraFiles),
+        l0Bands = IndexLayout.l0Frame(spark, bandsDir.toString))
     }
     // shape, layout, table paths, AND the tombstone sidecar all resolve
     // against ONE pointer read: independent reads could straddle a

@@ -319,6 +319,87 @@ private[graft] object IndexLayout {
     else writeInto(df, family, table, verDir, spec, overwrite = false)
   }
 
+  /** Root of the per-version MOUNT trees a MANIFEST-carried artifact's
+    * reads register through (`<indexDir>/_mount/v<N>/<table>`) —
+    * underscore-named so it can never collide with `v*` version dirs,
+    * and outside them so no lifecycle carry or byte count ever sees it.
+    */
+  val MountRoot = "_mount"
+
+  /** Materialize a MANIFEST-carried version's table as a SYMLINK TREE
+    * under [[MountRoot]] and return that dir — the read-side metadata
+    * bridge that restores the bucketed catalog registration (and with it
+    * the exchange-free probe plans and `SelectedBucketsCount` pruning)
+    * the link carrier gets from LOCATION-based registration.
+    *
+    * Why this is honest at 100 TB: the manifest carrier exists for
+    * object stores, where a table format's metadata layer reports both
+    * the file list AND the bucket spec to the planner. Locally we have
+    * no format, so the logical file list (physical files + `_carry.txt`
+    * references) is materialized as metadata-only symlinks — zero data
+    * copied, O(files) syscalls, and unlike a hard link a symlink does
+    * not keep bytes alive, so vacuum-prune semantics are untouched
+    * (mounts of dropped versions are removed via [[unmount]]).
+    *
+    * File NAMES are preserved (bucket ids ride them — the same reason
+    * the hard-link carry preserves them), and `_l0` accrual rels keep
+    * their sub-placement, so the registered table sees only base files
+    * while [[l0Frame]] over the mount dir sees the accrual, exactly as
+    * on the link carrier. Version dirs are immutable once committed, so
+    * a COMPLETE mount (same rel set) is reused across loads; a partial
+    * one (crash mid-build) rebuilds. Same single-writer/session contract
+    * as [[register]]'s drop-and-recreate.
+    */
+  def mountManifest(indexDir: String, table: String, version: Long,
+      entries: Seq[(String, File)]): File = {
+    import java.nio.file.Files
+    val tableDir = new File(
+      new File(new File(indexDir, MountRoot), s"v$version"), table)
+    val want: Map[String, File] = entries.collect {
+      case (rel, phys) if rel.endsWith(".parquet") =>
+        rel.stripPrefix(table + "/") -> phys
+    }.toMap
+    def existing(f: File, rel: String): Seq[String] =
+      if (f.isFile) Seq(rel)
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(c =>
+        existing(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+    val have: Set[String] =
+      if (tableDir.isDirectory) existing(tableDir, "").toSet
+      else Set.empty
+    if (have != want.keySet) {
+      rmTree(tableDir)
+      want.foreach { case (rel, phys) =>
+        val dst = tableDir.toPath.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        Files.createSymbolicLink(dst, phys.toPath.toAbsolutePath)
+      }
+      tableDir.mkdirs() // the empty-table case still needs the dir
+      ()
+    }
+    // opportunistic GC: drop sibling mounts whose VERSION dir is fully
+    // gone (vacuum released every file) — metadata-only, bounds the
+    // mount namespace to versions that still exist
+    Option(new File(indexDir, MountRoot).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith("v") &&
+        !new File(indexDir, d.getName).exists())
+      .foreach(rmTree)
+    tableDir
+  }
+
+  /** Drop one pruned version's mount tree (metadata only — symlinks
+    * never keep bytes alive). The version dir is already gone by the
+    * time the family's prune calls this, mirroring [[deregister]].
+    */
+  def unmount(indexDir: String, version: Long): Unit =
+    rmTree(new File(new File(indexDir, MountRoot), s"v$version"))
+
+  private def rmTree(x: File): Unit = {
+    if (x.isDirectory && !java.nio.file.Files.isSymbolicLink(x.toPath))
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    x.delete(); ()
+  }
+
   /** A table's L0 accrual as one frame (None when no accrual): explicit
     * FILE paths, not the `_l0` dir — Spark's hidden-path filter matches
     * the underscore dir name and logs a spurious "All paths were

@@ -118,8 +118,14 @@ private[graft] object IndexTombstones {
       fromFiles(spark, snap.extraFiles) match {
         case None => 0.0
         case Some(t) =>
+          // skip `_l0/` accrual rels: the link branch's directory read
+          // never sees them, so counting them here would drift the
+          // denominator across carriers if an idTable ever gained L0
+          // accrual (none does today — r20 ADVICE hardening)
           val corpus = fromFiles(spark,
-            snap.tableFiles(idTable).map(_._2)).map(_.count()).getOrElse(0L)
+            snap.tableFiles(idTable)
+              .filterNot(_._1.contains("/_l0/")).map(_._2))
+            .map(_.count()).getOrElse(0L)
           if (corpus == 0L) 1.0 else t.count().toDouble / corpus
       }
     } else {

@@ -228,6 +228,9 @@ object SrpIndex {
       val family = IndexLayout.familyOf(indexDir)
       dropped.foreach(v =>
         Tables.foreach(IndexLayout.deregister(spark, family, _, v)))
+      // manifest mounts are per-version metadata; drop them with the
+      // version (symlinks never keep bytes alive, so order is free)
+      dropped.foreach(IndexLayout.unmount(indexDir, _))
     }
   }
 
@@ -376,18 +379,24 @@ object SrpIndex {
     loadRuns.incrementAndGet()
     val art = artifact(indexDir)
     if (art.isManifestCurrent) {
-      // MANIFEST carrier: logical file-list reads, no catalog
-      // registration, L0 folded into the base frame — see
-      // DedupIndex.load's manifest branch for the full rationale.
+      // MANIFEST carrier: logical file lists MOUNTED and registered as
+      // the same external bucketed tables the link carrier gets — see
+      // DedupIndex.load's manifest branch and
+      // IndexLayout.mountManifest for the full rationale. Probe plans
+      // are carrier-identical (in-place corpus scans, L0 leg).
       val snap = art.snapshotLogical(Tables, IndexTombstones.Table)
       val meta = snap.meta
-      def read(t: String): DataFrame = spark.read.parquet(
-        snap.tableFiles(t).map(_._2.getAbsolutePath): _*)
-      return Loaded(read("vectors"), read("bands"), shapeOfMeta(meta),
+      val family = IndexLayout.familyOf(indexDir)
+      def mounted(t: String): File = IndexLayout.mountManifest(
+        indexDir, t, snap.version, snap.tableFiles(t))
+      def tbl(t: String): DataFrame = spark.table(IndexLayout.register(
+        spark, family, t, mounted(t), IndexLayout.specOf(meta, t)))
+      return Loaded(tbl("vectors"), tbl("bands"), shapeOfMeta(meta),
         bucketed = IndexLayout.isBucketed(meta),
         buckets = Tables.map(t =>
           t -> IndexLayout.specOf(meta, t).buckets).toMap,
-        tombstones = IndexTombstones.fromFiles(spark, snap.extraFiles))
+        tombstones = IndexTombstones.fromFiles(spark, snap.extraFiles),
+        l0Bands = IndexLayout.l0Frame(spark, mounted("bands").toString))
     }
     // shape, layout, table paths, AND the tombstone sidecar all resolve
     // against ONE pointer read (a purge racing independent reads would

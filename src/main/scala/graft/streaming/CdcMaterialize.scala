@@ -420,8 +420,15 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         // only those (and only when the list will be consulted at all:
         // bootstrap and migration merges read the base whole)
         lazy val touched: Map[String, Seq[Long]] = {
+          // RESIZED tables are excluded: they are read whole below (old
+          // pkb values hashed with the old modulus) and never consulted
+          // in `plain`, so recomputing their touched sets would pay the
+          // second full distinct+collect over `keyed` that the fused
+          // collect exists to avoid (r20 ADVICE). Only SEEDED tables
+          // (no recorded count) need the recompute.
           val changed = touchedTbls.filter(t =>
-            counts.getOrElse(t, buckets) != prevCounts.getOrElse(t, buckets))
+            !resized.contains(t) &&
+              counts.getOrElse(t, buckets) != prevCounts.getOrElse(t, buckets))
             .toSet
           val stable: Map[String, Seq[Long]] = statRows.collect {
             case r if !changed.contains(r.getString(0)) =>

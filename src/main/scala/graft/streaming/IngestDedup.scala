@@ -99,7 +99,13 @@ final class TakedownQueue(journalDir: Option[String] = None,
           val ids = lines.tail.filter(_.nonEmpty).map(_.toLong)
           if (!except.contains(deltaId)) { q.add((ids, deltaId)); () }
         } catch {
-          case e: Exception =>
+          // quarantine ONLY deterministic parse failures (malformed
+          // bytes fail the same way on every restart). A transient
+          // IOException from readAllBytes must PROPAGATE instead: the
+          // entry itself may be well-formed, and converting a passing
+          // fault into a permanent removal from the replay namespace
+          // would silently drop an at-least-once takedown (r20 ADVICE).
+          case e @ (_: NumberFormatException | _: IllegalArgumentException) =>
             val qf = new java.io.File(d, f.getName + ".quarantined")
             java.nio.file.Files.move(f.toPath, qf.toPath,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -138,13 +138,15 @@ private[graft] object VersionedStore {
   // [[logicalFiles]]; prune becomes reference-counted GC ([[pruneVacuum]]
   // — a dropped version deletes only files no retained manifest
   // references, the table-format VACUUM semantics, because unlike links
-  // a reference does not keep bytes alive). The index FAMILIES stay on
-  // the link carrier locally (their bucketed catalog registration is
-  // LOCATION-based; at a real object-store deployment the whole artifact
-  // swaps to a table format that supplies both manifest and bucket
-  // metadata) — the seam proves the LIFECYCLE (idempotent admission,
-  // bucket-granular compaction, budget-sliced purge, reader-grace prune)
-  // is carrier-independent, which is the contract the swap relies on.
+  // a reference does not keep bytes alive). The index FAMILIES read a
+  // manifest artifact through a per-version symlink MOUNT
+  // (`IndexLayout.mountManifest` — the local stand-in for the table
+  // format's metadata layer, which at a real object-store deployment
+  // supplies both manifest and bucket metadata), so probe plans are
+  // carrier-identical; the seam proves the LIFECYCLE (idempotent
+  // admission, bucket-granular compaction, budget-sliced purge,
+  // reader-grace prune) is carrier-independent, which is the contract
+  // the swap relies on.
   // ----------------------------------------------------------------------
 
   /** Per-version carry manifest: `rel<TAB>physicalAbsPath` lines, written
@@ -283,7 +285,8 @@ private[graft] final case class ArtifactSnapshot(meta: Map[String, String],
   * [[ArtifactSnapshot]].
   */
 private[graft] final case class LogicalSnapshot(meta: Map[String, String],
-    tableFiles: Map[String, Seq[(String, File)]], extraFiles: Seq[File])
+    version: Long, tableFiles: Map[String, Seq[(String, File)]],
+    extraFiles: Seq[File])
 
 private[graft] object VersionedArtifact {
   /** `_meta.txt` carrier selector: absent = hard-link carry (the local
@@ -458,6 +461,7 @@ private[graft] final class VersionedArtifact(indexDir: String) {
     val cur = requireDir
     LogicalSnapshot(
       meta = readMeta(cur),
+      version = cur.getName.stripPrefix("v").toLong,
       tableFiles = tables.map(t => t -> tableEntries(cur, t)).toMap,
       extraFiles = VersionedStore.logicalFiles(cur, extraName)
         .collect { case (rel, f) if rel.endsWith(".parquet") => f })
