@@ -51,23 +51,31 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Band-recall precondition (ADVICE r13): q_dedup_incremental256's
     // oracle pins the 32x8/256 LSH probe against the EXACT delta-corpus
-    // answer, which holds only while the fixture has no true pairs in
-    // j in [0.8, ~0.93) — the band where the r=8 S-curve's miss
-    // probability is non-negligible. Assert the precondition with the
-    // recall-complete 16x4/128 face (miss ~4e-8 at the threshold): a
-    // fixture/generator drift then fails as THIS diagnosable error row,
-    // not as an opaque hash mismatch on a correct engine.
+    // answer, which holds only while the fixture has no true pairs where
+    // the r=8 S-curve's miss probability is non-negligible. Assert the
+    // precondition with the recall-complete 16x4/128 face (miss ~4e-8 at
+    // the threshold): a fixture/generator drift then fails as THIS
+    // diagnosable error row, not as an opaque hash mismatch on a correct
+    // engine. Band top CALIBRATED (r21): miss(j) = (1 - j^8)^32, so the
+    // per-pair miss crosses 1e-6 at j ≈ 0.877 — the guard flags pairs in
+    // [0.8, 0.88), where miss ranges 2.8e-3 .. 6.3e-7 and the exact
+    // oracle genuinely stops bounding the probe. The previous rough 0.93
+    // top cried wolf at sf0.1 on a j = 0.923 pair whose miss is 3.9e-11
+    // (r20 verdict #5); pairs in [0.88, 0.93) are ~1e-7..1e-11 misses —
+    // hundreds of them would still leave the fixture's total miss
+    // probability under 1e-4.
     if (selected("q_dedup_incremental256") &&
         !errors.contains("q_dedup_incremental256"))
       try {
         val inBand = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
-          .filter("jaccard >= 0.8 AND jaccard < 0.93").count()
+          .filter("jaccard >= 0.8 AND jaccard < 0.88").count()
         if (inBand > 0)
           errors("q_dedup_incremental256") =
             s"band-recall precondition violated: $inBand true pairs in " +
-              "j in [0.8, 0.93) — the fixture drifted into the 32x8/256 " +
-              "shape's miss band, so its exact oracle no longer bounds " +
-              "the probe; re-seed the fixture or re-derive the oracle"
+              "j in [0.8, 0.88) — the fixture drifted into the 32x8/256 " +
+              "shape's miss band (per-pair miss > 1e-6), so its exact " +
+              "oracle no longer bounds the probe; re-seed the fixture " +
+              "or re-derive the oracle"
       } catch { case e: Throwable =>
         errors("q_dedup_incremental256") =
           "band-recall precondition check failed: " +

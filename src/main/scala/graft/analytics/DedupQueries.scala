@@ -438,6 +438,13 @@ object DedupQueries {
     * `_carry.txt` reference resolution, logical file reads, and vacuum
     * prune. The conf is read at BUILD only — an already-resolved
     * artifact keeps whatever carrier its meta records.
+    *
+    * SINGLE-THREADED contract (r20 verdict): the conf is session-global,
+    * so two concurrent queries on one session could leak the carrier
+    * into each other's builds. Verify/Bench run queries sequentially by
+    * construction; a concurrent caller must pin the carrier per build
+    * (build inside its own `withManifestCarrier`) from ONE thread — the
+    * same single-writer rule every artifact lifecycle already carries.
     */
   private def withManifestCarrier[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.getOption(DedupIndex.CarrierConf)

@@ -167,6 +167,33 @@ private[graft] object IndexLayout {
     spark.sql(s"DESCRIBE FORMATTED $name").collect()
       .find(_.getString(0) == "Location").map(_.getString(1))
 
+  /** Session-scoped registration memo (name → location+spec signature):
+    * steady-state probes were paying a `tableExists` + `DESCRIBE
+    * FORMATTED` catalog round-trip PER TABLE PER LOAD just to re-verify
+    * an entry this session already created (driver-side per-query
+    * overhead, guide §1.2 step 2 — ~10-50 ms × tables × every artifact
+    * row). A memo hit with an IDENTICAL signature (same location, same
+    * bucket spec, same schema) short-circuits: the entry it describes is
+    * byte-identical to what re-registration would create, so reuse is
+    * safe even if someone re-created the table meanwhile (writeInto's
+    * overwrite drop/recreate produces the same entry). Keyed weakly per
+    * SparkSession — catalogs are session-scoped. [[deregister]]
+    * invalidates, so a pruned version's name can re-register fresh.
+    */
+  private val registeredMemo = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  private def memoOf(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, String] =
+    registeredMemo.synchronized {
+      var m = registeredMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        registeredMemo.put(spark, m)
+      }
+      m
+    }
+
   /** Idempotent per-session registration of the external bucketed table
     * over one version's table dir: reuse a matching entry, else
     * (re)create it from the recorded spec. A stale same-name entry
@@ -179,6 +206,10 @@ private[graft] object IndexLayout {
     val verName = tableDir.getParentFile.getName
     val name = tableName(family, table, verName)
     val expected = tableDir.getAbsoluteFile.toURI.toString.stripSuffix("/")
+    val sig = s"$expected|${spec.buckets}|${spec.by.mkString(",")}|" +
+      s"${spec.sort.mkString(",")}|${spec.schemaDDL}"
+    val memo = memoOf(spark)
+    if (memo.get(name) == sig) return name
     val exists = spark.catalog.tableExists(name)
     val ok = exists && locationOf(spark, name)
       .map(_.stripSuffix("/")).contains(expected)
@@ -190,6 +221,7 @@ private[graft] object IndexLayout {
         s"CLUSTERED BY ($by) SORTED BY ($sort) INTO ${spec.buckets} " +
         s"BUCKETS LOCATION '${tableDir.getAbsolutePath}'")
     }
+    memo.put(name, sig)
     name
   }
 
@@ -200,7 +232,9 @@ private[graft] object IndexLayout {
     */
   def deregister(spark: SparkSession, family: String, table: String,
       version: Long): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${tableName(family, table, s"v$version")}")
+    val name = tableName(family, table, s"v$version")
+    memoOf(spark).remove(name)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
     ()
   }
 
