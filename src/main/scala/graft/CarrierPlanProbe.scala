@@ -1,13 +1,13 @@
 package graft
 
 /** Plan audit of the MANIFEST-carrier probe vs its link twin: prints
-  * both physical plans so the carrier trade is inspectable — the link
-  * twin's corpus side is a bucketed catalog scan (bucket
-  * `HashPartitioning` reported, `SelectedBucketsCount` pruning
-  * available), the manifest side is a plain file-list scan that
-  * shuffles into the bk equi-join (the LOCATION-based registration
-  * needs a physical dir; at a real object-store deployment a table
-  * format supplies the bucket metadata — see `DedupIndex.CarrierConf`).
+  * both physical plans so carrier parity is inspectable. Since the r21
+  * mount (`IndexLayout.mountManifest` — the logical file list
+  * materialized as a per-version symlink tree and registered with the
+  * same bucketed spec) BOTH carriers' corpus sides are bucketed catalog
+  * scans (bucket `HashPartitioning` reported, `SelectedBucketsCount`
+  * pruning available): the plans should be topology-identical, which
+  * `ManifestMountSpec` pins and this probe lets you eyeball.
   *
   *   tools/run_main.sh graft.CarrierPlanProbe [sfDir]
   */

@@ -380,34 +380,32 @@ private[graft] object IndexLayout {
     * their sub-placement, so the registered table sees only base files
     * while [[l0Frame]] over the mount dir sees the accrual, exactly as
     * on the link carrier. Version dirs are immutable once committed, so
-    * a COMPLETE mount (same rel set) is reused across loads; a partial
-    * one (crash mid-build) rebuilds. Same single-writer/session contract
-    * as [[register]]'s drop-and-recreate.
+    * a COMPLETE mount is reusable forever; completeness is an O(1)
+    * `_mounted` marker written AFTER the last symlink (underscore-named,
+    * invisible to Spark's listing) — a crash mid-build leaves no marker
+    * and the next load rebuilds, and re-walking the tree per load would
+    * otherwise cost O(files) at corpus file counts. Same
+    * single-writer/session contract as [[register]]'s drop-and-recreate.
     */
   def mountManifest(indexDir: String, table: String, version: Long,
       entries: Seq[(String, File)]): File = {
     import java.nio.file.Files
     val tableDir = new File(
       new File(new File(indexDir, MountRoot), s"v$version"), table)
-    val want: Map[String, File] = entries.collect {
-      case (rel, phys) if rel.endsWith(".parquet") =>
-        rel.stripPrefix(table + "/") -> phys
-    }.toMap
-    def existing(f: File, rel: String): Seq[String] =
-      if (f.isFile) Seq(rel)
-      else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(c =>
-        existing(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
-    val have: Set[String] =
-      if (tableDir.isDirectory) existing(tableDir, "").toSet
-      else Set.empty
-    if (have != want.keySet) {
+    val marker = new File(tableDir, "_mounted")
+    if (!marker.isFile) {
       rmTree(tableDir)
-      want.foreach { case (rel, phys) =>
-        val dst = tableDir.toPath.resolve(rel)
-        Files.createDirectories(dst.getParent)
-        Files.createSymbolicLink(dst, phys.toPath.toAbsolutePath)
+      entries.foreach { case (rel, phys) =>
+        if (rel.endsWith(".parquet")) {
+          val dst = tableDir.toPath
+            .resolve(rel.stripPrefix(table + "/"))
+          Files.createDirectories(dst.getParent)
+          Files.createSymbolicLink(dst, phys.toPath.toAbsolutePath)
+          ()
+        }
       }
       tableDir.mkdirs() // the empty-table case still needs the dir
+      Files.write(marker.toPath, Array.emptyByteArray)
       ()
     }
     // opportunistic GC: drop sibling mounts whose VERSION dir is fully
