@@ -117,6 +117,39 @@ class ManifestMountSpec extends SparkSpec {
     }
   }
 
+  test("micro probe on a mounted manifest artifact BUCKET-PRUNES the " +
+      "corpus scans (SelectedBucketsCount) — the pruning the file-list " +
+      "read could never get — with pair parity") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    val mIdx = java.nio.file.Files
+      .createTempDirectory("graft-mount-prune").toString
+    // 64 buckets >> the 32 band keys a 1-doc micro-batch carries
+    withManifest {
+      DedupIndex.build(spark, corpus, mIdx, bucketed = true, buckets = 64)
+    }
+    val loaded = DedupIndex.load(spark, mIdx)
+    assert(loaded.bucketed)
+    val microPairs = pairs(DedupIndex.probeLoaded(loaded, delta,
+      micro = true))
+    assert(microPairs === pairs(DedupIndex.probeLoaded(loaded, delta)),
+      "pruned micro probe diverged from the batch probe on the mount")
+    assert(microPairs.nonEmpty, "fixture must contain cross-split pairs")
+    val one = delta.filter(col("doc_id") === microPairs.head._2)
+    val cand = DedupIndex.microCandidates(loaded,
+      DedupQueries.signaturesOf(one, loaded.shape.slots))
+    cand.count()
+    val cplan = cand.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val csel = "SelectedBucketsCount: (\\d+) out of 64".r
+      .findFirstMatchIn(cplan)
+    assert(csel.isDefined,
+      s"no bucket pruning in the mounted candidate plan:\n$cplan")
+    assert(csel.get.group(1).toInt < 64,
+      s"mounted candidate job read every band bucket " +
+        s"(${csel.get.group(1)}/64):\n$cplan")
+  }
+
   test("L0 accrual on a mounted manifest artifact reads as its own " +
       "leg, with pair parity against the link twin") {
     spark.conf.set("spark.graft.index.l0.cutover", "0") // force L0
