@@ -306,18 +306,67 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
   def merge(envelopes: Dataset[MQEvent], pruneKeep: Int): Unit = {
     val spark = envelopes.sparkSession
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    // phase timing for targeted profiling only (SPARK_GRAFT_MERGE_DEBUG)
+    // phase timing for targeted profiling only (SPARK_GRAFT_MERGE_DEBUG):
+    // wall clock plus Spark job/stage/task counts per phase, so a slow
+    // phase attributes to scheduling waves vs one slow job
     val dbg = sys.env.contains("SPARK_GRAFT_MERGE_DEBUG")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val listener = if (!dbg) null else {
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+            : Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      l
+    }
     var t0 = System.nanoTime()
     def lap(label: String): Unit = if (dbg) {
       val t = System.nanoTime()
-      System.err.println(f"[merge] $label%-16s ${(t - t0) / 1e9}%7.3f s")
+      System.err.println(f"[merge] $label%-16s ${(t - t0) / 1e9}%7.3f s  " +
+        f"jobs=${jobs.getAndSet(0)} stages=${stages.getAndSet(0)} " +
+        f"tasks=${tasks.getAndSet(0)}")
       t0 = t
     }
     val keyed = CdcKeyed.changes(envelopes, pkOf)
       // two driver consumers (the fused stats/touched collect, the merge
       // union) — one compute
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // AQE executes each exchange as its own wave-job with a driver-side
+    // re-optimization between waves — measured r22 (job listener in the
+    // lap points): every merge phase ran as 3 jobs / 3 stages / 3-8 tiny
+    // tasks, ~150 ms of driver-serial latency per wave, compute ~nil.
+    // For a HIGH-FREQUENCY micro-batch sink that fixed per-trigger wave
+    // tax is the scaling limit (it is driver-serial and does not shrink
+    // with cluster size), while AQE's benefit inside a merge is bounded
+    // by the batch: the stats aggregation's reduce side is bounded by
+    // |tables| × buckets AT ANY SCALE (count/sum/bucket-set per table),
+    // so it runs AQE-off unconditionally; the write keeps AQE exactly
+    // when the batch is big enough for runtime coalescing to matter
+    // (estimated bytes ≥ spark.graft.cdc.merge.aqe.minBytes, default
+    // 256 MB — a batch that size has real shuffles to re-plan).
+    def withAqe[T](on: Boolean)(body: => T): T = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key, "true")
+      if (on == (prev == "true")) body
+      else {
+        spark.conf.set(key, on.toString)
+        try body finally spark.conf.set(key, prev)
+      }
+    }
+    val aqeMinBytes: Long =
+      spark.conf.getOption("spark.graft.cdc.merge.aqe.minBytes")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(256L << 20)
     try {
       val prev = currentVersion
       val prevDir = prev.map(pv => new java.io.File(dir, s"v$pv"))
@@ -345,11 +394,13 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
       // rewrite of the table it just wrote (estimate and measurement
       // must live on the same scale for the 2x hysteresis to absorb
       // their disagreement)
-      val statRows = keyed.groupBy(col("tbl"))
-        .agg(count(lit(1)).as("n"),
-          sum(length(col("after_json"))).as("jb"),
-          collect_set(bucketColFor(prevCounts)).as("bks"))
-        .collect()
+      val statRows = withAqe(on = false) {
+        keyed.groupBy(col("tbl"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("after_json"))).as("jb"),
+            collect_set(bucketColFor(prevCounts)).as("bks"))
+          .collect()
+      }
       lap("stats-collect")
       val tblStats: Map[String, Long] = statRows.map { r =>
         val json = if (r.isNullAt(2)) 0L else r.getLong(2)
@@ -436,9 +487,12 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
           }.toMap
           val recomputed: Map[String, Seq[Long]] =
             if (changed.isEmpty) Map.empty
-            else keyed.filter(col("tbl").isin(changed.toSeq: _*))
-              .select(col("tbl"), pkbCol.as("pkb")).distinct()
-              .collect().map(r => (r.getString(0), r.getLong(1)))
+            else withAqe(on = false) {
+              // bounded like the stats reduce: ≤ |tables| × buckets rows
+              keyed.filter(col("tbl").isin(changed.toSeq: _*))
+                .select(col("tbl"), pkbCol.as("pkb")).distinct()
+                .collect()
+            }.map(r => (r.getString(0), r.getLong(1)))
               .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
           stable ++ recomputed
         }
@@ -497,9 +551,11 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         // pmod(hash, groups) — ~1/3 of a 5-table bootstrap's groups
         // shared a task and the big write ran ×2 slower — while the
         // empty tasks the cap avoided commit in ~a millisecond each.
-        next.repartition(col("tbl"), col("pkb"))
-          .write.mode("overwrite").partitionBy("tbl", "pkb")
-          .parquet(nextDir.toString)
+        withAqe(on = tblStats.values.sum >= aqeMinBytes) {
+          next.repartition(col("tbl"), col("pkb"))
+            .write.mode("overwrite").partitionBy("tbl", "pkb")
+            .parquet(nextDir.toString)
+        }
         lap("write")
         // PRE-link snapshot of the new version: it holds exactly the
         // bucket dirs this merge rewrote (incl. conjunctive-pruning
@@ -559,7 +615,11 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
       // same call — runs even when the batch touched nothing (the
       // caller asked for a pruned store either way)
       if (pruneKeep > 0) { VersionedStore.prune(dir, pruneKeep); lap("prune") }
-    } finally { keyed.unpersist(); () }
+    } finally {
+      keyed.unpersist()
+      if (listener != null) spark.sparkContext.removeSparkListener(listener)
+      ()
+    }
   }
 
   /** Seed an EMPTY store from a consistent initial-load snapshot — the
