@@ -7,10 +7,10 @@ import graft.SparkSpec
 /** The UNIFIED bucketed containment artifact ([[ContainIndex.build]]
   * with `bucketed = true`): ordered-pair parity with the directory
   * artifact, the exchange-free corpus plan (every corpus table read in
-  * place — the bucketed batch probe verifies split per direction so the
-  * doc_id-bucketed `sets` table never re-shuffles), the admission
-  * lifecycle on the bucketed layout, and micro bucket pruning of the
-  * hx-keyed postings.
+  * place — the bucketed batch probe verifies BOTH directions over ONE
+  * corpus `sets` scan, r22, so the doc_id-bucketed table never
+  * re-shuffles AND never re-reads), the admission lifecycle on the
+  * bucketed layout, and micro bucket pruning of the hx-keyed postings.
   */
 class ContainIndexBucketedSpec extends SparkSpec {
 
@@ -64,8 +64,17 @@ class ContainIndexBucketedSpec extends SparkSpec {
       assert(aExchanges === 0,
         s"verify a-side exchanged — sets bucketing bought nothing:\n$plan")
       assert("Bucketed: true".r.findAllMatchIn(plan).length >= 4,
-        "corpus scans (df, tokens, prefix, sets×2 directions) must " +
+        "corpus scans (df, tokens, prefix, sets) must " +
           s"report bucketing:\n$plan")
+      // r22 one-scan verify: BOTH directions share one corpus `sets`
+      // scan — a second scan is the per-direction split regression
+      val setsScans = "_sets_".r.findAllMatchIn(plan).length
+      assert(setsScans === 1,
+        s"corpus sets scanned $setsScans times (one-scan verify " +
+          s"regressed to per-direction reads):\n$plan")
+      // and its doc_id side must not exchange (in-place bucketed join)
+      assert(!plan.contains("Exchange hashpartitioning(c_doc"),
+        s"corpus sets side exchanged in the one-scan verify:\n$plan")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       ()
