@@ -153,6 +153,9 @@ object Bench {
     // triple IMMEDIATELY after the row and tag it, the `IngestProbe`
     // trigger ported to the bench. The triple is untimed and fires only
     // on stall rows, so clean runs pay nothing.
+    // keyed by "name#pN" (r21 ADVICE): a query stalling on more than one
+    // pass keeps every triple instead of the last overwriting the rest —
+    // multi-stall attribution survives into the JSON record
     val stallProbes =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // a query that THROWS must not look like a fast success: record it as
@@ -233,7 +236,7 @@ object Bench {
         if (ok && prevBest.exists(b => t > 2 * b)) {
           val scs = cpuSentinel(); val sms = memSentinel(memArr)
           val sis = ioSentinel()
-          stallProbes(name) = (scs, sms, sis)
+          stallProbes(s"$name#p$p") = (scs, sms, sis)
           System.err.println(
             f"[bench] pass $p STALL $name $t%.3f s (min ${prevBest.get}%.3f) " +
               f"sentinel_cpu $scs%.3f s  sentinel_mem $sms%.3f s  " +

@@ -24,6 +24,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-plan (coalesce) the plans that FILL caches: the
+      // default false pins every persist() materialization at the static
+      // shuffle-partition count, which is exactly where the iterative
+      // faces (components label loop, curation, CDC keyed batches) spend
+      // their time — at sf0.1 each iteration's cached label table ran 32
+      // one-row tasks per job wave, and six bench rows ran FASTER at 8
+      // cores than 32 (r21 scaling block, ratios <= 0.63). With runtime
+      // coalescing the cached partitioning follows data size at any
+      // scale instead of the session constant. Env-overridable so an
+      // interleaved A/B can flip it without rebuilding.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       // ObjectHashAggregate (typed aggregates like graft_minhash64,
       // collect_set) falls back to SORT-based aggregation after 128
       // distinct keys per partition by default — our per-doc aggregations

@@ -163,10 +163,6 @@ private[graft] object IndexLayout {
   private def tableName(family: String, table: String, verName: String) =
     s"${family}_${table}_$verName"
 
-  private def locationOf(spark: SparkSession, name: String): Option[String] =
-    spark.sql(s"DESCRIBE FORMATTED $name").collect()
-      .find(_.getString(0) == "Location").map(_.getString(1))
-
   /** Session-scoped registration memo (name → location+spec signature):
     * steady-state probes were paying a `tableExists` + `DESCRIBE
     * FORMATTED` catalog round-trip PER TABLE PER LOAD just to re-verify
@@ -211,8 +207,28 @@ private[graft] object IndexLayout {
     val memo = memoOf(spark)
     if (memo.get(name) == sig) return name
     val exists = spark.catalog.tableExists(name)
-    val ok = exists && locationOf(spark, name)
-      .map(_.stripSuffix("/")).contains(expected)
+    // verify the FULL signature, not location alone (r21 ADVICE): an
+    // artifact dir deleted and rebuilt in-session at the same path can
+    // restart version ids with a DIFFERENT bucket spec — a location-only
+    // match would then memoize a signature the catalog entry doesn't
+    // have, and every later load would drive bucketed joins with wrong
+    // bucket metadata. DESCRIBE FORMATTED carries Num Buckets / Bucket
+    // Columns / Sort Columns; the schema is compared through the
+    // catalog's own parsed view of the table.
+    val ok = exists && {
+      val rows = spark.sql(s"DESCRIBE FORMATTED $name").collect()
+      def field(k: String): Option[String] =
+        rows.find(_.getString(0) == k).map(_.getString(1))
+      def cols(k: String): Option[Seq[String]] =
+        field(k).map(_.stripPrefix("[").stripSuffix("]")
+          .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+      field("Location").map(_.stripSuffix("/")).contains(expected) &&
+        field("Num Buckets").map(_.trim).contains(spec.buckets.toString) &&
+        cols("Bucket Columns").contains(spec.by) &&
+        cols("Sort Columns").contains(spec.sort) &&
+        spark.table(name).schema ==
+          org.apache.spark.sql.types.StructType.fromDDL(spec.schemaDDL)
+    }
     if (!ok) {
       if (exists) spark.sql(s"DROP TABLE IF EXISTS $name")
       val by = spec.by.mkString(", ")
@@ -381,32 +397,62 @@ private[graft] object IndexLayout {
     * while [[l0Frame]] over the mount dir sees the accrual, exactly as
     * on the link carrier. Version dirs are immutable once committed, so
     * a COMPLETE mount is reusable forever; completeness is an O(1)
-    * `_mounted` marker written AFTER the last symlink (underscore-named,
-    * invisible to Spark's listing) — a crash mid-build leaves no marker
-    * and the next load rebuilds, and re-walking the tree per load would
-    * otherwise cost O(files) at corpus file counts. Same
-    * single-writer/session contract as [[register]]'s drop-and-recreate.
+    * `_mounted` marker (underscore-named, invisible to Spark's listing)
+    * written inside the tree BEFORE it publishes — a crash mid-build
+    * leaves an unpublished (or unmarked) tree and the next load
+    * rebuilds, and re-walking the tree per load would otherwise cost
+    * O(files) at corpus file counts. Publication is an ATOMIC_MOVE
+    * rename of a process/thread-unique tmp sibling (r21 ADVICE):
+    * concurrent loads of the same version race safely — the loser sees
+    * the winner's completed mount and drops its own tree — so the READ
+    * path never mutates shared state in place.
     */
   def mountManifest(indexDir: String, table: String, version: Long,
       entries: Seq[(String, File)]): File = {
-    import java.nio.file.Files
+    import java.nio.file.{Files, StandardCopyOption}
     val tableDir = new File(
       new File(new File(indexDir, MountRoot), s"v$version"), table)
     val marker = new File(tableDir, "_mounted")
     if (!marker.isFile) {
-      rmTree(tableDir)
+      // ATOMIC publication (r21 ADVICE): two concurrent loads of the same
+      // manifest artifact — the multiple-reader model the reader-grace
+      // prune assumes — must not interleave inside the tree build (the
+      // previous in-place rmTree+createSymbolicLink could throw
+      // FileAlreadyExists on the racing side, or tear a mount out from
+      // under an in-flight scan). Build into a process/thread-unique tmp
+      // SIBLING, then ATOMIC_MOVE-rename into place: an existing
+      // destination means another reader completed the mount first —
+      // reuse it and drop ours. The `_mounted` marker stays (written
+      // inside the tmp tree, so it rides the rename): it is what
+      // distinguishes a COMPLETE mount from a torn pre-atomic leftover,
+      // which is cleared below exactly once before the swap.
+      val tmp = new File(tableDir.getParentFile,
+        s".${table}.mnt.${java.lang.ProcessHandle.current.pid}." +
+          java.lang.Thread.currentThread.getId)
+      rmTree(tmp)
       entries.foreach { case (rel, phys) =>
         if (rel.endsWith(".parquet")) {
-          val dst = tableDir.toPath
-            .resolve(rel.stripPrefix(table + "/"))
+          val dst = tmp.toPath.resolve(rel.stripPrefix(table + "/"))
           Files.createDirectories(dst.getParent)
           Files.createSymbolicLink(dst, phys.toPath.toAbsolutePath)
           ()
         }
       }
-      tableDir.mkdirs() // the empty-table case still needs the dir
-      Files.write(marker.toPath, Array.emptyByteArray)
-      ()
+      tmp.mkdirs() // the empty-table case still needs the dir
+      Files.write(new File(tmp, "_mounted").toPath, Array.emptyByteArray)
+      // a pre-existing UNMARKED tableDir is a torn leftover from a
+      // crashed pre-atomic build — clear it so the rename can land; a
+      // MARKED one appearing now means a concurrent reader won the race
+      if (tableDir.exists() && !marker.isFile) rmTree(tableDir)
+      try Files.move(tmp.toPath, tableDir.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.AccessDeniedException =>
+          // another reader published between our check and move
+          rmTree(tmp)
+      }
     }
     // opportunistic GC: drop sibling mounts whose VERSION dir is fully
     // gone (vacuum released every file) — metadata-only, bounds the

@@ -1,10 +1,12 @@
 #!/bin/bash
 # Run a graft main directly with java (no sbt lock/overhead).
 # Usage: tools/run_main.sh <MainClass> [args...]
-# Env: SPARK_DRIVER_MEM (default 12g), plus whatever the main reads.
+# Env: SPARK_DRIVER_MEM (default 12g); GRAFT_CLASSES overrides the
+# compiled-classes dir (the interleaved-A/B hook run_main_ab.sh uses),
+# plus whatever the main reads.
 set -e
 MAIN="$1"; shift
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \

@@ -1,28 +1,9 @@
 #!/bin/bash
 # Interleaved-A/B variant of run_main.sh: GRAFT_CLASSES selects the
 # compiled classes dir (e.g. an r8 worktree's target), everything else
-# identical, so the two builds run under the same JVM flags and jars.
+# identical. DELEGATES to run_main.sh (r21 ADVICE): the whole premise is
+# identical JVM flags across builds, so the flag list must have exactly
+# one home — run_main.sh reads GRAFT_CLASSES itself.
 # Usage: GRAFT_CLASSES=/tmp/graft_r8/target/scala-2.13/classes \
 #        tools/run_main_ab.sh graft.Bench
-set -e
-MAIN="$1"; shift
-CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-exec java \
-  --add-opens java.base/java.lang=ALL-UNNAMED \
-  --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
-  --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
-  --add-opens java.base/java.io=ALL-UNNAMED \
-  --add-opens java.base/java.net=ALL-UNNAMED \
-  --add-opens java.base/java.nio=ALL-UNNAMED \
-  --add-opens java.base/java.util=ALL-UNNAMED \
-  --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
-  --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED \
-  --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
-  --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
-  --add-opens java.base/sun.security.action=ALL-UNNAMED \
-  --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
-  -Dspark.ui.enabled=false \
-  -Dspark.sql.session.timeZone=UTC \
-  -Xmx${SPARK_DRIVER_MEM:-12g} \
-  -XX:+UseTransparentHugePages \
-  -cp "$CP" "$MAIN" "$@"
+exec "$(dirname "$0")/run_main.sh" "$@"
