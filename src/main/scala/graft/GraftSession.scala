@@ -24,18 +24,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // let AQE re-plan (coalesce) the plans that FILL caches: the
-      // default false pins every persist() materialization at the static
-      // shuffle-partition count, which is exactly where the iterative
-      // faces (components label loop, curation, CDC keyed batches) spend
-      // their time — at sf0.1 each iteration's cached label table ran 32
-      // one-row tasks per job wave, and six bench rows ran FASTER at 8
-      // cores than 32 (r21 scaling block, ratios <= 0.63). With runtime
-      // coalescing the cached partitioning follows data size at any
-      // scale instead of the session constant. Env-overridable so an
-      // interleaved A/B can flip it without rebuilding.
+      // cached-plan AQE stays at the Spark default (OFF) — measured both
+      // ways in r22: letting AQE re-plan cache fills fixed the tiny-loop
+      // rows (components ×0.40 — each iteration's cached label table had
+      // run 32 one-row tasks per wave, the r21 8-vs-32-core inversion)
+      // but collapsed the cache fills whose by-column repartition exists
+      // to parallelize an EXPLODING stage the pre-explode stats cannot
+      // price (contain_build 0.45 → 4.3 s, q_dedup_containment → 12.5 s,
+      // q_dedup_simhash ×2.7). The losses dwarf the wins, so the loops
+      // size their own cached partitioning from materialized counts
+      // instead (see GraphQueries/DedupQueries componentsOf), and the
+      // spread-before-explode sites pin explicit counts. Env knob kept
+      // for interleaved A/Bs.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
       // ObjectHashAggregate (typed aggregates like graft_minhash64,
       // collect_set) falls back to SORT-based aggregation after 128
       // distinct keys per partition by default — our per-doc aggregations

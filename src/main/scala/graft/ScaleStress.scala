@@ -38,7 +38,8 @@ object ScaleStress {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-scalestress")
     generate(spark, srcDir, outDir, copiesS.toInt)
-    println(s"[scalestress] wrote ${copiesS}x documents+embeddings to $outDir")
+    println(s"[scalestress] wrote ${copiesS}x documents+embeddings+events" +
+      s"+graph tables to $outDir")
     spark.stop()
   }
 
@@ -90,6 +91,52 @@ object ScaleStress {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // `events` (r22, for the CDC serving/bootstrap 10× evidence): copy k
+    // offsets event_id AND user_id by k·10⁹ — per-key histories stay
+    // disjoint across copies, so the serving state's key count grows
+    // linearly with the corpus (organic key density: no planted
+    // cross-copy version collisions, tombstone/update mix per key
+    // unchanged) while timestamps keep the original range (the
+    // bootstrap cut and replay windows stay corpus-shaped).
+    val ev = GraftSession.table(spark, srcDir, "events")
+    (0 until copies).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * idOffset)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * idOffset)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // TPC-H graph slice (r22, for the pagerank 10× evidence): orderkey/
+    // custkey/suppkey offset per copy — k disjoint copies of the
+    // supplier→customer edge multigraph concentrating on the SAME 25
+    // nations (exactly how TPC-H scale factors grow: rows scale, nation
+    // cardinality is fixed), so edge volume grows linearly and the
+    // output stays 25 rows at any scale.
+    val li = GraftSession.table(spark, srcDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = GraftSession.table(spark, srcDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = GraftSession.table(spark, srcDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = GraftSession.table(spark, srcDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    def copied(df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]): org.apache.spark.sql.DataFrame =
+      (0 until copies).map { k =>
+        keys.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(k * idOffset)))
+      }.reduce(_ unionByName _)
+    copied(li, Seq("l_orderkey", "l_suppkey"))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    copied(ord, Seq("o_orderkey", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    copied(cust, Seq("c_custkey"))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    copied(supp, Seq("s_suppkey"))
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
 
     val emb = GraftSession.table(spark, srcDir, "embeddings")
     val dims = emb.selectExpr("size(embedding)").first().getInt(0)

@@ -825,12 +825,44 @@ object DedupQueries {
     * min reachable id — the true transitive closure, so the fixpoint loop
     * is verified against genuinely independent semantics.
     */
+  /** Scoped shuffle-partition override for the iterative component
+    * loops: every per-iteration frame here is EDGE-set-sized (near-dup
+    * density × corpus, tiny relative to the corpus at any SF), but the
+    * loops' exchanges and per-generation caches ran at the session
+    * constant — 32 one-row tasks per wave per iteration at sf0.1, the
+    * r21 8-vs-32-core inversion (ratios ≤ 0.63 on every loop row).
+    * Partition count derives from the MATERIALIZED edge count (~16 B/row
+    * at a 64 MB/partition target, guide §2.2 "fewer, larger partitions"),
+    * floored at 1 and capped at the session parallelism — so a 100 TB
+    * edge set still fans out to every core while sf0.1's 100 edges run
+    * one task per wave. Conf is set/restored around the loop only; the
+    * RETURNED lazy frame executes under the caller's session conf (its
+    * final projection is component-count-sized either way). Session-conf
+    * mutation rides the same single-threaded bench/verify contract as
+    * withManifestCarrier.
+    */
+  private def withLoopPartitions[T](spark: SparkSession, rows: Long)(
+      body: => T): T = {
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      rows * 16L / (64L << 20) + 1L)).toInt
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, parts.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val pairs = qDedupMinhashLsh(spark, dir)
+    // materializes the (persisted) pair set once and prices the loop's
+    // partitioning from it — 4 edge rows per pair before the distinct
+    val nPairs = pairs.count()
+    withLoopPartitions(spark, 4L * nPairs) {
     // both edge directions + self-loops in ONE pass over the pair pipeline
     // (a union of selects would evaluate the whole LSH subtree per branch);
     // distinct dedupes the self-loops a doc contributes per incident pair
-    val edges = qDedupMinhashLsh(spark, dir)
+    val edges = pairs
       .select(explode(array(
         struct($"id_a".as("s"), $"id_b".as("d")),
         struct($"id_b".as("s"), $"id_a".as("d")),
@@ -879,6 +911,7 @@ object DedupQueries {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy($"component")))
       .withColumn("is_keeper", ($"doc_id" === $"component").cast("boolean"))
+    } // withLoopPartitions
   }
 
   /** The LARGE-STAR / SMALL-STAR alternation (Kiveris et al., "Connected
@@ -928,6 +961,11 @@ object DedupQueries {
     // truncation semantics, executor-loss-safe.
     var edges = edges0.select($"s", $"d").distinct().localCheckpoint(true)
     var nOld = edges.count()
+    // alternation rounds at an edge-count-derived partition count (see
+    // withLoopPartitions): the generations only ever SHRINK from nOld,
+    // so pricing the scope once from the materialized input is an upper
+    // bound for every round
+    withLoopPartitions(spark, nOld) {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -973,6 +1011,7 @@ object DedupQueries {
       .union(edges.select($"d".as("doc_id"), $"d".as("lbl")))
       .groupBy($"doc_id").agg(min($"lbl").as("component"))
     (labels, iter)
+    } // withLoopPartitions
   }
 
   /** LEAKAGE-SAFE train/val/test split: the [[graft.analytics
@@ -1141,7 +1180,15 @@ object DedupQueries {
     graft.functions.VectorFunctions.register(spark)
     table(spark, dir, "documents")
       .select($"doc_id", $"text")
-      .repartition($"doc_id")
+      // EXPLICIT count (REPARTITION_BY_NUM — never AQE-coalesced): this
+      // spread exists to parallelize the ~N×5 explode BELOW it, whose
+      // output size Spark cannot see in the pre-explode stats. With
+      // cached-plan AQE enabled (r22) a by-column repartition inside
+      // this persist's fill plan coalesced on the narrow input bytes and
+      // ran the whole shingle pipeline near-serially (contain_build
+      // 0.45 → 4.3 s measured); the count pins the documented intent at
+      // any conf. defaultParallelism = total cores, not a local constant.
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", explode(expr(containShingleExpr)).as("sh"))
       .distinct()
       .select($"doc_id", xxhash64($"sh").as("hx"))
@@ -1442,7 +1489,11 @@ object DedupQueries {
     // 32-way; the shuffle being repartitioned is 1 row/doc, noise
     val sim = simhashSketches(spark, dir)
       .select($"doc_id", $"sim32".as("sim"))
-      .repartition(col("doc_id"))
+      // explicit count: see containSh — the spread feeds the post-cache
+      // explode+self-join whose mass the pre-explode stats cannot see;
+      // cached-plan AQE coalescing collapsed it (q_dedup_simhash
+      // 0.34 → 0.90 s measured r22)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sim.select($"doc_id", $"sim",
       explode(array((0 until 4).map(b =>
@@ -1499,7 +1550,8 @@ object DedupQueries {
     // [[qDedupSimhash]])
     val sim = simhashSketches(spark, dir)
       .select($"doc_id", $"sim60".as("sim"))
-      .repartition(col("doc_id"))
+      // explicit count: see qDedupSimhash's spread note
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sim.select($"doc_id", $"sim",
       explode(array((0 until bands).map(b =>
