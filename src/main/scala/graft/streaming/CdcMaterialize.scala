@@ -395,11 +395,26 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
       // must live on the same scale for the 2x hysteresis to absorb
       // their disagreement)
       val statRows = withAqe(on = false) {
-        keyed.groupBy(col("tbl"))
-          .agg(count(lit(1)).as("n"),
-            sum(length(col("after_json"))).as("jb"),
-            collect_set(bucketColFor(prevCounts)).as("bks"))
-          .collect()
+        // reduce-side sizing for the AQE-off aggregation: the partials
+        // are bounded by map-partitions × |tables| (× bucket-set size),
+        // so reducers scale with the INPUT's parallelism (÷8, floor 1,
+        // cap session parallelism) — a micro-batch's 1-partition keyed
+        // frame reduces in one task instead of the session constant's
+        // 32 empties, a 100 k-partition bootstrap still fans out.
+        val statsParts = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism,
+          keyed.rdd.getNumPartitions / 8))
+        val partsKey = "spark.sql.shuffle.partitions"
+        val prevParts = spark.conf.get(partsKey)
+        spark.conf.set(partsKey, statsParts.toString)
+        try {
+          val q = keyed.groupBy(col("tbl"))
+            .agg(count(lit(1)).as("n"),
+              sum(length(col("after_json"))).as("jb"),
+              collect_set(bucketColFor(prevCounts)).as("bks"))
+          if (dbg) { q.queryExecution.executedPlan; lap("stats-plan") }
+          q.collect()
+        } finally spark.conf.set(partsKey, prevParts)
       }
       lap("stats-collect")
       val tblStats: Map[String, Long] = statRows.map { r =>
@@ -551,11 +566,38 @@ final class CdcServingTable(dir: String, pkOf: Map[String, String],
         // pmod(hash, groups) — ~1/3 of a 5-table bootstrap's groups
         // shared a task and the big write ran ×2 slower — while the
         // empty tasks the cap avoided commit in ~a millisecond each.
-        withAqe(on = tblStats.values.sum >= aqeMinBytes) {
-          next.repartition(col("tbl"), col("pkb"))
+        // batch-derived shuffle sizing for the AQE-off write (the
+        // coalescing AQE would have done, priced from the stats already
+        // in hand): estimated batch bytes at a 64 MB/partition target,
+        // floor 1, cap session parallelism — a micro-batch's write
+        // exchanges run 1-2 tasks instead of 2 × the session constant,
+        // a bootstrap-sized batch still fans out to every core. The r20
+        // caution about capping at the OUTPUT-GROUP count (pmod
+        // collisions ran the big write ×2 slower) does not apply: this
+        // cap scales with bytes, so only tiny batches collapse, and
+        // their groups are tiny too.
+        val estBytes = tblStats.values.sum
+        val aqeOn = estBytes >= aqeMinBytes
+        val writeParts = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong,
+          estBytes / (64L << 20) + 1L)).toInt
+        val partsKey = "spark.sql.shuffle.partitions"
+        val prevParts = spark.conf.get(partsKey)
+        if (!aqeOn) spark.conf.set(partsKey, writeParts.toString)
+        try withAqe(on = aqeOn) {
+          // at writeParts == 1 the agg's single output partition is
+          // already trivially clustered on (tbl, pkb) — the pre-write
+          // exchange would be a 1→1 pass-through stage, so skip it
+          // (still exactly one file per touched bucket dir; one fewer
+          // scheduling wave per micro merge)
+          val clustered =
+            if (!aqeOn && writeParts == 1) next
+            else next.repartition(col("tbl"), col("pkb"))
+          if (dbg) { clustered.queryExecution.executedPlan; lap("write-plan") }
+          clustered
             .write.mode("overwrite").partitionBy("tbl", "pkb")
             .parquet(nextDir.toString)
-        }
+        } finally if (!aqeOn) spark.conf.set(partsKey, prevParts)
         lap("write")
         // PRE-link snapshot of the new version: it holds exactly the
         // bucket dirs this merge rewrote (incl. conjunctive-pruning
